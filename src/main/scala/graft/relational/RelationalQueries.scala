@@ -1,0 +1,278 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{Q, Tables}
+import graft.core.MrOps
+
+/** Relational coverage of SURVEY.md §2.2 on the driver's star schema:
+  * scan/filter/project, equi-joins (the reference's union+collate join idiom,
+  * `oink/cc_find.cpp:76-79`), groupBy aggregations (collate+reduce), distinct
+  * (`oink/reduce_cull.cpp`), union (`add`, `src/mapreduce.cpp:348-374`),
+  * set ops, sorts, top-K (`oink/wordfreq.cpp:65-112`), histogram-of-
+  * histograms (`oink/histo.cpp`), window functions (absent in the reference —
+  * Spark-native bonus surface), collapse/posting lists.
+  *
+  * Determinism rules for the DuckDB oracle:
+  *  - price sums (doubles) rounded to 2 decimals — sums of 2-decimal values
+  *    agree across engines after rounding;
+  *  - quantity sums are integral doubles → exact in IEEE754, no rounding;
+  *  - averages computed as sum/count (one division), not engine avg();
+  *  - every top-K/window has a total-order tiebreaker.
+  */
+object RelationalQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def supp(s: SparkSession, d: String) = Tables.supplier(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def reg(s: SparkSession, d: String) = Tables.region(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  val all: Seq[Q] = Seq(
+
+    // --- scan / filter / project (map callbacks; parquet pushdown) ---------
+    Q("q_scan_project",
+      (s, d) => li(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
+              FROM lineitem WHERE l_quantity >= 45""")),
+
+    Q("q_filter_predicates",
+      (s, d) => li(s, d)
+        .filter(col("l_returnflag") === "R" &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+              FROM lineitem
+              WHERE l_returnflag = 'R' AND l_discount BETWEEN 0.05 AND 0.07
+                AND l_shipdate >= TIMESTAMP '1995-01-01'""")),
+
+    // --- aggregation: collate+reduce (TPC-H Q1 shape) ----------------------
+    Q("q1_agg",
+      (s, d) => li(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     sum(l_quantity) AS sum_qty,
+                     round(sum(l_extendedprice), 2) AS sum_base,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                     count(*) AS n_rows,
+                     round(sum(l_quantity) / count(*), 4) AS avg_qty
+              FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    Q("q_group_minmax",
+      (s, d) => ord(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_total"),
+          max(col("o_totalprice")).as("max_total"),
+          min(col("o_orderdate")).as("first_date")),
+      Some("""SELECT o_orderpriority, count(*) AS n,
+                     min(o_totalprice) AS min_total,
+                     max(o_totalprice) AS max_total,
+                     min(o_orderdate) AS first_date
+              FROM orders GROUP BY o_orderpriority""")),
+
+    Q("q_count_distinct",
+      (s, d) => li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps")),
+      Some("""SELECT l_returnflag,
+                     count(DISTINCT l_partkey) AS n_parts,
+                     count(DISTINCT l_suppkey) AS n_supps
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    // --- distinct / cull (`oink/reduce_cull.cpp`) --------------------------
+    Q("q_distinct",
+      (s, d) => li(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // --- set ops: add/union (`src/mapreduce.cpp:348-374`), intersect/except
+    Q("q_union",
+      (s, d) => MrOps.add(
+        cust(s, d).select(col("c_nationkey").as("nk")),
+        supp(s, d).select(col("s_nationkey").as("nk"))).distinct(),
+      Some("""SELECT c_nationkey AS nk FROM customer
+              UNION SELECT s_nationkey AS nk FROM supplier""")),
+
+    Q("q_union_all_count",
+      (s, d) => MrOps.add(
+        ord(s, d).select(col("o_orderkey").as("k")),
+        li(s, d).select(col("l_orderkey").as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("n")),
+      Some("""SELECT k, count(*) AS n FROM (
+                SELECT o_orderkey AS k FROM orders
+                UNION ALL SELECT l_orderkey AS k FROM lineitem
+              ) GROUP BY k""")),
+
+    Q("q_intersect",
+      (s, d) => ord(s, d).select(col("o_custkey").as("k"))
+        .intersect(cust(s, d).filter(col("c_acctbal") > 5000).select(col("c_custkey"))),
+      Some("""SELECT o_custkey AS k FROM orders
+              INTERSECT
+              SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000""")),
+
+    Q("q_except",
+      (s, d) => cust(s, d).select(col("c_custkey").as("k"))
+        .except(ord(s, d).select(col("o_custkey"))),
+      Some("""SELECT c_custkey AS k FROM customer
+              EXCEPT SELECT o_custkey AS k FROM orders""")),
+
+    // --- joins (reference join idiom = add+collate+tagged reduce) ----------
+    Q("q_join_agg",
+      (s, d) => ord(s, d)
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total")),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment""")),
+
+    Q("q_join_multi",
+      (s, d) => ord(s, d)
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(MrOps.broadcastCopy(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(MrOps.broadcastCopy(reg(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders")),
+      Some("""SELECT r_name, n_name, count(*) AS n_orders
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name""")),
+
+    Q("q_left_join",
+      (s, d) => cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders")),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey""")),
+
+    Q("q_semi_join",
+      (s, d) => cust(s, d)
+        .join(ord(s, d).filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment")),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_totalprice > 100000)""")),
+
+    Q("q_anti_join",
+      (s, d) => cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name")),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // --- sorts / top-K -----------------------------------------------------
+    Q("q_topk",
+      (s, d) => MrOps.topK(
+        li(s, d).groupBy(col("l_partkey")).agg(sum(col("l_quantity")).as("qty")),
+        10, col("qty").desc, col("l_partkey").asc),
+      Some("""SELECT l_partkey, sum(l_quantity) AS qty
+              FROM lineitem GROUP BY l_partkey
+              ORDER BY qty DESC, l_partkey LIMIT 10""")),
+
+    Q("q_sort_global",
+      (s, d) => MrOps.topK(
+        ord(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        100, col("o_totalprice").desc, col("o_orderkey").asc),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // --- histogram-of-histograms (`oink/histo.cpp`, degree_stats shape) ----
+    Q("q_histo",
+      (s, d) => ord(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .groupBy(col("n_orders")).agg(count(lit(1)).as("n_customers")),
+      Some("""SELECT n_orders, count(*) AS n_customers FROM (
+                SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+              ) GROUP BY n_orders""")),
+
+    // --- collapse / posting list (`src/mapreduce.cpp:681-709`) -------------
+    Q("q_collapse_group",
+      (s, d) => li(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(
+          transform(array_sort(collect_list(col("l_linenumber"))), x => x.cast("string")),
+          ",").as("lines")),
+      Some("""SELECT l_orderkey,
+                     string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
+              FROM lineitem GROUP BY l_orderkey""")),
+
+    // --- invert (`oink/map_invert.cpp`) ------------------------------------
+    Q("q_invert",
+      (s, d) => ord(s, d).select(col("o_custkey").as("k"), col("o_orderkey").as("v")),
+      Some("SELECT o_custkey AS k, o_orderkey AS v FROM orders")),
+
+    // --- kv_stats (`src/mapreduce.cpp:2937-3006`) --------------------------
+    Q("q_kv_stats",
+      (s, d) => cust(s, d).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(length(col("c_name"))).as("name_bytes"),
+        countDistinct(col("c_nationkey")).as("n_nations")),
+      Some("""SELECT count(*) AS n_pairs,
+                     CAST(sum(length(c_name)) AS BIGINT) AS name_bytes,
+                     count(DISTINCT c_nationkey) AS n_nations
+              FROM customer""")),
+
+    // --- window functions (Spark-native surface; absent in reference) ------
+    Q("q_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        ord(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders)
+              WHERE rn <= 3""")),
+
+    Q("q_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("running", round(sum(col("value")).over(w), 2))
+          .select(col("event_id"), col("user_id"), col("running"))
+      },
+      Some("""SELECT event_id, user_id,
+                     round(sum(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) AS running
+              FROM events""")),
+
+    // --- event-time bucketing (batch form of the streaming agg) ------------
+    Q("q_events_hourly",
+      (s, d) => ev(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total")),
+      Some("""SELECT date_trunc('hour', ts) AS h, event_type,
+                     count(*) AS n, round(sum(value), 2) AS total
+              FROM events GROUP BY 1, 2"""))
+  )
+}
