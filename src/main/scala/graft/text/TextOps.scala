@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-processing capabilities of the reference:
+  *
+  *  - word splitting + frequency (`oink/map_read_words.cpp`,
+  *    `oink/wordfreq.cpp:40-112`, `examples/wordfreq.cpp:64-86`) — strtok
+  *    semantics: split on whitespace runs, punctuation kept in tokens;
+  *  - top-N by count (`oink/wordfreq.cpp:65-82` local-truncate+gather idiom →
+  *    Catalyst TakeOrderedAndProject);
+  *  - inverted index (`cpu/InvertedIndex.cpp:196-260`,
+  *    `cuda/InvertedIndex.cu:79-135`): token → sorted list of containing
+  *    documents, the fork's flagship GPU workload re-expressed as
+  *    regexp/split + explode + collect_list;
+  *  - integer frequency count (`cpu/IntCount.cpp:150-190`).
+  *
+  * Scale notes: tokenization is a per-row generator (no shuffle); the single
+  * shuffle is the word groupBy. Posting lists use collect_list on the
+  * already-grouped side — bounded by documents-per-token, the same bound the
+  * reference's KMV multivalue had.
+  */
+object TextOps {
+
+  /** strtok-style tokens: split on whitespace runs, drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** One row per (docCol, word). */
+  def words(docs: DataFrame, textCol: String, docCol: String): DataFrame =
+    docs.select(col(docCol), explode(tokens(col(textCol))).as("word"))
+
+  /** wordfreq: word → count. */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** wordfreq Ntop: global top-N, count desc then word asc (deterministic). */
+  def topWords(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    wordFreq(docs, textCol).orderBy(col("n").desc, col("word").asc).limit(n)
+
+  /** Inverted index: token → sorted distinct posting list + frequency. */
+  def invertedIndex(docs: DataFrame, textCol: String, docCol: String): DataFrame =
+    words(docs, textCol, docCol).distinct()
+      .groupBy(col("word"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(transform(array_sort(collect_list(col(docCol))),
+          x => x.cast("string")), ",").as("postings"))
+
+  /** The GPU fork's exact workload: extract `<a href="...">` targets from
+    * HTML files, emit (url, file) posting lists
+    * (`cuda/InvertedIndex.cu:79-135,463-513`). File-based: not oracle-able
+    * against the star schema, unit-tested on temp corpora. */
+  def urlIndexFromFiles(spark: SparkSession, paths: String*): DataFrame = {
+    val raw = spark.read.option("wholetext", "true").text(paths: _*)
+      .select(input_file_name().as("file"), col("value"))
+    raw.select(col("file"),
+        explode(regexp_extract_all(col("value"), lit("<a href=\"([^\"]*)\""), lit(1))).as("url"))
+      .distinct()
+      .groupBy(col("url"))
+      .agg(array_sort(collect_list(col("file"))).as("files"))
+  }
+
+  /** map v2/v3 parity: read files as whitespace words (one task per file ≙
+    * one partition per file split). */
+  def readWordsFromFiles(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.text(paths: _*)
+      .select(explode(tokens(col("value"))).as("word"))
+
+  /** IntCount: frequency of every fixed-width int in a binary stream.
+    * Columnar analog over any integral column. */
+  def intCount(df: DataFrame, intCol: String): DataFrame =
+    df.groupBy(col(intCol).as("i")).agg(count(lit(1)).as("n"))
+
+  /** IntCount from raw binary files (4-byte little-endian ints,
+    * `cpu/IntCount.cpp:179-180`): binaryFile scan + per-partition decode. */
+  def intCountFromBinaryFiles(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val ints = spark.read.format("binaryFile").load(path)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        Iterator.continually(buf).takeWhile(_.remaining >= 4).map(_.getInt)
+      }.toDF("i")
+    ints.groupBy(col("i")).agg(count(lit(1)).as("n"))
+  }
+}
