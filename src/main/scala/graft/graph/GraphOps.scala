@@ -1,0 +1,84 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** OINK's single-pass graph commands (SURVEY.md §2.4) as DataFrame
+  * pipelines over an edge table `(src: Long, dst: Long)`.
+  *
+  * The reference represents a graph as a KV set of EDGE keys
+  * (`oink/typedefs.h:22-25`); here it's an edge DataFrame, and every
+  * `collate`+`reduce` pipeline becomes one shuffle-stage groupBy with
+  * map-side partial aggregation for free.
+  *
+  * Scale notes: all ops here are one shuffle (groupBy on vertex or edge);
+  * `neighbor`'s collect_list is bounded by max degree — the same bound the
+  * reference's KMV multivalue had, with giant adjacency lists the one case
+  * to watch (the reference streams them block-wise; Spark spills the group).
+  */
+object GraphOps {
+
+  /** Deterministic pseudo-graph derived from the star schema (for the
+    * oracle harness): vertices 0..999, one directed edge per lineitem. */
+  def edgesFromLineitem(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).select(
+      (col("l_orderkey") % 1000).as("src"),
+      (col("l_partkey") % 1000).as("dst"))
+
+  /** edge_upper (`oink/edge_upper.cpp:46-50`): canonical undirected edges —
+    * Vi<Vj ordering, self-loops dropped, duplicates culled. */
+  def edgeUpper(edges: DataFrame): DataFrame =
+    edges.select(
+      least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** vertex_extract (`oink/vertex_extract.cpp:48-50`): distinct vertices. */
+  def vertexExtract(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("src"), col("dst"))).as("v")).distinct()
+
+  /** degree (`oink/degree.cpp:36-59`): per-vertex degree counting both
+    * endpoints (run on edgeUpper output for undirected semantics). */
+  def degree(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+
+  /** Out-degree of a directed edge set (degree dupflag=1 flavor). */
+  def outDegree(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("degree"))
+
+  /** degree_stats (`oink/degree_stats.cpp:45-60`): degree histogram. */
+  def degreeStats(edges: DataFrame): DataFrame =
+    degree(edges)
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
+
+  /** degree_weight (`oink/degree_weight.cpp:44-53`): weight each directed
+    * edge by 1/out-degree(src) — PageRank prep. Broadcast-joins the degree
+    * side when small; at scale both sides shuffle on src. */
+  def degreeWeight(edges: DataFrame): DataFrame = {
+    val dgr = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    edges.join(dgr, "src")
+      .select(col("src"), col("dst"), round(lit(1.0) / col("outdeg"), 6).as("w"))
+  }
+
+  /** neighbor (`oink/neighbor.cpp:44-46`): adjacency list per vertex
+    * (both directions), sorted for determinism. */
+  def neighbor(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("v"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("v"), col("src").as("nbr")))
+      .groupBy(col("v"))
+      .agg(
+        count(lit(1)).as("n_nbrs"),
+        array_join(transform(array_sort(collect_list(col("nbr"))),
+          x => x.cast("string")), ",").as("nbrs"))
+
+  /** histo (`oink/histo.cpp:45-65`) over arbitrary keys: frequency of each
+    * key, then frequency of frequencies. cc_stats (`oink/cc_stats.cpp`) is
+    * this applied to component labels. */
+  def histo(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_keys"))
+}
