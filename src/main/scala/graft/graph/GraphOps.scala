@@ -27,6 +27,20 @@ object GraphOps {
       (col("l_orderkey") % 1000).as("src"),
       (col("l_partkey") % 1000).as("dst"))
 
+  /** Sparser deterministic graph (many components) for the iterative-
+    * algorithm oracles: ~4% of lineitem rows, vertices mod 10000. */
+  def sparseEdgesFromLineitem(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") <= 2)
+      .select(
+        (col("l_orderkey") % 10000).as("src"),
+        (col("l_partkey") % 10000).as("dst"))
+
+  /** Deterministic positive edge weights for sssp oracles/tests. */
+  def withWeights(edges: DataFrame): DataFrame =
+    edges.withColumn("w",
+      (lit(1.0) + (col("src") * 31 + col("dst")) % 100 / lit(100.0)))
+
   /** edge_upper (`oink/edge_upper.cpp:46-50`): canonical undirected edges —
     * Vi<Vj ordering, self-loops dropped, duplicates culled. */
   def edgeUpper(edges: DataFrame): DataFrame =

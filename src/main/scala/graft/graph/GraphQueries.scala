@@ -1,6 +1,9 @@
 package graft.graph
 
+import org.apache.spark.sql.functions.col
+
 import graft.Q
+import graft.gen.RMat
 
 /** Oracle-checked graph capabilities. The edge table is derived
   * deterministically from lineitem (vertices = keys mod 1000) so DuckDB can
@@ -11,6 +14,14 @@ object GraphQueries {
   private val e =
     "e AS (SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst FROM lineitem)"
   private val u =
+    """u AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+            FROM e WHERE src <> dst)"""
+
+  /** Sparse variant (see GraphOps.sparseEdgesFromLineitem). */
+  private val se =
+    """e AS (SELECT l_orderkey % 10000 AS src, l_partkey % 10000 AS dst
+            FROM lineitem WHERE l_quantity <= 2)"""
+  private val su =
     """u AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
             FROM e WHERE src <> dst)"""
 
@@ -64,6 +75,80 @@ object GraphQueries {
       (s, d) => GraphOps.histo(
         GraphOps.edgesFromLineitem(s, d).selectExpr("src AS v"), "v"),
       Some(s"""WITH $e, freq AS (SELECT src AS v, count(*) AS n FROM e GROUP BY src)
-               SELECT n, count(*) AS n_keys FROM freq GROUP BY n"""))
+               SELECT n, count(*) AS n_keys FROM freq GROUP BY n""")),
+
+    // tri_find (`oink/tri_find.cpp`): triangle count, low-degree-wedge
+    // oriented; DuckDB replays with an id-ordered 3-way self-join
+    Q("q_triangle_count",
+      (s, d) => Triangles.triangleCount(GraphOps.edgesFromLineitem(s, d)),
+      Some(s"""WITH $e, $u
+               SELECT count(*) AS n_triangles
+               FROM u t1
+               JOIN u t2 ON t1.dst = t2.src
+               JOIN u t3 ON t1.src = t3.src AND t2.dst = t3.dst""")),
+
+    // cc_find (`oink/cc_find.cpp`): component label = min vertex id;
+    // DuckDB replays via recursive transitive closure on the sparse graph
+    Q("q_cc_labels",
+      (s, d) => Iterative.ccFind(GraphOps.sparseEdgesFromLineitem(s, d)),
+      Some(s"""WITH RECURSIVE $se, $su,
+               adj AS (SELECT src AS v, dst AS nbr FROM u
+                       UNION ALL SELECT dst, src FROM u),
+               reach(v, r) AS (
+                 SELECT v, v FROM (SELECT DISTINCT v FROM adj)
+                 UNION
+                 SELECT adj.v, reach.r FROM adj JOIN reach ON adj.nbr = reach.v)
+               SELECT v, min(r) AS label FROM reach GROUP BY v""")),
+
+    // cc_stats (`oink/cc_stats.cpp`): #components per size
+    Q("q_cc_stats",
+      (s, d) => Iterative.ccStats(Iterative.ccFind(GraphOps.sparseEdgesFromLineitem(s, d))),
+      Some(s"""WITH RECURSIVE $se, $su,
+               adj AS (SELECT src AS v, dst AS nbr FROM u
+                       UNION ALL SELECT dst, src FROM u),
+               reach(v, r) AS (
+                 SELECT v, v FROM (SELECT DISTINCT v FROM adj)
+                 UNION
+                 SELECT adj.v, reach.r FROM adj JOIN reach ON adj.nbr = reach.v),
+               labels AS (SELECT v, min(r) AS label FROM reach GROUP BY v),
+               sizes AS (SELECT label, count(*) AS csize FROM labels GROUP BY label)
+               SELECT csize, count(*) AS n_components FROM sizes GROUP BY csize""")),
+
+    // luby_find (`oink/luby_find.cpp`): maximal independent set — iterative
+    // with hashed priorities; not SQL-expressible (rows-only check; MIS
+    // validity is property-tested in GraphSpec)
+    Q("q_luby_mis",
+      (s, d) => Iterative.lubyMis(GraphOps.sparseEdgesFromLineitem(s, d)),
+      None),
+
+    // sssp (`oink/sssp.cpp`): shortest paths from vertex 0 over
+    // deterministic weights — iterative min-fixpoint, not SQL-expressible
+    Q("q_sssp",
+      (s, d) => {
+        val e = GraphOps.sparseEdgesFromLineitem(s, d).where("src <> dst")
+        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        val w = GraphOps.withWeights(sym)
+        // deterministic source: highest-degree vertex (min id tiebreak) —
+        // lands in the largest component so the frontier actually spreads
+        val src0 = sym.groupBy("src").count()
+          .orderBy(col("count").desc, col("src").asc).head().getLong(0)
+        Iterative.sssp(w, src0)
+      },
+      None),
+
+    // pagerank (completed from the reference's stub): top-100 ranks,
+    // iterative damped SpMV — floating-point accumulation order makes
+    // exact SQL compare meaningless (rows-only; invariants in GraphSpec)
+    Q("q_pagerank",
+      (s, d) => Iterative.pagerank(GraphOps.edgesFromLineitem(s, d))
+        .orderBy(col("rank").desc, col("v").asc).limit(100),
+      None),
+
+    // rmat generation (`oink/rmat.cpp`): deterministic seeded generator;
+    // degree histogram like examples/rmat.cpp:155-163 (rows-only)
+    Q("q_rmat_degree_stats",
+      (s, d) => RMat.degreeStats(RMat.generate(
+        s, RMat.Params(10, 8, 0.45, 0.25, 0.15, 0.15, 0.0, 42L), numTasks = 16)),
+      None)
   )
 }

@@ -1,0 +1,56 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** tri_find (`oink/tri_find.cpp:43-82`, Cohen's algorithm): triangle
+  * enumeration/counting.
+  *
+  * The reference's whole trick — generate candidate wedges only from the
+  * LOWER-degree endpoint of each edge (`oink/tri_find.cpp` map_low_degree,
+  * reduce_nsq_angles) — is kept: we orient every edge from its
+  * (degree, id)-smaller endpoint to the larger, so each vertex's oriented
+  * out-degree is O(sqrt(m)) on any graph and the wedge self-join can't
+  * explode on skewed (power-law) degree distributions. SURVEY.md §7.4.4.
+  *
+  * Scale: two shuffles for the degree join, one self-join on the wedge
+  * pivot, one join to close the wedge. All equi-joins → sort-merge/AQE at
+  * scale; no collect.
+  */
+object Triangles {
+
+  /** Oriented edges (a, b, ka, kb) with (deg,id) keys; a→b iff key(a)<key(b). */
+  private def oriented(edges: DataFrame): DataFrame = {
+    val u = GraphOps.edgeUpper(edges)
+    val deg = GraphOps.degree(u)
+    val dSrc = deg.select(col("v").as("src"), col("degree").as("dsrc"))
+    val dDst = deg.select(col("v").as("dst"), col("degree").as("ddst"))
+    val withDeg = u.join(dSrc, "src").join(dDst, "dst")
+    val srcLower = col("dsrc") < col("ddst") ||
+      (col("dsrc") === col("ddst") && col("src") < col("dst"))
+    withDeg.select(
+      when(srcLower, col("src")).otherwise(col("dst")).as("a"),
+      when(srcLower, col("dst")).otherwise(col("src")).as("b"),
+      when(srcLower, struct(col("ddst").as("deg"), col("dst").as("id")))
+        .otherwise(struct(col("dsrc").as("deg"), col("src").as("id"))).as("kb"))
+  }
+
+  /** All triangles as (a, b, c) vertex ids, each exactly once. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val o = oriented(edges)
+    val o1 = o.select(col("a"), col("b").as("w1"), col("kb").as("k1"))
+    val o2 = o.select(col("a"), col("b").as("w2"), col("kb").as("k2"))
+    // wedges from the low-key pivot, canonical pair order by (deg,id) key
+    val wedges = o1.join(o2, "a").where(col("k1") < col("k2"))
+      .select(col("a"), col("w1"), col("w2"))
+    // close the wedge: oriented edge w1→w2 must exist
+    val closing = o.select(col("a").as("w1"), col("b").as("w2"))
+    wedges.join(closing, Seq("w1", "w2"), "left_semi")
+      .select(col("a"), col("w1").as("b"), col("w2").as("c"))
+  }
+
+  /** Global triangle count (`Tri_find: %lu triangles` summary line,
+    * `oink/tri_find.cpp:77-79`). */
+  def triangleCount(edges: DataFrame): DataFrame =
+    triangles(edges).agg(count(lit(1)).as("n_triangles"))
+}
