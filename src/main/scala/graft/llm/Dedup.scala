@@ -1,0 +1,145 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines —
+  * the north-star extras of SURVEY.md §7.2.8, built on the reference's
+  * cull/collate machinery (`oink/reduce_cull.cpp` = exact dedup of
+  * identical keys) generalized to content and near-duplicate identity.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup shuffles 16-byte digests, never full documents;
+  *  - MinHash: signatures are H=64 longs per doc computed in one
+  *    explode+groupBy pass (whole-stage-codegen'd xxhash64, no UDFs);
+  *    banding turns all-pairs into equi-join on (band, bandHash) — the
+  *    classic shuffle-lean LSH join; verification uses signature overlap
+  *    only (no second pass over shingles);
+  *  - SimHash: 64 codegen'd bit-sum aggregations → one long fingerprint;
+  *    candidate pairs via 16-bit band buckets, verified with bit_count(xor);
+  *  - exact n-gram Jaccard is the quadratic truth oracle — intended for
+  *    validation at test scale, not the 100 TB path.
+  */
+object Dedup {
+
+  /** strtok words. */
+  private def words(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
+  /** Distinct word k-shingles per document: (id, shingle). */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
+    val ws = words(col(textCol))
+    val sh = when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + 1)): _*))
+    ).otherwise(array())
+    docs.select(col(idCol).as("id"), explode(sh).as("shingle")).distinct()
+  }
+
+  /** Exact dedup (`cull` over content hashes): one row per distinct
+    * content, keeping the smallest id; group size included. */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup on whitespace/case-normalized content. */
+  def exactNormalized(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+        .cast("binary")).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact all-pairs n-gram Jaccard ≥ tau — quadratic truth baseline. */
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, tau: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, k)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shared = sh.select(col("id").as("da"), col("shingle"))
+      .join(sh.select(col("id").as("db"), col("shingle")), "shingle")
+      .where(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.select(col("id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"),
+        round(col("c") / (col("na") + col("nb") - col("c")), 4).as("jaccard"))
+      .where(col("jaccard") >= tau)
+  }
+
+  /** MinHash signatures: (id, h0..h{numHashes-1}) — min over shingles of
+    * xxhash64(shingle, seed=i), all hashes in one aggregation pass. */
+  def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = shingles(docs, textCol, idCol, k)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs: band signatures into
+    * `bands` buckets of `numHashes/bands` rows, equi-join on band hash,
+    * verify candidates by signature-overlap estimate ≥ tau. */
+  def minHashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tau: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minHashSignatures(docs, textCol, idCol, k, numHashes)
+      .localCheckpoint() // reused: banding + both sides of verification
+    val sigCols = (0 until numHashes).map(i => col(s"h$i"))
+    val bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("bh"))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+    val cand = banded.select(col("id").as("da"), col("bk"))
+      .join(banded.select(col("id").as("db"), col("bk")), "bk")
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val sigArr = sigs.select(col("id"), array(sigCols: _*).as("sig"))
+    cand
+      .join(sigArr.select(col("id").as("da"), col("sig").as("sa")), "da")
+      .join(sigArr.select(col("id").as("db"), col("sig").as("sb")), "db")
+      .select(col("da"), col("db"),
+        round(aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes, 4)
+          .as("est_jaccard"))
+      .where(col("est_jaccard") >= tau)
+  }
+
+  /** SimHash 64-bit fingerprints: per-word xxhash64, each bit weighted
+    * +1/-1 and summed; bit set where the sum is positive. Pure codegen'd
+    * aggregation — 64 conditional sums, no UDF. */
+  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val wordsDf = docs.select(col(idCol).as("id"),
+      explode(words(col(textCol))).as("word"))
+      .withColumn("wh", xxhash64(col("word")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("wh"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val summed = wordsDf.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    summed.select(col("id"), fp.as("fingerprint"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidate
+    * generation via four 16-bit band buckets (any pair within distance 3
+    * shares at least one exact band; wider distances may be missed —
+    * standard SimHash banding tradeoff). */
+  def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = simHash(docs, textCol, idCol).localCheckpoint()
+    val bandKeys = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fingerprint"), b * 16).bitwiseAND(0xffffL).as("bh")))
+    val banded = fps.select(col("id"), col("fingerprint"),
+      explode(array(bandKeys: _*)).as("bk"))
+    banded.select(col("id").as("da"), col("fingerprint").as("fa"), col("bk"))
+      .join(banded.select(col("id").as("db"), col("fingerprint").as("fb"), col("bk")), "bk")
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

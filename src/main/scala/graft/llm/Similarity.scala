@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and random-hyperplane
+  * LSH bucketing as the scale path (search touches one bucket instead of
+  * the full corpus).
+  *
+  * Everything is `zip_with`/`aggregate` column expressions — codegen'd,
+  * no UDFs, no driver-side loops. At 100 TB the brute-force path is a
+  * crossJoin-shaped scan (only for small query sets against a broadcast
+  * query side); the LSH path shuffles once on bucket id.
+  */
+object Similarity {
+
+  /** Cast a float vector column to double for stable arithmetic. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k cosine neighbors for each query vector (query side kept
+    * small and broadcast; ranking on the ROUNDED similarity with id
+    * tiebreak so results are reproducible across engines). */
+  def bruteForceKnn(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int = 5): DataFrame = {
+    val queries = broadcast(emb.where(queryPred)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv")))
+    val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+    val scored = queries.crossJoin(corpus)
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Random-hyperplane LSH bucket id: `nPlanes` sign bits of dot products
+    * with deterministic Rademacher (±1) planes derived from xxhash64 —
+    * reproducible on any cluster, no stored plane matrix. */
+  def lshBucket(v: Column, dim: Int, nPlanes: Int = 12): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val plane = transform(sequence(lit(0), lit(dim - 1)),
+        i => when(xxhash64(i, lit(j)).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0)))
+      when(dot(v, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: top-k by cosine among candidates sharing a bucket.
+    * Multi-probe: each query also searches the nPlanes buckets one bit-flip
+    * away (the standard recall/latency dial), so candidates =
+    * (1+nPlanes)/2^nPlanes of the corpus instead of a full scan.
+    * Recall < 1 by construction. */
+  def lshKnn(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryPred: Column, k: Int = 5, nPlanes: Int = 8,
+      multiProbe: Boolean = true): DataFrame = {
+    val withBucket = emb.select(col(idCol).as("nid"),
+      asDouble(col(vecCol)).as("nv"),
+      lshBucket(asDouble(col(vecCol)), dim, nPlanes).as("bucket"))
+    val qBase = emb.where(queryPred).select(col(idCol).as("qid"),
+      asDouble(col(vecCol)).as("qv"),
+      lshBucket(asDouble(col(vecCol)), dim, nPlanes).as("b0"))
+    val probes =
+      if (multiProbe)
+        array(lit(0L) +: (0 until nPlanes).map(j => lit(1L << j)): _*)
+      else array(lit(0L))
+    val queries = qBase
+      .select(col("qid"), col("qv"), col("b0"), explode(probes).as("flip"))
+      .select(col("qid"), col("qv"),
+        col("b0").bitwiseXOR(col("flip")).as("bucket"))
+    val scored = queries.join(withBucket, "bucket")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn").cast("long").as("rn"))
+  }
+}
