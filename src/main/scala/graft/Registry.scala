@@ -26,7 +26,8 @@ object Registry {
       text.TextQueries.all ++
       graph.GraphQueries.all ++
       llm.LlmQueries.all ++
-      streaming.StreamingQueries.all
+      streaming.StreamingQueries.all ++
+      multimodal.MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

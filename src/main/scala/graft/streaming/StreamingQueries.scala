@@ -2,6 +2,46 @@ package graft.streaming
 
 import graft.Q
 
+/** Streaming capabilities, each drained to a final table so the batch
+  * DuckDB oracle can check streaming semantics exactly. ts arrives as
+  * nanoseconds in DuckDB but microseconds in Spark, so oracles CAST to
+  * (microsecond) TIMESTAMP wherever raw event times are emitted. */
 object StreamingQueries {
-  val all: Seq[Q] = Seq.empty
+
+  val all: Seq[Q] = Seq(
+
+    // tumbling window + watermark ≡ batch date_trunc aggregation
+    Q("q_stream_hourly",
+      (s, d) => Streams.hourlyCounts(s, d),
+      Some("""SELECT date_trunc('hour', ts) AS h, event_type,
+                     count(*) AS n, round(sum(value), 2) AS total
+              FROM events GROUP BY 1, 2""")),
+
+    // session windows (30-minute gap) ≡ lag/gap sessionization
+    Q("q_stream_sessions",
+      (s, d) => Streams.sessions(s, d),
+      Some("""WITH x AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                       CASE WHEN CAST(ts AS TIMESTAMP)
+                              - lag(CAST(ts AS TIMESTAMP))
+                                OVER (PARTITION BY user_id ORDER BY ts)
+                              >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events),
+              s AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sid
+                FROM x)
+              SELECT min(ts) AS session_start, user_id,
+                     count(*) AS n_events, round(sum(value), 2) AS total
+              FROM s GROUP BY user_id, sid""")),
+
+    // arbitrary keyed state (mapGroupsWithState) ≡ per-user lifetime aggs
+    Q("q_stream_user_state",
+      (s, d) => Streams.userState(s, d),
+      Some("""SELECT user_id, count(*) AS n_events,
+                     CAST(min(ts) AS TIMESTAMP) AS first_seen,
+                     round(sum(value), 2) AS total_value
+              FROM events GROUP BY user_id"""))
+  )
 }

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.Tables
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY.md
+  * §2.7) — this is the Spark-native bonus capability: the same event
+  * aggregations as the batch queries, expressed as streams with
+  * watermarks, session windows, and arbitrary keyed state.
+  *
+  * Each entry point runs a real streaming query (file source → transforms
+  * → memory sink) to completion and returns the final result as a batch
+  * DataFrame, so streaming semantics stay oracle-checkable against the
+  * batch SQL over the same events. At scale the same pipelines run
+  * unchanged against kafka/file sources with incremental triggers.
+  */
+object Streams {
+
+  /** Streaming view of the events table. Spark's file stream source needs
+    * a directory, and the testdata ships single parquet files (read-only),
+    * so the file is staged once into a temp dir per (sfDir, jvm). The ts
+    * column arrives as nanosecond longs (see Tables.events) and is
+    * converted to Spark-native microsecond timestamps. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$sfDir/events.parquet")
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_${math.abs(sfDir.hashCode)}")
+    Files.createDirectories(dir)
+    Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = Tables.load(spark, sfDir, "events").schema
+    val df = spark.readStream.schema(schema).parquet(dir.toString)
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drain a streaming DataFrame into a memory sink and return the final
+    * table. `complete` mode for full aggregates; `update` + AvailableNow
+    * for keyed state (single batch → one row per key). */
+  private def drain(df: DataFrame, mode: OutputMode, base: String): DataFrame = {
+    val name = s"${base}_${runCounter.incrementAndGet()}"
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Tumbling-window aggregation with watermark: events per (hour,
+    * event_type). Streaming twin of the batch q_events_hourly. */
+  def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("total"))
+    drain(agg, OutputMode.Complete(), "stream_hourly")
+  }
+
+  /** Session windows: 30-minute-gap sessions per user. */
+  def sessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("total"))
+    drain(agg, OutputMode.Complete(), "stream_sessions")
+  }
+
+  // not private: Catalyst's codegen'd encoders can't reach private members
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserState(n: Long, first: java.sql.Timestamp, total: Double)
+
+  /** Arbitrary keyed state (`mapGroupsWithState`): per-user lifetime
+    * counters — the Structured Streaming analog of the reference's
+    * stateful reduce callbacks. */
+  def userState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ds = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value")).as[UserEvent]
+    val updated = ds.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, (Long, Long, java.sql.Timestamp, Double)](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, events, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, null, 0.0))
+          var n = prev.n
+          var first = prev.first
+          var total = prev.total
+          events.foreach { e =>
+            n += 1
+            total += e.value
+            if (first == null || e.ts.before(first)) first = e.ts
+          }
+          state.update(UserState(n, first, total))
+          (uid, n, first, total)
+      }
+      .toDF("user_id", "n_events", "first_seen", "total_value")
+      .withColumn("total_value", round(col("total_value"), 2))
+    drain(updated, OutputMode.Update(), "stream_user_state")
+  }
+}
