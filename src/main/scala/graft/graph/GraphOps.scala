@@ -27,6 +27,16 @@ object GraphOps {
       (col("l_orderkey") % 1000).as("src"),
       (col("l_partkey") % 1000).as("dst"))
 
+  /** Deterministic graph whose vertex count scales with the data (m =
+    * rows/60, so ~1000 vertices at sf0.01) — keeps edge density constant
+    * across scale factors instead of degenerating into a near-complete
+    * graph. Used by the triangle query, whose cost is density-cubed. */
+  def scaledEdgesFromLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val m = math.max(1L, li.count() / 60L)
+    li.select((col("l_orderkey") % m).as("src"), (col("l_partkey") % m).as("dst"))
+  }
+
   /** Sparser deterministic graph (many components) for the iterative-
     * algorithm oracles: ~4% of lineitem rows, vertices mod 10000. */
   def sparseEdgesFromLineitem(spark: SparkSession, sfDir: String): DataFrame =

@@ -78,14 +78,19 @@ object GraphQueries {
                SELECT n, count(*) AS n_keys FROM freq GROUP BY n""")),
 
     // tri_find (`oink/tri_find.cpp`): triangle count, low-degree-wedge
-    // oriented; DuckDB replays with an id-ordered 3-way self-join
+    // oriented; DuckDB replays with an id-ordered 3-way self-join. The
+    // vertex-space modulus scales with row count (constant density).
     Q("q_triangle_count",
-      (s, d) => Triangles.triangleCount(GraphOps.edgesFromLineitem(s, d)),
-      Some(s"""WITH $e, $u
-               SELECT count(*) AS n_triangles
-               FROM u t1
-               JOIN u t2 ON t1.dst = t2.src
-               JOIN u t3 ON t1.src = t3.src AND t2.dst = t3.dst""")),
+      (s, d) => Triangles.triangleCount(GraphOps.scaledEdgesFromLineitem(s, d)),
+      Some("""WITH mm AS (SELECT greatest(count(*) // 60, 1) AS m FROM lineitem),
+              e AS (SELECT l_orderkey % m AS src, l_partkey % m AS dst
+                    FROM lineitem, mm),
+              u AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+                    FROM e WHERE src <> dst)
+              SELECT count(*) AS n_triangles
+              FROM u t1
+              JOIN u t2 ON t1.dst = t2.src
+              JOIN u t3 ON t1.src = t3.src AND t2.dst = t3.dst""")),
 
     // cc_find (`oink/cc_find.cpp`): component label = min vertex id;
     // DuckDB replays via recursive transitive closure on the sparse graph

@@ -122,17 +122,16 @@ object Iterative {
         .join(edges, frontier("v") === edges("src"))
         .select(col("dst").as("v"), (col("dist") + col("w")).as("cand"))
         .groupBy(col("v")).agg(min(col("cand")).as("cand"))
+      // one materialization per round; frontier/dist are cheap projections
       val merged = dist.join(relaxed, Seq("v"), "full")
-        .select(col("v"),
-          least(coalesce(col("dist"), lit(Double.MaxValue)), col("cand")).as("newDist"),
-          col("dist"), col("cand"))
+        .select(col("v"), col("dist"), col("cand"),
+          least(coalesce(col("dist"), lit(Double.MaxValue)), col("cand")).as("newDist"))
+        .localCheckpoint()
       frontier = merged
         .where(col("dist").isNull || (col("cand").isNotNull && col("cand") < col("dist")))
         .select(col("v"), col("newDist").as("dist"))
-        .localCheckpoint()
       dist = merged
         .select(col("v"), coalesce(col("newDist"), col("dist")).as("dist"))
-        .localCheckpoint()
       iter += 1
     }
     edges.unpersist()

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.graph.{GraphOps, Iterative, Triangles}
+import graft.gen.RMat
+
+/** Golden-graph tests: the reference's own e2e pipelines (in.cc, in.tri,
+  * in.luby, in.sssp — SURVEY.md §5.3) on hand-checkable graphs. */
+class GraphSpec extends AnyFunSuite {
+  import TestSession._
+
+  // path 1-2-3 + triangle 10-11-12 + isolated pair 20-21
+  private def twoComponents = edges(
+    (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+
+  test("edgeUpper canonicalizes, culls self-loops and duplicates") {
+    val e = edges((2L, 1L), (1L, 2L), (3L, 3L), (4L, 5L))
+    val u = GraphOps.edgeUpper(e).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(u == Set((1L, 2L), (4L, 5L)))
+  }
+
+  test("ccFind labels components by min vertex id") {
+    val labels = Iterative.ccFind(twoComponents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("ccStats histograms component sizes") {
+    val stats = Iterative.ccStats(Iterative.ccFind(twoComponents))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats == Map(3L -> 2L, 2L -> 1L))
+  }
+
+  test("triangleCount finds all 4 triangles of K4 and none in a path") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(Triangles.triangleCount(k4).head().getLong(0) == 4L)
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(Triangles.triangleCount(path).head().getLong(0) == 0L)
+  }
+
+  test("triangles emits each triangle once with correct members") {
+    val g = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val tris = Triangles.triangles(g).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tris.toSeq == Seq(Set(1L, 2L, 3L)))
+  }
+
+  test("lubyMis returns a maximal independent set") {
+    val g = twoComponents
+    val mis = Iterative.lubyMis(g).collect().map(_.getLong(0)).toSet
+    val adj = GraphOps.edgeUpper(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent: no edge inside the set
+    assert(!adj.exists { case (a, b) => mis(a) && mis(b) })
+    // maximal: every non-member has a neighbor in the set
+    val vs = adj.flatMap(e => Seq(e._1, e._2)).toSet
+    val nbrs = vs.map(v => v -> adj.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }.toSet).toMap
+    assert((vs -- mis).forall(v => nbrs(v).exists(mis)))
+  }
+
+  test("sssp computes exact shortest distances") {
+    val s = spark
+    import s.implicits._
+    // 1→2 (1.0), 2→3 (1.0), 1→3 (5.0): best 1→3 is via 2
+    val w = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0), (3L, 4L, 1.0))
+      .toDF("src", "dst", "w")
+    val dist = Iterative.sssp(w, 1L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dist == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0, 4L -> 3.0))
+  }
+
+  test("pagerank ranks sum to 1 and favor the sink hub") {
+    // star into vertex 1: everyone links to 1
+    val g = edges((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L))
+    val pr = Iterative.pagerank(g, maxIter = 30).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    assert(pr(1L) == pr.values.max)
+  }
+
+  test("rmat generates the exact unique-edge count, deterministically") {
+    val p = RMat.Params(6, 4, 0.45, 0.25, 0.15, 0.15, 0.0, 7L)
+    val g1 = RMat.generate(spark, p, numTasks = 4)
+    val n = 4L * (1L << 6)
+    assert(g1.count() == n)
+    val g2 = RMat.generate(spark, p, numTasks = 4)
+    assert(g1.except(g2).count() == 0 && g2.except(g1).count() == 0)
+    val maxV = g1.agg(greatest(max(col("src")), max(col("dst")))).head().getLong(0)
+    assert(maxV < (1L << 6))
+  }
+}

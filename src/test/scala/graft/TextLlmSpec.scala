@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.text.TextOps
+
+class TextLlmSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("wordFreq counts strtok tokens, punctuation kept") {
+    val d = docs((1L, "a b  a\tc!"), (2L, "a"))
+    val freq = TextOps.wordFreq(d, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq == Map("a" -> 3L, "b" -> 1L, "c!" -> 1L))
+  }
+
+  test("topWords breaks ties by word ascending") {
+    val d = docs((1L, "b a c b a"))
+    val top = TextOps.topWords(d, "text", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("a", 2L), ("b", 2L)))
+  }
+
+  test("urlIndexFromFiles extracts hrefs per file (the GPU fork workload)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_html")
+    java.nio.file.Files.writeString(dir.resolve("f1.html"),
+      """<p><a href="http://x/1">one</a> <a href="http://x/2">two</a></p>""")
+    java.nio.file.Files.writeString(dir.resolve("f2.html"),
+      """<a href="http://x/1">again</a>""")
+    val idx = TextOps.urlIndexFromFiles(spark, dir.toString + "/*")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).map(_.split("/f").last)).toMap
+    assert(idx.keySet == Set("http://x/1", "http://x/2"))
+    assert(idx("http://x/1").map(_.takeRight(7)).sorted == Seq("1.html", "2.html"))
+    assert(idx("http://x/2").map(_.takeRight(7)) == Seq("1.html"))
+  }
+
+  test("intCountFromBinaryFiles decodes little-endian int stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    val buf = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(7, 7, 42, 7, 42).foreach(buf.putInt)
+    java.nio.file.Files.write(dir.resolve("ints.bin"), buf.array())
+    val counts = TextOps.intCountFromBinaryFiles(spark, dir.toString)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(7 -> 3L, 42 -> 2L))
+  }
+
+  test("exact dedup groups identical content, survivor = min id") {
+    val d = docs((5L, "same text"), (2L, "same text"), (9L, "other"))
+    val out = Dedup.exact(d, "text", "doc_id").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(2L -> 2L, 9L -> 1L))
+  }
+
+  test("jaccard pair of identical docs is 1.0; disjoint docs absent") {
+    val d = docs(
+      (1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"), (3L, "x1 x2 x3 x4 x5"))
+    val pairs = Dedup.jaccardPairs(d, "text", "doc_id", k = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash LSH recovers the exact near-dup pairs on real documents") {
+    val d = Tables.documents(spark, sf0001)
+    val exact = Dedup.jaccardPairs(d, "text", "doc_id", k = 3, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minHashLshPairs(d, "text", "doc_id",
+      k = 3, numHashes = 64, bands = 16, tau = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert((exact -- mh).isEmpty, s"missed pairs: ${exact -- mh}")
+  }
+
+  test("simhash of identical texts is identical; pairs found at hamming 0") {
+    val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota"))
+    val fps = Dedup.simHash(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+    val pairs = Dedup.simHashPairs(d, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("brute-force knn: nearest neighbor of a vector is its duplicate") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.001f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
+      col("vec_id") === 1, k = 1).collect()
+    assert(knn.length == 1 && knn(0).getLong(1) == 2L)
+    assert(knn(0).getDouble(2) > 0.999)
+  }
+
+  test("multi-probe LSH knn reaches decent recall of true top-5") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val truth = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
+      col("vec_id") < 10, k = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshKnn(emb, "vec_id", "embedding", dim = 64,
+      col("vec_id") < 10, k = 5, nPlanes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("token stats and quality on a known string") {
+    val d = docs((1L, "The cat, the hat!"))
+    val ts = TextAnalysis.tokenStats(d, "text", "doc_id").head()
+    assert(ts.getLong(1) == 4L)  // ws tokens
+    assert(ts.getLong(2) == 6L)  // word pieces + , + !
+    assert(ts.getLong(3) == 17L)
+    val q = TextAnalysis.qualityScore(d, "text", "doc_id").head()
+    assert(q.getLong(1) == 4L)
+    assert(q.getDouble(3) == 0.25) // "the" of 4 tokens ("The" capitalized not counted)
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val d = docs((1L, "Hello  World"), (2L, "hello world"), (3L, "bye"))
+    val fps = Dedup.exactNormalized(d, "text", "doc_id").collect()
+    assert(fps.length == 2)
+    assert(fps.find(_.getLong(2) == 2L).get.getLong(1) == 1L)
+  }
+}
