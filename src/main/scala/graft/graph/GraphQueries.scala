@@ -92,6 +92,27 @@ object GraphQueries {
               JOIN u t2 ON t1.dst = t2.src
               JOIN u t3 ON t1.src = t3.src AND t2.dst = t3.dst""")),
 
+    // neigh_tri (`oink/neigh_tri.cpp`): per-vertex neighbors + triangles
+    Q("q_neigh_tri",
+      (s, d) => Triangles.neighTri(GraphOps.scaledEdgesFromLineitem(s, d)),
+      Some("""WITH mm AS (SELECT greatest(count(*) // 60, 1) AS m FROM lineitem),
+              e AS (SELECT l_orderkey % m AS src, l_partkey % m AS dst
+                    FROM lineitem, mm),
+              u AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+                    FROM e WHERE src <> dst),
+              tri AS (SELECT t1.src AS a, t1.dst AS b, t2.dst AS c
+                      FROM u t1
+                      JOIN u t2 ON t1.dst = t2.src
+                      JOIN u t3 ON t1.src = t3.src AND t2.dst = t3.dst),
+              tv AS (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri),
+              tc AS (SELECT v, count(*) AS n_triangles FROM tv GROUP BY v),
+              deg AS (SELECT v, count(*) AS n_nbrs FROM (
+                        SELECT src AS v FROM u UNION ALL SELECT dst AS v FROM u)
+                      GROUP BY v)
+              SELECT deg.v, n_nbrs, coalesce(n_triangles, 0) AS n_triangles
+              FROM deg LEFT JOIN tc ON deg.v = tc.v""")),
+
     // cc_find (`oink/cc_find.cpp`): component label = min vertex id;
     // DuckDB replays via recursive transitive closure on the sparse graph
     Q("q_cc_labels",

@@ -53,4 +53,23 @@ object Triangles {
     * `oink/tri_find.cpp:77-79`). */
   def triangleCount(edges: DataFrame): DataFrame =
     triangles(edges).agg(count(lit(1)).as("n_triangles"))
+
+  /** neigh_tri (`oink/neigh_tri.cpp:52+`): per-vertex neighbor count +
+    * triangle-participation count. */
+  def neighTri(edges: DataFrame): DataFrame = {
+    val u = GraphOps.edgeUpper(edges)
+    val deg = GraphOps.degree(u).withColumnRenamed("degree", "n_nbrs")
+    val tv = triangles(edges)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(tv, Seq("v"), "left")
+      .select(col("v"), col("n_nbrs"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** The reference writes one file per vertex (`oink/neigh_tri.cpp`,
+    * SURVEY.md §7.4.7) — reproduced as a partitioned write; cap the
+    * vertex count before calling on wide graphs. */
+  def writePerVertex(perVertex: DataFrame, path: String): Unit =
+    perVertex.write.mode("overwrite").partitionBy("v").parquet(path)
 }

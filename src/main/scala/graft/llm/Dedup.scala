@@ -26,15 +26,19 @@ object Dedup {
   private def words(text: Column): Column =
     filter(split(text, "\\s+"), w => length(w) > 0)
 
-  /** Distinct word k-shingles per document: (id, shingle). */
-  def shingles(docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame = {
-    val ws = words(col(textCol))
-    val sh = when(size(ws) >= k,
-      transform(sequence(lit(0), size(ws) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + 1)): _*))
-    ).otherwise(array())
-    docs.select(col(idCol).as("id"), explode(sh).as("shingle")).distinct()
+  /** Distinct word k-shingles as an array column (no explode). */
+  def shingleArray(text: Column, k: Int): Column = {
+    val ws = words(text)
+    when(size(ws) >= k,
+      array_distinct(transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + 1)): _*)))
+    ).otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word k-shingles per document: (id, shingle). */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(shingleArray(col(textCol), k)).as("shingle"))
 
   /** Exact dedup (`cull` over content hashes): one row per distinct
     * content, keeping the smallest id; group size included. */
@@ -65,14 +69,17 @@ object Dedup {
       .where(col("jaccard") >= tau)
   }
 
-  /** MinHash signatures: (id, h0..h{numHashes-1}) — min over shingles of
-    * xxhash64(shingle, seed=i), all hashes in one aggregation pass. */
+  /** MinHash signatures: (id, sig: array<long>) — element i = min over
+    * shingles of xxhash64(shingle, seed=i), computed by the native
+    * [[graft.functions.MinHashSig]] expression in one zero-shuffle
+    * projection (the explode+groupBy formulation shuffles every
+    * (doc, shingle) pair; this shuffles nothing). */
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 64): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, k)
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    val sh = shingleArray(col(textCol), k)
+    docs.where(size(sh) > 0)
+      .select(col(idCol).as("id"),
+        graft.functions.MinHashSig.minhashSig(sh, numHashes).as("sig"))
   }
 
   /** MinHash+LSH near-duplicate pairs: band signatures into
@@ -85,17 +92,16 @@ object Dedup {
     val r = numHashes / bands
     val sigs = minHashSignatures(docs, textCol, idCol, k, numHashes)
       .localCheckpoint() // reused: banding + both sides of verification
-    val sigCols = (0 until numHashes).map(i => col(s"h$i"))
     val bandKeys = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("bh"))
+        xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
     }
     val banded = sigs.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
     val cand = banded.select(col("id").as("da"), col("bk"))
       .join(banded.select(col("id").as("db"), col("bk")), "bk")
       .where(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-    val sigArr = sigs.select(col("id"), array(sigCols: _*).as("sig"))
+    val sigArr = sigs.select(col("id"), col("sig"))
     cand
       .join(sigArr.select(col("id").as("da"), col("sig").as("sa")), "da")
       .join(sigArr.select(col("id").as("db"), col("sig").as("sb")), "db")
@@ -105,6 +111,17 @@ object Dedup {
           lit(0), (acc, x) => acc + x).cast("double") / numHashes, 4)
           .as("est_jaccard"))
       .where(col("est_jaccard") >= tau)
+  }
+
+  /** Near-duplicate CLUSTERS: connected components over the near-dup pair
+    * graph (transitive closure of "is a near-dup of"), canonical survivor
+    * = min doc id per cluster. Composes the pair generator with the graph
+    * engine's cc — the full production dedup shape: pairs → clusters →
+    * keep one per cluster. */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+    graft.graph.Iterative.ccFind(edges)
+      .select(col("v").as("doc_id"), col("label").as("cluster"))
   }
 
   /** SimHash 64-bit fingerprints: per-word xxhash64, each bit weighted

@@ -92,6 +92,58 @@ object LlmQueries {
                 FROM scored)
               WHERE rn <= 5""")),
 
+    // exact embedding near-dup pairs (quadratic truth baseline)
+    Q("q_embed_dup_pairs",
+      (s, d) => Similarity.embeddingDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", tau = 0.45),
+      Some("""WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings)
+              SELECT da, db, cos FROM (
+                SELECT a.vec_id AS da, b.vec_id AS db,
+                       round(
+                         list_sum(list_transform(range(1, len(a.e) + 1),
+                           i -> a.e[i] * b.e[i]))
+                         / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1),
+                              i -> a.e[i] * a.e[i])))
+                          * sqrt(list_sum(list_transform(range(1, len(b.e) + 1),
+                              i -> b.e[i] * b.e[i])))), 6) AS cos
+                FROM v a JOIN v b ON a.vec_id < b.vec_id)
+              WHERE cos >= 0.45""")),
+
+    // near-dup clusters: jaccard pairs → connected components → survivor;
+    // DuckDB replays the closure recursively over the same pair edges
+    Q("q_dedup_clusters",
+      (s, d) => Dedup.dedupClusters(
+        Dedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
+          k = 3, tau = 0.8)),
+      Some(s"""WITH RECURSIVE $shingleCte,
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               shared AS (
+                 SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+               pairs AS (
+                 SELECT da, db FROM shared
+                 JOIN sizes sa ON da = sa.doc_id
+                 JOIN sizes sb ON db = sb.doc_id
+                 WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+               adj AS (SELECT da AS v, db AS nbr FROM pairs
+                       UNION ALL SELECT db, da FROM pairs),
+               reach(v, r) AS (
+                 SELECT v, v FROM (SELECT DISTINCT v FROM adj)
+                 UNION
+                 SELECT adj.v, reach.r FROM adj JOIN reach ON adj.nbr = reach.v)
+               SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v""")),
+
+    // IVF ANN: coarse-quantizer cells + nProbe search — deterministic and
+    // SQL-replayable in principle but register rows-only (recall in spec)
+    Q("q_embed_ivf_knn",
+      (s, d) => Similarity.ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 10, k = 5, centroidEvery = 50, nProbe = 2),
+      None),
+
     // LSH-bucketed ANN — xxhash64 planes, rows-only; recall asserted in spec
     Q("q_embed_lsh_knn",
       (s, d) => Similarity.lshKnn(Tables.embeddings(s, d),

@@ -44,6 +44,55 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rn").cast("long").as("rn"))
   }
 
+  /** Exact embedding near-duplicate pairs: all pairs with cosine ≥ tau.
+    * Quadratic truth baseline (the production path is LSH/IVF). */
+  def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("da"), asDouble(col(vecCol)).as("va"))
+    val b = emb.select(col(idCol).as("db"), asDouble(col(vecCol)).as("vb"))
+    a.crossJoin(b).where(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= tau)
+  }
+
+  /** IVF (inverted-file) ANN: centroids are a deterministic sample of the
+    * corpus; every vector is assigned to its nearest centroid (one
+    * broadcast join — the "coarse quantizer"); queries scan only the
+    * `nProbe` nearest cells. The standard billion-scale layout: cells are
+    * the partition/clustering key, so a query touches nProbe partitions
+    * instead of the corpus. */
+  def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int = 5, centroidEvery: Long = 50,
+      nProbe: Int = 2): DataFrame = {
+    val cents = broadcast(emb.where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv")))
+    def nearestCells(df: DataFrame, id: String, v: String, n: Int) = {
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid").asc)
+      df.crossJoin(cents)
+        .select(col(id), col(v), col("cid"),
+          round(cosine(col(v), col("cv")), 6).as("csim"))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") <= n)
+        .select(col(id), col(v), col("cid"))
+    }
+    val corpus = nearestCells(
+      emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv")), "nid", "nv", 1)
+    val queries = nearestCells(
+      emb.where(queryPred).select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv")),
+      "qid", "qv", nProbe)
+    val scored = queries.join(corpus, "cid")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn").cast("long").as("rn"))
+  }
+
   /** Random-hyperplane LSH bucket id: `nPlanes` sign bits of dot products
     * with deterministic Rademacher (±1) planes derived from xxhash64 —
     * reproducible on any cluster, no stored plane matrix. */

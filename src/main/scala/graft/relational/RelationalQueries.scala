@@ -235,6 +235,21 @@ object RelationalQueries {
                      count(DISTINCT c_nationkey) AS n_nations
               FROM customer""")),
 
+    // --- rollup (absent in reference — Spark-native bonus surface) ---------
+    Q("q_rollup",
+      (s, d) => ord(s, d)
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(MrOps.broadcastCopy(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total")),
+      Some("""SELECT n_name, c_mktsegment, count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY ROLLUP (n_name, c_mktsegment)""")),
+
     // --- window functions (Spark-native surface; absent in reference) ------
     Q("q_window_rank",
       (s, d) => {

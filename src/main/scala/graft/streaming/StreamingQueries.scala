@@ -36,6 +36,11 @@ object StreamingQueries {
                      count(*) AS n_events, round(sum(value), 2) AS total
               FROM s GROUP BY user_id, sid""")),
 
+    // watermarked streaming dedup ≡ batch DISTINCT
+    Q("q_stream_dedup",
+      (s, d) => Streams.streamDedup(s, d, Seq("user_id", "event_type")),
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+
     // arbitrary keyed state (mapGroupsWithState) ≡ per-user lifetime aggs
     Q("q_stream_user_state",
       (s, d) => Streams.userState(s, d),

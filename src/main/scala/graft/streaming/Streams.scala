@@ -77,6 +77,17 @@ object Streams {
     drain(agg, OutputMode.Complete(), "stream_sessions")
   }
 
+  /** Streaming dedup with watermarked state — the LLM exact-dedup
+    * operator at stream time: first occurrence of each key passes, later
+    * duplicates are dropped; watermark bounds the dedup state. */
+  def streamDedup(spark: SparkSession, sfDir: String, keys: Seq[String]): DataFrame = {
+    val deduped = eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(keys)
+      .select(keys.map(col): _*)
+    drain(deduped, OutputMode.Append(), "stream_dedup")
+  }
+
   // not private: Catalyst's codegen'd encoders can't reach private members
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserState(n: Long, first: java.sql.Timestamp, total: Double)

@@ -69,6 +69,23 @@ object TextOps {
     spark.read.text(paths: _*)
       .select(explode(tokens(col("value"))).as("word"))
 
+  /** map v3/v4 parity (`src/mapreduce.cpp:1232-1485`): read files split
+    * into chunks at a custom separator string instead of newlines — the
+    * reference's sepchar/sepstr chunking via Hadoop's record delimiter
+    * (each chunk is one row; file splitting stays block-parallel). */
+  def readChunks(spark: SparkSession, path: String, separator: String): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", separator)
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+      path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString)
+    import spark.implicits._
+    rdd.toDF("chunk")
+  }
+
   /** IntCount: frequency of every fixed-width int in a binary stream.
     * Columnar analog over any integral column. */
   def intCount(df: DataFrame, intCol: String): DataFrame =

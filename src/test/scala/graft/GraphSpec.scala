@@ -84,6 +84,13 @@ class GraphSpec extends AnyFunSuite {
     assert(pr(1L) == pr.values.max)
   }
 
+  test("neighTri on K4: every vertex has 3 neighbors and 3 triangles") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val nt = Triangles.neighTri(k4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(nt == Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L)), 3L -> ((3L, 3L)), 4L -> ((3L, 3L))))
+  }
+
   test("rmat generates the exact unique-edge count, deterministically") {
     val p = RMat.Params(6, 4, 0.45, 0.25, 0.15, 0.15, 0.0, 7L)
     val g1 = RMat.generate(spark, p, numTasks = 4)

@@ -78,6 +78,22 @@ class TextLlmSpec extends AnyFunSuite {
     assert((exact -- mh).isEmpty, s"missed pairs: ${exact -- mh}")
   }
 
+  test("MinHashSig expression matches driver-side reference (codegen, no fallback)") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val d = docs((1L, "a b c d e"))
+      val sig = d.select(graft.functions.MinHashSig.minhashSig(
+        Dedup.shingleArray(col("text"), 3), 8).as("sig"))
+        .head().getSeq[Long](0)
+      val shingles = Seq("a b c", "b c d", "c d e").map(UTF8String.fromString)
+      val expect = (0 until 8).map(h => shingles.map(s =>
+        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, h.toLong)).min)
+      assert(sig == expect)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("simhash of identical texts is identical; pairs found at hamming 0") {
     val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota"))
@@ -108,6 +124,35 @@ class TextLlmSpec extends AnyFunSuite {
       col("vec_id") < 10, k = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.lshKnn(emb, "vec_id", "embedding", dim = 64,
       col("vec_id") < 10, k = 5, nPlanes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("readChunks splits files at a custom separator (map v3 parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunks")
+    java.nio.file.Files.writeString(dir.resolve("data.txt"), "aaa::bb b::cc\ncc")
+    val chunks = graft.text.TextOps.readChunks(spark, dir.toString, "::")
+      .collect().map(_.getString(0)).toSet
+    assert(chunks == Set("aaa", "bb b", "cc\ncc"))
+  }
+
+  test("dedupClusters groups near-dup pairs transitively") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.85), (8L, 9L, 0.95))
+      .toDF("da", "db", "jaccard")
+    val clusters = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("IVF knn reaches decent recall of true top-5") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val truth = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
+      col("vec_id") < 10, k = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfKnn(emb, "vec_id", "embedding",
+      col("vec_id") < 10, k = 5, centroidEvery = 50, nProbe = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & approx).size.toDouble / truth.size
     assert(recall >= 0.3, s"recall $recall")
