@@ -36,6 +36,19 @@ object StreamingQueries {
                      count(*) AS n_events, round(sum(value), 2) AS total
               FROM s GROUP BY user_id, sid""")),
 
+    // stream-stream interval join ≡ batch range self-join
+    Q("q_stream_interval_join",
+      (s, d) => Streams.streamIntervalJoin(s, d),
+      Some("""SELECT p.user_id AS user_id,
+                     CAST(s.ts AS TIMESTAMP) AS signup_ts,
+                     CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+                     p.value AS value
+              FROM events p JOIN events s
+                ON p.user_id = s.user_id
+               AND p.event_type = 'purchase' AND s.event_type = 'signup'
+               AND CAST(p.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+               AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR""")),
+
     // watermarked streaming dedup ≡ batch DISTINCT
     Q("q_stream_dedup",
       (s, d) => Streams.streamDedup(s, d, Seq("user_id", "event_type")),

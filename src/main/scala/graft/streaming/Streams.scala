@@ -77,6 +77,28 @@ object Streams {
     drain(agg, OutputMode.Complete(), "stream_sessions")
   }
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * signups within one hour — two watermarked streams, range join
+    * condition bounding the state each side must retain. */
+  def streamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val signups = eventsStream(spark, sfDir)
+      .where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val purchases = eventsStream(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(signups,
+      expr("""p_user = s_user AND
+              purchase_ts >= signup_ts AND
+              purchase_ts <= signup_ts + INTERVAL 1 HOUR"""))
+      .select(col("p_user").as("user_id"), col("signup_ts"),
+        col("purchase_ts"), col("value"))
+    drain(joined, OutputMode.Append(), "stream_interval_join")
+  }
+
   /** Streaming dedup with watermarked state — the LLM exact-dedup
     * operator at stream time: first occurrence of each key passes, later
     * duplicates are dropped; watermark bounds the dedup state. */
