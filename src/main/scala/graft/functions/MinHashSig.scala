@@ -1,40 +1,57 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Native Catalyst expression: the full MinHash signature of a shingle set
-  * in ONE projection — `minhash_sig(shingles, H)` → `array<long>` where
-  * element i = min over shingles of xxhash64(shingle, seed=i).
+/** Native Catalyst expression: the full MinHash signature of a document's
+  * word array in ONE projection — `minhash_sig(words, k, H)` →
+  * `array<long>` where element i = min over all k-word shingles of
+  * xxhash64(shingle, seed=i).
   *
-  * Why an expression and not the explode+groupBy formulation: signatures
-  * become a zero-shuffle map-side projection (the explode path shuffles
-  * every (doc, shingle) pair to re-group by doc). At 100 TB that removes
-  * the largest shuffle of the dedup pipeline entirely; locally it removes
-  * ~n_shingles×H aggregation rows. The reference's analog is the fused
-  * map callback computing per-record results inline
-  * (`/root/reference/cpu/InvertedIndex.cpp:75-90` map-side work).
+  * Shingling happens INSIDE the expression: building a shingle array
+  * column first costs O(words²) in practice because Catalyst re-inlines
+  * the split() alias into every per-index lambda access, and `min` is
+  * idempotent so shingle de-duplication is unnecessary for MinHash.
+  * Signatures are therefore a zero-shuffle, single-pass map-side
+  * computation (the explode+groupBy formulation shuffles every
+  * (doc, shingle) pair). The reference's analog is the fused map callback
+  * computing per-record results inline
+  * (`/root/reference/cpu/InvertedIndex.cpp:75-90`).
   *
-  * Codegen: generated loop over the shingle array calling XXH64 directly —
-  * stays inside whole-stage codegen (no CodegenFallback, no UDF boxing).
+  * Input with fewer than k words yields null — callers filter first.
+  * Codegen: generated loop calling XXH64 directly; stays inside
+  * whole-stage codegen (no fallback, no UDF boxing).
   */
-case class MinHashSig(child: Expression, numHashes: Int)
+case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression {
 
+  require(k >= 1 && numHashes >= 1)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val value = child.eval(input)
+    if (value == null) null else evalWords(value.asInstanceOf[ArrayData])
+  }
+
+  private def evalWords(words: ArrayData): Any = {
+    val n = words.numElements()
+    if (n < k) return null
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    val sep = UTF8String.fromString(" ")
     var i = 0
-    while (i < arr.numElements()) {
-      val s = arr.getUTF8String(i)
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      val s = UTF8String.concatWs(sep, parts: _*)
       var h = 0
       while (h < numHashes) {
         val v = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, h.toLong)
@@ -46,28 +63,49 @@ case class MinHashSig(child: Expression, numHashes: Int)
     new GenericArrayData(mins)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val mins = ctx.freshName("mins")
-      val i = ctx.freshName("i")
-      val h = ctx.freshName("h")
-      val s = ctx.freshName("s")
-      val v = ctx.freshName("v")
-      val xxh = classOf[XXH64].getName
-      s"""
-         |long[] $mins = new long[$numHashes];
-         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |for (int $i = 0; $i < $c.numElements(); $i++) {
-         |  org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
-         |  for (int $h = 0; $h < $numHashes; $h++) {
-         |    long $v = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
-         |      $s.numBytes(), (long) $h);
-         |    if ($v < $mins[$h]) $mins[$h] = $v;
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val mins = ctx.freshName("mins")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val h = ctx.freshName("h")
+    val s = ctx.freshName("s")
+    val v = ctx.freshName("v")
+    val n = ctx.freshName("n")
+    val parts = ctx.freshName("parts")
+    val sep = ctx.freshName("sep")
+    val xxh = classOf[XXH64].getName
+    val utf8 = classOf[UTF8String].getName
+    val code =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.isNull} = true;
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+         |if (!${childGen.isNull}) {
+         |  int $n = ${childGen.value}.numElements();
+         |  if ($n >= $k) {
+         |    long[] $mins = new long[$numHashes];
+         |    java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |    $utf8 $sep = $utf8.fromString(" ");
+         |    $utf8[] $parts = new $utf8[$k];
+         |    for (int $i = 0; $i <= $n - $k; $i++) {
+         |      for (int $j = 0; $j < $k; $j++) {
+         |        $parts[$j] = ${childGen.value}.getUTF8String($i + $j);
+         |      }
+         |      $utf8 $s = $utf8.concatWs($sep, $parts);
+         |      for (int $h = 0; $h < $numHashes; $h++) {
+         |        long $v = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
+         |          $s.numBytes(), (long) $h);
+         |        if ($v < $mins[$h]) $mins[$h] = $v;
+         |      }
+         |    }
+         |    ${ev.isNull} = false;
+         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
        """.stripMargin
-    })
+    ev.copy(code = code)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -76,7 +114,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
 object MinHashSig {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** Column-level entry point. */
-  def minhashSig(shingles: Column, numHashes: Int): Column =
-    ColumnBridge.toColumn(MinHashSig(ColumnBridge.toExpression(shingles), numHashes))
+  /** Column-level entry point: `words` is the tokenized word array. */
+  def minhashSig(words: Column, k: Int, numHashes: Int): Column =
+    ColumnBridge.toColumn(MinHashSig(ColumnBridge.toExpression(words), k, numHashes))
 }

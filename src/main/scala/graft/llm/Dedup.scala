@@ -26,13 +26,18 @@ object Dedup {
   private def words(text: Column): Column =
     filter(split(text, "\\s+"), w => length(w) > 0)
 
-  /** Distinct word k-shingles as an array column (no explode). */
+  /** Distinct word k-shingles as an array column (no explode).
+    * Built from k shifted slices zipped together — linear in words.
+    * (A per-index `element_at` lambda is O(words²): Catalyst re-inlines
+    * the split() alias into every access.) */
   def shingleArray(text: Column, k: Int): Column = {
     val ws = words(text)
-    when(size(ws) >= k,
-      array_distinct(transform(sequence(lit(0), size(ws) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + 1)): _*)))
-    ).otherwise(array().cast("array<string>"))
+    val len = size(ws) - (k - 1)
+    val slices = (0 until k).map(j => slice(ws, lit(j + 1), len))
+    val joined = slices.reduce((a, b) =>
+      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    when(size(ws) >= k, array_distinct(joined))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Distinct word k-shingles per document: (id, shingle). */
@@ -52,13 +57,20 @@ object Dedup {
         .cast("binary")).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact all-pairs n-gram Jaccard ≥ tau — quadratic truth baseline. */
+  /** Exact all-pairs n-gram Jaccard ≥ tau — quadratic truth baseline.
+    * Shingles appearing in a single document can't contribute to any
+    * pair, so they're dropped before the self-join (the join input is
+    * typically dominated by them). */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 3, tau: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, textCol, idCol, k)
+    val sh = shingles(docs, textCol, idCol, k).localCheckpoint()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val shared = sh.select(col("id").as("da"), col("shingle"))
-      .join(sh.select(col("id").as("db"), col("shingle")), "shingle")
+    val sharedShingles = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).where(col("df") > 1)
+      .select(col("shingle"))
+    val sh2 = sh.join(sharedShingles, Seq("shingle"), "left_semi")
+    val shared = sh2.select(col("id").as("da"), col("shingle"))
+      .join(sh2.select(col("id").as("db"), col("shingle")), "shingle")
       .where(col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
     shared
@@ -76,10 +88,10 @@ object Dedup {
     * (doc, shingle) pair; this shuffles nothing). */
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 64): DataFrame = {
-    val sh = shingleArray(col(textCol), k)
-    docs.where(size(sh) > 0)
+    val ws = words(col(textCol))
+    docs.where(size(ws) >= k)
       .select(col(idCol).as("id"),
-        graft.functions.MinHashSig.minhashSig(sh, numHashes).as("sig"))
+        graft.functions.MinHashSig.minhashSig(ws, k, numHashes).as("sig"))
   }
 
   /** MinHash+LSH near-duplicate pairs: band signatures into

@@ -45,14 +45,18 @@ object Similarity {
   }
 
   /** Exact embedding near-duplicate pairs: all pairs with cosine ≥ tau.
-    * Quadratic truth baseline (the production path is LSH/IVF). */
+    * Quadratic truth baseline (the production path is LSH/IVF).
+    * Norms are computed once per row, not per pair — cosine inside the
+    * pair loop is a single dot product. */
   def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       tau: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("da"), asDouble(col(vecCol)).as("va"))
-    val b = emb.select(col(idCol).as("db"), asDouble(col(vecCol)).as("vb"))
-    a.crossJoin(b).where(col("da") < col("db"))
+    def side(id: String, v: String, n: String) =
+      emb.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+        .withColumn(n, sqrt(dot(col(v), col(v))))
+    side("da", "va", "na").crossJoin(side("db", "vb", "nb"))
+      .where(col("da") < col("db"))
       .select(col("da"), col("db"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .where(col("cos") >= tau)
   }
 

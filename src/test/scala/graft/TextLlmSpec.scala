@@ -84,8 +84,8 @@ class TextLlmSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val d = docs((1L, "a b c d e"))
-      val sig = d.select(graft.functions.MinHashSig.minhashSig(
-        Dedup.shingleArray(col("text"), 3), 8).as("sig"))
+      val ws = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+      val sig = d.select(graft.functions.MinHashSig.minhashSig(ws, 3, 8).as("sig"))
         .head().getSeq[Long](0)
       val shingles = Seq("a b c", "b c d", "c d e").map(UTF8String.fromString)
       val expect = (0 until 8).map(h => shingles.map(s =>
