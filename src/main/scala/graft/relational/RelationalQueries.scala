@@ -235,6 +235,35 @@ object RelationalQueries {
                      count(DISTINCT c_nationkey) AS n_nations
               FROM customer""")),
 
+    // --- typed Aggregator: bounded per-key top-K in one pass ---------------
+    Q("q_topk_per_key",
+      (s, d) => ord(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKIdsAggregator.topkIds(3)(
+          col("o_totalprice"), col("o_orderkey")).as("top_orders")),
+      Some("""SELECT o_orderpriority,
+                     string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top_orders
+              FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders)
+              WHERE rn <= 3 GROUP BY o_orderpriority""")),
+
+    // --- JSON extraction (absent in reference; events.props is JSON) -------
+    Q("q_json_extract",
+      (s, d) => ev(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), countDistinct(col("k")).as("k_distinct")),
+      Some("""SELECT event_type,
+                     CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                       AS k_sum,
+                     count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS k_distinct
+              FROM events GROUP BY event_type""")),
+
     // --- rollup (absent in reference — Spark-native bonus surface) ---------
     Q("q_rollup",
       (s, d) => ord(s, d)
