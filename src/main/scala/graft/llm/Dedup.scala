@@ -136,19 +136,16 @@ object Dedup {
       .select(col("v").as("doc_id"), col("label").as("cluster"))
   }
 
-  /** SimHash 64-bit fingerprints: per-word xxhash64, each bit weighted
-    * +1/-1 and summed; bit set where the sum is positive. Pure codegen'd
-    * aggregation — 64 conditional sums, no UDF. */
+  /** SimHash 64-bit fingerprints: per-word xxhash64 (seed 42), each bit
+    * weighted +1/-1 and summed; bit set where the sum is positive.
+    * Computed by the native [[graft.functions.SimHashFp]] expression in a
+    * zero-shuffle projection (the explode + 64-conditional-sum
+    * aggregation shuffled every (doc, word) pair). */
   def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val wordsDf = docs.select(col(idCol).as("id"),
-      explode(words(col(textCol))).as("word"))
-      .withColumn("wh", xxhash64(col("word")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("wh"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    val summed = wordsDf.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    summed.select(col("id"), fp.as("fingerprint"))
+    val ws = words(col(textCol))
+    docs.where(size(ws) > 0)
+      .select(col(idCol).as("id"),
+        graft.functions.SimHashFp.simhashFp(ws).as("fingerprint"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidate

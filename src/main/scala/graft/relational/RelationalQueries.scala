@@ -279,6 +279,14 @@ object RelationalQueries {
               JOIN nation ON c_nationkey = n_nationkey
               GROUP BY ROLLUP (n_name, c_mktsegment)""")),
 
+    // --- cube: all grouping-set combinations --------------------------------
+    Q("q_cube",
+      (s, d) => ord(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
     // --- window functions (Spark-native surface; absent in reference) ------
     Q("q_window_rank",
       (s, d) => {
