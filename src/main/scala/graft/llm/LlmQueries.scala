@@ -208,6 +208,65 @@ object LlmQueries {
                 END AS lang_pred
               FROM documents""")),
 
+    // composed training-data pipeline: language filter → quality filter →
+    // normalized exact dedup (survivor = min id) → token budget per doc.
+    // The "a user could run their whole pipeline" query: four engine
+    // operators chained, still one scan + one shuffle.
+    Q("q_pipeline_filter_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lang = TextAnalysis.langId(docs, "text", "doc_id")
+        val quality = TextAnalysis.qualityScore(docs, "text", "doc_id")
+          .select(col("doc_id"), col("quality"))
+        val kept = docs.join(lang, "doc_id").join(quality, "doc_id")
+          .where(col("lang_pred") === "en" && col("quality") >= 0.5)
+        Dedup.exactNormalized(kept, "text", "doc_id")
+          .join(TextAnalysis.tokenStats(docs, "text", "doc_id")
+            .select(col("doc_id").as("keep_id"), col("n_ws_tokens")), "keep_id")
+          .select(col("keep_id"), col("n_copies"), col("n_ws_tokens"))
+      },
+      Some(s"""WITH lang AS (
+                 SELECT doc_id,
+                   CASE
+                     WHEN contains(' ' || lower(text) || ' ', ' the ')
+                       OR contains(' ' || lower(text) || ' ', ' is ') THEN 'en'
+                     WHEN contains(' ' || lower(text) || ' ', ' le ')
+                       OR contains(' ' || lower(text) || ' ', ' et ') THEN 'fr'
+                     WHEN contains(' ' || lower(text) || ' ', ' der ')
+                       OR contains(' ' || lower(text) || ' ', ' und ') THEN 'de'
+                     WHEN contains(' ' || lower(text) || ' ', ' el ')
+                       OR contains(' ' || lower(text) || ' ', ' y ') THEN 'es'
+                     ELSE 'und'
+                   END AS lang_pred
+                 FROM documents),
+               q AS (
+                 SELECT doc_id,
+                        round(least(len(w) / 100.0, 1.0) * 0.4 +
+                              least(len(list_filter(w, x -> list_contains(
+                                ${TextAnalysis.stopwords.mkString("['", "','", "']")}, x)))
+                                * 1.0 / len(w) * 5.0, 1.0) * 0.4 +
+                              (1.0 - least(len(regexp_extract_all(text, '[^\\w\\s]'))
+                                * 1.0 / length(text) * 10.0, 1.0)) * 0.2, 4) AS quality
+                 FROM (SELECT doc_id, text,
+                         list_filter(string_split_regex(text, '\\s+'),
+                           x -> length(x) > 0) AS w
+                       FROM documents)),
+               kept AS (
+                 SELECT d.doc_id, d.text FROM documents d
+                 JOIN lang USING (doc_id) JOIN q USING (doc_id)
+                 WHERE lang_pred = 'en' AND quality >= 0.5),
+               surv AS (
+                 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+                 FROM kept
+                 GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+               tok AS (
+                 SELECT doc_id AS keep_id,
+                        CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                          x -> length(x) > 0)) AS BIGINT) AS n_ws_tokens
+                 FROM documents)
+               SELECT keep_id, n_copies, n_ws_tokens
+               FROM surv JOIN tok USING (keep_id)""")),
+
     // content fingerprint
     Q("q_fingerprint",
       (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d), "text", "doc_id"),
