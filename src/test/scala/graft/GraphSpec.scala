@@ -91,6 +91,28 @@ class GraphSpec extends AnyFunSuite {
     assert(nt == Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L)), 3L -> ((3L, 3L)), 4L -> ((3L, 3L))))
   }
 
+  test("triangleCount on a star graph is zero (skew shape, no wedge blowup)") {
+    val star = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L))
+    assert(Triangles.triangleCount(star).head().getLong(0) == 0L)
+  }
+
+  test("sssp omits unreachable vertices") {
+    val s = spark
+    import s.implicits._
+    val w = Seq((1L, 2L, 1.0), (3L, 4L, 1.0)).toDF("src", "dst", "w")
+    val dist = Iterative.sssp(w, 1L).collect().map(_.getLong(0)).toSet
+    assert(dist == Set(1L, 2L))
+  }
+
+  test("rmat quadrant probabilities shape the distribution") {
+    // heavy 'a' quadrant → edges concentrate at low vertex ids
+    val p = RMat.Params(8, 4, 0.7, 0.1, 0.1, 0.1, 0.0, 11L)
+    val g = RMat.generate(spark, p, numTasks = 4)
+    val half = (1L << 8) / 2
+    val lowLow = g.where(col("src") < half && col("dst") < half).count()
+    assert(lowLow.toDouble / g.count() > 0.4, s"lowLow fraction ${lowLow.toDouble / g.count()}")
+  }
+
   test("rmat generates the exact unique-edge count, deterministically") {
     val p = RMat.Params(6, 4, 0.45, 0.25, 0.15, 0.15, 0.0, 7L)
     val g1 = RMat.generate(spark, p, numTasks = 4)

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Source/sink surface (SURVEY.md §2.2 "scans/sources/sinks"): the
+  * reference reads text files and prints formatted dumps; our engine
+  * inherits Spark's format matrix. Round-trip equality per format. */
+class SourceSinkSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val sample = Tables.customer(spark, sf0001)
+    .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  private def roundTrip(fmt: String): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$fmt").toString
+    sample.write.mode("overwrite").format(fmt)
+      .option("header", "true").save(dir)
+    val back = spark.read.format(fmt)
+      .option("header", "true").option("inferSchema", "true").load(dir)
+    assert(back.count() == sample.count())
+    val a = sample.orderBy("c_custkey").collect().map(_.getLong(0))
+    val b = back.orderBy("c_custkey").collect().map(r =>
+      r.get(r.fieldIndex("c_custkey")).toString.toLong)
+    assert(a.sameElements(b))
+  }
+
+  test("parquet round trip")(roundTrip("parquet"))
+  test("csv round trip")(roundTrip("csv"))
+  test("json round trip")(roundTrip("json"))
+
+  test("partitioned write produces one directory per key (neigh_tri sink)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pv").toString
+    val perVertex = edges((1L, 2L), (1L, 3L), (2L, 3L))
+      .select(col("src").as("v"), col("dst"))
+    graft.graph.Triangles.writePerVertex(perVertex, dir)
+    val parts = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).sorted
+    assert(parts.sameElements(Array("v=1", "v=2")))
+  }
+}
