@@ -61,6 +61,61 @@ object Iterative {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star edge
+    * rewrites — O(log n) rounds regardless of graph diameter, versus
+    * O(diameter) for [[ccFind]]'s label propagation. The scale path for
+    * high-diameter graphs (chains, meshes); same output contract as
+    * ccFind: (v, label) with label = min vertex id of the component.
+    *
+    * Each round: large-star hangs every neighbor larger than u off the
+    * minimum of u's neighborhood; small-star re-hangs the smaller
+    * neighbors. At fixpoint every component is a star rooted at its
+    * minimum vertex.
+    */
+  def ccFindStar(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val vertices = GraphOps.vertexExtract(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // canonical orientation big→small, matching the per-round output so
+    // the convergence set-difference compares like with like
+    var e = GraphOps.edgeUpper(edges)
+      .select(col("dst").as("u"), col("src").as("v"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // large-star: over symmetric neighborhoods, attach big neighbors to
+      // the neighborhood minimum
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // small-star: orient edges large→small, re-hang small neighbors on
+      // the minimum (plus the center itself)
+      val down = large
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val smallMins = down.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val rehung = down.join(smallMins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(down.join(smallMins, "u").select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("nu"), greatest(col("u"), col("v")).as("nv"))
+        .select(col("nv").as("u"), col("nu").as("v"))
+        .distinct()
+        .localCheckpoint()
+      changed = rehung.except(e).count() + e.except(rehung).count()
+      e = rehung
+      iter += 1
+    }
+    // at fixpoint components are stars rooted at their minimum: each
+    // non-root points at the root; roots label themselves
+    val labels = e.select(col("u").as("v"), col("v").as("label"))
+    vertices.join(labels, Seq("v"), "left")
+      .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+  }
+
   /** cc_stats (`oink/cc_stats.cpp:47-56`): #components per size. */
   def ccStats(labels: DataFrame): DataFrame =
     labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))

@@ -28,6 +28,28 @@ class GraphSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("ccFindStar agrees with ccFind on golden graphs and a long path") {
+    val golden = twoComponents
+    val a = Iterative.ccFind(golden).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Iterative.ccFindStar(golden).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // path 0-1-...-63: diameter 63, star CC must still label all 0
+    val path = edges((0L until 63L).map(i => (i, i + 1)): _*)
+    val labels = Iterative.ccFindStar(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 64 && labels.forall(_._2 == 0L))
+  }
+
+  test("ccFindStar agrees with ccFind on the testdata sparse graph") {
+    val g = graph.GraphOps.sparseEdgesFromLineitem(spark, sf0001)
+    val a = Iterative.ccFind(g)
+    val b = Iterative.ccFindStar(g)
+    assert(a.count() == b.count())
+    assert(a.join(b.withColumnRenamed("label", "label2"), "v")
+      .where(org.apache.spark.sql.functions.col("label") =!=
+        org.apache.spark.sql.functions.col("label2")).count() == 0)
+  }
+
   test("ccStats histograms component sizes") {
     val stats = Iterative.ccStats(Iterative.ccFind(twoComponents))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
