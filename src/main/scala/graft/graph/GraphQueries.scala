@@ -162,6 +162,32 @@ object GraphQueries {
       },
       None),
 
+    // sssp on a fixed golden graph — upgrades the capability from
+    // rows-only to oracle-checked: DuckDB enumerates bounded-depth walks
+    // recursively and takes the min; the relaxation sums follow the same
+    // add order along each path, so distances match bitwise
+    Q("q_sssp_golden",
+      (s, d) => {
+        import s.implicits._
+        val g = Seq(
+          (0L, 1L, 1.0), (1L, 2L, 1.0), (0L, 2L, 5.0),
+          (2L, 3L, 1.0), (3L, 0L, 1.0), (1L, 4L, 10.0), (3L, 4L, 2.5))
+          .toDF("src", "dst", "w")
+        Iterative.sssp(g, 0L)
+      },
+      Some("""WITH RECURSIVE g(src, dst, w) AS (
+                SELECT src, dst, CAST(w AS DOUBLE) FROM (
+                  VALUES (0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0),
+                         (2, 3, 1.0), (3, 0, 1.0), (1, 4, 10.0), (3, 4, 2.5))
+                  t(src, dst, w)),
+              walk(v, dist, depth) AS (
+                SELECT 0, CAST(0.0 AS DOUBLE), 0
+                UNION ALL
+                SELECT g.dst, walk.dist + g.w, depth + 1
+                FROM walk JOIN g ON g.src = walk.v WHERE depth < 8)
+              SELECT CAST(v AS BIGINT) AS v, min(dist) AS dist
+              FROM walk GROUP BY v""")),
+
     // pagerank (completed from the reference's stub): top-100 ranks,
     // iterative damped SpMV — floating-point accumulation order makes
     // exact SQL compare meaningless (rows-only; invariants in GraphSpec)
