@@ -196,6 +196,16 @@ object GraphQueries {
         .orderBy(col("rank").desc, col("v").asc).limit(100),
       None),
 
+    // rmat exact-count contract (`oink/rmat.cpp:50-70` loops until exactly
+    // nnonzero·2^nlevels unique edges): the count is a constant the
+    // oracle can state outright
+    Q("q_rmat_count",
+      (s, d) => RMat.generate(
+        s, RMat.Params(10, 8, 0.45, 0.25, 0.15, 0.15, 0.0, 42L), numTasks = 16)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_edges")),
+      Some("SELECT CAST(8192 AS BIGINT) AS n_edges")),
+
     // rmat generation (`oink/rmat.cpp`): deterministic seeded generator;
     // degree histogram like examples/rmat.cpp:155-163 (rows-only)
     Q("q_rmat_degree_stats",
