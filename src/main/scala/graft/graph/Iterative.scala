@@ -215,13 +215,17 @@ object Iterative {
     while (delta > tol && iter < maxIter) {
       val contrib = ranks.join(w, ranks("v") === w("src"))
         .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("contrib"))
-      val danglingMass = ranks.join(sources, Seq("v"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      // dangling mass stays a 1-row side input cross-joined into the plan
+      // — no per-round driver collect/sync
+      val dangling = ranks.join(sources, Seq("v"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("danglingMass"))
       val next = vertices
         .join(contrib.withColumnRenamed("dst", "v"), Seq("v"), "left")
+        .crossJoin(dangling)
         .select(col("v"),
           (lit((1 - alpha) / n) +
-            lit(alpha) * (coalesce(col("contrib"), lit(0.0)) + lit(danglingMass / n)))
+            lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
+              col("danglingMass") / n))
             .as("rank"))
         .localCheckpoint()
       delta = next.join(ranks.withColumnRenamed("rank", "old"), "v")
