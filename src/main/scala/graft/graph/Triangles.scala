@@ -50,9 +50,24 @@ object Triangles {
   }
 
   /** Global triangle count (`Tri_find: %lu triangles` summary line,
-    * `oink/tri_find.cpp:77-79`). */
-  def triangleCount(edges: DataFrame): DataFrame =
-    triangles(edges).agg(count(lit(1)).as("n_triangles"))
+    * `oink/tri_find.cpp:77-79`).
+    *
+    * Edge-iterator formulation: per oriented edge (a,b), count
+    * |N⁺(a) ∩ N⁺(b)| over compact adjacency arrays. Each triangle is
+    * counted exactly once (at its lowest-key vertex's edge), and the
+    * wedge set is never materialized — the shuffle carries |E| edges +
+    * |V| adjacency arrays instead of Σdeg² wedge rows, which is what
+    * survives a 100× scale-up. Enumeration (when the triangles
+    * themselves are needed) stays on the wedge join in [[triangles]]. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val o = oriented(edges)
+    val adj = o.groupBy(col("a")).agg(collect_list(col("b")).as("nbrs"))
+    o.select(col("a"), col("b"))
+      .join(adj.select(col("a"), col("nbrs").as("na")), "a")
+      .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), "b")
+      .select(size(array_intersect(col("na"), col("nb"))).cast("long").as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+  }
 
   /** neigh_tri (`oink/neigh_tri.cpp:52+`): per-vertex neighbor count +
     * triangle-participation count. */
