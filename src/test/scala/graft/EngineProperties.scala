@@ -1,0 +1,66 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+
+import graft.core.MrOps
+import graft.graph.GraphOps
+
+/** Generator-based properties for the doc-stated postconditions
+  * (FIXTURES.md §3): invariants the reference states in prose
+  * (doc/aggregate.txt, doc/sort_keys.txt, doc/convert.txt,
+  * oinkdoc/edge_upper.txt) but never automated. */
+object EngineProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private def spark = TestSession.spark
+
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))
+
+  property("edgeUpper: src<dst, no self-loops, no duplicates") =
+    forAll(edgeGen) { pairs =>
+      val u = GraphOps.edgeUpper(TestSession.edges(pairs: _*))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      u.forall { case (s, d) => s < d } && u.distinct.length == u.length
+    }
+
+  property("repartition preserves the pair multiset") =
+    forAll(edgeGen) { pairs =>
+      val df = TestSession.edges(pairs: _*)
+      MrOps.aggregate(df, col("src")).count() == pairs.length
+    }
+
+  property("group counts sum to input size (doc/convert.txt)") =
+    forAll(edgeGen) { pairs =>
+      val df = TestSession.edges(pairs: _*)
+      val grouped = MrOps.countByKey(df, col("src"))
+      val total =
+        if (pairs.isEmpty) 0L
+        else grouped.agg(sum(col("count"))).head().getLong(0)
+      total == pairs.length &&
+        grouped.count() == pairs.map(_._1).distinct.length
+    }
+
+  property("local top-K then global top-K = global top-K (wordfreq idiom)") =
+    forAll(edgeGen) { pairs =>
+      val df = TestSession.edges(pairs: _*)
+      val k = 5
+      val global = MrOps.topK(df, k, col("dst").desc, col("src").asc)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // per-partition truncate first, then global — must agree
+      val local = df.sortWithinPartitions(col("dst").desc, col("src").asc)
+      val twoPhase = MrOps.topK(local, k, col("dst").desc, col("src").asc)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      global == twoPhase
+    }
+
+  property("distinct is idempotent (cull)") =
+    forAll(edgeGen) { pairs =>
+      val df = TestSession.edges(pairs: _*)
+      df.distinct().distinct().count() == df.distinct().count()
+    }
+}
