@@ -77,9 +77,10 @@ object Multimodal {
             hist(u / 16) += 1
             sum += u
           }
+          // exact IEEE division of two exact integers — bit-identical in
+          // any engine that replays the same byte math (no rounding step)
           Features(r.media_id, decoded.length.toLong,
-            if (decoded.isEmpty) 0.0
-            else math.rint(sum.toDouble / decoded.length * 10000) / 10000,
+            if (decoded.isEmpty) 0.0 else sum.toDouble / decoded.length,
             hist)
         }
       }.toDF()

@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import org.apache.spark.sql.functions._
+
 import graft.Q
 
 /** Multimodal plumbing, oracle-checked where DuckDB can replay the byte
@@ -38,10 +40,52 @@ object MultimodalQueries {
                        AS frame_md5
               FROM f WHERE frame_idx % 4 = 0""")),
 
-    // stubbed decode + feature extraction via mapPartitions — byte
-    // histogram replayable in SQL? kept rows-only (validated in spec)
+    // stubbed decode + feature extraction via mapPartitions. The byte math
+    // IS replayable in SQL (payloads are the UTF-8 bytes of ASCII text, so
+    // ord() over VARCHAR positions sees the same bytes the decoder saw);
+    // the histogram array is emitted as a comma-joined string so the
+    // harness can sort/hash it (the postings/nbrs pattern), and mean_byte
+    // is a single IEEE division of two exact integers — bit-identical
+    // across engines, no rounding step needed.
     Q("q_decode_features",
-      (s, d) => Multimodal.decodeFeatures(Multimodal.mediaTable(s, d)),
-      None)
+      (s, d) => Multimodal.decodeFeatures(Multimodal.mediaTable(s, d))
+        .withColumn("histogram",
+          array_join(transform(col("histogram"), _.cast("string")), ",")),
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, text,
+                       octet_length(encode(text)) AS n_bytes
+                FROM documents),
+              pos AS (
+                SELECT media_id, text,
+                       unnest(range(1, n_bytes + 1)) AS i
+                FROM m),
+              by AS (
+                SELECT media_id,
+                       ord(substring(text, CAST(i AS BIGINT), 1)) AS byte
+                FROM pos),
+              bk AS (
+                SELECT media_id, byte // 16 AS bucket, count(*) AS cnt
+                FROM by GROUP BY 1, 2),
+              grid AS (
+                SELECT media_id, unnest(range(0, 16)) AS bucket FROM m),
+              hist AS (
+                SELECT grid.media_id, grid.bucket,
+                       coalesce(cnt, 0) AS cnt
+                FROM grid LEFT JOIN bk
+                  ON grid.media_id = bk.media_id AND grid.bucket = bk.bucket),
+              hs AS (
+                SELECT media_id,
+                       string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bucket)
+                         AS histogram
+                FROM hist GROUP BY media_id),
+              stats AS (SELECT media_id, sum(byte) AS s FROM by GROUP BY 1)
+              SELECT m.media_id, CAST(m.n_bytes AS BIGINT) AS n_bytes,
+                     CASE WHEN m.n_bytes = 0 THEN 0.0
+                          ELSE CAST(coalesce(s, 0) AS DOUBLE) / m.n_bytes
+                     END AS mean_byte,
+                     hs.histogram
+              FROM m
+              JOIN hs ON m.media_id = hs.media_id
+              LEFT JOIN stats ON m.media_id = stats.media_id"""))
   )
 }
