@@ -10,6 +10,58 @@ import graft.gen.RMat
   * replay the exact same graph; see GraphOps.edgesFromLineitem. */
 object GraphQueries {
 
+  /** Golden pagerank digraph: 8 vertices, every out-degree a power of two
+    * (1, 2 or 4) and alpha = 0.5, so every rank stays an exact dyadic
+    * rational — addition order cannot perturb a single bit, and DuckDB
+    * replaying the same damped updates matches bitwise. Vertex 6 is
+    * dangling, exercising the dangling-mass redistribution path of
+    * `oinkdoc/pagerank.txt`. */
+  val prGoldenEdges: Seq[(Long, Long)] = Seq(
+    (0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (2L, 3L), (2L, 4L), (2L, 5L),
+    (3L, 4L), (3L, 5L), (4L, 6L), (5L, 6L), (5L, 7L), (7L, 0L))
+
+  /** Golden Luby graph: 16-cycle plus (i, i+4) chords — enough structure
+    * that the MIS is non-trivial but small enough to hand-replay. With a
+    * fixed seed the hashed priorities make the MIS fully deterministic
+    * (Luby with strictly-minimal priorities ≡ sequential greedy by
+    * priority order; GraphSpec cross-checks that equivalence). */
+  val lubyGoldenEdges: Seq[(Long, Long)] =
+    (0L until 16L).map(i => (i, (i + 1) % 16)) ++
+      (0L until 8L).map(i => (i, i + 4))
+
+  val lubyGoldenSeed = 7L
+
+  /** DuckDB replay of [[Iterative.pagerank]] on the golden graph: `iters`
+    * damped iterations unrolled as chained CTEs (r0 → r`iters`), each the
+    * exact formula of the Spark loop. All literals are dyadic and cast to
+    * DOUBLE so both engines compute identical bits. */
+  private def pagerankGoldenSql(iters: Int): String = {
+    val vals = prGoldenEdges.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         SELECT verts.v,
+                CAST(0.0625 AS DOUBLE) + CAST(0.5 AS DOUBLE) *
+                  (coalesce(c.s, CAST(0.0 AS DOUBLE)) + d.m / CAST(8.0 AS DOUBLE))
+                  AS "rank"
+         FROM verts
+         LEFT JOIN (SELECT w.dst AS v, sum(r."rank" * w.w) AS s
+                    FROM r${k - 1} r JOIN w ON w.src = r.v GROUP BY w.dst) c
+           ON c.v = verts.v
+         CROSS JOIN (SELECT coalesce(sum("rank"), CAST(0.0 AS DOUBLE)) AS m
+                     FROM r${k - 1}
+                     WHERE v NOT IN (SELECT src FROM g)) d)"""
+    }.mkString(",\n")
+    s"""WITH g(src, dst) AS (VALUES $vals),
+        verts AS (SELECT DISTINCT v FROM
+          (SELECT src AS v FROM g UNION ALL SELECT dst FROM g)),
+        w AS (SELECT src, dst,
+                     CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY src) AS w
+              FROM g),
+        r0 AS (SELECT v, CAST(0.125 AS DOUBLE) AS "rank" FROM verts),
+        $steps
+        SELECT CAST(v AS BIGINT) AS v, "rank" FROM r$iters"""
+  }
+
   /** Shared CTE prefix: directed edges + canonical undirected edges. */
   private val e =
     "e AS (SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst FROM lineitem)"
@@ -141,11 +193,26 @@ object GraphQueries {
                SELECT csize, count(*) AS n_components FROM sizes GROUP BY csize""")),
 
     // luby_find (`oink/luby_find.cpp`): maximal independent set — iterative
-    // with hashed priorities; not SQL-expressible (rows-only check; MIS
+    // with hashed priorities; not SQL-expressible on the full data (rows-
+    // only scale run; the hard signal is q_luby_golden below, and MIS
     // validity is property-tested in GraphSpec)
     Q("q_luby_mis",
       (s, d) => Iterative.lubyMis(GraphOps.sparseEdgesFromLineitem(s, d)),
       None),
+
+    // luby_find on a fixed golden graph with a fixed seed: the hashed
+    // priorities make the MIS fully deterministic, so the expected vertex
+    // set is a VALUES oracle (the q_rmat_count precedent). GraphSpec
+    // independently cross-checks the set against a sequential greedy MIS
+    // over the same priorities.
+    Q("q_luby_golden",
+      (s, d) => {
+        import s.implicits._
+        Iterative.lubyMis(lubyGoldenEdges.toDF("src", "dst"),
+          seed = lubyGoldenSeed)
+      },
+      Some("""SELECT CAST(v AS BIGINT) AS v
+              FROM (VALUES (0), (2), (5), (8), (10), (13)) t(v)""")),
 
     // sssp (`oink/sssp.cpp`): shortest paths from vertex 0 over
     // deterministic weights — iterative min-fixpoint, not SQL-expressible
@@ -190,11 +257,39 @@ object GraphQueries {
 
     // pagerank (completed from the reference's stub): top-100 ranks,
     // iterative damped SpMV — floating-point accumulation order makes
-    // exact SQL compare meaningless (rows-only; invariants in GraphSpec)
+    // exact SQL compare meaningless at alpha=0.85 (rows-only scale run;
+    // the hard signal is q_pagerank_golden below)
     Q("q_pagerank",
       (s, d) => Iterative.pagerank(GraphOps.edgesFromLineitem(s, d))
         .orderBy(col("rank").desc, col("v").asc).limit(100),
       None),
+
+    // pagerank on a fixed golden graph with dyadic-exact arithmetic
+    // (alpha=0.5, power-of-two out-degrees, n=8): DuckDB unrolls the same
+    // 5 damped iterations and the ranks match bitwise — upgrades pagerank
+    // from rows-only to oracle-checked (the q_sssp_golden pattern)
+    Q("q_pagerank_golden",
+      (s, d) => {
+        import s.implicits._
+        Iterative.pagerank(prGoldenEdges.toDF("src", "dst"),
+          alpha = 0.5, tol = 0.0, maxIter = 5)
+      },
+      Some(pagerankGoldenSql(5))),
+
+    // connected components via large/small-star rewrites (O(log n) rounds —
+    // the high-diameter scale path) on the same sparse graph and against
+    // the same recursive-CTE oracle as q_cc_labels: both CC formulations
+    // carry a hard correctness signal and a bench entry
+    Q("q_cc_labels_star",
+      (s, d) => Iterative.ccFindStar(GraphOps.sparseEdgesFromLineitem(s, d)),
+      Some(s"""WITH RECURSIVE $se, $su,
+               adj AS (SELECT src AS v, dst AS nbr FROM u
+                       UNION ALL SELECT dst, src FROM u),
+               reach(v, r) AS (
+                 SELECT v, v FROM (SELECT DISTINCT v FROM adj)
+                 UNION
+                 SELECT adj.v, reach.r FROM adj JOIN reach ON adj.nbr = reach.v)
+               SELECT v, min(r) AS label FROM reach GROUP BY v""")),
 
     // rmat exact-count contract (`oink/rmat.cpp:50-70` loops until exactly
     // nnonzero·2^nlevels unique edges): the count is a constant the

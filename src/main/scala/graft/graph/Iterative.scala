@@ -105,15 +105,24 @@ object Iterative {
         .select(col("nv").as("u"), col("nu").as("v"))
         .distinct()
         .localCheckpoint()
-      changed = rehung.except(e).count() + e.except(rehung).count()
+      // single action per round: both sides are distinct canonical edge
+      // sets, so the symmetric difference is one full-outer join with
+      // null-side markers (vs two except().count() jobs)
+      changed = rehung.withColumn("l", lit(1))
+        .join(e.withColumn("r", lit(1)), Seq("u", "v"), "full")
+        .where(col("l").isNull || col("r").isNull)
+        .count()
       e = rehung
       iter += 1
     }
     // at fixpoint components are stars rooted at their minimum: each
     // non-root points at the root; roots label themselves
     val labels = e.select(col("u").as("v"), col("v").as("label"))
-    vertices.join(labels, Seq("v"), "left")
+    val out = vertices.join(labels, Seq("v"), "left")
       .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+      .localCheckpoint()
+    vertices.unpersist()
+    out
   }
 
   /** cc_stats (`oink/cc_stats.cpp:47-56`): #components per size. */

@@ -86,6 +86,46 @@ class GraphSpec extends AnyFunSuite {
     assert((vs -- mis).forall(v => nbrs(v).exists(mis)))
   }
 
+  test("lubyMis on the golden graph equals sequential greedy by priority") {
+    val s = spark
+    import s.implicits._
+    val ge = graph.GraphQueries.lubyGoldenEdges
+    val seed = graph.GraphQueries.lubyGoldenSeed
+    val mis = Iterative.lubyMis(ge.toDF("src", "dst"), seed = seed)
+      .collect().map(_.getLong(0)).toSet
+    // independent replay: Luby with strictly-minimal (prio, v) winners is
+    // exactly the sequential greedy MIS in (prio, v) order
+    val vs = ge.flatMap(e => Seq(e._1, e._2)).distinct
+    val prio = vs.toDF("v").withColumn("p", xxhash64(col("v"), lit(seed)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nbrs = vs.map { v =>
+      v -> ge.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }.toSet
+    }.toMap
+    var chosen = Set.empty[Long]
+    for (v <- vs.sortBy(v => (prio(v), v)))
+      if (!nbrs(v).exists(chosen)) chosen += v
+    info(s"golden MIS: ${mis.toSeq.sorted.mkString(",")}")
+    assert(mis == chosen)
+  }
+
+  test("pagerank golden-graph ranks are exact dyadic rationals summing to 1") {
+    val s = spark
+    import s.implicits._
+    val pr = Iterative.pagerank(
+      graph.GraphQueries.prGoldenEdges.toDF("src", "dst"),
+      alpha = 0.5, tol = 0.0, maxIter = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 8)
+    // total mass is conserved exactly (dyadic arithmetic, no rounding)
+    assert(pr.values.sum == 1.0)
+    // every rank is an exact multiple of 2^-40 (dyadic denominators only;
+    // 5 iterations × ≤4 bits each + 3 starting bits stays ≤ 2^-23)
+    assert(pr.values.forall(r => (r * (1L << 40)) % 1.0 == 0.0))
+  }
+
   test("sssp computes exact shortest distances") {
     val s = spark
     import s.implicits._
