@@ -302,10 +302,25 @@ object GraphQueries {
       Some("SELECT CAST(8192 AS BIGINT) AS n_edges")),
 
     // rmat generation (`oink/rmat.cpp`): deterministic seeded generator;
-    // degree histogram like examples/rmat.cpp:155-163 (rows-only)
+    // degree histogram like examples/rmat.cpp:155-163. The generator is a
+    // pure function of (params, seed) — independent of sf and partition
+    // layout (GraphSpec proves run-to-run determinism) — so the histogram
+    // is a constant the oracle can state outright, like q_rmat_count.
     Q("q_rmat_degree_stats",
       (s, d) => RMat.degreeStats(RMat.generate(
         s, RMat.Params(10, 8, 0.45, 0.25, 0.15, 0.15, 0.0, 42L), numTasks = 16)),
-      None)
+      Some("""SELECT CAST(degree AS BIGINT) AS degree,
+                     CAST(n_vertices AS BIGINT) AS n_vertices
+              FROM (VALUES
+                (1, 128), (2, 115), (3, 88), (4, 62), (5, 65), (6, 44),
+                (7, 37), (8, 34), (9, 28), (10, 23), (11, 20), (12, 13),
+                (13, 9), (14, 6), (15, 12), (16, 10), (17, 14), (18, 9),
+                (19, 10), (20, 11), (21, 13), (22, 9), (23, 6), (24, 1),
+                (25, 7), (26, 2), (27, 3), (29, 3), (30, 3), (31, 3),
+                (33, 1), (35, 2), (36, 3), (37, 3), (38, 4), (39, 2),
+                (40, 3), (41, 3), (42, 2), (43, 4), (44, 2), (45, 3),
+                (46, 1), (47, 5), (48, 2), (57, 1), (81, 1), (83, 1),
+                (85, 3), (87, 2), (90, 1), (100, 1), (103, 1), (188, 1))
+                t(degree, n_vertices)"""))
   )
 }

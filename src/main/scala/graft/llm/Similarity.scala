@@ -98,12 +98,18 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: `nPlanes` sign bits of dot products
-    * with deterministic Rademacher (±1) planes derived from xxhash64 —
-    * reproducible on any cluster, no stored plane matrix. */
+    * with deterministic Rademacher (±1) planes — reproducible on any
+    * cluster, no stored plane matrix. The plane signs come from a pure
+    * integer mixer (multiply + offset mod a prime, take parity) instead of
+    * a hash builtin, so ANY engine — including the DuckDB oracle — can
+    * replay the buckets exactly; values stay < 2^38, no overflow anywhere. */
+  def planeSign(i: Column, j: Int): Column =
+    when(((i.cast("long") + 1) * lit(2654435761L) + lit((j + 1) * 40503L))
+      % 9973 % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+
   def lshBucket(v: Column, dim: Int, nPlanes: Int = 12): Column = {
     val bits = (0 until nPlanes).map { j =>
-      val plane = transform(sequence(lit(0), lit(dim - 1)),
-        i => when(xxhash64(i, lit(j)).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0)))
+      val plane = transform(sequence(lit(0), lit(dim - 1)), i => planeSign(i, j))
       when(dot(v, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, LlmQueries, Similarity, TextAnalysis}
 import graft.text.TextOps
 
 class TextLlmSpec extends AnyFunSuite {
@@ -76,6 +76,35 @@ class TextLlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     assert((exact -- mh).isEmpty, s"missed pairs: ${exact -- mh}")
+  }
+
+  test("exact-verified minhash LSH equals the quadratic baseline exactly") {
+    val d = Tables.documents(spark, sf0001)
+    val exact = Dedup.jaccardPairs(d, "text", "doc_id", k = 3, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = Dedup.minHashLshPairsExact(d, "text", "doc_id",
+      k = 3, numHashes = 64, bands = 16, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(banded == exact,
+      s"missed: ${exact -- banded}; spurious: ${banded -- exact}")
+  }
+
+  test("simhash golden corpus: banded pairs equal brute-force Hamming pairs") {
+    val s = spark
+    import s.implicits._
+    val d = LlmQueries.simhashGoldenDocs.toDF("doc_id", "text")
+    val fps = Dedup.simHash(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val banded = Dedup.simHashPairs(d, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    info(s"golden simhash pairs: ${banded.toSeq.sorted.mkString(", ")}")
+    assert(banded == expect)
+    assert(banded.nonEmpty, "golden corpus must contain near-dup pairs")
   }
 
   test("MinHashSig expression matches driver-side reference (codegen, no fallback)") {
