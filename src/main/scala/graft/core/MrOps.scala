@@ -85,9 +85,21 @@ object MrOps {
   def sortGlobal(df: DataFrame, cols: Column*): DataFrame = df.orderBy(cols: _*)
 
   /** sort_multivalues (`src/mapreduce.cpp:2210-2358`): order values within
-    * each group — as a sorted array aggregation. */
-  def sortedValuesPerKey(df: DataFrame, key: Column, value: Column): DataFrame =
-    df.groupBy(key).agg(array_sort(collect_list(value)).as("values"))
+    * each group — as a sorted array aggregation. The reference's flag sign
+    * (+n ascending, -n descending, `doc/sort_keys.txt`) maps to `ascending`;
+    * its per-type flags collapse into the value column's own type. */
+  def sortedValuesPerKey(df: DataFrame, key: Column, value: Column,
+      ascending: Boolean = true): DataFrame = {
+    val sorted = array_sort(collect_list(value))
+    df.groupBy(key)
+      .agg((if (ascending) sorted else reverse(sorted)).as("values"))
+  }
+
+  /** sort_multivalues flag-7 flavor (`src/mapreduce.cpp:2239-2246`): caller-
+    * supplied comparator, as an array_sort lambda returning -1/0/1. */
+  def sortedValuesPerKeyWith(df: DataFrame, key: Column, value: Column)(
+      cmp: (Column, Column) => Column): DataFrame =
+    df.groupBy(key).agg(array_sort(collect_list(value), cmp).as("values"))
 
   /** Top-K idiom (`oink/wordfreq.cpp:65-82`): local truncate + merge.
     * Catalyst's TakeOrderedAndProject does exactly this. */

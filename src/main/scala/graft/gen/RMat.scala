@@ -25,14 +25,18 @@ object RMat {
       a: Double, b: Double, c: Double, d: Double,
       fraction: Double, seed: Long)
 
-  /** One generation batch: `howMany` edges across `numTasks` deterministic
-    * tasks (`map(rmat_generate)`, one task per proc in the reference). */
+  /** One generation batch: EXACTLY `howMany` edges across `numTasks`
+    * deterministic tasks (`map(rmat_generate)`, one task per proc in the
+    * reference) — the remainder spread over the low task ids, so a round
+    * can never emit more than the deficit it was asked for. */
   private def batch(spark: SparkSession, p: Params, howMany: Long,
       numTasks: Int, round: Int): DataFrame = {
     import spark.implicits._
-    val perTask = (howMany + numTasks - 1) / numTasks
+    val base = howMany / numTasks
+    val extra = howMany % numTasks
     val order = 1L << p.nlevels
     spark.range(0, numTasks, 1, numTasks).as[Long].flatMap { task =>
+      val perTask = base + (if (task < extra) 1L else 0L)
       val rng = new java.util.Random(p.seed * 1000003L + task * 8191L + round)
       val (a0, b0, c0, d0) = (p.a, p.b, p.c, p.d)
       Iterator.fill(perTask.toInt) {
@@ -80,9 +84,10 @@ object RMat {
       have = edges.count()
       round += 1
     }
-    // trim any overshoot deterministically (smallest (src,dst) first)
-    if (have > target) edges.orderBy(col("src"), col("dst")).limit(target.toInt)
-    else edges
+    // no overshoot trim: each round emits exactly the deficit, and dedup
+    // only shrinks, so `have` approaches the target from below — the
+    // exact-count invariant is property-tested in EngineProperties
+    edges
   }
 
   /** Degree histogram of a generated graph — the reference's rmat example

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, round}
 
 import graft.Q
 import graft.gen.RMat
@@ -60,6 +60,44 @@ object GraphQueries {
         r0 AS (SELECT v, CAST(0.125 AS DOUBLE) AS "rank" FROM verts),
         $steps
         SELECT CAST(v AS BIGINT) AS v, "rank" FROM r$iters"""
+  }
+
+  /** DuckDB replay of [[Iterative.pagerank]] over the lineitem-derived
+    * graph: `iters` damped iterations unrolled as chained CTEs — the same
+    * unroll as [[pagerankGoldenSql]] but over a data-derived graph at
+    * alpha = 0.85, where accumulation order costs ~1e-15 relative noise,
+    * absorbed by rounding both engines to 6dp. Every step CTE is
+    * MATERIALIZED: each r_k references r_{k-1} twice, and DuckDB's
+    * default CTE inlining would make the plan tree 2^iters. */
+  private def pagerankLineitemSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         SELECT verts.v,
+                (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) *
+                    (coalesce(c.s, CAST(0.0 AS DOUBLE)) + d.m / nn.n)
+                  AS "rank"
+         FROM verts
+         CROSS JOIN nn
+         LEFT JOIN (SELECT w.dst AS v, sum(r."rank" * w.w) AS s
+                    FROM r${k - 1} r JOIN w ON w.src = r.v GROUP BY w.dst) c
+           ON c.v = verts.v
+         CROSS JOIN (SELECT coalesce(sum("rank"), CAST(0.0 AS DOUBLE)) AS m
+                     FROM r${k - 1}
+                     WHERE v NOT IN (SELECT src FROM g)) d)"""
+    }.mkString(",\n")
+    s"""WITH $e,
+        g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        verts AS MATERIALIZED (SELECT DISTINCT v FROM
+          (SELECT src AS v FROM g UNION ALL SELECT dst FROM g)),
+        nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+        w AS MATERIALIZED (SELECT src, dst,
+                     CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY src) AS w
+              FROM g),
+        r0 AS MATERIALIZED (SELECT v, CAST(1.0 AS DOUBLE) / nn.n AS "rank"
+               FROM verts CROSS JOIN nn),
+        $steps
+        SELECT v, round("rank", 6) AS "rank" FROM r$iters"""
   }
 
   /** Shared CTE prefix: directed edges + canonical undirected edges. */
@@ -165,6 +203,26 @@ object GraphQueries {
               SELECT deg.v, n_nbrs, coalesce(n_triangles, 0) AS n_triangles
               FROM deg LEFT JOIN tc ON deg.v = tc.v""")),
 
+    // neigh_tri full fidelity (`oink/neigh_tri.cpp:124-160`): the actual
+    // per-vertex edge lists — first-neighbor edges plus each triangle's
+    // opposite edge — not just counts; edges canonicalized ea <= eb
+    Q("q_neigh_tri_edges",
+      (s, d) => Triangles.neighTriEdges(GraphOps.scaledEdgesFromLineitem(s, d)),
+      Some("""WITH mm AS (SELECT greatest(count(*) // 60, 1) AS m FROM lineitem),
+              e AS (SELECT l_orderkey % m AS src, l_partkey % m AS dst
+                    FROM lineitem, mm),
+              u AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+                    FROM e WHERE src <> dst),
+              tri AS (SELECT t1.src AS a, t1.dst AS b, t2.dst AS c
+                      FROM u t1
+                      JOIN u t2 ON t1.dst = t2.src
+                      JOIN u t3 ON t1.src = t3.src AND t2.dst = t3.dst)
+              SELECT src AS v, src AS ea, dst AS eb FROM u
+              UNION ALL SELECT dst, src, dst FROM u
+              UNION ALL SELECT a, least(b, c), greatest(b, c) FROM tri
+              UNION ALL SELECT b, least(a, c), greatest(a, c) FROM tri
+              UNION ALL SELECT c, least(a, b), greatest(a, b) FROM tri""")),
+
     // cc_find (`oink/cc_find.cpp`): component label = min vertex id;
     // DuckDB replays via recursive transitive closure on the sparse graph
     Q("q_cc_labels",
@@ -214,8 +272,13 @@ object GraphQueries {
       Some("""SELECT CAST(v AS BIGINT) AS v
               FROM (VALUES (0), (2), (5), (8), (10), (13)) t(v)""")),
 
-    // sssp (`oink/sssp.cpp`): shortest paths from vertex 0 over
-    // deterministic weights — iterative min-fixpoint, not SQL-expressible
+    // sssp (`oink/sssp.cpp`): shortest paths over deterministic weights.
+    // DuckDB replays it by enumerating bounded-depth walks from the same
+    // source (the q_sssp_golden technique, viable on the real data because
+    // the source's component is small): with positive weights a shortest
+    // path is simple, so depth < 8 covers any component up to 9 vertices,
+    // and relaxation sums follow the same add order along each path —
+    // distances match bitwise.
     Q("q_sssp",
       (s, d) => {
         val e = GraphOps.sparseEdgesFromLineitem(s, d).where("src <> dst")
@@ -227,7 +290,23 @@ object GraphQueries {
           .orderBy(col("count").desc, col("src").asc).head().getLong(0)
         Iterative.sssp(w, src0)
       },
-      None),
+      Some(s"""WITH RECURSIVE $se,
+               e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+               sym AS (SELECT DISTINCT src, dst FROM (
+                 SELECT src, dst FROM e2
+                 UNION ALL SELECT dst AS src, src AS dst FROM e2)),
+               w AS (SELECT src, dst,
+                       CAST(1.0 AS DOUBLE)
+                         + ((src * 31 + dst) % 100) / CAST(100.0 AS DOUBLE) AS w
+                     FROM sym),
+               s0 AS (SELECT src AS v FROM sym
+                      GROUP BY src ORDER BY count(*) DESC, src ASC LIMIT 1),
+               walk(v, dist, depth) AS (
+                 SELECT v, CAST(0.0 AS DOUBLE), 0 FROM s0
+                 UNION ALL
+                 SELECT w.dst, walk.dist + w.w, depth + 1
+                 FROM walk JOIN w ON w.src = walk.v WHERE depth < 8)
+               SELECT v, min(dist) AS dist FROM walk GROUP BY v""")),
 
     // sssp on a fixed golden graph — upgrades the capability from
     // rows-only to oracle-checked: DuckDB enumerates bounded-depth walks
@@ -255,14 +334,18 @@ object GraphQueries {
               SELECT CAST(v AS BIGINT) AS v, min(dist) AS dist
               FROM walk GROUP BY v""")),
 
-    // pagerank (completed from the reference's stub): top-100 ranks,
-    // iterative damped SpMV — floating-point accumulation order makes
-    // exact SQL compare meaningless at alpha=0.85 (rows-only scale run;
-    // the hard signal is q_pagerank_golden below)
+    // pagerank (completed from the reference's stub) on the full
+    // lineitem-derived graph: 10 fixed damped iterations (tol=0 skips the
+    // per-round convergence job) so DuckDB can unroll the identical
+    // recurrence; both engines round to 6dp, absorbing the ~1e-15
+    // accumulation-order noise of alpha=0.85 sums. Upgraded from rows-only
+    // in round 3 — all ranks emitted (no top-k cut whose boundary ties
+    // could differ pre-rounding).
     Q("q_pagerank",
-      (s, d) => Iterative.pagerank(GraphOps.edgesFromLineitem(s, d))
-        .orderBy(col("rank").desc, col("v").asc).limit(100),
-      None),
+      (s, d) => Iterative.pagerank(GraphOps.edgesFromLineitem(s, d),
+        alpha = 0.85, tol = 0.0, maxIter = 10)
+        .select(col("v"), round(col("rank"), 6).as("rank")),
+      Some(pagerankLineitemSql(10))),
 
     // pagerank on a fixed golden graph with dyadic-exact arithmetic
     // (alpha=0.5, power-of-two out-degrees, n=8): DuckDB unrolls the same
@@ -303,24 +386,30 @@ object GraphQueries {
 
     // rmat generation (`oink/rmat.cpp`): deterministic seeded generator;
     // degree histogram like examples/rmat.cpp:155-163. The generator is a
-    // pure function of (params, seed) — independent of sf and partition
-    // layout (GraphSpec proves run-to-run determinism) — so the histogram
-    // is a constant the oracle can state outright, like q_rmat_count.
+    // pure function of (params, seed, numTasks=16) — independent of sf and
+    // partition layout (GraphSpec proves run-to-run determinism) — so the
+    // histogram is a constant the oracle can state outright, like
+    // q_rmat_count. NOTE: this pin is a determinism/regression check, not
+    // an independent derivation — any intentional change to the generator
+    // or its parameters requires re-deriving these rows (last: round 3,
+    // exact-deficit batches). Cheap independent invariant, asserted in
+    // GraphSpec: sum(degree * n_vertices) = 8192 = nnonzero * 2^nlevels.
     Q("q_rmat_degree_stats",
       (s, d) => RMat.degreeStats(RMat.generate(
         s, RMat.Params(10, 8, 0.45, 0.25, 0.15, 0.15, 0.0, 42L), numTasks = 16)),
       Some("""SELECT CAST(degree AS BIGINT) AS degree,
                      CAST(n_vertices AS BIGINT) AS n_vertices
               FROM (VALUES
-                (1, 128), (2, 115), (3, 88), (4, 62), (5, 65), (6, 44),
-                (7, 37), (8, 34), (9, 28), (10, 23), (11, 20), (12, 13),
+                (1, 129), (2, 116), (3, 87), (4, 64), (5, 65), (6, 43),
+                (7, 37), (8, 34), (9, 28), (10, 22), (11, 21), (12, 13),
                 (13, 9), (14, 6), (15, 12), (16, 10), (17, 14), (18, 9),
-                (19, 10), (20, 11), (21, 13), (22, 9), (23, 6), (24, 1),
-                (25, 7), (26, 2), (27, 3), (29, 3), (30, 3), (31, 3),
-                (33, 1), (35, 2), (36, 3), (37, 3), (38, 4), (39, 2),
-                (40, 3), (41, 3), (42, 2), (43, 4), (44, 2), (45, 3),
+                (19, 10), (20, 11), (21, 14), (22, 8), (23, 6), (24, 1),
+                (25, 7), (26, 3), (27, 2), (29, 3), (30, 3), (31, 3),
+                (33, 1), (35, 2), (36, 2), (37, 4), (38, 4), (39, 2),
+                (40, 4), (41, 2), (42, 2), (43, 4), (44, 2), (45, 3),
                 (46, 1), (47, 5), (48, 2), (57, 1), (81, 1), (83, 1),
-                (85, 3), (87, 2), (90, 1), (100, 1), (103, 1), (188, 1))
+                (84, 1), (85, 2), (87, 2), (90, 1), (100, 1), (103, 1),
+                (188, 1))
                 t(degree, n_vertices)"""))
   )
 }

@@ -206,7 +206,9 @@ object Iterative {
     * iteration empty (`oink/pagerank.cpp:54-56`); implemented per its doc
     * (`oinkdoc/pagerank.txt`): damped SpMV with 1/out-degree edge weights
     * (degree_weight prep), dangling-mass redistribution, stop when
-    * Σ|Δrank| < tol or Nmax. Returns (v, rank). */
+    * Σ|Δrank| < tol or Nmax. With tol <= 0 the convergence check is skipped
+    * entirely (exactly maxIter rounds, one fewer driver job per round) —
+    * the fixed-iteration mode the oracle harness replays. Returns (v, rank). */
   def pagerank(edges: DataFrame, alpha: Double = 0.85, tol: Double = 1e-6,
       maxIter: Int = 20): DataFrame = {
     val directed = edges.where(col("src") =!= col("dst")).distinct()
@@ -237,8 +239,9 @@ object Iterative {
               col("danglingMass") / n))
             .as("rank"))
         .localCheckpoint()
-      delta = next.join(ranks.withColumnRenamed("rank", "old"), "v")
-        .agg(sum(abs(col("rank") - col("old")))).head().getDouble(0)
+      if (tol > 0)
+        delta = next.join(ranks.withColumnRenamed("rank", "old"), "v")
+          .agg(sum(abs(col("rank") - col("old")))).head().getDouble(0)
       ranks = next
       iter += 1
     }

@@ -82,6 +82,27 @@ object Triangles {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** neigh_tri full-fidelity output (`oink/neigh_tri.cpp:124-160`): per
+    * vertex Vi, the reference prints its first-neighbor edges (Vi Vj) and,
+    * for each triangle (Vi,Vj,Vk), the edge between the other two vertices
+    * (Vj Vk) — `map1` routes each triangle's opposite edge to each corner.
+    * One row per (v, ea, eb); edges canonicalized ea <= eb, so neighbor
+    * edges are the rows with v ∈ {ea,eb} and triangle edges the rest
+    * (exactly the reference's "Vm = Vi or not" distinction). */
+  def neighTriEdges(edges: DataFrame): DataFrame = {
+    val u = GraphOps.edgeUpper(edges)
+    val nbr = u.select(col("src").as("v"), col("src").as("ea"), col("dst").as("eb"))
+      .union(u.select(col("dst").as("v"), col("src").as("ea"), col("dst").as("eb")))
+    val t = triangles(edges)
+    val opposite = t.select(col("a").as("v"),
+        least(col("b"), col("c")).as("ea"), greatest(col("b"), col("c")).as("eb"))
+      .union(t.select(col("b").as("v"),
+        least(col("a"), col("c")).as("ea"), greatest(col("a"), col("c")).as("eb")))
+      .union(t.select(col("c").as("v"),
+        least(col("a"), col("b")).as("ea"), greatest(col("a"), col("b")).as("eb")))
+    nbr.union(opposite)
+  }
+
   /** The reference writes one file per vertex (`oink/neigh_tri.cpp`,
     * SURVEY.md §7.4.7) — reproduced as a partitioned write; cap the
     * vertex count before calling on wide graphs. */

@@ -19,8 +19,12 @@ object Similarity {
   /** Cast a float vector column to double for stable arithmetic. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product via the native codegen'd [[graft.functions.DotProduct]]
+    * expression — same left-to-right fold (bitwise-identical to the
+    * `aggregate(zip_with(...))` formulation it replaced, so the DuckDB
+    * `list_sum` oracles still match), without the per-element interpreted
+    * lambda + intermediate-array cost in every pair join. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

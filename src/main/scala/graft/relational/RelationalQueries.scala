@@ -219,6 +219,33 @@ object RelationalQueries {
                      string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
               FROM lineitem GROUP BY l_orderkey""")),
 
+    // --- sort_multivalues descending (flag -n, `doc/sort_keys.txt`) --------
+    Q("q_sort_multivalues_desc",
+      (s, d) => MrOps.sortedValuesPerKey(li(s, d), col("l_orderkey"),
+          col("l_linenumber"), ascending = false)
+        .select(col("l_orderkey"),
+          array_join(transform(col("values"), x => x.cast("string")), ",")
+            .as("lines_desc")),
+      Some("""SELECT l_orderkey,
+                     string_agg(CAST(l_linenumber AS VARCHAR), ','
+                       ORDER BY l_linenumber DESC) AS lines_desc
+              FROM lineitem GROUP BY l_orderkey""")),
+
+    // --- sort_multivalues custom comparator (flag 7,
+    // `src/mapreduce.cpp:2239-2246`): length-then-lexicographic ------------
+    Q("q_sort_multivalues_cmp",
+      (s, d) => MrOps.sortedValuesPerKeyWith(cust(s, d), col("c_nationkey"),
+          col("c_name")) { (l, r) =>
+          when(length(l) < length(r), -1).when(length(l) > length(r), 1)
+            .when(l < r, -1).when(l > r, 1).otherwise(0)
+        }
+        .select(col("c_nationkey"),
+          array_join(col("values"), ",").as("names_by_len")),
+      Some("""SELECT c_nationkey,
+                     string_agg(c_name, ','
+                       ORDER BY length(c_name), c_name) AS names_by_len
+              FROM customer GROUP BY c_nationkey""")),
+
     // --- invert (`oink/map_invert.cpp`) ------------------------------------
     Q("q_invert",
       (s, d) => ord(s, d).select(col("o_custkey").as("k"), col("o_orderkey").as("v")),

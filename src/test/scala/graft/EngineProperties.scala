@@ -58,6 +58,14 @@ object EngineProperties extends Properties("graft") {
       global == twoPhase
     }
 
+  property("rmat generates EXACTLY nnonzero*2^nlevels unique edges (oink/rmat.cpp:50-70)") =
+    forAll(Gen.chooseNum(1, 3), Gen.chooseNum(1L, 99L)) { (nnz, seed) =>
+      // batches emit exactly the deficit and dedup only shrinks, so the
+      // loop approaches the target from below and lands on it — no trim
+      val p = graft.gen.RMat.Params(5, nnz, 0.45, 0.25, 0.15, 0.15, 0.0, seed)
+      graft.gen.RMat.generate(spark, p, numTasks = 7).count() == nnz.toLong * 32
+    }
+
   property("distinct is idempotent (cull)") =
     forAll(edgeGen) { pairs =>
       val df = TestSession.edges(pairs: _*)

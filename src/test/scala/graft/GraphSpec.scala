@@ -63,6 +63,23 @@ class GraphSpec extends AnyFunSuite {
     assert(Triangles.triangleCount(path).head().getLong(0) == 0L)
   }
 
+  test("neighTriEdges emits neighbor + opposite triangle edges (oink/neigh_tri.cpp semantics, K4)") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val rows = Triangles.neighTriEdges(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 24) // 2|E| neighbor rows + 3 per triangle
+    val byV = rows.groupBy(_._1)
+    (1L to 4L).foreach { v =>
+      val others = (1L to 4L).filter(_ != v)
+      val (nbr, opp) = byV(v).partition { case (_, a, b) => a == v || b == v }
+      assert(nbr.map { case (_, a, b) => (a, b) }.toSet ==
+        others.map(o => (math.min(v, o), math.max(v, o))).toSet)
+      assert(opp.map { case (_, a, b) => (a, b) }.toSet ==
+        others.combinations(2).map { case Seq(x, y) => (x, y) }.toSet)
+      assert(opp.length == 3)
+    }
+  }
+
   test("triangles emits each triangle once with correct members") {
     val g = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     val tris = Triangles.triangles(g).collect()
@@ -184,5 +201,14 @@ class GraphSpec extends AnyFunSuite {
     assert(g1.except(g2).count() == 0 && g2.except(g1).count() == 0)
     val maxV = g1.agg(greatest(max(col("src")), max(col("dst")))).head().getLong(0)
     assert(maxV < (1L << 6))
+  }
+
+  test("rmat degree histogram mass equals the edge count (pin invariant)") {
+    // independent check behind the q_rmat_degree_stats VALUES pin:
+    // out-degrees must sum to exactly nnonzero * 2^nlevels edges
+    val p = RMat.Params(10, 8, 0.45, 0.25, 0.15, 0.15, 0.0, 42L)
+    val stats = RMat.degreeStats(RMat.generate(spark, p, numTasks = 16))
+    val mass = stats.agg(sum(col("degree") * col("n_vertices"))).head().getLong(0)
+    assert(mass == 8L * (1L << 10))
   }
 }
