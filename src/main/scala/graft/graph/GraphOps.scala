@@ -46,6 +46,17 @@ object GraphOps {
         (col("l_orderkey") % 10000).as("src"),
         (col("l_partkey") % 10000).as("dst"))
 
+  /** Mid-density deterministic graph (~10% of lineitem rows, vertices mod
+    * 2000): sparse enough that per-vertex edge-list output stays bounded,
+    * dense enough to contain triangles at every harness sf — used by the
+    * neigh_tri edge-list query. */
+  def midEdgesFromLineitem(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") <= 5)
+      .select(
+        (col("l_orderkey") % 2000).as("src"),
+        (col("l_partkey") % 2000).as("dst"))
+
   /** Deterministic positive edge weights for sssp oracles/tests. */
   def withWeights(edges: DataFrame): DataFrame =
     edges.withColumn("w",

@@ -111,6 +111,11 @@ object GraphQueries {
   private val se =
     """e AS (SELECT l_orderkey % 10000 AS src, l_partkey % 10000 AS dst
             FROM lineitem WHERE l_quantity <= 2)"""
+
+  /** Mid-density variant (see GraphOps.midEdgesFromLineitem). */
+  private val me =
+    """e AS (SELECT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
+            FROM lineitem WHERE l_quantity <= 5)"""
   private val su =
     """u AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
             FROM e WHERE src <> dst)"""
@@ -205,14 +210,14 @@ object GraphQueries {
 
     // neigh_tri full fidelity (`oink/neigh_tri.cpp:124-160`): the actual
     // per-vertex edge lists — first-neighbor edges plus each triangle's
-    // opposite edge — not just counts; edges canonicalized ea <= eb
+    // opposite edge — not just counts; edges canonicalized ea <= eb. Runs
+    // on the mid-density graph: edge lists are per-vertex OUTPUT (unlike
+    // the count summaries), so the harness graph keeps the materialized
+    // result bounded while still containing triangles at every sf; the
+    // operator itself is graph-agnostic.
     Q("q_neigh_tri_edges",
-      (s, d) => Triangles.neighTriEdges(GraphOps.scaledEdgesFromLineitem(s, d)),
-      Some("""WITH mm AS (SELECT greatest(count(*) // 60, 1) AS m FROM lineitem),
-              e AS (SELECT l_orderkey % m AS src, l_partkey % m AS dst
-                    FROM lineitem, mm),
-              u AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
-                    FROM e WHERE src <> dst),
+      (s, d) => Triangles.neighTriEdges(GraphOps.midEdgesFromLineitem(s, d)),
+      Some(s"""WITH $me, $su,
               tri AS (SELECT t1.src AS a, t1.dst AS b, t2.dst AS c
                       FROM u t1
                       JOIN u t2 ON t1.dst = t2.src

@@ -42,9 +42,18 @@ object Iterative {
     var labels = adj.select(col("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint()
-    var changed = 1L
+    // convergence via label mass: min-propagation only ever lowers a
+    // vertex's label, so Σlabel is strictly decreasing until fixpoint —
+    // one cheap aggregate over the just-checkpointed frame per round
+    // instead of a join-and-count job (decimal: a 10⁹-vertex graph with
+    // 10⁹ ids would overflow a long sum)
+    def mass(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+    var prevMass = mass(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       // propagate each vertex's label to its neighbors, take the min
       val cand = adj
         .join(labels.withColumnRenamed("v", "nbr"), "nbr")
@@ -52,8 +61,9 @@ object Iterative {
       val next = labels.union(cand)
         .groupBy(col("v")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "v")
-        .where(col("label") < col("old")).count()
+      val newMass = mass(next)
+      changed = newMass.compareTo(prevMass) != 0
+      prevMass = newMass
       labels = next
       iter += 1
     }
@@ -140,9 +150,10 @@ object Iterative {
     var active = adj.select(col("v")).distinct()
       .withColumn("prio", xxhash64(col("v"), lit(seed)))
       .localCheckpoint()
-    var mis = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      active.select("v").schema)
+    // winners per round are each checkpointed; the MIS union is assembled
+    // once at the end instead of re-checkpointing an ever-growing
+    // accumulator every round (one fewer job per round, same result)
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var iter = 0
     while (active.count() > 0 && iter < maxIter) {
       // winner: priority strictly below every active neighbor's
@@ -154,7 +165,7 @@ object Iterative {
           struct(col("prio"), col("v")) < col("minNbr"))
         .select(col("v"))
         .localCheckpoint()
-      mis = mis.union(winners).localCheckpoint()
+      rounds += winners
       // remove winners and their neighborhoods
       val removed = winners
         .union(adj.join(winners, "v").select(col("nbr").as("v")))
@@ -165,7 +176,10 @@ object Iterative {
         .localCheckpoint()
       iter += 1
     }
-    mis
+    rounds.reduceOption(_ union _).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        active.select("v").schema))
   }
 
   /** sssp (`oink/sssp.cpp:49-160`): Bellman-Ford frontier relaxation from
@@ -219,7 +233,10 @@ object Iterative {
       .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sources = outDeg.select(col("src").as("v"))
+    // materialized once: the dangling-mass anti-join needs the source set
+    // every round, and without this the 600k-row `directed` distinct that
+    // feeds outDeg would be recomputed per iteration
+    val sources = outDeg.select(col("src").as("v")).localCheckpoint()
     var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var delta = Double.MaxValue
     var iter = 0
