@@ -25,6 +25,13 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // one toy iterative run warms the join/agg/checkpoint codegen shapes
+    // that the alphabetically-first iterative query would otherwise pay for
+    try {
+      import spark.implicits._
+      graft.graph.Iterative.ccFind(
+        Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

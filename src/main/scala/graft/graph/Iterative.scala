@@ -42,28 +42,28 @@ object Iterative {
     var labels = adj.select(col("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint()
-    // convergence via label mass: min-propagation only ever lowers a
-    // vertex's label, so Σlabel is strictly decreasing until fixpoint —
-    // one cheap aggregate over the just-checkpointed frame per round
-    // instead of a join-and-count job (decimal: a 10⁹-vertex graph with
-    // 10⁹ ids would overflow a long sum)
-    def mass(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
-    var prevMass = mass(labels)
-    var changed = true
+    // frontier propagation: only vertices whose label just improved can
+    // improve a neighbor, so each round joins adj against the CHANGED set
+    // instead of all labels — after the first rounds the frontier is the
+    // boundary of the still-merging components, a vanishing fraction of
+    // the graph (this is what keeps per-round cost sublinear at scale).
+    // The frontier count doubles as the convergence signal.
+    var frontier = labels
+    var changedN = 1L
     var iter = 0
-    while (changed && iter < maxIter) {
-      // propagate each vertex's label to its neighbors, take the min
+    while (changedN > 0 && iter < maxIter) {
+      // propagate improved labels to neighbors, take the min
       val cand = adj
-        .join(labels.withColumnRenamed("v", "nbr"), "nbr")
+        .join(frontier.withColumnRenamed("v", "nbr"), "nbr")
         .select(col("v"), col("label"))
       val next = labels.union(cand)
         .groupBy(col("v")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val newMass = mass(next)
-      changed = newMass.compareTo(prevMass) != 0
-      prevMass = newMass
+      frontier = next.join(labels.withColumnRenamed("label", "old"), "v")
+        .where(col("label") < col("old"))
+        .select(col("v"), col("label"))
+        .localCheckpoint()
+      changedN = frontier.count()
       labels = next
       iter += 1
     }
