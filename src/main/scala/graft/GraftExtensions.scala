@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{DotProduct, MinHashSig, SimHashFp}
+
+/** SQL surface for the native expression layer: `vec_dot`, `simhash_fp`,
+  * `minhash_sig` become callable from `spark.sql(...)` exactly like
+  * built-ins (and stay whole-stage-codegen'd — these are the same
+  * Expression classes the Column API uses).
+  *
+  * Two installation paths:
+  *  - new sessions: `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `SparkSession.builder.withExtensions(new GraftExtensions)`);
+  *  - an already-running session: `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other if other.foldable => other.eval().asInstanceOf[Number].intValue()
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a literal integer, got $e")
+  }
+
+  private def arity(n: Int, args: Seq[Expression], name: String): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n arguments, got ${args.length}")
+
+  /** (name, info, builder) for every SQL-exposed native expression. */
+  val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      ("vec_dot",
+        new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+        (args: Seq[Expression]) => {
+          arity(2, args, "vec_dot"); DotProduct(args(0), args(1))
+        }),
+      ("simhash_fp",
+        new ExpressionInfo(classOf[SimHashFp].getName, "simhash_fp"),
+        (args: Seq[Expression]) => {
+          arity(1, args, "simhash_fp"); SimHashFp(args(0))
+        }),
+      ("minhash_sig",
+        new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+        (args: Seq[Expression]) => {
+          arity(3, args, "minhash_sig")
+          MinHashSig(args(0), litInt(args(1), "minhash_sig k"),
+            litInt(args(2), "minhash_sig numHashes"))
+        }))
+
+  /** Register the functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.graftbridge.FunctionBridge
+        .register(spark, name, info, builder)
+    }
+}

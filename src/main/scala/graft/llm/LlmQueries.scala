@@ -101,7 +101,13 @@ object LlmQueries {
     // answer is hash-independent (banding only prunes the pair space), so
     // the exact n-gram-Jaccard oracle checks the whole banded plan —
     // candidate recall at these parameters (P[miss] ≈ 2e-4 per true pair)
-    // is also asserted against the quadratic baseline in TextLlmSpec
+    // is also asserted against the quadratic baseline in TextLlmSpec.
+    // RECALL CAVEAT: oracle equality assumes banding recall = 1 on the
+    // current corpus. That holds for the fixed testdata, but regenerating
+    // documents (or raising sf, adding true pairs near J = 0.8) can
+    // legitimately drop a pair with probability (1 - J^4)^16 per pair —
+    // a failure here after a DATA change means re-check recall before
+    // suspecting the engine.
     Q("q_minhash_lsh_pairs",
       (s, d) => Dedup.minHashLshPairsExact(Tables.documents(s, d), "text",
         "doc_id", k = 3, numHashes = 64, bands = 16, tau = 0.8),

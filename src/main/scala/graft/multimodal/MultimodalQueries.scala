@@ -24,9 +24,13 @@ object MultimodalQueries {
     Q("q_frame_sample",
       (s, d) => Multimodal.frameSample(Multimodal.mediaTable(s, d),
         frameBytes = 64, every = 4),
-      // payloads are the UTF-8 bytes of ASCII text, so VARCHAR substring
-      // slices the same bytes DuckDB's blob would (blob substring isn't
-      // supported); md5(varchar) hashes its UTF-8 encoding
+      // PRECONDITION: payloads are the UTF-8 bytes of ASCII text, so
+      // VARCHAR substring slices the same bytes DuckDB's blob would.
+      // Unlike q_decode_features (whose byte math is hex-derived from the
+      // encoded blob), the md5 step cannot go through bytes — DuckDB 1.0
+      // has no md5(BLOB) — so this oracle keeps character slicing and
+      // would diverge on non-ASCII payloads; q_decode_features's
+      // byte-sum/histogram row would catch such a data change first.
       Some("""WITH m AS (
                 SELECT doc_id AS media_id, text,
                        octet_length(encode(text)) AS n_bytes
@@ -41,27 +45,32 @@ object MultimodalQueries {
               FROM f WHERE frame_idx % 4 = 0""")),
 
     // stubbed decode + feature extraction via mapPartitions. The byte math
-    // IS replayable in SQL (payloads are the UTF-8 bytes of ASCII text, so
-    // ord() over VARCHAR positions sees the same bytes the decoder saw);
-    // the histogram array is emitted as a comma-joined string so the
-    // harness can sort/hash it (the postings/nbrs pattern), and mean_byte
-    // is a single IEEE division of two exact integers — bit-identical
-    // across engines, no rounding step needed.
+    // is replayed in SQL from the ENCODED payload: bytes are read out of
+    // hex(encode(text)) two hex digits at a time, so the oracle sees the
+    // exact UTF-8 bytes the decoder saw regardless of character content
+    // (a character-position substring would silently diverge on non-ASCII
+    // text). The histogram array is emitted as a comma-joined string so
+    // the harness can sort/hash it (the postings/nbrs pattern), and
+    // mean_byte is a single IEEE division of two exact integers —
+    // bit-identical across engines, no rounding step needed.
     Q("q_decode_features",
       (s, d) => Multimodal.decodeFeatures(Multimodal.mediaTable(s, d))
         .withColumn("histogram",
           array_join(transform(col("histogram"), _.cast("string")), ",")),
       Some("""WITH m AS (
-                SELECT doc_id AS media_id, text,
+                SELECT doc_id AS media_id, hex(encode(text)) AS h,
                        octet_length(encode(text)) AS n_bytes
                 FROM documents),
               pos AS (
-                SELECT media_id, text,
+                SELECT media_id, h,
                        unnest(range(1, n_bytes + 1)) AS i
                 FROM m),
               by AS (
                 SELECT media_id,
-                       ord(substring(text, CAST(i AS BIGINT), 1)) AS byte
+                       16 * (strpos('0123456789ABCDEF',
+                               substring(h, CAST(2 * i - 1 AS BIGINT), 1)) - 1)
+                         + (strpos('0123456789ABCDEF',
+                               substring(h, CAST(2 * i AS BIGINT), 1)) - 1) AS byte
                 FROM pos),
               bk AS (
                 SELECT media_id, byte // 16 AS bucket, count(*) AS cnt
