@@ -66,6 +66,43 @@ object LlmQueries {
                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
               FROM ws WHERE len(w) >= 3)"""
 
+  /** DuckDB replay of [[graft.functions.WinnowFingerprint]]: bytes from
+    * hex(encode(text)), k-gram hashes as Σ byte·B^(k-1-j) mod M (equal to
+    * the expression's rolling recurrence), window minima via a ROWS frame,
+    * truncated tail windows excluded by the position bound. */
+  private def winnowSql(k: Int, w: Int): String = {
+    val B = graft.functions.WinnowFingerprint.Base
+    val M = graft.functions.WinnowFingerprint.Mod
+    val pows = (0 until k).map(j =>
+      (0 until (k - 1 - j)).foldLeft(1L)((a, _) => a * B % M))
+    s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS h,
+                      octet_length(encode(text)) AS n FROM documents),
+        pos AS (SELECT doc_id, h, n, unnest(range(1, n - ${k - 1} + 1)) AS p
+                FROM m WHERE n >= $k),
+        kh AS (SELECT doc_id, n, p,
+                 list_sum(list_transform(range(0, $k), j ->
+                   (16 * (strpos('0123456789ABCDEF',
+                            h[CAST(2 * (p + j) - 1 AS BIGINT)]) - 1)
+                      + (strpos('0123456789ABCDEF',
+                            h[CAST(2 * (p + j) AS BIGINT)]) - 1))
+                   * ${pows.mkString("[", ", ", "]")}[CAST(j + 1 AS BIGINT)]))
+                 % $M AS hash
+               FROM pos),
+        wm AS (SELECT doc_id, n, p,
+                 min(hash) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mh
+               FROM kh),
+        sel AS (SELECT DISTINCT doc_id, mh FROM wm
+                WHERE p <= n - ${k + w - 2}),
+        fp AS (SELECT doc_id,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY mh) AS fp_set,
+                 count(*) AS n_grams
+               FROM sel GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(fp_set, '') AS fp_set,
+               CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams
+        FROM documents d LEFT JOIN fp USING (doc_id)"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // exact dedup: content-hash groups, survivor = min id
@@ -403,6 +440,16 @@ object LlmQueries {
                  FROM documents)
                SELECT keep_id, n_copies, n_ws_tokens
                FROM surv JOIN tok USING (keep_id)""")),
+
+    // winnowing fingerprint: rolling k-gram hashes → sliding-window
+    // minima, computed by the native WinnowFingerprint expression in one
+    // O(n) pass. Pure integer arithmetic (B=257, M=1e9+7, bytes from the
+    // encoded payload), so DuckDB replays every hash and window-min
+    // bit-for-bit — no engine hash builtin on either side.
+    Q("q_winnow_fingerprint",
+      (s, d) => TextAnalysis.winnowFingerprint(Tables.documents(s, d),
+        "text", "doc_id", k = 8, w = 4),
+      Some(winnowSql(k = 8, w = 4))),
 
     // content fingerprint
     Q("q_fingerprint",

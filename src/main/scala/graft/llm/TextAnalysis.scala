@@ -71,4 +71,19 @@ object TextAnalysis {
     docs.select(col(idCol),
       md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).cast("binary"))
         .as("fp"))
+
+  /** Winnowing fingerprint (rolling k-gram hashes → sliding-window
+    * minima, [[graft.functions.WinnowFingerprint]]): unlike [[fingerprint]]
+    * this survives partial overlap — shared byte runs select shared grams
+    * regardless of alignment, the standard copy-containment signal.
+    * Emits the selected-hash set as a comma-joined string (harness-safe)
+    * plus its size; docs shorter than k+w-1 bytes carry an empty set. */
+  def winnowFingerprint(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val sel = graft.functions.WinnowFingerprint.winnow(col(textCol), k, w)
+    docs.select(col(idCol),
+      coalesce(array_join(transform(sel, _.cast("string")), ","), lit(""))
+        .as("fp_set"),
+      coalesce(size(sel).cast("long"), lit(0L)).as("n_grams"))
+  }
 }
