@@ -237,6 +237,39 @@ object LlmQueries {
                 FROM v a JOIN v b ON a.vec_id < b.vec_id)
               WHERE cos >= 0.45""")),
 
+    // embedding near-dup clusters: cosine pairs → connected components,
+    // the same pairs→cc→survivor composition as q_dedup_clusters but over
+    // the vector side; DuckDB replays the closure recursively
+    Q("q_embed_dup_clusters",
+      (s, d) => Dedup.dedupClusters(
+        Similarity.embeddingDupPairs(
+          Tables.embeddings(s, d).where(col("vec_id") < 500),
+          "vec_id", "embedding", tau = 0.45)
+          .select(col("da"), col("db"))),
+      Some("""WITH RECURSIVE v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings WHERE vec_id < 500),
+              pairs AS (
+                SELECT da, db FROM (
+                  SELECT a.vec_id AS da, b.vec_id AS db,
+                         round(
+                           list_sum(list_transform(range(1, len(a.e) + 1),
+                             i -> a.e[i] * b.e[i]))
+                           / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1),
+                                i -> a.e[i] * a.e[i])))
+                            * sqrt(list_sum(list_transform(range(1, len(b.e) + 1),
+                                i -> b.e[i] * b.e[i])))), 6) AS cos
+                  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+                WHERE cos >= 0.45),
+              adj AS (SELECT da AS v, db AS nbr FROM pairs
+                      UNION ALL SELECT db, da FROM pairs),
+              reach(v, r) AS (
+                SELECT v, v FROM (SELECT DISTINCT v FROM adj)
+                UNION
+                SELECT adj.v, reach.r FROM adj JOIN reach ON adj.nbr = reach.v)
+              SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v""")),
+
     // near-dup clusters: jaccard pairs → connected components → survivor;
     // DuckDB replays the closure recursively over the same pair edges
     Q("q_dedup_clusters",
