@@ -345,6 +345,33 @@ object RelationalQueries {
                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) AS running
               FROM events""")),
 
+    // --- as-of join (operators.AsofJoin): latest signup at or before each
+    // purchase, per user — the feature-pipeline operator Spark lacks;
+    // DuckDB's native ASOF JOIN is the independent oracle ------------------
+    Q("q_asof_join",
+      (s, d) => {
+        val e = ev(s, d)
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val signups = e.where(col("event_type") === "signup")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("signup_id"))
+        graft.operators.AsofJoin.asof(purchases, signups, "user_id", "ts",
+          Seq("signup_id"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            col("asof_signup_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                                value
+                         FROM events WHERE event_type = 'purchase'),
+                   s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                                max(event_id) AS signup_id
+                         FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+              SELECT p.event_id, p.user_id, p.ts, p.value,
+                     s.signup_id AS asof_signup_id
+              FROM p ASOF LEFT JOIN s
+                ON p.user_id = s.user_id AND p.ts >= s.ts""")),
+
     // --- event-time bucketing (batch form of the streaming agg) ------------
     Q("q_events_hourly",
       (s, d) => ev(s, d)
