@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** tri_find (`oink/tri_find.cpp:43-82`, Cohen's algorithm): triangle
@@ -90,17 +90,22 @@ object Triangles {
     * edges are the rows with v ∈ {ea,eb} and triangle edges the rest
     * (exactly the reference's "Vm = Vi or not" distinction). */
   def neighTriEdges(edges: DataFrame): DataFrame = {
+    // explode, don't union: a union of per-corner projections would
+    // re-evaluate the whole wedge-join subtree once per branch (seen in
+    // the plan audit — 3x the triangle work); explode emits the three
+    // corner rows from ONE pass over the triangles (and both endpoint
+    // rows from one pass over the edges)
+    def corner(v: Column, x: Column, y: Column) =
+      struct(v.as("v"), least(x, y).as("ea"), greatest(x, y).as("eb"))
     val u = GraphOps.edgeUpper(edges)
-    val nbr = u.select(col("src").as("v"), col("src").as("ea"), col("dst").as("eb"))
-      .union(u.select(col("dst").as("v"), col("src").as("ea"), col("dst").as("eb")))
-    val t = triangles(edges)
-    val opposite = t.select(col("a").as("v"),
-        least(col("b"), col("c")).as("ea"), greatest(col("b"), col("c")).as("eb"))
-      .union(t.select(col("b").as("v"),
-        least(col("a"), col("c")).as("ea"), greatest(col("a"), col("c")).as("eb")))
-      .union(t.select(col("c").as("v"),
-        least(col("a"), col("b")).as("ea"), greatest(col("a"), col("b")).as("eb")))
-    nbr.union(opposite)
+    val nbr = u.select(explode(array(
+        corner(col("src"), col("src"), col("dst")),
+        corner(col("dst"), col("src"), col("dst")))).as("x"))
+    val opposite = triangles(edges).select(explode(array(
+        corner(col("a"), col("b"), col("c")),
+        corner(col("b"), col("a"), col("c")),
+        corner(col("c"), col("a"), col("b")))).as("x"))
+    nbr.union(opposite).select(col("x.v"), col("x.ea"), col("x.eb"))
   }
 
   /** The reference writes one file per vertex (`oink/neigh_tri.cpp`,
