@@ -474,6 +474,28 @@ object LlmQueries {
                SELECT keep_id, n_copies, n_ws_tokens
                FROM surv JOIN tok USING (keep_id)""")),
 
+    // deterministic hash sampling: ~20% of documents by stable id gate —
+    // reproducible on any cluster layout, and the oracle replays the
+    // integer mixer exactly (seed 7 → offset 7*40503 = 283521)
+    Q("q_hash_sample",
+      (s, d) => Sampling.hashSample(Tables.documents(s, d), "doc_id", 0.2)
+        .select(col("doc_id")),
+      Some("""SELECT doc_id FROM documents
+              WHERE (doc_id * 2654435761 + 283521) % 9973 < 1994""")),
+
+    // deterministic train/eval/test split assignment (80/10/10)
+    Q("q_hash_split",
+      (s, d) => Sampling.splits(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")),
+      Some("""SELECT doc_id,
+                     CASE WHEN (doc_id * 2654435761 + 283521) % 9973 < 7978
+                            THEN 'train'
+                          WHEN (doc_id * 2654435761 + 283521) % 9973 < 8975
+                            THEN 'eval'
+                          ELSE 'test' END AS split
+              FROM documents""")),
+
     // winnowing fingerprint: rolling k-gram hashes → sliding-window
     // minima, computed by the native WinnowFingerprint expression in one
     // O(n) pass. Pure integer arithmetic (B=257, M=1e9+7, bytes from the

@@ -1,0 +1,48 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and split assignment for training corpora.
+  *
+  * `sample(fraction)` / RNG-based sampling is partition-layout-dependent
+  * and unrepeatable across runs; hash-gating on a stable id is the
+  * standard corpus discipline: the same document lands in the same split
+  * on any cluster, any day, and downsampling composes with itself
+  * (a 10% sample is a subset of the 20% sample at the same seed).
+  *
+  * The mixer is the same portable integer arithmetic family as
+  * [[Similarity.planeSign]] — multiply, offset, mod a prime — so any
+  * engine (including the DuckDB oracle) replays membership exactly;
+  * values stay far below 2^63. The modulus bias (9973 buckets) is a
+  * documented rounding of the requested fraction, not a correctness
+  * concern.
+  */
+object Sampling {
+
+  val Buckets = 9973L // prime
+
+  /** Stable bucket in [0, 9973) from an integer id and seed. */
+  def bucket(key: Column, seed: Long): Column =
+    (key.cast("long") * lit(2654435761L) + lit(seed * 40503L)) % Buckets
+
+  /** Keep ~fraction of rows, deterministically by id. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+      seed: Long = 7L): DataFrame =
+    df.where(bucket(col(keyCol), seed) < lit((fraction * Buckets).toLong))
+
+  /** Assign each row a named split by cumulative fraction, e.g.
+    * Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1). */
+  def splits(df: DataFrame, keyCol: String, parts: Seq[(String, Double)],
+      seed: Long = 7L): DataFrame = {
+    require(math.abs(parts.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val b = bucket(col(keyCol), seed)
+    val cuts = parts.scanLeft(0.0)(_ + _._2).tail.map(f => (f * Buckets).toLong)
+    val named = parts.map(_._1).zip(cuts)
+    // chained when: first matching cumulative cut wins
+    val expr = named.tail.foldLeft(when(b < cuts.head, named.head._1)) {
+      case (acc, (name, cut)) => acc.when(b < cut, name)
+    }
+    df.withColumn("split", expr)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.llm.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def ids(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0L until n.toLong).toDF("id")
+  }
+
+  test("hash sampling is deterministic and nested by fraction") {
+    val df = ids(5000)
+    val p10 = Sampling.hashSample(df, "id", 0.1).collect().map(_.getLong(0)).toSet
+    val p20 = Sampling.hashSample(df, "id", 0.2).collect().map(_.getLong(0)).toSet
+    assert(p10.subsetOf(p20), "10% sample must be a subset of the 20% sample")
+    assert(math.abs(p20.size - 1000) < 150, s"~20% of 5000, got ${p20.size}")
+    val again = Sampling.hashSample(df, "id", 0.2).collect().map(_.getLong(0)).toSet
+    assert(again == p20)
+  }
+
+  test("splits cover every row exactly once with ~requested mass") {
+    val df = ids(5000)
+    val sp = Sampling.splits(df, "id",
+      Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+    val counts = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000)
+    assert(counts.keySet == Set("train", "eval", "test"))
+    assert(math.abs(counts("train") - 4000) < 300)
+    // different seed reshuffles membership but keeps mass
+    val sp2 = Sampling.splits(df, "id",
+      Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1), seed = 99L)
+    val moved = sp.as("a").join(sp2.as("b"), "id")
+      .where(col("a.split") =!= col("b.split")).count()
+    assert(moved > 0)
+  }
+}
