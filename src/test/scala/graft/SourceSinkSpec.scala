@@ -28,6 +28,7 @@ class SourceSinkSpec extends AnyFunSuite {
   test("parquet round trip")(roundTrip("parquet"))
   test("csv round trip")(roundTrip("csv"))
   test("json round trip")(roundTrip("json"))
+  test("orc round trip")(roundTrip("orc"))
 
   test("partitioned write produces one directory per key (neigh_tri sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pv").toString
