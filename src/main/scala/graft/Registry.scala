@@ -29,5 +29,10 @@ object Registry {
       streaming.StreamingQueries.all ++
       multimodal.MultimodalQueries.all
 
-  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+  lazy val byName: Map[String, Q] = {
+    val dup = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dup.isEmpty,
+      s"duplicate query names would silently shadow each other: ${dup.mkString(", ")}")
+    all.map(q => q.name -> q).toMap
+  }
 }

@@ -30,6 +30,23 @@ class SourceSinkSpec extends AnyFunSuite {
   test("json round trip")(roundTrip("json"))
   test("orc round trip")(roundTrip("orc"))
 
+  test("Compact sizes writes toward the target file size") {
+    val li = Tables.lineitem(spark, sf0001).repartition(16)
+    // huge target → everything folds (shuffle-free) into one file
+    val one = graft.sources.Compact.forWrite(li, targetBytes = 1L << 30)
+    assert(one.rdd.getNumPartitions == 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    one.write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+    // tiny target only splits when growth is explicitly allowed (shuffle)
+    val base = li.coalesce(1)
+    assert(graft.sources.Compact.forWrite(base, targetBytes = 64L * 1024)
+      .rdd.getNumPartitions == 1)
+    assert(graft.sources.Compact.forWrite(base, targetBytes = 64L * 1024,
+      allowGrow = true).rdd.getNumPartitions > 1)
+  }
+
   test("partitioned write produces one directory per key (neigh_tri sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pv").toString
     val perVertex = edges((1L, 2L), (1L, 3L), (2L, 3L))
