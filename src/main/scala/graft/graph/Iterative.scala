@@ -52,19 +52,24 @@ object Iterative {
     var changedN = 1L
     var iter = 0
     while (changedN > 0 && iter < maxIter) {
-      // propagate improved labels to neighbors, take the min
+      // propagate improved labels to neighbors, take the min; label rows
+      // carry their own value in `prev` (cand rows carry null, which min
+      // ignores), so the round's aggregation emits old and new label
+      // side by side — the changed set is a projection of the checkpoint,
+      // not a join against the previous round (2 jobs per round, not 3)
       val cand = adj
         .join(frontier.withColumnRenamed("v", "nbr"), "nbr")
-        .select(col("v"), col("label"))
-      val next = labels.union(cand)
-        .groupBy(col("v")).agg(min(col("label")).as("label"))
+        .select(col("v"), col("label"), lit(null).cast("long").as("prev"))
+      val next = labels
+        .select(col("v"), col("label"), col("label").as("prev"))
+        .union(cand)
+        .groupBy(col("v"))
+        .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
         .localCheckpoint()
-      frontier = next.join(labels.withColumnRenamed("label", "old"), "v")
-        .where(col("label") < col("old"))
+      frontier = next.where(col("label") < col("prev"))
         .select(col("v"), col("label"))
-        .localCheckpoint()
       changedN = frontier.count()
-      labels = next
+      labels = next.select(col("v"), col("label"))
       iter += 1
     }
     adj.unpersist()
