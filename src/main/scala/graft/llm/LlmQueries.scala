@@ -483,6 +483,75 @@ object LlmQueries {
       Some("""SELECT doc_id FROM documents
               WHERE (doc_id * 2654435761 + 283521) % 9973 < 1994""")),
 
+    // mixture sampling: per-source keep fractions (upsample curated,
+    // downsample scraped, drop unlisted) — same replayable mixer
+    Q("q_mixture_sample",
+      (s, d) => Sampling.mixtureSample(Tables.documents(s, d), "doc_id",
+          "source", Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.1))
+        .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM documents
+              WHERE (doc_id * 2654435761 + 283521) % 9973 <
+                    CASE source WHEN 'src0' THEN 8975
+                                WHEN 'src1' THEN 4986
+                                WHEN 'src2' THEN 997
+                                ELSE -1 END""")),
+
+    // corpus report: language × source → doc counts, token mass, mean
+    // quality — the composed analysis rollup a curation run prints
+    Q("q_corpus_stats",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lang = TextAnalysis.langId(docs, "text", "doc_id")
+        val tok = TextAnalysis.tokenStats(docs, "text", "doc_id")
+          .select(col("doc_id"), col("n_ws_tokens"))
+        val q = TextAnalysis.qualityScore(docs, "text", "doc_id")
+          .select(col("doc_id"), col("quality"))
+        docs.select(col("doc_id"), col("source"))
+          .join(lang, "doc_id").join(tok, "doc_id").join(q, "doc_id")
+          .groupBy(col("lang_pred"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_ws_tokens")).as("n_tokens"),
+            round(sum(col("quality")) / count(lit(1)), 4).as("mean_quality"))
+      },
+      Some(s"""WITH lang AS (
+                 SELECT doc_id,
+                   CASE
+                     WHEN contains(' ' || lower(text) || ' ', ' the ')
+                       OR contains(' ' || lower(text) || ' ', ' is ') THEN 'en'
+                     WHEN contains(' ' || lower(text) || ' ', ' le ')
+                       OR contains(' ' || lower(text) || ' ', ' et ') THEN 'fr'
+                     WHEN contains(' ' || lower(text) || ' ', ' der ')
+                       OR contains(' ' || lower(text) || ' ', ' und ') THEN 'de'
+                     WHEN contains(' ' || lower(text) || ' ', ' el ')
+                       OR contains(' ' || lower(text) || ' ', ' y ') THEN 'es'
+                     ELSE 'und'
+                   END AS lang_pred
+                 FROM documents),
+               tok AS (
+                 SELECT doc_id,
+                        CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                          x -> length(x) > 0)) AS BIGINT) AS n_ws_tokens
+                 FROM documents),
+               q AS (
+                 SELECT doc_id,
+                        round(least(len(w) / 100.0, 1.0) * 0.4 +
+                              least(len(list_filter(w, x -> list_contains(
+                                ${TextAnalysis.stopwords.mkString("['", "','", "']")}, x)))
+                                * 1.0 / len(w) * 5.0, 1.0) * 0.4 +
+                              (1.0 - least(len(regexp_extract_all(text, '[^\\w\\s]'))
+                                * 1.0 / length(text) * 10.0, 1.0)) * 0.2, 4) AS quality
+                 FROM (SELECT doc_id, text,
+                         list_filter(string_split_regex(text, '\\s+'),
+                           x -> length(x) > 0) AS w
+                       FROM documents))
+               SELECT lang_pred, source,
+                      count(*) AS n_docs,
+                      CAST(sum(n_ws_tokens) AS BIGINT) AS n_tokens,
+                      round(sum(quality) / count(*), 4) AS mean_quality
+               FROM documents d
+               JOIN lang USING (doc_id) JOIN tok USING (doc_id) JOIN q USING (doc_id)
+               GROUP BY lang_pred, source""")),
+
     // deterministic train/eval/test split assignment (80/10/10)
     Q("q_hash_split",
       (s, d) => Sampling.splits(Tables.documents(s, d), "doc_id",

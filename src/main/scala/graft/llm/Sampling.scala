@@ -31,6 +31,19 @@ object Sampling {
       seed: Long = 7L): DataFrame =
     df.where(bucket(col(keyCol), seed) < lit((fraction * Buckets).toLong))
 
+  /** Mixture sampling: per-group keep fractions (e.g. upsample curated
+    * sources, downsample web scrape) — the standard corpus-mixing step.
+    * Rows whose group has no entry are dropped; same nested-subset and
+    * determinism guarantees as [[hashSample]]. */
+  def mixtureSample(df: DataFrame, keyCol: String, groupCol: String,
+      fractions: Map[String, Double], seed: Long = 7L): DataFrame = {
+    val b = bucket(col(keyCol), seed)
+    val cut = fractions.foldLeft(lit(-1L)) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit((f * Buckets).toLong)).otherwise(acc)
+    }
+    df.where(b < cut)
+  }
+
   /** Assign each row a named split by cumulative fraction, e.g.
     * Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1). */
   def splits(df: DataFrame, keyCol: String, parts: Seq[(String, Double)],

@@ -24,6 +24,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == p20)
   }
 
+  test("mixture sampling keeps per-group fractions and drops unlisted groups") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 3000L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val kept = Sampling.mixtureSample(df, "id", "grp",
+      Map("g0" -> 0.9, "g1" -> 0.1))
+    val counts = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("g2"))
+    assert(math.abs(counts("g0") - 900) < 90)
+    assert(math.abs(counts("g1") - 100) < 60)
+    // nested in the plain sample at the same seed
+    val plain = Sampling.hashSample(df.where(col("grp") === "g1"), "id", 0.1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val mix = kept.where(col("grp") === "g1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(mix == plain)
+  }
+
   test("splits cover every row exactly once with ~requested mass") {
     val df = ids(5000)
     val sp = Sampling.splits(df, "id",
