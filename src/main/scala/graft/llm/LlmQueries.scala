@@ -509,9 +509,13 @@ object LlmQueries {
         docs.select(col("doc_id"), col("source"))
           .join(lang, "doc_id").join(tok, "doc_id").join(q, "doc_id")
           .groupBy(col("lang_pred"), col("source"))
+          // sum, not mean: per-doc quality is 4dp-rounded, so the sum sits
+          // ON the 4dp grid and cross-engine rounding can't flip (a mean
+          // lands BETWEEN grid points and 1e-16 noise once flipped a
+          // half-way case at sf0.001); the mean is n_docs-derivable
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_ws_tokens")).as("n_tokens"),
-            round(sum(col("quality")) / count(lit(1)), 4).as("mean_quality"))
+            round(sum(col("quality")), 4).as("sum_quality"))
       },
       Some(s"""WITH lang AS (
                  SELECT doc_id,
@@ -547,7 +551,7 @@ object LlmQueries {
                SELECT lang_pred, source,
                       count(*) AS n_docs,
                       CAST(sum(n_ws_tokens) AS BIGINT) AS n_tokens,
-                      round(sum(quality) / count(*), 4) AS mean_quality
+                      round(sum(quality), 4) AS sum_quality
                FROM documents d
                JOIN lang USING (doc_id) JOIN tok USING (doc_id) JOIN q USING (doc_id)
                GROUP BY lang_pred, source""")),
