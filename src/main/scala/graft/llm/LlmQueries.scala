@@ -556,6 +556,52 @@ object LlmQueries {
                JOIN lang USING (doc_id) JOIN tok USING (doc_id) JOIN q USING (doc_id)
                GROUP BY lang_pred, source""")),
 
+    // token-length distribution per language: exact interpolated
+    // percentiles (Spark `percentile` and DuckDB `quantile_cont` share the
+    // (1-g)·v[floor] + g·v[ceil] definition at pos = p·(n-1), and the
+    // computation is order-insensitive — sorted values — so 4dp rounding
+    // only guards the interpolation arithmetic)
+    Q("q_token_quantiles",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val lang = TextAnalysis.langId(docs, "text", "doc_id")
+        val tok = TextAnalysis.tokenStats(docs, "text", "doc_id")
+          .select(col("doc_id"), col("n_ws_tokens"))
+        lang.join(tok, "doc_id")
+          .groupBy(col("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(percentile(col("n_ws_tokens"), lit(0.25)), 4).as("p25"),
+            round(percentile(col("n_ws_tokens"), lit(0.5)), 4).as("p50"),
+            round(percentile(col("n_ws_tokens"), lit(0.75)), 4).as("p75"),
+            round(percentile(col("n_ws_tokens"), lit(0.95)), 4).as("p95"))
+      },
+      Some("""WITH lang AS (
+                 SELECT doc_id,
+                   CASE
+                     WHEN contains(' ' || lower(text) || ' ', ' the ')
+                       OR contains(' ' || lower(text) || ' ', ' is ') THEN 'en'
+                     WHEN contains(' ' || lower(text) || ' ', ' le ')
+                       OR contains(' ' || lower(text) || ' ', ' et ') THEN 'fr'
+                     WHEN contains(' ' || lower(text) || ' ', ' der ')
+                       OR contains(' ' || lower(text) || ' ', ' und ') THEN 'de'
+                     WHEN contains(' ' || lower(text) || ' ', ' el ')
+                       OR contains(' ' || lower(text) || ' ', ' y ') THEN 'es'
+                     ELSE 'und'
+                   END AS lang_pred
+                 FROM documents),
+               tok AS (
+                 SELECT doc_id,
+                        CAST(len(list_filter(string_split_regex(text, '\s+'),
+                          x -> length(x) > 0)) AS BIGINT) AS n_ws_tokens
+                 FROM documents)
+               SELECT lang_pred, count(*) AS n_docs,
+                      round(quantile_cont(n_ws_tokens, 0.25), 4) AS p25,
+                      round(quantile_cont(n_ws_tokens, 0.5), 4) AS p50,
+                      round(quantile_cont(n_ws_tokens, 0.75), 4) AS p75,
+                      round(quantile_cont(n_ws_tokens, 0.95), 4) AS p95
+               FROM lang JOIN tok USING (doc_id)
+               GROUP BY lang_pred""")),
+
     // deterministic train/eval/test split assignment (80/10/10)
     Q("q_hash_split",
       (s, d) => Sampling.splits(Tables.documents(s, d), "doc_id",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,9 +45,4 @@ object AsofJoin {
       df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w)))
     filled.where(col("__q") === 1).drop("__q")
   }
-
-  /** Convenience: as-of join keyed on Column expressions for ad-hoc use. */
-  def asofSelect(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightVals: Seq[String], out: Seq[Column]): DataFrame =
-    asof(left, right, key, ts, rightVals).select(out: _*)
 }
