@@ -23,7 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * computing per-record results inline
   * (`/root/reference/cpu/InvertedIndex.cpp:75-90`).
   *
-  * Input with fewer than k words yields null — callers filter first.
+  * Zero-length tokens are skipped INSIDE the expression, so callers pass
+  * `split(text, "\\s+")` directly — wrapping the input in a higher-order
+  * `filter(...)` would put a CodegenFallback expression in the projection
+  * and kick the whole stage out of codegen. Input with fewer than k
+  * non-empty words yields null — filter `isNotNull` after projecting.
   * Codegen: generated loop calling XXH64 directly; stays inside
   * whole-stage codegen (no fallback, no UDF boxing).
   */
@@ -42,7 +46,17 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
   }
 
   private def evalWords(words: ArrayData): Any = {
-    val n = words.numElements()
+    // compact away zero-length tokens first; shingles slide over the
+    // compacted sequence
+    val raw = words.numElements()
+    val w = new Array[UTF8String](raw)
+    var n = 0
+    var r = 0
+    while (r < raw) {
+      val t = words.getUTF8String(r)
+      if (t != null && t.numBytes() > 0) { w(n) = t; n += 1 }
+      r += 1
+    }
     if (n < k) return null
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val sep = UTF8String.fromString(" ")
@@ -50,7 +64,7 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     while (i <= n - k) {
       val parts = new Array[UTF8String](k)
       var j = 0
-      while (j < k) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      while (j < k) { parts(j) = w(i + j); j += 1 }
       val s = UTF8String.concatWs(sep, parts: _*)
       var h = 0
       while (h < numHashes) {
@@ -76,13 +90,22 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     val sep = ctx.freshName("sep")
     val xxh = classOf[XXH64].getName
     val utf8 = classOf[UTF8String].getName
+    val w = ctx.freshName("w")
+    val raw = ctx.freshName("raw")
+    val t = ctx.freshName("t")
     val code =
       code"""
          |${childGen.code}
          |boolean ${ev.isNull} = true;
          |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
          |if (!${childGen.isNull}) {
-         |  int $n = ${childGen.value}.numElements();
+         |  int $raw = ${childGen.value}.numElements();
+         |  $utf8[] $w = new $utf8[$raw];
+         |  int $n = 0;
+         |  for (int $i = 0; $i < $raw; $i++) {
+         |    $utf8 $t = ${childGen.value}.getUTF8String($i);
+         |    if ($t != null && $t.numBytes() > 0) { $w[$n++] = $t; }
+         |  }
          |  if ($n >= $k) {
          |    long[] $mins = new long[$numHashes];
          |    java.util.Arrays.fill($mins, Long.MAX_VALUE);
@@ -90,7 +113,7 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
          |    $utf8[] $parts = new $utf8[$k];
          |    for (int $i = 0; $i <= $n - $k; $i++) {
          |      for (int $j = 0; $j < $k; $j++) {
-         |        $parts[$j] = ${childGen.value}.getUTF8String($i + $j);
+         |        $parts[$j] = $w[$i + $j];
          |      }
          |      $utf8 $s = $utf8.concatWs($sep, $parts);
          |      for (int $h = 0; $h < $numHashes; $h++) {

@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -15,26 +17,40 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * fingerprints become a zero-shuffle map-side pass (the aggregation
   * formulation shuffles every (doc, word) pair). Same fusion rationale as
   * [[MinHashSig]].
+  *
+  * Zero-length tokens are skipped INSIDE the expression and an input with
+  * no non-empty words yields null, so callers pass `split(text, "\\s+")`
+  * directly — wrapping the input in a higher-order `filter(...)` (or
+  * gating on `size(filter(...))`) would put a CodegenFallback expression
+  * in the stage and kick the whole projection out of codegen.
   */
 case class SimHashFp(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "simhash_fp"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[ArrayData]
+  override def eval(input: InternalRow): Any = {
+    val value = child.eval(input)
+    if (value == null) return null
+    val words = value.asInstanceOf[ArrayData]
     val counts = new Array[Int](64)
+    var used = 0
     var i = 0
     while (i < words.numElements()) {
       val s = words.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
+      if (s != null && s.numBytes() > 0) {
+        used += 1
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
+    if (used == 0) return null
     var fp = 0L
     var b = 0
     while (b < 64) {
@@ -44,32 +60,48 @@ case class SimHashFp(child: Expression) extends UnaryExpression {
     java.lang.Long.valueOf(fp)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val counts = ctx.freshName("counts")
-      val i = ctx.freshName("i")
-      val b = ctx.freshName("b")
-      val s = ctx.freshName("s")
-      val h = ctx.freshName("h")
-      val fp = ctx.freshName("fp")
-      val xxh = classOf[XXH64].getName
-      s"""
-         |int[] $counts = new int[64];
-         |for (int $i = 0; $i < $c.numElements(); $i++) {
-         |  org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
-         |  long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
-         |    $s.numBytes(), 42L);
-         |  for (int $b = 0; $b < 64; $b++) {
-         |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val counts = ctx.freshName("counts")
+    val used = ctx.freshName("used")
+    val i = ctx.freshName("i")
+    val b = ctx.freshName("b")
+    val s = ctx.freshName("s")
+    val h = ctx.freshName("h")
+    val fp = ctx.freshName("fp")
+    val xxh = classOf[XXH64].getName
+    val code =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.isNull} = true;
+         |long ${ev.value} = 0L;
+         |if (!${childGen.isNull}) {
+         |  int[] $counts = new int[64];
+         |  int $used = 0;
+         |  for (int $i = 0; $i < ${childGen.value}.numElements(); $i++) {
+         |    org.apache.spark.unsafe.types.UTF8String $s =
+         |      ${childGen.value}.getUTF8String($i);
+         |    if ($s != null && $s.numBytes() > 0) {
+         |      $used++;
+         |      long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
+         |        $s.numBytes(), 42L);
+         |      for (int $b = 0; $b < 64; $b++) {
+         |        if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+         |      }
+         |    }
+         |  }
+         |  if ($used > 0) {
+         |    long $fp = 0L;
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ($counts[$b] > 0) $fp |= (1L << $b);
+         |    }
+         |    ${ev.isNull} = false;
+         |    ${ev.value} = $fp;
          |  }
          |}
-         |long $fp = 0L;
-         |for (int $b = 0; $b < 64; $b++) {
-         |  if ($counts[$b] > 0) $fp |= (1L << $b);
-         |}
-         |${ev.value} = $fp;
        """.stripMargin
-    })
+    ev.copy(code = code)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashFp =
     copy(child = newChild)

@@ -87,12 +87,14 @@ object Dedup {
     * projection (the explode+groupBy formulation shuffles every
     * (doc, shingle) pair; this shuffles nothing). */
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 3, numHashes: Int = 64): DataFrame = {
-    val ws = words(col(textCol))
-    docs.where(size(ws) >= k)
-      .select(col(idCol).as("id"),
-        graft.functions.MinHashSig.minhashSig(ws, k, numHashes).as("sig"))
-  }
+      k: Int = 3, numHashes: Int = 64): DataFrame =
+    // raw split, not words(): the expression skips empty tokens itself and
+    // nulls short docs — a higher-order filter() here is CodegenFallback
+    // and would exclude the whole projection from whole-stage codegen
+    docs.select(col(idCol).as("id"),
+      graft.functions.MinHashSig.minhashSig(
+        split(col(textCol), "\\s+"), k, numHashes).as("sig"))
+      .where(col("sig").isNotNull)
 
   /** MinHash+LSH near-duplicate pairs: band signatures into
     * `bands` buckets of `numHashes/bands` rows, equi-join on band hash,
@@ -183,12 +185,13 @@ object Dedup {
     * Computed by the native [[graft.functions.SimHashFp]] expression in a
     * zero-shuffle projection (the explode + 64-conditional-sum
     * aggregation shuffled every (doc, word) pair). */
-  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val ws = words(col(textCol))
-    docs.where(size(ws) > 0)
-      .select(col(idCol).as("id"),
-        graft.functions.SimHashFp.simhashFp(ws).as("fingerprint"))
-  }
+  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    // raw split for the same codegen reason as minHashSignatures; the
+    // expression nulls documents with no non-empty words
+    docs.select(col(idCol).as("id"),
+      graft.functions.SimHashFp.simhashFp(
+        split(col(textCol), "\\s+")).as("fingerprint"))
+      .where(col("fingerprint").isNotNull)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidate
     * generation via four 16-bit band buckets (any pair within distance 3

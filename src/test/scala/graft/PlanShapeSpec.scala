@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The scale claims in SCALE.md, enforced: these tests fail if a change
+  * regresses pushdown, broadcast choice, top-K lowering, or the
+  * zero-shuffle property of the native signature expressions. */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("filters and projection reach the parquet scan") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters") && p.contains("l_quantity"),
+      s"filter must push to the scan:\n$p")
+    assert(!p.contains("l_comment"), "untouched columns must be pruned")
+  }
+
+  test("dimension joins broadcast") {
+    val p = plan("q_join_multi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"nation/region joins must broadcast:\n$p")
+  }
+
+  test("top-K lowers to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected local top-K + merge:\n$p")
+  }
+
+  test("native signature expressions are zero-shuffle projections") {
+    val docs = Tables.documents(spark, sf0001)
+    val sig = graft.llm.Dedup.minHashSignatures(docs, "text", "doc_id")
+    assert(!sig.queryExecution.executedPlan.toString.contains("Exchange"),
+      "minhash signatures must not shuffle")
+    val win = graft.llm.TextAnalysis.winnowFingerprint(docs, "text", "doc_id")
+    assert(!win.queryExecution.executedPlan.toString.contains("Exchange"),
+      "winnow fingerprints must not shuffle")
+  }
+
+  test("whole-stage codegen covers the signature projections") {
+    // regression guard for the CodegenFallback trap: a higher-order
+    // filter() in these projections silently drops the stage out of
+    // whole-stage codegen (ArrayFilter doesn't codegen)
+    val docs = Tables.documents(spark, sf0001)
+    Seq(
+      graft.llm.Dedup.simHash(docs, "text", "doc_id"),
+      graft.llm.Dedup.minHashSignatures(docs, "text", "doc_id")).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      // codegen'd operators render with a "*(stageId)" prefix
+      assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+        s"expected the projection inside a whole-stage codegen span:\n$p")
+    }
+  }
+}
