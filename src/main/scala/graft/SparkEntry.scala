@@ -14,9 +14,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Registry.byName("q1_agg").run(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Routed through
+    * byName so its duplicate-name guard trips here too (a raw toMap would
+    * silently drop a shadowed query from the harness). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Registry.all.map(q => q.name -> q.run).toMap
+    Registry.byName.map { case (n, q) => n -> q.run }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
