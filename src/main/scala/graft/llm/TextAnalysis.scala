@@ -10,36 +10,40 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private def words(text: Column): Column =
-    filter(split(text, "\\s+"), w => length(w) > 0)
-
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
 
+  /** Shared one-scan counters (native [[graft.functions.TextStats]]):
+    * [n_ws_tokens, n_bpe_tokens, n_chars, sum_token_chars, n_stopwords,
+    * n_punct]. Repeated accesses below collapse into one evaluation per
+    * row via subexpression elimination inside whole-stage codegen —
+    * previously this surface was a per-row stack of interpreted
+    * higher-order functions plus two regex extractions. */
+  private def stats(text: Column): Column =
+    graft.functions.TextStats.textStats(text, stopwords)
+
   /** Token statistics: whitespace tokens, BPE-ish tokens (word pieces +
     * standalone punctuation), characters. */
-  def tokenStats(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  def tokenStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val st = stats(col(textCol))
     docs.select(
       col(idCol),
-      size(words(col(textCol))).cast("long").as("n_ws_tokens"),
-      size(regexp_extract_all(col(textCol), lit("\\w+|[^\\w\\s]"), lit(0)))
-        .cast("long").as("n_bpe_tokens"),
-      length(col(textCol)).cast("long").as("n_chars"))
+      element_at(st, 1).as("n_ws_tokens"),
+      element_at(st, 2).as("n_bpe_tokens"),
+      element_at(st, 3).as("n_chars"))
+  }
 
   /** Quality signals: word count, mean word length, stopword ratio,
     * punctuation ratio, and a blended score. Single projection, no shuffle. */
   def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val ws = words(col(textCol))
-    val nWords = size(ws)
-    val meanLen = aggregate(transform(ws, w => length(w).cast("long")),
-      lit(0L), (acc, x) => acc + x).cast("double") / nWords
-    val stopRatio = size(filter(ws, w => w.isInCollection(stopwords)))
-      .cast("double") / nWords
-    val punctRatio = size(regexp_extract_all(col(textCol), lit("[^\\w\\s]"), lit(0)))
-      .cast("double") / length(col(textCol))
+    val st = stats(col(textCol))
+    val nWords = element_at(st, 1)
+    val meanLen = element_at(st, 4).cast("double") / nWords
+    val stopRatio = element_at(st, 5).cast("double") / nWords
+    val punctRatio = element_at(st, 6).cast("double") / element_at(st, 3)
     docs.select(
       col(idCol),
-      nWords.cast("long").as("n_words"),
+      nWords.as("n_words"),
       round(meanLen, 4).as("mean_word_len"),
       round(stopRatio, 4).as("stopword_ratio"),
       round(punctRatio, 4).as("punct_ratio"),
