@@ -51,10 +51,12 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact dedup on whitespace/case-normalized content. */
+  /** Exact dedup on whitespace/case-normalized content. Normalization is
+    * the native one-scan [[graft.functions.NormalizeText]] (the per-row
+    * regex engine dominated this path); byte-identical to
+    * `trim(regexp_replace(lower(text), "\\s+", " "))`. */
   def exactNormalized(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.groupBy(md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-        .cast("binary")).as("h"))
+    docs.groupBy(md5(graft.functions.NormalizeText.normalize(col(textCol))).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Exact all-pairs n-gram Jaccard ≥ tau — quadratic truth baseline.

@@ -70,11 +70,11 @@ object TextAnalysis {
   }
 
   /** Content fingerprint: md5 over case/whitespace-normalized text —
-    * the join key for exact dedup across differently-formatted copies. */
+    * the join key for exact dedup across differently-formatted copies.
+    * Normalization is the native one-scan NormalizeText expression. */
   def fingerprint(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol),
-      md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).cast("binary"))
-        .as("fp"))
+      md5(graft.functions.NormalizeText.normalize(col(textCol))).as("fp"))
 
   /** Winnowing fingerprint (rolling k-gram hashes → sliding-window
     * minima, [[graft.functions.WinnowFingerprint]]): unlike [[fingerprint]]
