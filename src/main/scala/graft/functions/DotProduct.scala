@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: dot product of two `array<double>` columns
   * in one tight loop.
@@ -22,6 +22,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * `list_sum` oracles are unaffected), null when either array is null,
   * when lengths differ, or when any element is null — the same results the
   * HOF form produced via null propagation through `+`.
+  *
+  * Accepts `array<double>` OR `array<float>` on either side independently
+  * (floats are widened per element, bitwise-equal to casting the array
+  * first) — so callers pass raw embedding columns and skip the
+  * `transform(v, _.cast("double"))` wrapper, which is a CodegenFallback
+  * higher-order function that would both exclude the stage from
+  * whole-stage codegen and materialize a second array per row.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -29,6 +36,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
+
+  private def isFloatSide(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val leftFloat = isFloatSide(left)
+  @transient private lazy val rightFloat = isFloatSide(right)
 
   override def eval(input: InternalRow): Any = {
     val l = left.eval(input)
@@ -43,7 +58,9 @@ case class DotProduct(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += a.getDouble(i) * b.getDouble(i)
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
       i += 1
     }
     s
@@ -72,7 +89,10 @@ case class DotProduct(left: Expression, right: Expression)
          |        $anyNull = true;
          |        break;
          |      }
-         |      $s += ${leftGen.value}.getDouble($i) * ${rightGen.value}.getDouble($i);
+         |      $s += ${if (leftFloat) s"(double) ${leftGen.value}.getFloat($i)"
+             else s"${leftGen.value}.getDouble($i)"}
+         |        * ${if (rightFloat) s"(double) ${rightGen.value}.getFloat($i)"
+             else s"${rightGen.value}.getDouble($i)"};
          |    }
          |    if (!$anyNull) {
          |      ${ev.isNull} = false;

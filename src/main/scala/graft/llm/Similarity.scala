@@ -9,15 +9,20 @@ import org.apache.spark.sql.functions._
   * LSH bucketing as the scale path (search touches one bucket instead of
   * the full corpus).
   *
-  * Everything is `zip_with`/`aggregate` column expressions — codegen'd,
-  * no UDFs, no driver-side loops. At 100 TB the brute-force path is a
-  * crossJoin-shaped scan (only for small query sets against a broadcast
-  * query side); the LSH path shuffles once on bucket id.
+  * All vector arithmetic runs through the native [[graft.functions.DotProduct]]
+  * expression over the raw float columns — no UDFs, no higher-order
+  * functions, no driver-side loops; projections stay inside whole-stage
+  * codegen. At 100 TB the brute-force path is a crossJoin-shaped scan
+  * (only for small query sets against a broadcast query side); the LSH
+  * path shuffles once on bucket id.
   */
 object Similarity {
 
-  /** Cast a float vector column to double for stable arithmetic. */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  // no asDouble wrapper: DotProduct widens float elements itself
+  // (bitwise-equal to casting the array first); a transform(_.cast) here
+  // is a CodegenFallback higher-order function that would exclude every
+  // embedding projection from whole-stage codegen AND materialize a
+  // second array per row
 
   /** Dot product via the native codegen'd [[graft.functions.DotProduct]]
     * expression — same left-to-right fold (bitwise-identical to the
@@ -35,8 +40,8 @@ object Similarity {
   def bruteForceKnn(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int = 5): DataFrame = {
     val queries = broadcast(emb.where(queryPred)
-      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv")))
-    val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+      .select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val corpus = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
     val scored = queries.crossJoin(corpus)
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -55,7 +60,7 @@ object Similarity {
   def embeddingDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       tau: Double): DataFrame = {
     def side(id: String, v: String, n: String) =
-      emb.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+      emb.select(col(idCol).as(id), col(vecCol).as(v))
         .withColumn(n, sqrt(dot(col(v), col(v))))
     side("da", "va", "na").crossJoin(side("db", "vb", "nb"))
       .where(col("da") < col("db"))
@@ -74,7 +79,7 @@ object Similarity {
       queryPred: Column, k: Int = 5, centroidEvery: Long = 50,
       nProbe: Int = 2): DataFrame = {
     val cents = broadcast(emb.where(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv")))
+      .select(col(idCol).as("cid"), col(vecCol).as("cv")))
     def nearestCells(df: DataFrame, id: String, v: String, n: Int) = {
       val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid").asc)
       df.crossJoin(cents)
@@ -85,9 +90,9 @@ object Similarity {
         .select(col(id), col(v), col("cid"))
     }
     val corpus = nearestCells(
-      emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv")), "nid", "nv", 1)
+      emb.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid", "nv", 1)
     val queries = nearestCells(
-      emb.where(queryPred).select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv")),
+      emb.where(queryPred).select(col(idCol).as("qid"), col(vecCol).as("qv")),
       "qid", "qv", nProbe)
     val scored = queries.join(corpus, "cid")
       .where(col("qid") =!= col("nid"))
@@ -111,10 +116,22 @@ object Similarity {
     when(((i.cast("long") + 1) * lit(2654435761L) + lit((j + 1) * 40503L))
       % 9973 % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
 
+  /** Plane j as a LITERAL double array (the same values [[planeSign]]
+    * yields): planes depend only on (j, dim), so building them per row
+    * with sequence+transform was pure waste — and those higher-order
+    * functions are CodegenFallback, which dropped the bucketing
+    * projection out of whole-stage codegen. */
+  private def planeLit(dim: Int, j: Int): Column = {
+    val vals = Array.tabulate(dim) { i =>
+      if (((i.toLong + 1) * 2654435761L + (j + 1) * 40503L) % 9973 % 2 == 0) 1.0
+      else -1.0
+    }
+    lit(vals)
+  }
+
   def lshBucket(v: Column, dim: Int, nPlanes: Int = 12): Column = {
     val bits = (0 until nPlanes).map { j =>
-      val plane = transform(sequence(lit(0), lit(dim - 1)), i => planeSign(i, j))
-      when(dot(v, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot(v, planeLit(dim, j)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -128,11 +145,11 @@ object Similarity {
       queryPred: Column, k: Int = 5, nPlanes: Int = 8,
       multiProbe: Boolean = true): DataFrame = {
     val withBucket = emb.select(col(idCol).as("nid"),
-      asDouble(col(vecCol)).as("nv"),
-      lshBucket(asDouble(col(vecCol)), dim, nPlanes).as("bucket"))
+      col(vecCol).as("nv"),
+      lshBucket(col(vecCol), dim, nPlanes).as("bucket"))
     val qBase = emb.where(queryPred).select(col(idCol).as("qid"),
-      asDouble(col(vecCol)).as("qv"),
-      lshBucket(asDouble(col(vecCol)), dim, nPlanes).as("b0"))
+      col(vecCol).as("qv"),
+      lshBucket(col(vecCol), dim, nPlanes).as("b0"))
     val probes =
       if (multiProbe)
         array(lit(0L) +: (0 until nPlanes).map(j => lit(1L << j)): _*)
