@@ -41,6 +41,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "winnow fingerprints must not shuffle")
   }
 
+  test("embedding bucket projection stays codegen'd on raw float vectors") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val p = emb.select(col("vec_id"),
+      graft.llm.Similarity.lshBucket(col("embedding"), dim = 64, nPlanes = 4)
+        .as("bucket"))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"bucketing must stay inside whole-stage codegen:\n$p")
+  }
+
   test("whole-stage codegen covers the signature projections") {
     // regression guard for the CodegenFallback trap: a higher-order
     // filter() in these projections silently drops the stage out of
