@@ -66,6 +66,45 @@ object EngineProperties extends Properties("graft") {
       graft.gen.RMat.generate(spark, p, numTasks = 7).count() == nnz.toLong * 32
     }
 
+  private val messyTextGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      (8, Gen.alphaNumChar), (1, Gen.oneOf(' ', '\t', '\n', '\r')),
+      (1, Gen.oneOf(',', '.', 'É', 'é', 'ß')))).map(_.mkString)
+
+  property("NormalizeText ≡ lower→regexp_replace→trim on arbitrary text") =
+    forAll(Gen.listOfN(4, messyTextGen)) { texts =>
+      val s = spark
+      import s.implicits._
+      val rows = texts.toDF("text").select(
+        md5(graft.functions.NormalizeText.normalize(col("text"))).as("a"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .cast("binary")).as("b"))
+        .collect()
+      rows.forall(r => r.getString(0) == r.getString(1))
+    }
+
+  property("asof join equals brute-force range-join argmax") =
+    forAll(Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 50L))),
+      Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 50L)))) {
+      (ls, rsRaw) =>
+        val s = spark
+        import s.implicits._
+        val rs = rsRaw.distinct // unique (k, t): the operator's contract
+        val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("lid", "k", "t")
+        val right = rs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("k", "t", "fid")
+        val got = graft.operators.AsofJoin.asof(left, right, "k", "t", Seq("fid"))
+          .select(col("lid"), col("asof_fid")).collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+        val brute = ls.zipWithIndex.map { case ((k, t), i) =>
+          val cand = rs.zipWithIndex.filter { case ((rk, rt), _) => rk == k && rt <= t }
+          i.toLong -> cand.sortBy { case ((_, rt), _) => rt }.lastOption
+            .map(_._2.toLong).getOrElse(-1L)
+        }.toMap
+        got == brute
+    }
+
   property("distinct is idempotent (cull)") =
     forAll(edgeGen) { pairs =>
       val df = TestSession.edges(pairs: _*)
