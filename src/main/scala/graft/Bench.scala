@@ -3,12 +3,41 @@ import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
-  * prints ONE compact JSON line (3-decimal seconds, name-sorted order so
-  * run-to-run diffs are per-query comparable). The line is kept short so
-  * log-tail capture windows hold it whole; a copy is also written to
-  * bench_out.json in the working directory. */
+/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR.
+  *
+  * Output contract (round-4 fix for three rounds of `"parsed": null`):
+  * the driver's log-tail capture window is ~3 kB, and the full 89-query
+  * line no longer fits it whole — so stdout gets ONE SHORT headline JSON
+  * line (total + a fixed representative query subset, well under 1 kB,
+  * printed LAST, after spark.stop(), so no shutdown logging follows it),
+  * while the complete per-query map is written to bench_out.json in the
+  * working directory for anything that wants the full detail.
+  *
+  * Timing discipline: every query is timed once; queries whose first run
+  * is under `RerunBelowSec` are then re-run twice more and the MEDIAN of
+  * the three is reported. Cheap queries are where scheduler/GC noise on
+  * this box (±20–40 %, and occasional 4–6× spikes — see SCALE.md) swamps
+  * the signal; expensive iterative queries are stable relative to that
+  * noise and not worth tripling. Names are sorted so per-query diffs
+  * line up run to run.
+  */
 object Bench {
+
+  /** First-run threshold below which a query is re-timed (median of 3). */
+  val RerunBelowSec = 3.0
+
+  /** Fixed stdout subset: the headline operators the round-over-round
+    * comparison tracks — dedup suite, ANN suite, iterative graph, text,
+    * streaming, relational representatives. */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q_asof_join", "q_cc_labels", "q_cc_labels_star",
+    "q_corpus_stats", "q_dedup_clusters", "q_dedup_exact",
+    "q_dedup_normalized", "q_embed_ivf_knn", "q_embed_knn",
+    "q_embed_lsh_knn", "q_join_multi", "q_luby_mis", "q_minhash_lsh_pairs",
+    "q_ngram_jaccard_pairs", "q_pagerank", "q_simhash_pairs",
+    "q_sort_global", "q_sssp", "q_stream_hourly", "q_token_stats",
+    "q_triangle_count", "q_union_all_count", "q_window_rank", "q_wordfreq")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,22 +61,35 @@ object Bench {
       graft.graph.Iterative.ccFind(
         Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t1 = timeOnce(fn)
+      val t =
+        if (t1 >= RerunBelowSec) t1
+        else Seq(t1, timeOnce(fn), timeOnce(fn)).sorted.apply(1) // median of 3
+      name -> t
+    }
+    spark.stop()
+
     def f(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    def jsonLine(qs: Seq[(String, Double)], total: Double): String = {
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+        s""""queries":$m,"sf":"$sfDir","n_queries":${results.size},""" +
+        s""""detail":"bench_out.json"}"""
+    }
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
     try {
       val w = new java.io.PrintWriter("bench_out.json")
-      try w.println(line) finally w.close()
+      try w.println(jsonLine(results, total)) finally w.close()
     } catch { case _: Throwable => () }
-    spark.stop()
+    val headSet = headline.toSet
+    println(jsonLine(results.filter(r => headSet(r._1)), total))
   }
 }

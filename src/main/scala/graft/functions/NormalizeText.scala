@@ -50,9 +50,17 @@ object NormalizeText {
     var ascii = true
     while (i < n && ascii) { if ((bytes(i) & 0x80) != 0) ascii = false; i += 1 }
     if (!ascii) {
-      // exact slow path: the same primitives the column form used
-      val lowered = s.toLowerCase.toString
-      return lowered.replaceAll("\\s+", " ").trim.getBytes("UTF-8")
+      // exact slow path: the same primitives the column form used. Strip
+      // only ' ' at the boundaries — Spark's trim() removes spaces only,
+      // while Java String.trim strips every char <= 0x20 (NUL, SOH, ...),
+      // which would break byte-identity on inputs mixing non-ASCII chars
+      // with boundary control chars outside \s.
+      val collapsed = s.toLowerCase.toString.replaceAll("\\s+", " ")
+      var st = 0
+      var en = collapsed.length
+      while (st < en && collapsed.charAt(st) == ' ') st += 1
+      while (en > st && collapsed.charAt(en - 1) == ' ') en -= 1
+      return collapsed.substring(st, en).getBytes("UTF-8")
     }
     val out = new Array[Byte](n)
     var o = 0

@@ -86,7 +86,11 @@ object RMat {
     }
     // no overshoot trim: each round emits exactly the deficit, and dedup
     // only shrinks, so `have` approaches the target from below — the
-    // exact-count invariant is property-tested in EngineProperties
+    // exact-count invariant is property-tested in EngineProperties.
+    // Fail HERE if maxRounds ran out short of the target, not in whatever
+    // downstream count-pinned consumer notices the deficit first.
+    require(have == target,
+      s"rmat under-delivered $have/$target edges after $round rounds")
     edges
   }
 

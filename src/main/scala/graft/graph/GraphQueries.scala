@@ -120,6 +120,38 @@ object GraphQueries {
     """u AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
             FROM e WHERE src <> dst)"""
 
+  /** DuckDB replay of [[Iterative.lubyMis]] over the sparse
+    * lineitem-derived graph: `rounds` Luby rounds unrolled as chained
+    * CTEs. Each round k: winners w_k = active vertices whose (prio, v) is
+    * strictly minimal over their active neighborhood; the next active set
+    * a_{k+1} drops winners and their neighbors. Priorities are the
+    * portable mixer of [[Iterative.lubyPriority]] — pure int64 arithmetic
+    * both engines compute identically. Every CTE is MATERIALIZED (each is
+    * referenced more than once; default inlining would blow up the plan —
+    * the pagerank lesson). */
+  private def lubySql(rounds: Int, seed: Long): String = {
+    val steps = (0 until rounds).map { k =>
+      s"""w$k AS MATERIALIZED (
+         SELECT t.v FROM a$k t WHERE NOT EXISTS (
+           SELECT 1 FROM adj JOIN a$k n ON adj.nbr = n.v
+           WHERE adj.v = t.v
+             AND (n.prio < t.prio OR (n.prio = t.prio AND n.v < t.v)))),
+         a${k + 1} AS MATERIALIZED (
+         SELECT a.v, a.prio FROM a$k a
+         WHERE a.v NOT IN (SELECT v FROM w$k)
+           AND a.v NOT IN (SELECT adj.v FROM adj JOIN w$k ON adj.nbr = w$k.v))"""
+    }.mkString(",\n")
+    val un = (0 until rounds).map(k => s"SELECT v FROM w$k").mkString(" UNION ALL ")
+    s"""WITH $se, $su,
+        adj AS MATERIALIZED (SELECT src AS v, dst AS nbr FROM u
+                             UNION ALL SELECT dst, src FROM u),
+        a0 AS MATERIALIZED (
+          SELECT v, (v * 2654435761 + ${seed * 40503L}) % 1000000007 AS prio
+          FROM (SELECT DISTINCT v FROM adj)),
+        $steps
+        $un"""
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q_edge_upper",
@@ -255,19 +287,24 @@ object GraphQueries {
                sizes AS (SELECT label, count(*) AS csize FROM labels GROUP BY label)
                SELECT csize, count(*) AS n_components FROM sizes GROUP BY csize""")),
 
-    // luby_find (`oink/luby_find.cpp`): maximal independent set — iterative
-    // with hashed priorities; not SQL-expressible on the full data (rows-
-    // only scale run; the hard signal is q_luby_golden below, and MIS
-    // validity is property-tested in GraphSpec)
+    // luby_find (`oink/luby_find.cpp`): maximal independent set on the
+    // real sparse graph — oracle-checked since round 4: priorities come
+    // from the portable integer mixer (Iterative.lubyPriority), so DuckDB
+    // replays the EXACT per-round winner rule as unrolled CTE rounds
+    // (8 unrolled vs ≤4 observed through sf0.1 — under-unrolling surfaces
+    // as missing rows, never a silent pass, because Spark runs to
+    // fixpoint). GraphSpec independently proves Luby ≡ sequential greedy
+    // by (prio, v).
     Q("q_luby_mis",
       (s, d) => Iterative.lubyMis(GraphOps.sparseEdgesFromLineitem(s, d)),
-      None),
+      Some(lubySql(rounds = 8, seed = 12345L))),
 
-    // luby_find on a fixed golden graph with a fixed seed: the hashed
+    // luby_find on a fixed golden graph with a fixed seed: the mixer
     // priorities make the MIS fully deterministic, so the expected vertex
     // set is a VALUES oracle (the q_rmat_count precedent). GraphSpec
     // independently cross-checks the set against a sequential greedy MIS
-    // over the same priorities.
+    // over the same priorities. (Re-derived in round 4 when priorities
+    // moved from xxhash64 to the portable mixer.)
     Q("q_luby_golden",
       (s, d) => {
         import s.implicits._
@@ -275,7 +312,7 @@ object GraphQueries {
           seed = lubyGoldenSeed)
       },
       Some("""SELECT CAST(v AS BIGINT) AS v
-              FROM (VALUES (0), (2), (5), (8), (10), (13)) t(v)""")),
+              FROM (VALUES (0), (2), (5), (8), (11), (14)) t(v)""")),
 
     // sssp (`oink/sssp.cpp`): shortest paths over deterministic weights.
     // DuckDB replays it by enumerating bounded-depth walks from the same

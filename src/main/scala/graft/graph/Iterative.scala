@@ -145,15 +145,26 @@ object Iterative {
     labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
       .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
 
+  /** Per-vertex Luby priority: portable integer mixer (multiply + offset,
+    * mod a large prime — the [[graft.llm.Sampling.bucket]] family), NOT an
+    * engine hash builtin, so any engine — including the DuckDB oracle —
+    * replays the priorities and therefore the exact MIS. Values stay
+    * below ~2.7e13 for vertex ids < 1e4, far from int64 overflow. Ties
+    * (possible since the range is finite) are broken by vertex id in the
+    * winner rule, identically on every engine. */
+  def lubyPriority(v: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
+    pmod(v * lit(2654435761L) + lit(seed * 40503L), lit(1000000007L))
+
   /** luby_find (`oink/luby_find.cpp:60-90`): maximal independent set.
     * The reference draws per-vertex random priorities from a seeded RNG
-    * (`oink/cc_find.cpp:45-46` pattern); we use xxhash64(v, seed) — same
-    * role, deterministic on any cluster layout. Returns (v) ∈ MIS. */
+    * (`oink/cc_find.cpp:45-46` pattern); we use the replayable
+    * [[lubyPriority]] mixer — same role, deterministic on any cluster
+    * layout AND on the oracle engine. Returns (v) ∈ MIS. */
   def lubyMis(edges: DataFrame, seed: Long = 12345L, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     var adj = symmetric(edges).localCheckpoint()
     var active = adj.select(col("v")).distinct()
-      .withColumn("prio", xxhash64(col("v"), lit(seed)))
+      .withColumn("prio", lubyPriority(col("v"), seed))
       .localCheckpoint()
     // winners per round are each checkpointed; the MIS union is assembled
     // once at the end instead of re-checkpointing an ever-growing

@@ -175,11 +175,50 @@ object Dedup {
     * graph (transitive closure of "is a near-dup of"), canonical survivor
     * = min doc id per cluster. Composes the pair generator with the graph
     * engine's cc — the full production dedup shape: pairs → clusters →
-    * keep one per cluster. */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-    graft.graph.Iterative.ccFind(edges)
+    * keep one per cluster.
+    *
+    * The pair graph is orders of magnitude smaller than the corpus (only
+    * near-dup pairs survive verification), so the clustering step is
+    * adaptive: when the materialized edge set fits comfortably in one task
+    * (`smallGraphEdges`, default 4M edges ≈ tens of MB) the components are
+    * found by a single-task union-find — one job, no per-round iteration
+    * floor; otherwise it falls back to the distributed O(log n)-round
+    * star-contraction cc. Either path returns (doc_id, cluster) with
+    * cluster = min doc id of the component. */
+  def dedupClusters(pairs: DataFrame, smallGraphEdges: Long = 4000000L): DataFrame = {
+    val edges = pairs
+      .select(col("da").cast("long").as("src"), col("db").cast("long").as("dst"))
+      .localCheckpoint()
+    if (edges.count() <= smallGraphEdges) smallGraphCc(edges)
+    else graft.graph.Iterative.ccFindStar(edges)
       .select(col("v").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** Connected components of a SMALL edge set by union-find in one task.
+    * Union always hangs the larger root under the smaller, so every root
+    * is its component's minimum id — the same label contract as
+    * [[graft.graph.Iterative.ccFind]]. */
+  private def smallGraphCc(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      it.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val vs = parent.keys.toArray
+      vs.iterator.map(v => (v, find(v)))
+    }.toDF("doc_id", "cluster")
   }
 
   /** SimHash 64-bit fingerprints: per-word xxhash64 (seed 42), each bit

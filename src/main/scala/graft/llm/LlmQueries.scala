@@ -270,12 +270,17 @@ object LlmQueries {
                 SELECT adj.v, reach.r FROM adj JOIN reach ON adj.nbr = reach.v)
               SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v""")),
 
-    // near-dup clusters: jaccard pairs → connected components → survivor;
-    // DuckDB replays the closure recursively over the same pair edges
+    // near-dup clusters: banded LSH pairs (exact-verified) → connected
+    // components → survivor — the flagship production dedup shape. The
+    // pair set is hash-independent (banding only prunes the pair space;
+    // recall caveat as in q_minhash_lsh_pairs), so DuckDB replays the
+    // closure recursively over the exact all-pairs edges and the answers
+    // coincide. The quadratic generator survives only in
+    // q_ngram_jaccard_pairs, its designated truth-baseline row.
     Q("q_dedup_clusters",
       (s, d) => Dedup.dedupClusters(
-        Dedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
-          k = 3, tau = 0.8)),
+        Dedup.minHashLshPairsExact(Tables.documents(s, d), "text", "doc_id",
+          k = 3, numHashes = 64, bands = 16, tau = 0.8)),
       Some(s"""WITH RECURSIVE $shingleCte,
                sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
                shared AS (
@@ -296,16 +301,20 @@ object LlmQueries {
                SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v""")),
 
     // IVF ANN: coarse-quantizer cells + nProbe search — fully deterministic
-    // (no hashing at all), so DuckDB replays the whole pipeline: centroid
-    // assignment, nProbe cell selection, in-cell scoring, top-k
+    // (portable-mixer hash-sample of a FIXED 64 centroids, so the
+    // broadcast quantizer side is corpus-size-independent), and DuckDB
+    // replays the whole pipeline: centroid selection, assignment, nProbe
+    // cell selection, in-cell scoring, top-k
     Q("q_embed_ivf_knn",
       (s, d) => Similarity.ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("vec_id") < 10, k = 5, centroidEvery = 50, nProbe = 2),
+        col("vec_id") < 10, k = 5, numCentroids = 64, nProbe = 2),
       Some(s"""WITH v AS (
                  SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                  FROM embeddings),
-               cents AS (SELECT vec_id AS cid, e AS cv FROM v WHERE vec_id % 50 = 0),
+               cents AS (SELECT vec_id AS cid, e AS cv FROM v
+                         ORDER BY (vec_id * 2654435761 + 283521) % 9973, vec_id
+                         LIMIT 64),
                corpus AS (
                  SELECT nid, nv, cid FROM (
                    SELECT v.vec_id AS nid, v.e AS nv, c.cid,

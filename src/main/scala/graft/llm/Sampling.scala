@@ -22,9 +22,15 @@ object Sampling {
 
   val Buckets = 9973L // prime
 
-  /** Stable bucket in [0, 9973) from an integer id and seed. */
+  /** Stable bucket in [0, 9973) from an integer id and seed — pmod, so a
+    * negative key (or a key large enough that the 2654435761 multiply
+    * wraps int64) still lands in [0, Buckets) instead of going negative
+    * and silently passing every `bucket < cut` gate. NOTE for oracle
+    * replay: DuckDB's % is sign-of-dividend, so plain `%` in oracle SQL
+    * matches only while mixed values are non-negative (true for the
+    * testdata ids; a negative-key corpus needs the pmod spelled out). */
   def bucket(key: Column, seed: Long): Column =
-    (key.cast("long") * lit(2654435761L) + lit(seed * 40503L)) % Buckets
+    pmod(key.cast("long") * lit(2654435761L) + lit(seed * 40503L), lit(Buckets))
 
   /** Keep ~fraction of rows, deterministically by id. */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,

@@ -69,17 +69,26 @@ object Similarity {
       .where(col("cos") >= tau)
   }
 
-  /** IVF (inverted-file) ANN: centroids are a deterministic sample of the
-    * corpus; every vector is assigned to its nearest centroid (one
-    * broadcast join — the "coarse quantizer"); queries scan only the
-    * `nProbe` nearest cells. The standard billion-scale layout: cells are
-    * the partition/clustering key, so a query touches nProbe partitions
-    * instead of the corpus. */
+  /** IVF (inverted-file) ANN: centroids are a FIXED-SIZE deterministic
+    * hash-sample of the corpus (the `numCentroids` rows with the smallest
+    * portable-mixer key — a TakeOrderedAndProject, cheap at any scale);
+    * every vector is assigned to its nearest centroid (one broadcast join
+    * — the "coarse quantizer"); queries scan only the `nProbe` nearest
+    * cells. The standard billion-scale layout: a CONSTANT cell count
+    * (production systems train 4–64k cells; the broadcast side is
+    * corpus-size-independent by construction), cells as the
+    * partition/clustering key, so a query touches nProbe partitions and
+    * assignment costs |corpus|·numCentroids dot products — linear in the
+    * corpus, never a function of corpus² as a proportional sample would
+    * be. */
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int = 5, centroidEvery: Long = 50,
+      queryPred: Column, k: Int = 5, numCentroids: Int = 64,
       nProbe: Int = 2): DataFrame = {
-    val cents = broadcast(emb.where(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    val cents = broadcast(emb
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .orderBy(pmod(col("cid") * lit(2654435761L) + lit(283521L), lit(9973L)).asc,
+        col("cid").asc)
+      .limit(numCentroids))
     def nearestCells(df: DataFrame, id: String, v: String, n: Int) = {
       val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid").asc)
       df.crossJoin(cents)

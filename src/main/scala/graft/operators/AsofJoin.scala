@@ -41,8 +41,18 @@ object AsofJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col("__q").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(u)((df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w)))
-    filled.where(col("__q") === 1).drop("__q")
+    // ONE struct is carried through the window, built only on right rows
+    // (left rows contribute null, which ignoreNulls skips): every asof_*
+    // value is then guaranteed to come from the same single most recent
+    // right row — including its genuine nulls. Filling each value column
+    // independently would let an older row's value bleed through a null
+    // in the matched row, and could blend columns from different rows.
+    val rightStruct = when(col("__q") === 0,
+      struct(rightVals.map(c => col(s"asof_$c")): _*))
+    val filled = u
+      .withColumn("__r", last(rightStruct, ignoreNulls = true).over(w))
+    val expanded = rightVals.foldLeft(filled)((df, c) =>
+      df.withColumn(s"asof_$c", col("__r").getField(s"asof_$c")))
+    expanded.where(col("__q") === 1).drop("__q", "__r")
   }
 }

@@ -111,10 +111,12 @@ class GraphSpec extends AnyFunSuite {
     val mis = Iterative.lubyMis(ge.toDF("src", "dst"), seed = seed)
       .collect().map(_.getLong(0)).toSet
     // independent replay: Luby with strictly-minimal (prio, v) winners is
-    // exactly the sequential greedy MIS in (prio, v) order
+    // exactly the sequential greedy MIS in (prio, v) order; priorities
+    // recomputed here in plain Scala arithmetic (the portable mixer of
+    // Iterative.lubyPriority), independent of the engine
     val vs = ge.flatMap(e => Seq(e._1, e._2)).distinct
-    val prio = vs.toDF("v").withColumn("p", xxhash64(col("v"), lit(seed)))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prio = vs.map(v =>
+      v -> java.lang.Math.floorMod(v * 2654435761L + seed * 40503L, 1000000007L)).toMap
     val nbrs = vs.map { v =>
       v -> ge.collect {
         case (a, b) if a == v => b

@@ -180,8 +180,10 @@ class TextLlmSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf0001)
     val truth = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
       col("vec_id") < 10, k = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 cells over the 50 sf0.001 vectors (~6 members each, probe 2):
+    // at 64 cells every cell would be a singleton and recall degenerate
     val approx = Similarity.ivfKnn(emb, "vec_id", "embedding",
-      col("vec_id") < 10, k = 5, centroidEvery = 50, nProbe = 2).collect()
+      col("vec_id") < 10, k = 5, numCentroids = 8, nProbe = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & approx).size.toDouble / truth.size
     assert(recall >= 0.3, s"recall $recall")
