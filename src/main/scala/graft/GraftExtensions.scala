@@ -46,8 +46,13 @@ object GraftExtensions {
         }),
       ("simhash_fp",
         new ExpressionInfo(classOf[SimHashFp].getName, "simhash_fp"),
-        (args: Seq[Expression]) => {
-          arity(1, args, "simhash_fp"); SimHashFp(args(0))
+        (args: Seq[Expression]) => args.length match {
+          // optional 2nd arg: salt (fingerprint half selector for the
+          // 128-bit wide layout)
+          case 1 => SimHashFp(args(0))
+          case 2 => SimHashFp(args(0), litInt(args(1), "simhash_fp salt"))
+          case n => throw new IllegalArgumentException(
+            s"simhash_fp expects 1 or 2 arguments, got $n")
         }),
       ("minhash_sig",
         new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

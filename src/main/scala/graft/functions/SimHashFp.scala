@@ -2,17 +2,29 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression: SimHash 64-bit fingerprint of a word array
-  * in ONE projection — each word hashed with xxhash64 (seed 42, matching
-  * `functions.xxhash64`), every bit weighted ±1 and summed, bit set where
-  * the sum is positive.
+  * in ONE projection — every bit weighted ±1 per word and summed, bit set
+  * where the sum is positive.
+  *
+  * Word hashing is PORTABLE integer arithmetic, not an engine hash
+  * builtin (round 4; previously xxhash64): a rolling polynomial over the
+  * word's UTF-8 bytes (B=257 mod 1e9+7 — the [[WinnowFingerprint]]
+  * family) and per-bit ±1 signs from a multiply-mixer of (hash, bit).
+  * Any engine computes the identical fingerprint in plain int64 SQL, so
+  * the DuckDB oracle replays the REAL corpus pair set end-to-end instead
+  * of settling for a rows-only check. All intermediates stay below 2^62.
+  *
+  * `salt` offsets the bit-index mixer (bit + 64·salt), yielding
+  * independent 64-bit fingerprint halves — salt 0/1 compose the 128-bit
+  * fingerprint of [[graft.llm.Dedup.simHashPairsWide]].
   *
   * Replaces the explode + 64-conditional-sum aggregation formulation:
   * fingerprints become a zero-shuffle map-side pass (the aggregation
@@ -25,7 +37,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * gating on `size(filter(...))`) would put a CodegenFallback expression
   * in the stage and kick the whole projection out of codegen.
   */
-case class SimHashFp(child: Expression) extends UnaryExpression {
+case class SimHashFp(child: Expression, salt: Int = 0) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -50,23 +62,12 @@ case class SimHashFp(child: Expression) extends UnaryExpression {
       val s = words.getUTF8String(i)
       if (s != null && s.numBytes() > 0) {
         used += 1
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
+        SimHashFp.addWord(counts, s, salt)
       }
       i += 1
     }
     if (used == 0) return null
-    var fp = 0L
-    var b = 0
-    while (b < 64) {
-      if (counts(b) > 0) fp |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(fp)
+    java.lang.Long.valueOf(SimHashFp.foldBits(counts))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -74,11 +75,8 @@ case class SimHashFp(child: Expression) extends UnaryExpression {
     val counts = ctx.freshName("counts")
     val used = ctx.freshName("used")
     val i = ctx.freshName("i")
-    val b = ctx.freshName("b")
     val s = ctx.freshName("s")
-    val h = ctx.freshName("h")
-    val fp = ctx.freshName("fp")
-    val xxh = classOf[XXH64].getName
+    val helper = "graft.functions.SimHashFp$.MODULE$"
     val code =
       code"""
          |${childGen.code}
@@ -92,20 +90,12 @@ case class SimHashFp(child: Expression) extends UnaryExpression {
          |      ${childGen.value}.getUTF8String($i);
          |    if ($s != null && $s.numBytes() > 0) {
          |      $used++;
-         |      long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
-         |        $s.numBytes(), 42L);
-         |      for (int $b = 0; $b < 64; $b++) {
-         |        if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
-         |      }
+         |      $helper.addWord($counts, $s, $salt);
          |    }
          |  }
          |  if ($used > 0) {
-         |    long $fp = 0L;
-         |    for (int $b = 0; $b < 64; $b++) {
-         |      if ($counts[$b] > 0) $fp |= (1L << $b);
-         |    }
          |    ${ev.isNull} = false;
-         |    ${ev.value} = $fp;
+         |    ${ev.value} = $helper.foldBits($counts);
          |  }
          |}
        """.stripMargin
@@ -117,8 +107,65 @@ case class SimHashFp(child: Expression) extends UnaryExpression {
 }
 
 object SimHashFp {
+
+  /** Polynomial base / modulus — shared with [[WinnowFingerprint]]. */
+  val Base = 257L
+  val Mod = 1000000007L
+
+  /** Rolling polynomial hash of the word's UTF-8 bytes: h_j = (h_{j-1}·B
+    * + byte_j) mod M. Equals Σ byte_j · B^(L-j) mod M, which an oracle
+    * computes without the rolling form (per-term products stay < 2^48). */
+  def wordHash(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var h = 0L
+    var j = 0
+    while (j < n) {
+      h = (h * Base + (s.getByte(j) & 0xff)) % Mod
+      j += 1
+    }
+    h
+  }
+
+  /** ±1 weight of fingerprint bit `bit` for word-hash `h` at `salt`:
+    * premix g = (h·2654435761 + 40503·(64·salt+bit+1)) mod M, then TWO
+    * squaring rounds mod M (middle-square avalanche — squaring is the
+    * nonlinearity; any linear-in-h or linear-in-bit mixer leaves sign
+    * vectors of adjacent word hashes correlated, which DedupScaleSpec's
+    * band-collision counter catches at ~20× the uniform candidate rate),
+    * extracting bit 15 of the ~30-bit result (middle bits avalanche;
+    * parity is linear in the input). Every intermediate < M ≈ 2^30 and
+    * every product < 2^62 (premix h·2654435761 ≈ 2^61.3 is the largest)
+    * — plain int64 on any engine, no 128-bit needed. */
+  def sign(h: Long, bit: Int, salt: Int): Int = {
+    val g = (h * 2654435761L + 40503L * (64L * salt + bit + 1L)) % Mod
+    val s1 = (g * g) % Mod
+    val s2 = (s1 * s1) % Mod
+    if (((s2 >> 15) & 1L) == 0L) 1 else -1
+  }
+
+  /** Accumulate one word's ±1 contribution into all 64 bit counters. */
+  def addWord(counts: Array[Int], s: UTF8String, salt: Int): Unit = {
+    val h = wordHash(s)
+    var b = 0
+    while (b < 64) {
+      counts(b) += sign(h, b, salt)
+      b += 1
+    }
+  }
+
+  /** Positive-count bits → fingerprint. */
+  def foldBits(counts: Array[Int]): Long = {
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  def simhashFp(words: Column): Column =
-    ColumnBridge.toColumn(SimHashFp(ColumnBridge.toExpression(words)))
+  def simhashFp(words: Column, salt: Int = 0): Column =
+    ColumnBridge.toColumn(SimHashFp(ColumnBridge.toExpression(words), salt))
 }

@@ -221,23 +221,32 @@ object Dedup {
     }.toDF("doc_id", "cluster")
   }
 
-  /** SimHash 64-bit fingerprints: per-word xxhash64 (seed 42), each bit
-    * weighted +1/-1 and summed; bit set where the sum is positive.
-    * Computed by the native [[graft.functions.SimHashFp]] expression in a
-    * zero-shuffle projection (the explode + 64-conditional-sum
-    * aggregation shuffled every (doc, word) pair). */
-  def simHash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  /** SimHash 64-bit fingerprints: per-word PORTABLE polynomial hash +
+    * mixer bit signs (replayable in any engine — the DuckDB oracle
+    * recomputes every fingerprint; see [[graft.functions.SimHashFp]]),
+    * each bit weighted +1/-1 and summed; bit set where the sum is
+    * positive. Computed by the native expression in a zero-shuffle
+    * projection (the explode + 64-conditional-sum aggregation shuffled
+    * every (doc, word) pair). */
+  def simHash(docs: DataFrame, textCol: String, idCol: String,
+      salt: Int = 0): DataFrame =
     // raw split for the same codegen reason as minHashSignatures; the
     // expression nulls documents with no non-empty words
     docs.select(col(idCol).as("id"),
       graft.functions.SimHashFp.simhashFp(
-        split(col(textCol), "\\s+")).as("fingerprint"))
+        split(col(textCol), "\\s+"), salt).as("fingerprint"))
       .where(col("fingerprint").isNotNull)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, candidate
     * generation via four 16-bit band buckets (any pair within distance 3
     * shares at least one exact band; wider distances may be missed —
-    * standard SimHash banding tradeoff). */
+    * standard SimHash banding tradeoff).
+    *
+    * SCALE CAVEAT: 16-bit bands mean 2^16 buckets per band, so expected
+    * in-bucket candidate pairs grow ~n²/2^18 — fine to ~10^7 docs, a
+    * blow-up at 10^9. The 100 TB path is [[simHashPairsWide]]: a 128-bit
+    * fingerprint with 4×32-bit bands (2^32 buckets, candidates ~n²/2^34)
+    * at the same ≤3-distance recall guarantee. */
   def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     val fps = simHash(docs, textCol, idCol).localCheckpoint()
@@ -251,6 +260,44 @@ object Dedup {
       .where(col("da") < col("db"))
       .select(col("da"), col("db"),
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** 128-bit SimHash near-dup pairs — the billion-document band layout:
+    * two independent 64-bit fingerprint halves (salt 0 / salt 1), banded
+    * as FOUR 32-BIT bands. Same pigeonhole guarantee as the 64-bit form
+    * (≤3 bit flips across 4 bands leave one band exact) but 2^32 buckets
+    * per band instead of 2^16, shrinking expected in-bucket candidates
+    * from ~n²/2^18 to ~n²/2^34 — the difference between a quadratic
+    * blow-up and a linear pass at 10^9 documents (DedupScaleSpec shows
+    * the shrink on a synthetic heavy-bucket corpus). Hamming distance is
+    * over all 128 bits. */
+  def simHashPairsWide(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      graft.functions.SimHashFp.simhashFp(split(col(textCol), "\\s+"), 0).as("f0"),
+      graft.functions.SimHashFp.simhashFp(split(col(textCol), "\\s+"), 1).as("f1"))
+      .where(col("f0").isNotNull)
+      .localCheckpoint()
+    val mask = lit(0xffffffffL)
+    val bandVals = Seq(
+      col("f0").bitwiseAND(mask),
+      shiftright(col("f0"), 32).bitwiseAND(mask),
+      col("f1").bitwiseAND(mask),
+      shiftright(col("f1"), 32).bitwiseAND(mask))
+    val bandKeys = bandVals.zipWithIndex.map { case (v, b) =>
+      struct(lit(b).as("band"), v.as("bh"))
+    }
+    val banded = fps.select(col("id"), col("f0"), col("f1"),
+      explode(array(bandKeys: _*)).as("bk"))
+    banded.select(col("id").as("da"), col("f0").as("fa0"), col("f1").as("fa1"), col("bk"))
+      .join(banded.select(col("id").as("db"), col("f0").as("fb0"),
+        col("f1").as("fb1"), col("bk")), "bk")
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (bit_count(col("fa0").bitwiseXOR(col("fb0"))) +
+          bit_count(col("fa1").bitwiseXOR(col("fb1")))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

@@ -34,7 +34,8 @@ object LlmQueries {
     }.mkString("(", " + ", ")")
 
   /** Golden SimHash corpus: fixed documents whose 64-bit fingerprints are
-    * fully determined by the text (xxhash64 word hashes, seed 42), so the
+    * fully determined by the text (portable polynomial word hashes +
+    * mixer bit signs — see [[graft.functions.SimHashFp]]), so the
     * near-dup pair set at maxHamming=3 is a constant — pinned as a VALUES
     * oracle, independently cross-checked in TextLlmSpec against brute-force
     * pairwise Hamming over the fingerprints (banding is lossless for
@@ -43,16 +44,20 @@ object LlmQueries {
     // SimHash flips a bit only where the per-bit ±1 word-sum sits at the
     // margin, so a 1-word edit in a long document moves few bits: base
     // docs are 160 deterministic pseudo-words; edits replace one word.
+    // Edit positions (15, 2) are chosen so the flip counts land at 1 and
+    // 3 under the round-4 portable hash — preserving the same pinned
+    // pair set (1,2,1),(1,3,0),(2,3,1),(4,5,3) the xxhash64-era corpus
+    // had (re-derived offline from the pure integer arithmetic).
     def base(tag: String) = (0 until 160).map(i => s"$tag$i")
     def text(ws: Seq[String]) = ws.mkString(" ")
     val a = base("alpha")
     val b = base("beta")
     Seq(
       (1L, text(a)),
-      (2L, text(a.updated(80, "changed"))),           // near-dup of 1
+      (2L, text(a.updated(15, "changed"))),           // near-dup of 1 (hamming 1)
       (3L, text(a.reverse)),                          // permutation: hamming 0 vs 1
       (4L, text(b)),
-      (5L, text(b.updated(17, "swapped"))),           // near-dup of 4
+      (5L, text(b.updated(2, "swapped"))),            // near-dup of 4 (hamming 3)
       (6L, text(base("gamma"))))                      // unrelated
   }
 
@@ -101,6 +106,65 @@ object LlmQueries {
         SELECT d.doc_id, coalesce(fp_set, '') AS fp_set,
                CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams
         FROM documents d LEFT JOIN fp USING (doc_id)"""
+  }
+
+  /** DuckDB replay of the full SimHash pipeline over `documents`:
+    * per-word polynomial hash (Σ byte·B^(L-j) mod M over the encoded
+    * bytes, ≡ [[graft.functions.SimHashFp.wordHash]]'s rolling form),
+    * per-bit mixer signs, 64 per-doc bit sums, fingerprint assembly
+    * (bit 63 enters as BIGINT min — two's complement), 4×16-bit band
+    * candidate join, Hamming verify. All pure int64 arithmetic; bytes
+    * decoded from hex(encode(..)) exactly like the winnowing oracle.
+    * Words longer than 64 bytes would index past the power table and
+    * fail LOUDLY as a null hash (corpus max is 8 bytes). */
+  private def simhashPairsSql(maxHamming: Int): String = {
+    val M = graft.functions.SimHashFp.Mod
+    val B = graft.functions.SimHashFp.Base
+    val pows = (0 until 64).scanLeft(1L)((a, _) => a * B % M).dropRight(1)
+    val powLit = pows.mkString("[", ", ", "]")
+    // bit 63 enters as BIGINT min (two's complement); 1<<b for the rest
+    val bitWeight =
+      s"CASE WHEN b = 63 THEN -9223372036854775807 - 1 ELSE (CAST(1 AS BIGINT) << b) END"
+    s"""WITH words AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                   w -> length(w) > 0)) AS w
+          FROM documents),
+        wh AS MATERIALIZED (
+          SELECT doc_id,
+            list_sum(list_transform(range(1, octet_length(encode(w)) + 1),
+              j -> (16 * (strpos('0123456789ABCDEF',
+                       hex(encode(w))[CAST(2 * j - 1 AS BIGINT)]) - 1)
+                    + (strpos('0123456789ABCDEF',
+                       hex(encode(w))[CAST(2 * j AS BIGINT)]) - 1))
+                   * $powLit[CAST(octet_length(encode(w)) - j + 1 AS BIGINT)]))
+            % $M AS h
+          FROM words),
+        bits AS (SELECT unnest(range(0, 64)) AS b),
+        g1 AS (SELECT doc_id, b,
+                      (h * 2654435761 + 40503 * (b + 1)) % $M AS g
+               FROM wh CROSS JOIN bits),
+        sq AS (SELECT doc_id, b, ((g * g) % $M) AS s FROM g1),
+        sq2 AS (SELECT doc_id, b, ((s * s) % $M) AS s FROM sq),
+        counts AS MATERIALIZED (
+          SELECT doc_id, b,
+                 sum(CASE WHEN ((s >> 15) & 1) = 0 THEN 1 ELSE -1 END) AS c
+          FROM sq2 GROUP BY doc_id, b),
+        fp AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN c > 0 THEN $bitWeight ELSE 0 END)
+                   AS BIGINT) AS f
+          FROM counts GROUP BY doc_id),
+        banded AS MATERIALIZED (
+          SELECT doc_id, f, unnest([0, 1, 2, 3]) AS band,
+                 unnest([f & 65535, (f >> 16) & 65535,
+                         (f >> 32) & 65535, (f >> 48) & 65535]) AS bh
+          FROM fp)
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+               CAST(bit_count(CAST(xor(a.f, b.f) AS BIGINT)) AS BIGINT) AS hamming
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        WHERE bit_count(CAST(xor(a.f, b.f) AS BIGINT)) <= $maxHamming"""
   }
 
   val all: Seq[Q] = Seq(
@@ -161,13 +225,14 @@ object LlmQueries {
                JOIN sizes sb ON db = sb.doc_id
                WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8""")),
 
-    // SimHash fingerprints + near-dup pairs on the real corpus — the
-    // xxhash64 word hashes aren't SQL-replayable (rows-only scale run;
-    // the hard signal is q_simhash_golden below)
+    // SimHash fingerprints + near-dup pairs on the real corpus —
+    // oracle-checked since round 4: the portable polynomial word hash +
+    // mixer signs let DuckDB recompute every fingerprint, band, and
+    // Hamming distance (previously rows-only under xxhash64)
     Q("q_simhash_pairs",
       (s, d) => Dedup.simHashPairs(Tables.documents(s, d), "text", "doc_id",
         maxHamming = 3),
-      None),
+      Some(simhashPairsSql(maxHamming = 3))),
 
     // SimHash on the fixed golden corpus: fingerprints are a pure function
     // of the fixed text, so the pair set is a constant — VALUES oracle,

@@ -38,20 +38,26 @@ class SkewMetricsSpec extends AnyFunSuite {
   }
 
   test("SimHashFp expression matches the reference bit-sum semantics") {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    import org.apache.spark.unsafe.types.UTF8String
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val s = spark
       import s.implicits._
       val d = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
       val got = graft.llm.Dedup.simHash(d, "text", "doc_id").head().getLong(1)
-      // driver-side reference
-      val words = Seq("alpha", "beta", "alpha").map(UTF8String.fromString)
+      // independent driver-side replay of the portable formulas (rolling
+      // polynomial word hash; premix + double middle-square bit signs) —
+      // written out inline, NOT by calling the SimHashFp helpers
+      val M = 1000000007L
+      def wordHash(w: String): Long =
+        w.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 257L + (b & 0xff)) % M)
       val counts = new Array[Int](64)
-      words.foreach { w =>
-        val h = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
-        (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1)
+      Seq("alpha", "beta", "alpha").foreach { w =>
+        val h = wordHash(w)
+        (0 until 64).foreach { b =>
+          val g = (h * 2654435761L + 40503L * (b + 1)) % M
+          val s2 = { val s1 = g * g % M; s1 * s1 % M }
+          if (((s2 >> 15) & 1L) == 0L) counts(b) += 1 else counts(b) -= 1
+        }
       }
       val expect = (0 until 64).foldLeft(0L)((acc, b) =>
         if (counts(b) > 0) acc | (1L << b) else acc)
