@@ -119,4 +119,25 @@ object MrOps {
       .reduce(_ + _).as("approx_bytes")
     df.agg(count(lit(1)).as("n_pairs"), sizeSum)
   }
+
+  /** kv_stats level 2 (`src/mapreduce.cpp:2958-2999`): the reference's
+    * verbosity-2 mode prints PER-PROCESSOR KV counts and a histogram of
+    * them; the Spark analog is per-partition counts/bytes — the skew
+    * diagnostic that tells you whether a shuffle left one task holding
+    * the giant key. Partition ids are engine/layout-specific, so this is
+    * spec-checked (totals must equal [[kvStats]]) rather than
+    * oracle-replayed. One map-side aggregation, no extra shuffle. */
+  def kvStatsByPartition(df: DataFrame, sizeCols: Seq[Column]): DataFrame = {
+    val sizeSum = sizeCols.map(c => sum(length(c.cast("string"))))
+      .reduce(_ + _).as("approx_bytes")
+    df.groupBy(spark_partition_id().as("partition"))
+      .agg(count(lit(1)).as("n_pairs"), sizeSum)
+  }
+
+  /** Histogram of partition sizes from [[kvStatsByPartition]] — the
+    * reference's "histogram of KVs per processor" line: how many
+    * partitions hold how many pairs. */
+  def kvStatsHisto(perPartition: DataFrame): DataFrame =
+    perPartition.groupBy(col("n_pairs"))
+      .agg(count(lit(1)).as("n_partitions"))
 }

@@ -152,6 +152,41 @@ object GraphQueries {
         $un"""
   }
 
+  /** DuckDB replay of [[Iterative.ssspMulti]]: `rounds` Bellman-Ford
+    * rounds unrolled as chained CTEs, all sources carried side by side in
+    * one (source, v, dist) table — d_k = min over {d_{k-1}} ∪ {d_{k-1}(u)
+    * + w(u,v)}. Bitwise-equal to the frontier formulation: frontier
+    * pruning only drops candidates that already lost an earlier min, and
+    * every path sum accumulates left-to-right identically in both
+    * engines. 20 rounds vs 17 max observed shortest-path hops through
+    * sf0.1 — under-unrolling shows up as distance mismatches, never a
+    * silent pass, because Spark runs to fixpoint. */
+  private def ssspMultiSql(rounds: Int, nSources: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         SELECT source, v, min(dist) AS dist FROM (
+           SELECT source, v, dist FROM d${k - 1}
+           UNION ALL
+           SELECT d.source, w.dst AS v, d.dist + w.w AS dist
+           FROM d${k - 1} d JOIN w ON w.src = d.v)
+         GROUP BY source, v)"""
+    }.mkString(",\n")
+    s"""WITH $se,
+        e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+        sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2)),
+        w AS MATERIALIZED (SELECT src, dst,
+               CAST(1.0 AS DOUBLE)
+                 + ((src * 31 + dst) % 100) / CAST(100.0 AS DOUBLE) AS w
+             FROM sym),
+        srcs AS (SELECT src AS v FROM sym GROUP BY src
+                 ORDER BY count(*) DESC, src ASC LIMIT $nSources),
+        d0 AS MATERIALIZED (
+          SELECT v AS source, v, CAST(0.0 AS DOUBLE) AS dist FROM srcs),
+        $steps
+        SELECT source, v, dist FROM d$rounds"""
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q_edge_upper",
@@ -349,6 +384,19 @@ object GraphQueries {
                  SELECT w.dst, walk.dist + w.w, depth + 1
                  FROM walk JOIN w ON w.src = walk.v WHERE depth < 8)
                SELECT v, min(dist) AS dist FROM walk GROUP BY v""")),
+
+    // multi-source sssp (`oink/sssp.cpp:88-160`: ncnt sources run
+    // SEQUENTIALLY over the once-aggregated edges; source selection per
+    // get_good_sources, deterministically as top-degree). DuckDB replays
+    // all three runs as one unrolled Bellman-Ford over (source, v).
+    Q("q_sssp_multi",
+      (s, d) => {
+        val e = GraphOps.sparseEdgesFromLineitem(s, d).where("src <> dst")
+        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        val w = GraphOps.withWeights(sym)
+        Iterative.ssspMulti(w, Iterative.goodSources(sym, 3))
+      },
+      Some(ssspMultiSql(rounds = 20, nSources = 3))),
 
     // sssp on a fixed golden graph — upgrades the capability from
     // rows-only to oracle-checked: DuckDB enumerates bounded-depth walks

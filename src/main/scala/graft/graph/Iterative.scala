@@ -204,10 +204,20 @@ object Iterative {
     * the reference's `aggregate(NULL)` pre-partition idiom. Returns
     * (v, dist). */
   def sssp(weighted: DataFrame, source: Long, maxIter: Int = 50): DataFrame = {
-    val spark = weighted.sparkSession
-    import spark.implicits._
     val edges = weighted.repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = ssspFrom(edges, source, maxIter)
+    edges.unpersist()
+    out
+  }
+
+  /** One Bellman-Ford run over an ALREADY partitioned+persisted edge set
+    * — the shared inner loop of [[sssp]] and [[ssspMulti]]. Every round's
+    * `merged` is localCheckpointed, so the returned frame is safe to use
+    * after the caller unpersists the edges. */
+  private def ssspFrom(edges: DataFrame, source: Long, maxIter: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     var dist = Seq((source, 0.0)).toDF("v", "dist").localCheckpoint()
     var frontier = dist
     var iter = 0
@@ -228,8 +238,35 @@ object Iterative {
         .select(col("v"), coalesce(col("newDist"), col("dist")).as("dist"))
       iter += 1
     }
-    edges.unpersist()
     dist
+  }
+
+  /** Deterministic good-source selection (`oink/sssp.cpp:363-375`): the
+    * reference's get_good_sources takes the FIRST ncnt vertices with
+    * non-zero degree — an MPI-arrival-order accident; the deterministic,
+    * any-engine-replayable analog is the n best-connected vertices:
+    * top-n by out-degree of the (directed) edge set, min-id tiebreak.
+    * Lowers to TakeOrderedAndProject — no global sort at any scale. */
+  def goodSources(edges: DataFrame, n: Int): Seq[Long] =
+    edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src").asc)
+      .limit(n).collect().map(_.getLong(0)).toSeq
+
+  /** Multi-source sssp (`oink/sssp.cpp:88-160`: the reference loops ncnt
+    * sources SEQUENTIALLY over its once-aggregated edge list). Same
+    * discipline here: edges are partitioned by src and persisted ONCE,
+    * every per-source Bellman-Ford reuses them, and the per-source
+    * distance tables union into (source, v, dist). */
+  def ssspMulti(weighted: DataFrame, sources: Seq[Long], maxIter: Int = 50): DataFrame = {
+    require(sources.nonEmpty, "ssspMulti needs at least one source")
+    val edges = weighted.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val runs = sources.map(s =>
+      ssspFrom(edges, s, maxIter).withColumn("source", lit(s)))
+    val out = runs.reduce(_ union _)
+      .select(col("source"), col("v"), col("dist"))
+    edges.unpersist()
+    out
   }
 
   /** pagerank — the reference parses args and extracts vertices but left the

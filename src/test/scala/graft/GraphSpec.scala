@@ -177,6 +177,22 @@ class GraphSpec extends AnyFunSuite {
     assert(Triangles.triangleCount(star).head().getLong(0) == 0L)
   }
 
+  test("ssspMulti equals the per-source sssp runs; goodSources picks top degree") {
+    val s = spark
+    import s.implicits._
+    val w = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0), (3L, 4L, 1.0),
+      (5L, 6L, 2.0)).toDF("src", "dst", "w")
+    val multi = Iterative.ssspMulti(w, Seq(1L, 5L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val singles = Seq(1L, 5L).flatMap(src =>
+      Iterative.sssp(w, src).collect()
+        .map(r => (src, r.getLong(0)) -> r.getDouble(1))).toMap
+    assert(multi == singles)
+    // out-degree: 1→{2,3}, 2→{3}, 3→{4}, 5→{6}; top-2 = 1, then min-id of
+    // the degree-1 tie group
+    assert(Iterative.goodSources(w, 2) == Seq(1L, 2L))
+  }
+
   test("sssp omits unreachable vertices") {
     val s = spark
     import s.implicits._

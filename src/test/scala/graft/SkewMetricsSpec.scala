@@ -37,6 +37,21 @@ class SkewMetricsSpec extends AnyFunSuite {
     assert(m("shuffle_write_bytes") > 0)
   }
 
+  test("kvStatsByPartition totals equal global kvStats; histogram covers all partitions") {
+    import graft.core.MrOps
+    val df = spark.range(0, 1000, 1, 7).toDF("k")
+      .withColumn("s", concat(lit("val_"), col("k")))
+    val sizeCols = Seq(col("k"), col("s"))
+    val global = MrOps.kvStats(df, sizeCols).head()
+    val per = MrOps.kvStatsByPartition(df, sizeCols)
+    val perRows = per.collect()
+    assert(perRows.length == 7, "one row per partition")
+    assert(perRows.map(_.getLong(1)).sum == global.getLong(0))
+    assert(perRows.map(_.getLong(2)).sum == global.getLong(1))
+    val histo = MrOps.kvStatsHisto(per).collect()
+    assert(histo.map(_.getLong(1)).sum == 7, "histogram mass = #partitions")
+  }
+
   test("SimHashFp expression matches the reference bit-sum semantics") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
