@@ -94,6 +94,7 @@ object Iterative {
     var e = GraphOps.edgeUpper(edges)
       .select(col("dst").as("u"), col("src").as("v"))
       .localCheckpoint()
+    var eCount = -1L
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -120,13 +121,21 @@ object Iterative {
         .select(col("nv").as("u"), col("nu").as("v"))
         .distinct()
         .localCheckpoint()
-      // single action per round: both sides are distinct canonical edge
-      // sets, so the symmetric difference is one full-outer join with
-      // null-side markers (vs two except().count() jobs)
-      changed = rehung.withColumn("l", lit(1))
-        .join(e.withColumn("r", lit(1)), Seq("u", "v"), "full")
-        .where(col("l").isNull || col("r").isNull)
-        .count()
+      // convergence: both sides are distinct canonical edge sets, so
+      // unequal COUNTS prove the sets differ — a scan-only job on the
+      // fresh checkpoint, no join. Only when counts match (typically the
+      // final round, and rarely a mid-run coincidence) is the exact
+      // symmetric difference computed, as one full-outer join with
+      // null-side markers. Saves the per-round diff-join shuffle for
+      // every converging round.
+      val rehungCount = rehung.count()
+      changed =
+        if (rehungCount != eCount) 1L
+        else rehung.withColumn("l", lit(1))
+          .join(e.withColumn("r", lit(1)), Seq("u", "v"), "full")
+          .where(col("l").isNull || col("r").isNull)
+          .count()
+      eCount = rehungCount
       e = rehung
       iter += 1
     }
