@@ -171,7 +171,13 @@ object Iterative {
     * layout AND on the oracle engine. Returns (v) ∈ MIS. */
   def lubyMis(edges: DataFrame, seed: Long = 12345L, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
-    var adj = symmetric(edges).localCheckpoint()
+    // the adjacency never changes — checkpoint ONCE; each round filters
+    // it against the shrinking active set at use time (the nbr-side prio
+    // join only keeps active neighbors, and inactive centers fall out of
+    // the left join from `active`). Round 4 change: the previous version
+    // re-checkpointed a shrinking adj copy every round — one more
+    // materialization per round for no change in the winner rule.
+    val adj = symmetric(edges).localCheckpoint()
     var active = adj.select(col("v")).distinct()
       .withColumn("prio", lubyPriority(col("v"), seed))
       .localCheckpoint()
@@ -191,14 +197,12 @@ object Iterative {
         .select(col("v"))
         .localCheckpoint()
       rounds += winners
-      // remove winners and their neighborhoods
+      // remove winners and their neighborhoods (inactive neighbors are
+      // harmless in `removed` — the anti-join ignores them)
       val removed = winners
         .union(adj.join(winners, "v").select(col("nbr").as("v")))
         .distinct()
       active = active.join(removed, Seq("v"), "left_anti").localCheckpoint()
-      adj = adj.join(removed, Seq("v"), "left_anti")
-        .join(removed.withColumnRenamed("v", "nbr"), Seq("nbr"), "left_anti")
-        .localCheckpoint()
       iter += 1
     }
     rounds.reduceOption(_ union _).getOrElse(
