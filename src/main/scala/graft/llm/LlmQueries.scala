@@ -117,15 +117,16 @@ object LlmQueries {
     * decoded from hex(encode(..)) exactly like the winnowing oracle.
     * Words longer than 64 bytes would index past the power table and
     * fail LOUDLY as a null hash (corpus max is 8 bytes). */
-  private def simhashPairsSql(maxHamming: Int): String = {
+  /** Shared CTE prefix of both SimHash oracles: per-(doc, bit) ±1 counts
+    * for `nBits` mixer bit indices (0–63 = salt-0 half; 64–127 = salt-1
+    * half — the salt enters the mixer as 64·salt + bit, so one range
+    * covers both fingerprint halves). */
+  private def simhashCountsCte(nBits: Int): String = {
     val M = graft.functions.SimHashFp.Mod
     val B = graft.functions.SimHashFp.Base
     val pows = (0 until 64).scanLeft(1L)((a, _) => a * B % M).dropRight(1)
     val powLit = pows.mkString("[", ", ", "]")
-    // bit 63 enters as BIGINT min (two's complement); 1<<b for the rest
-    val bitWeight =
-      s"CASE WHEN b = 63 THEN -9223372036854775807 - 1 ELSE (CAST(1 AS BIGINT) << b) END"
-    s"""WITH words AS (
+    s"""words AS (
           SELECT doc_id,
                  unnest(list_filter(string_split_regex(text, '\\s+'),
                    w -> length(w) > 0)) AS w
@@ -140,7 +141,7 @@ object LlmQueries {
                    * $powLit[CAST(octet_length(encode(w)) - j + 1 AS BIGINT)]))
             % $M AS h
           FROM words),
-        bits AS (SELECT unnest(range(0, 64)) AS b),
+        bits AS (SELECT unnest(range(0, $nBits)) AS b),
         g1 AS (SELECT doc_id, b,
                       (h * 2654435761 + 40503 * (b + 1)) % $M AS g
                FROM wh CROSS JOIN bits),
@@ -149,11 +150,21 @@ object LlmQueries {
         counts AS MATERIALIZED (
           SELECT doc_id, b,
                  sum(CASE WHEN ((s >> 15) & 1) = 0 THEN 1 ELSE -1 END) AS c
-          FROM sq2 GROUP BY doc_id, b),
+          FROM sq2 GROUP BY doc_id, b)"""
+  }
+
+  /** Positive-count bits of one 64-bit half → BIGINT (bit 63 = BIGINT
+    * min, two's complement). `off` selects the half. */
+  private def simhashFold(off: Int): String =
+    s"""CAST(sum(CASE WHEN b >= $off AND b < ${off + 64} AND c > 0 THEN
+          (CASE WHEN b - $off = 63 THEN -9223372036854775807 - 1
+                ELSE (CAST(1 AS BIGINT) << (b - $off)) END)
+        ELSE 0 END) AS BIGINT)"""
+
+  private def simhashPairsSql(maxHamming: Int): String =
+    s"""WITH ${simhashCountsCte(64)},
         fp AS MATERIALIZED (
-          SELECT doc_id,
-                 CAST(sum(CASE WHEN c > 0 THEN $bitWeight ELSE 0 END)
-                   AS BIGINT) AS f
+          SELECT doc_id, ${simhashFold(0)} AS f
           FROM counts GROUP BY doc_id),
         banded AS MATERIALIZED (
           SELECT doc_id, f, unnest([0, 1, 2, 3]) AS band,
@@ -165,7 +176,27 @@ object LlmQueries {
         FROM banded a
         JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         WHERE bit_count(CAST(xor(a.f, b.f) AS BIGINT)) <= $maxHamming"""
-  }
+
+  /** DuckDB replay of [[Dedup.simHashPairsWide]]: both salted fingerprint
+    * halves from one 128-bit-index count table, 4×32-bit bands, Hamming
+    * over all 128 bits. */
+  private def simhashPairsWideSql(maxHamming: Int): String =
+    s"""WITH ${simhashCountsCte(128)},
+        fp AS MATERIALIZED (
+          SELECT doc_id, ${simhashFold(0)} AS f0, ${simhashFold(64)} AS f1
+          FROM counts GROUP BY doc_id),
+        banded AS MATERIALIZED (
+          SELECT doc_id, f0, f1, unnest([0, 1, 2, 3]) AS band,
+                 unnest([f0 & 4294967295, (f0 >> 32) & 4294967295,
+                         f1 & 4294967295, (f1 >> 32) & 4294967295]) AS bh
+          FROM fp)
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+               CAST(bit_count(CAST(xor(a.f0, b.f0) AS BIGINT))
+                  + bit_count(CAST(xor(a.f1, b.f1) AS BIGINT)) AS BIGINT) AS hamming
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        WHERE bit_count(CAST(xor(a.f0, b.f0) AS BIGINT))
+            + bit_count(CAST(xor(a.f1, b.f1) AS BIGINT)) <= $maxHamming"""
 
   val all: Seq[Q] = Seq(
 
@@ -233,6 +264,14 @@ object LlmQueries {
       (s, d) => Dedup.simHashPairs(Tables.documents(s, d), "text", "doc_id",
         maxHamming = 3),
       Some(simhashPairsSql(maxHamming = 3))),
+
+    // the 128-bit / 32-bit-band layout (the billion-doc scale path) on
+    // the real corpus, with the same full-replay oracle machinery —
+    // both fingerprint halves recomputed in SQL
+    Q("q_simhash_pairs_wide",
+      (s, d) => Dedup.simHashPairsWide(Tables.documents(s, d), "text", "doc_id",
+        maxHamming = 3),
+      Some(simhashPairsWideSql(maxHamming = 3))),
 
     // SimHash on the fixed golden corpus: fingerprints are a pure function
     // of the fixed text, so the pair set is a constant — VALUES oracle,
