@@ -52,22 +52,22 @@ object Iterative {
     var changedN = 1L
     var iter = 0
     while (changedN > 0 && iter < maxIter) {
-      // propagate improved labels to neighbors, take the min; label rows
-      // carry their own value in `prev` (cand rows carry null, which min
-      // ignores), so the round's aggregation emits old and new label
-      // side by side — the changed set is a projection of the checkpoint,
-      // not a join against the previous round (2 jobs per round, not 3)
+      // join-shaped update (round 4; replaces union+groupBy): candidate
+      // mins are aggregated over frontier-adjacent rows only, then
+      // left-joined onto labels — the round's shuffle carries the
+      // candidate set, not labels ∪ candidates, and both join sides
+      // arrive hash-partitioned on v (groupBy output / checkpointed
+      // partitioning). `changed` rides along in the checkpoint so the
+      // frontier is a projection, not a recomputation (2 jobs per round).
       val cand = adj
         .join(frontier.withColumnRenamed("v", "nbr"), "nbr")
-        .select(col("v"), col("label"), lit(null).cast("long").as("prev"))
-      val next = labels
-        .select(col("v"), col("label"), col("label").as("prev"))
-        .union(cand)
-        .groupBy(col("v"))
-        .agg(min(col("label")).as("label"), min(col("prev")).as("prev"))
+        .groupBy(col("v")).agg(min(col("label")).as("cand"))
+      val next = labels.join(cand, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
+          (col("cand").isNotNull && col("cand") < col("label")).as("changed"))
         .localCheckpoint()
-      frontier = next.where(col("label") < col("prev"))
-        .select(col("v"), col("label"))
+      frontier = next.where(col("changed")).select(col("v"), col("label"))
       changedN = frontier.count()
       labels = next.select(col("v"), col("label"))
       iter += 1
