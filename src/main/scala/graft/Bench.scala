@@ -14,12 +14,13 @@ import org.apache.spark.sql.SparkSession
   * working directory for anything that wants the full detail.
   *
   * Timing discipline: every query is timed once; queries whose first run
-  * is under `RerunBelowSec` are then re-run twice more and the MEDIAN of
-  * the three is reported. Cheap queries are where scheduler/GC noise on
-  * this box (±20–40 %, and occasional 4–6× spikes — see SCALE.md) swamps
-  * the signal; expensive iterative queries are stable relative to that
-  * noise and not worth tripling. Names are sorted so per-query diffs
-  * line up run to run.
+  * is under `RerunBelowSec` are re-run twice more and report the MEDIAN
+  * of three (cheap queries are where ±20–40 % scheduler/GC noise swamps
+  * the signal); queries above it are re-run ONCE and report the MIN of
+  * two — the noise is one-sided (a spike only ever adds time; a 28 s
+  * pagerank next to a 4.7 s probe of the same plan motivated this), so
+  * min-of-2 bounds the spike while only doubling the heavy tail's wall
+  * cost. Names are sorted so per-query diffs line up run to run.
   */
 object Bench {
 
@@ -35,8 +36,9 @@ object Bench {
     "q_dedup_normalized", "q_embed_ivf_knn", "q_embed_knn",
     "q_embed_lsh_knn", "q_join_multi", "q_luby_mis", "q_minhash_lsh_pairs",
     "q_ngram_jaccard_pairs", "q_pagerank", "q_simhash_pairs",
-    "q_sort_global", "q_sssp", "q_stream_hourly", "q_token_stats",
-    "q_triangle_count", "q_union_all_count", "q_window_rank", "q_wordfreq")
+    "q_simhash_pairs_wide", "q_sort_global", "q_sssp", "q_sssp_multi",
+    "q_stream_hourly", "q_token_stats", "q_triangle_count",
+    "q_union_all_count", "q_window_rank", "q_wordfreq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,7 +72,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t1 = timeOnce(fn)
       val t =
-        if (t1 >= RerunBelowSec) t1
+        if (t1 >= RerunBelowSec) math.min(t1, timeOnce(fn)) // min of 2
         else Seq(t1, timeOnce(fn), timeOnce(fn)).sorted.apply(1) // median of 3
       name -> t
     }
