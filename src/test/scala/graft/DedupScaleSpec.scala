@@ -42,6 +42,26 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(wide.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0L))
   }
 
+  test("union-find fast path and star-contraction cc agree on clusters") {
+    val s = spark
+    import s.implicits._
+    // random-ish pair graph with chains, a cycle-merge, and singles
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),      // chain
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (20L, 21L),                         // pair
+      (2L, 12L))                          // merges chain with triangle
+      .toDF("da", "db")
+    val fast = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // smallGraphEdges = 0 forces the distributed star-contraction path
+    val star = Dedup.dedupClusters(pairs, smallGraphEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == star)
+    assert(fast(4L) == 1L && fast(10L) == 1L, "merged component labels by min id")
+    assert(fast(21L) == 20L)
+  }
+
   test("32-bit bands shrink candidate pairs vs 16-bit bands on a heavy corpus") {
     // 2000 unrelated single-word docs: fingerprints are effectively
     // uniform, so expected colliding candidate pairs are

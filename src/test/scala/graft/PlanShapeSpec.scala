@@ -51,6 +51,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucketing must stay inside whole-stage codegen:\n$p")
   }
 
+  test("no registered query plans a CartesianProduct; BNLJ only where intended") {
+    // Registry-wide audit: an unconstrained crossJoin anywhere in the 91
+    // registered plans is a scale bug. BroadcastNestedLoopJoin is legal
+    // ONLY for the documented broadcast-small-side designs (knn query
+    // sides, IVF centroid assignment, pagerank's 1-row dangling mass,
+    // capped truth baselines). Streaming queries are skipped — building
+    // them drains a stream; their state-shape claims live in
+    // StreamingQueries' own oracle rows.
+    val bnljAllowed = Set(
+      "q_embed_knn", "q_embed_ivf_knn", "q_embed_lsh_knn",
+      "q_embed_dup_pairs", "q_embed_dup_clusters",
+      "q_pagerank", "q_pagerank_golden", "q_join_multi")
+    val offenders = Registry.byName.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_stream"))
+      .flatMap { name =>
+        val p = Registry.byName(name).run(spark, sf0001)
+          .queryExecution.executedPlan.toString
+        val cart = p.contains("CartesianProduct")
+        val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+        if (cart) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("whole-stage codegen covers the signature projections") {
     // regression guard for the CodegenFallback trap: a higher-order
     // filter() in these projections silently drops the stage out of
