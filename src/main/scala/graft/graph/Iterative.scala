@@ -103,11 +103,15 @@ object Iterative {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // no distinct here: sym is a distinct set and mins is 1-row-per-u,
+      // so duplicates arise only when two neighborhoods share a minimum —
+      // bounded volume the small-star groupBy and the final distinct
+      // absorb anyway, whereas the distinct was a full extra shuffle
+      // every round
       val large = sym.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
       // small-star: orient edges large→small, re-hang small neighbors on
       // the minimum (plus the center itself)
       val down = large
