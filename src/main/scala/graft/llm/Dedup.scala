@@ -45,6 +45,25 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       explode(shingleArray(col(textCol), k)).as("shingle"))
 
+  /** Decontamination: flag training documents that share any word
+    * k-shingle with an evaluation/test corpus — the standard train/test
+    * overlap scrub of LLM data pipelines (the dedup machinery pointed
+    * across two corpora instead of within one). One equi-join on the
+    * shingle: the eval side is benchmarks — tiny next to 100 TB of
+    * training data — so Catalyst broadcasts it and the training corpus
+    * is never shuffled. Returns (doc_id, n_shared_shingles) for every
+    * CONTAMINATED training doc; clean docs are absent. */
+  def decontaminate(train: DataFrame, test: DataFrame,
+      textCol: String, idCol: String, k: Int = 3): DataFrame = {
+    val trainSh = shingles(train, textCol, idCol, k)
+    val testSh = test.select(
+      explode(shingleArray(col(textCol), k)).as("shingle")).distinct()
+    trainSh.join(testSh, "shingle")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .select(col("doc_id"), col("n_shared_shingles"))
+  }
+
   /** Exact dedup (`cull` over content hashes): one row per distinct
     * content, keeping the smallest id; group size included. */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =

@@ -61,15 +61,20 @@ object LlmQueries {
       (6L, text(base("gamma"))))                      // unrelated
   }
 
-  /** DuckDB word-shingle CTE fragment (3-word shingles, distinct). */
-  private val shingleCte =
-    """ws AS (SELECT doc_id,
-               list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS w
+  /** DuckDB word-shingle CTE fragment (k-word shingles, distinct). */
+  private def shingleCteK(k: Int): String = {
+    val joined = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""ws AS (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS w
              FROM documents),
        sh AS (SELECT DISTINCT doc_id,
-                unnest(list_transform(range(1, len(w) - 1),
-                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-              FROM ws WHERE len(w) >= 3)"""
+                unnest(list_transform(range(1, len(w) - ${k - 2}),
+                  i -> $joined)) AS shingle
+              FROM ws WHERE len(w) >= $k)"""
+  }
+
+  /** The 3-shingle instance every Jaccard oracle shares. */
+  private val shingleCte = shingleCteK(3)
 
   /** DuckDB replay of [[graft.functions.WinnowFingerprint]]: bytes from
     * hex(encode(text)), k-gram hashes as Σ byte·B^(k-1-j) mod M (equal to
@@ -211,6 +216,28 @@ object LlmQueries {
       Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
                      min(doc_id) AS keep_id, count(*) AS n_copies
               FROM documents GROUP BY 1""")),
+
+    // decontamination: training docs sharing any 8-shingle with a
+    // deterministic 20% "benchmark" slice (the q_hash_sample gate) are
+    // flagged with their shared-shingle count — the train/test overlap
+    // scrub, replayed exactly by DuckDB. k = 8 so only genuine overlap
+    // (near-dups, quotes) flags; at k = 3 phrase-level collisions flag
+    // essentially the whole corpus.
+    Q("q_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val test = Sampling.hashSample(docs, "doc_id", 0.2)
+        val train = docs.join(test.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        Dedup.decontaminate(train, test, "text", "doc_id", k = 8)
+      },
+      Some(s"""WITH ${shingleCteK(8)},
+               test_ids AS (SELECT doc_id FROM documents
+                            WHERE (doc_id * 2654435761 + 283521) % 9973 < 1994),
+               tsh AS (SELECT DISTINCT shingle FROM sh JOIN test_ids USING (doc_id))
+               SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+               FROM sh JOIN tsh USING (shingle)
+               WHERE sh.doc_id NOT IN (SELECT doc_id FROM test_ids)
+               GROUP BY sh.doc_id""")),
 
     // exact n-gram Jaccard near-dup pairs (quadratic truth baseline)
     Q("q_ngram_jaccard_pairs",
