@@ -22,23 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** strtok words. */
-  private def words(text: Column): Column =
-    filter(split(text, "\\s+"), w => length(w) > 0)
-
-  /** Distinct word k-shingles as an array column (no explode).
-    * Built from k shifted slices zipped together — linear in words.
-    * (A per-index `element_at` lambda is O(words²): Catalyst re-inlines
-    * the split() alias into every access.) */
-  def shingleArray(text: Column, k: Int): Column = {
-    val ws = words(text)
-    val len = size(ws) - (k - 1)
-    val slices = (0 until k).map(j => slice(ws, lit(j + 1), len))
-    val joined = slices.reduce((a, b) =>
-      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
-    when(size(ws) >= k, array_distinct(joined))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word k-shingles as an array column (no explode), via the
+    * native [[graft.functions.ShingleArray]] expression — one codegen'd
+    * pass over the raw split() tokens. (History: a per-index
+    * `element_at` lambda is O(words²) — Catalyst re-inlines the split()
+    * alias into every access; the shifted-slice + zip_with chain that
+    * replaced it was linear but CodegenFallback, dropping every shingle
+    * projection out of whole-stage codegen.) */
+  def shingleArray(text: Column, k: Int): Column =
+    graft.functions.ShingleArray.shingles(split(text, "\\s+"), k)
 
   /** Distinct word k-shingles per document: (id, shingle). */
   def shingles(docs: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
