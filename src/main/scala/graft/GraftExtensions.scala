@@ -4,11 +4,12 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, MinHashSig, SimHashFp}
+import graft.functions.{DotProduct, MinHashSig, NormalizeText, ShingleArray, SimHashFp, WinnowFingerprint}
 
 /** SQL surface for the native expression layer: `vec_dot`, `simhash_fp`,
-  * `minhash_sig` become callable from `spark.sql(...)` exactly like
-  * built-ins (and stay whole-stage-codegen'd — these are the same
+  * `minhash_sig`, `shingle_array`, `normalize_text`,
+  * `winnow_fingerprint` become callable from `spark.sql(...)` exactly
+  * like built-ins (and stay whole-stage-codegen'd — these are the same
   * Expression classes the Column API uses).
   *
   * Two installation paths:
@@ -60,6 +61,24 @@ object GraftExtensions {
           arity(3, args, "minhash_sig")
           MinHashSig(args(0), litInt(args(1), "minhash_sig k"),
             litInt(args(2), "minhash_sig numHashes"))
+        }),
+      ("shingle_array",
+        new ExpressionInfo(classOf[ShingleArray].getName, "shingle_array"),
+        (args: Seq[Expression]) => {
+          arity(2, args, "shingle_array")
+          ShingleArray(args(0), litInt(args(1), "shingle_array k"))
+        }),
+      ("normalize_text",
+        new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+        (args: Seq[Expression]) => {
+          arity(1, args, "normalize_text"); NormalizeText(args(0))
+        }),
+      ("winnow_fingerprint",
+        new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
+        (args: Seq[Expression]) => {
+          arity(3, args, "winnow_fingerprint")
+          WinnowFingerprint(args(0), litInt(args(1), "winnow_fingerprint k"),
+            litInt(args(2), "winnow_fingerprint w"))
         }))
 
   /** Register the functions on an existing session. */

@@ -43,7 +43,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
     assert(GraftExtensions.descriptors.map(_._1) ==
-      Seq("vec_dot", "simhash_fp", "minhash_sig"))
+      Seq("vec_dot", "simhash_fp", "minhash_sig", "shingle_array",
+        "normalize_text", "winnow_fingerprint"))
+  }
+
+  test("shingle_array / normalize_text / winnow_fingerprint match the Column API") {
+    GraftExtensions.register(spark)
+    val s = spark
+    import s.implicits._
+    Seq((1L, "  The  cat SAT on the cat sat mat  "))
+      .toDF("doc_id", "text").createOrReplaceTempView("ext_docs2")
+    val viaSql = spark.sql(
+      """SELECT shingle_array(split(text, '\\s+'), 3) AS sh,
+               md5(normalize_text(text)) AS norm,
+               winnow_fingerprint(text, 8, 4) AS win
+         FROM ext_docs2""").head()
+    val viaCols = Seq((1L, "  The  cat SAT on the cat sat mat  "))
+      .toDF("doc_id", "text")
+      .select(graft.llm.Dedup.shingleArray(col("text"), 3).as("sh"),
+        md5(graft.functions.NormalizeText.normalize(col("text"))).as("norm"),
+        graft.functions.WinnowFingerprint.winnow(col("text"), 8, 4).as("win"))
+      .head()
+    assert(viaSql.getSeq[String](0) == viaCols.getSeq[String](0))
+    assert(viaSql.getString(1) == viaCols.getString(1))
+    assert(viaSql.get(2) == viaCols.get(2))
   }
 
   test("minhash_sig rejects non-literal k") {
