@@ -146,7 +146,7 @@ object GraphQueries {
         adj AS MATERIALIZED (SELECT src AS v, dst AS nbr FROM u
                              UNION ALL SELECT dst, src FROM u),
         a0 AS MATERIALIZED (
-          SELECT v, (v * 2654435761 + ${seed * 40503L}) % 1000000007 AS prio
+          SELECT v, ((v % 1000000007) * 2654435761 + ${seed * 40503L}) % 1000000007 AS prio
           FROM (SELECT DISTINCT v FROM adj)),
         $steps
         $un"""

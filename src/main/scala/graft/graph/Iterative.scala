@@ -162,11 +162,14 @@ object Iterative {
     * mod a large prime — the [[graft.llm.Sampling.bucket]] family), NOT an
     * engine hash builtin, so any engine — including the DuckDB oracle —
     * replays the priorities and therefore the exact MIS. Values stay
-    * below ~2.7e13 for vertex ids < 1e4, far from int64 overflow. Ties
-    * (possible since the range is finite) are broken by vertex id in the
-    * winner rule, identically on every engine. */
+    * below 2^62 for ANY long vertex id — the id is reduced mod 1e9+7
+    * before the multiply (ANSI mode throws on the unbounded product; see
+    * Sampling.bucket), with identical priorities for ids below 1e9+7.
+    * Ties (possible since the range is finite) are broken by vertex id
+    * in the winner rule, identically on every engine. */
   def lubyPriority(v: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
-    pmod(v * lit(2654435761L) + lit(seed * 40503L), lit(1000000007L))
+    pmod(pmod(v, lit(1000000007L)) * lit(2654435761L) + lit(seed * 40503L),
+      lit(1000000007L))
 
   /** luby_find (`oink/luby_find.cpp:60-90`): maximal independent set.
     * The reference draws per-vertex random priorities from a seeded RNG

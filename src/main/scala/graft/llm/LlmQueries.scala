@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
 /** Oracle-checked LLM-pipeline capabilities over `documents` and
-  * `embeddings`. Hash-based ops (MinHash/SimHash/LSH) use xxhash64, which
-  * DuckDB can't replay — those register rows-only and are property-tested
-  * against the exact quadratic baselines in LlmSpec. */
+  * `embeddings`. Every hash-based op (MinHash banding, SimHash, LSH
+  * planes, sampling gates) is built on portable int64 mixers, so DuckDB
+  * replays each pipeline end-to-end — zero rows-only entries since
+  * round 4. */
 object LlmQueries {
 
   /** DuckDB cosine fragment over double-list columns, rounded to 6dp —
@@ -113,19 +114,16 @@ object LlmQueries {
         FROM documents d LEFT JOIN fp USING (doc_id)"""
   }
 
-  /** DuckDB replay of the full SimHash pipeline over `documents`:
-    * per-word polynomial hash (Σ byte·B^(L-j) mod M over the encoded
-    * bytes, ≡ [[graft.functions.SimHashFp.wordHash]]'s rolling form),
-    * per-bit mixer signs, 64 per-doc bit sums, fingerprint assembly
-    * (bit 63 enters as BIGINT min — two's complement), 4×16-bit band
-    * candidate join, Hamming verify. All pure int64 arithmetic; bytes
-    * decoded from hex(encode(..)) exactly like the winnowing oracle.
-    * Words longer than 64 bytes would index past the power table and
-    * fail LOUDLY as a null hash (corpus max is 8 bytes). */
-  /** Shared CTE prefix of both SimHash oracles: per-(doc, bit) ±1 counts
-    * for `nBits` mixer bit indices (0–63 = salt-0 half; 64–127 = salt-1
-    * half — the salt enters the mixer as 64·salt + bit, so one range
-    * covers both fingerprint halves). */
+  /** Shared CTE prefix of both SimHash oracles — the full fingerprint
+    * replay: per-word polynomial hash (Σ byte·B^(L-j) mod M over the
+    * encoded bytes, ≡ [[graft.functions.SimHashFp.wordHash]]'s rolling
+    * form; bytes decoded from hex(encode(..)) exactly like the winnowing
+    * oracle; words beyond 64 bytes would index past the power table and
+    * fail LOUDLY as a null hash — corpus max is 8), then per-(doc, bit)
+    * ±1 mixer-sign counts for `nBits` bit indices (0–63 = salt-0 half;
+    * 64–127 = salt-1 half — the salt enters the mixer as 64·salt + bit,
+    * so one range covers both fingerprint halves). All pure int64
+    * arithmetic. */
   private def simhashCountsCte(nBits: Int): String = {
     val M = graft.functions.SimHashFp.Mod
     val B = graft.functions.SimHashFp.Base
@@ -232,7 +230,7 @@ object LlmQueries {
       },
       Some(s"""WITH ${shingleCteK(8)},
                test_ids AS (SELECT doc_id FROM documents
-                            WHERE (doc_id * 2654435761 + 283521) % 9973 < 1994),
+                            WHERE ((doc_id % 1000000007) * 2654435761 + 283521) % 9973 < 1994),
                tsh AS (SELECT DISTINCT shingle FROM sh JOIN test_ids USING (doc_id))
                SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
                FROM sh JOIN tsh USING (shingle)
@@ -444,7 +442,7 @@ object LlmQueries {
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                  FROM embeddings),
                cents AS (SELECT vec_id AS cid, e AS cv FROM v
-                         ORDER BY (vec_id * 2654435761 + 283521) % 9973, vec_id
+                         ORDER BY ((vec_id % 1000000007) * 2654435761 + 283521) % 9973, vec_id
                          LIMIT 64),
                corpus AS (
                  SELECT nid, nv, cid FROM (
@@ -621,7 +619,7 @@ object LlmQueries {
       (s, d) => Sampling.hashSample(Tables.documents(s, d), "doc_id", 0.2)
         .select(col("doc_id")),
       Some("""SELECT doc_id FROM documents
-              WHERE (doc_id * 2654435761 + 283521) % 9973 < 1994""")),
+              WHERE ((doc_id % 1000000007) * 2654435761 + 283521) % 9973 < 1994""")),
 
     // mixture sampling: per-source keep fractions (upsample curated,
     // downsample scraped, drop unlisted) — same replayable mixer
@@ -630,7 +628,7 @@ object LlmQueries {
           "source", Map("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.1))
         .select(col("doc_id"), col("source")),
       Some("""SELECT doc_id, source FROM documents
-              WHERE (doc_id * 2654435761 + 283521) % 9973 <
+              WHERE ((doc_id % 1000000007) * 2654435761 + 283521) % 9973 <
                     CASE source WHEN 'src0' THEN 8975
                                 WHEN 'src1' THEN 4986
                                 WHEN 'src2' THEN 997
@@ -748,9 +746,9 @@ object LlmQueries {
           Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split")),
       Some("""SELECT doc_id,
-                     CASE WHEN (doc_id * 2654435761 + 283521) % 9973 < 7978
+                     CASE WHEN ((doc_id % 1000000007) * 2654435761 + 283521) % 9973 < 7978
                             THEN 'train'
-                          WHEN (doc_id * 2654435761 + 283521) % 9973 < 8975
+                          WHEN ((doc_id % 1000000007) * 2654435761 + 283521) % 9973 < 8975
                             THEN 'eval'
                           ELSE 'test' END AS split
               FROM documents""")),

@@ -22,15 +22,20 @@ object Sampling {
 
   val Buckets = 9973L // prime
 
-  /** Stable bucket in [0, 9973) from an integer id and seed — pmod, so a
-    * negative key (or a key large enough that the 2654435761 multiply
-    * wraps int64) still lands in [0, Buckets) instead of going negative
-    * and silently passing every `bucket < cut` gate. NOTE for oracle
-    * replay: DuckDB's % is sign-of-dividend, so plain `%` in oracle SQL
-    * matches only while mixed values are non-negative (true for the
-    * testdata ids; a negative-key corpus needs the pmod spelled out). */
+  /** Stable bucket in [0, 9973) from an integer id and seed. The key is
+    * reduced mod 1e9+7 BEFORE the 2654435761 multiply: under Spark's
+    * default ANSI mode an unbounded key overflows the multiply with an
+    * ARITHMETIC_OVERFLOW error (caught by an EngineProperties generator
+    * at |key| ≳ 3.5e9), and pre-ANSI it silently wrapped; the bounded
+    * form keeps every product < 2^62 for ANY long key, negative
+    * included, and yields IDENTICAL buckets for keys below 1e9+7 (all
+    * harness ids). NOTE for oracle replay: DuckDB's % is
+    * sign-of-dividend, so plain `%` in oracle SQL matches only while
+    * keys are non-negative (true for the testdata ids; a negative-key
+    * corpus needs the pmod spelled out). */
   def bucket(key: Column, seed: Long): Column =
-    pmod(key.cast("long") * lit(2654435761L) + lit(seed * 40503L), lit(Buckets))
+    pmod(pmod(key.cast("long"), lit(1000000007L)) * lit(2654435761L)
+      + lit(seed * 40503L), lit(Buckets))
 
   /** Keep ~fraction of rows, deterministically by id. */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,

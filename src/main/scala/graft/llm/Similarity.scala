@@ -86,7 +86,8 @@ object Similarity {
       nProbe: Int = 2): DataFrame = {
     val cents = broadcast(emb
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .orderBy(pmod(col("cid") * lit(2654435761L) + lit(283521L), lit(9973L)).asc,
+      .orderBy(pmod(pmod(col("cid"), lit(1000000007L)) * lit(2654435761L)
+          + lit(283521L), lit(9973L)).asc,
         col("cid").asc)
       .limit(numCentroids))
     def nearestCells(df: DataFrame, id: String, v: String, n: Int) = {

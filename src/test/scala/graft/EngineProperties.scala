@@ -110,4 +110,38 @@ object EngineProperties extends Properties("graft") {
       val df = TestSession.edges(pairs: _*)
       df.distinct().distinct().count() == df.distinct().count()
     }
+
+  // tokens include empties and duplicates — the expression must skip
+  // empties and dedup in first-occurrence order
+  private val tokenGen: Gen[List[String]] =
+    Gen.listOfN(20, Gen.oneOf(Gen.const(""),
+      Gen.oneOf("a", "b", "c", "aa", "bb", "x y").map(identity)))
+
+  property("ShingleArray equals the naive shingle computation") =
+    forAll(tokenGen, Gen.chooseNum(1, 4)) { (tokens, k) =>
+      val s = spark
+      import s.implicits._
+      val got = Seq(tokens.mkString(" ")).toDF("text")
+        .select(graft.llm.Dedup.shingleArray(col("text"), k).as("sh"))
+        .head().getSeq[String](0).toList
+      // naive reference: filtered non-empty tokens, sliding k-windows
+      // joined by one space, distinct keeping first occurrence. NOTE the
+      // text round-trips through split("\\s+"), so a token containing a
+      // space ("x y") splits — apply the same split to the reference.
+      val words = tokens.mkString(" ").split("\\s+").filter(_.nonEmpty).toList
+      val expect =
+        if (words.length < k) Nil
+        else words.sliding(k).map(_.mkString(" ")).toList.distinct
+      got == expect
+    }
+
+  property("sampling buckets stay in [0, 9973) for negative and huge keys") =
+    forAll(Gen.chooseNum(Long.MinValue / 3, Long.MaxValue / 3)) { key =>
+      val s = spark
+      import s.implicits._
+      val b = Seq(key).toDF("k")
+        .select(graft.llm.Sampling.bucket(col("k"), seed = 7L).as("b"))
+        .head().getLong(0)
+      b >= 0L && b < graft.llm.Sampling.Buckets
+    }
 }

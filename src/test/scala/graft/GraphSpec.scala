@@ -116,7 +116,9 @@ class GraphSpec extends AnyFunSuite {
     // Iterative.lubyPriority), independent of the engine
     val vs = ge.flatMap(e => Seq(e._1, e._2)).distinct
     val prio = vs.map(v =>
-      v -> java.lang.Math.floorMod(v * 2654435761L + seed * 40503L, 1000000007L)).toMap
+      v -> java.lang.Math.floorMod(
+        java.lang.Math.floorMod(v, 1000000007L) * 2654435761L + seed * 40503L,
+        1000000007L)).toMap
     val nbrs = vs.map { v =>
       v -> ge.collect {
         case (a, b) if a == v => b
