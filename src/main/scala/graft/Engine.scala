@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class Engine(val spark: SparkSession) {
 
-  GraftExtensions.register(spark) // vec_dot / simhash_fp / minhash_sig in SQL
+  GraftExtensions.register(spark) // the full native-expression SQL surface
 
   /** Run a registered capability by name against a testdata directory
     * (the OINK named-command analog: one call per command). */
@@ -24,8 +24,8 @@ final class Engine(val spark: SparkSession) {
   /** Every registered capability name. */
   def queryNames: Seq[String] = Registry.all.map(_.name).sorted
 
-  /** Capabilities with a DuckDB-replayable oracle (the rest are
-    * rows-only scale runs with golden-graph companions). */
+  /** Capabilities with a DuckDB-replayable oracle — since round 4 this
+    * is every registered capability. */
   def oracleCheckedNames: Seq[String] =
     Registry.all.filter(_.oracle.isDefined).map(_.name).sorted
 }
