@@ -331,29 +331,11 @@ object Iterative {
       .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialized once: the dangling-mass anti-join needs the source set
-    // every round, and without this the 600k-row `directed` distinct that
-    // feeds outDeg would be recomputed per iteration
-    val sources = outDeg.select(col("src").as("v")).localCheckpoint()
     var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var delta = Double.MaxValue
     var iter = 0
     while (delta > tol && iter < maxIter) {
-      val contrib = ranks.join(w, ranks("v") === w("src"))
-        .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("contrib"))
-      // dangling mass stays a 1-row side input cross-joined into the plan
-      // — no per-round driver collect/sync
-      val dangling = ranks.join(sources, Seq("v"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("danglingMass"))
-      val next = vertices
-        .join(contrib.withColumnRenamed("dst", "v"), Seq("v"), "left")
-        .crossJoin(dangling)
-        .select(col("v"),
-          (lit((1 - alpha) / n) +
-            lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
-              col("danglingMass") / n))
-            .as("rank"))
-        .localCheckpoint()
+      val next = pagerankStep(ranks, w, vertices, n, alpha).localCheckpoint()
       if (tol > 0)
         delta = next.join(ranks.withColumnRenamed("rank", "old"), "v")
           .agg(sum(abs(col("rank") - col("old")))).head().getDouble(0)
@@ -362,5 +344,37 @@ object Iterative {
     }
     w.unpersist(); vertices.unpersist()
     ranks
+  }
+
+  /** One pagerank round. ONE ranks scan + ONE shuffle yields both the
+    * per-vertex contributions and the dangling mass (round 4; replaces a
+    * second ranks scan + anti-join against the out-edge source set):
+    * pagerank conserves total mass — Σranks = 1 every round (teleport
+    * (1-α)/n·n + α·(Σcontrib + dangling) = 1) — so the dangling mass IS
+    * 1 − Σcontrib, a 1-row global sum over the same per-dst aggregate the
+    * contribution join consumes. Both consumers sit above the byte-identical
+    * contrib Exchange, which exchange reuse computes once (pinned in
+    * PlanShapeSpec); the dangling mass stays a 1-row side input
+    * cross-joined into the plan — no per-round driver collect/sync.
+    * FP note: the subtraction matches a direct sum over the dangling set
+    * to ~1e-15 (exact on dyadic golden graphs), far inside the oracle's
+    * 1e-9 rounding. */
+  private[graft] def pagerankStep(ranks: DataFrame, w: DataFrame,
+      vertices: DataFrame, n: Double, alpha: Double): DataFrame = {
+    val contrib = ranks.join(w, ranks("v") === w("src"))
+      .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("contrib"))
+    // coalesce: an edgeless graph has an empty contrib table, whose global
+    // sum is null — the whole mass is dangling then
+    val dangling = contrib
+      .agg((lit(1.0) - coalesce(sum(col("contrib")), lit(0.0)))
+        .as("danglingMass"))
+    vertices
+      .join(contrib.withColumnRenamed("dst", "v"), Seq("v"), "left")
+      .crossJoin(dangling)
+      .select(col("v"),
+        (lit((1 - alpha) / n) +
+          lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
+            col("danglingMass") / n))
+          .as("rank"))
   }
 }

@@ -77,6 +77,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("a pagerank round computes its shuffle once (exchange reuse)") {
+    // the contrib branch and the dangling-mass branch of pagerankStep both
+    // sit above the same groupBy(dst) Exchange; if exchange reuse breaks,
+    // every round pays the ranks-join-edges shuffle twice
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L).toDF("v") // 5 is dangling
+    val ranks = vertices.withColumn("rank", lit(0.2))
+    val w = edges.withColumn("w", lit(1.0))
+    val df = graft.graph.Iterative.pagerankStep(ranks, w, vertices, 5.0, 0.85)
+    df.collect() // AQE defers exchange reuse to runtime — check the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"dangling-mass branch must reuse the contrib shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the signature projections") {
     // regression guard for the CodegenFallback trap: a higher-order
     // filter() in these projections silently drops the stage out of
