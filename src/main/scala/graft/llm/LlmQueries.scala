@@ -506,6 +506,39 @@ object LlmQueries {
                      CAST(length(text) AS BIGINT) AS n_chars
               FROM documents""")),
 
+    // document chunking: fixed 240-char windows every 180 chars (60-char
+    // overlap) — the retrieval/embedding prep step; pure generator
+    // projection, zero shuffle at any corpus size
+    Q("q_chunk_docs",
+      (s, d) => Chunking.chunkDocs(Tables.documents(s, d), "text", "doc_id",
+        width = 240, stride = 180),
+      Some("""SELECT doc_id, CAST(t.i // 180 AS BIGINT) AS chunk_id,
+                     substring(text, CAST(t.i + 1 AS INT), 240) AS chunk
+              FROM documents, UNNEST(range(0, length(text), 180)) AS t(i)
+              WHERE length(text) > 0""")),
+
+    // sequence packing: fill 256-token context windows greedily in doc_id
+    // order within each source shard — the pretraining batch prep step;
+    // one partitioned window + one aggregation
+    Q("q_pack_sequences",
+      (s, d) => Chunking.packSequences(Tables.documents(s, d), "text",
+        "doc_id", "source", capacity = 256),
+      Some("""WITH tok AS (
+                SELECT source, doc_id,
+                       CAST(len(list_filter(string_split_regex(text, '\s+'),
+                         w -> length(w) > 0)) AS BIGINT) AS tokens
+                FROM documents),
+              cum AS (
+                SELECT source, doc_id, tokens,
+                       CAST(coalesce(sum(tokens) OVER (PARTITION BY source
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) // 256 AS BIGINT) AS pack_id
+                FROM tok)
+              SELECT source, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(tokens) AS BIGINT) AS tokens
+              FROM cum GROUP BY 1, 2""")),
+
     // quality signals
     Q("q_quality_score",
       (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d), "text", "doc_id"),

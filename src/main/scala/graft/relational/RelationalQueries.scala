@@ -372,6 +372,42 @@ object RelationalQueries {
               FROM p ASOF LEFT JOIN s
                 ON p.user_id = s.user_id AND p.ts >= s.ts""")),
 
+    // --- pivot: wide-form aggregation; explicit value list skips the
+    // extra distinct-values pass, so it stays one shuffle ------------------
+    Q("q_pivot",
+      (s, d) => li(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity"))),
+      Some("""SELECT l_linestatus,
+                     sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS A,
+                     sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS N,
+                     sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS R
+              FROM lineitem GROUP BY 1""")),
+
+    // --- batch sessionization (operators.Sessionize): window-function
+    // twin of q_stream_sessions for backfills over at-rest logs ------------
+    Q("q_sessionize",
+      (s, d) => graft.operators.Sessionize.sessionize(
+        ev(s, d).select(col("user_id"), col("event_id"), col("ts")),
+        "user_id", "ts", "event_id", gapSec = 1800L),
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                         FROM events),
+              g AS (SELECT user_id, event_id, ts,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS brk
+                    FROM e
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              s AS (SELECT user_id, ts,
+                      CAST(sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
+                    FROM g)
+              SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+                     min(ts) AS t_start, max(ts) AS t_end
+              FROM s GROUP BY 1, 2""")),
+
     // --- event-time bucketing (batch form of the streaming agg) ------------
     Q("q_events_hourly",
       (s, d) => ev(s, d)

@@ -206,4 +206,47 @@ class TextLlmSpec extends AnyFunSuite {
     assert(fps.length == 2)
     assert(fps.find(_.getLong(2) == 2L).get.getLong(1) == 1L)
   }
+
+  test("chunkDocs: overlap, short tail, sub-width doc, empty doc dropped") {
+    val d = docs((1L, "abcdefghij"), (2L, "xy"), (3L, ""))
+    val chunks = graft.llm.Chunking.chunkDocs(d, "text", "doc_id",
+      width = 6, stride = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(chunks == Set(
+      (1L, 0L, "abcdef"), (1L, 1L, "efghij"), (1L, 2L, "ij"), // 2-char overlap
+      (2L, 0L, "xy"))) // doc 3 is empty → no chunks
+  }
+
+  test("packSequences: boundary doc straddles into the pack it starts in") {
+    val s = spark
+    import s.implicits._
+    // tokens: 3, 4, 2, 5 — capacity 6; cumulative-before: 0, 3, 7, 9
+    // → packs 0, 0, 1, 1 (doc 20 straddles the boundary but stays in
+    // pack 0 because it STARTS there)
+    val d = Seq(
+      (10L, "a b c", "s1"), (20L, "d e f g", "s1"),
+      (30L, "h i", "s1"), (40L, "j k l m n", "s1"))
+      .toDF("doc_id", "text", "source")
+    val packs = graft.llm.Chunking.packSequences(d, "text", "doc_id",
+      "source", capacity = 6).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(packs == Set(("s1", 0L, 2L, 7L), ("s1", 1L, 2L, 7L)))
+  }
+
+  test("sessionize: gap strictly over the threshold starts a new session") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    // user 1: events at 0s, 1800s (exactly gap → SAME session), 3601s (new)
+    val ev = Seq(
+      (1L, 1L, at(0)), (1L, 2L, at(1800)), (1L, 3L, at(3601)),
+      (2L, 4L, at(0)))
+      .toDF("user_id", "event_id", "ts")
+    val out = graft.operators.Sessionize.sessionize(ev, "user_id", "ts",
+      "event_id", gapSec = 1800L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
 }
