@@ -32,6 +32,7 @@ object Bench {
     * streaming, relational representatives. */
   val headline: Seq[String] = Seq(
     "q1_agg", "q_asof_join", "q_cc_labels", "q_cc_labels_star",
+    "q_chunk_docs", "q_pack_sequences", "q_sessionize",
     "q_corpus_stats", "q_dedup_clusters", "q_dedup_exact",
     "q_dedup_normalized", "q_embed_ivf_knn", "q_embed_knn",
     "q_embed_lsh_knn", "q_join_multi", "q_luby_mis", "q_minhash_lsh_pairs",
