@@ -54,6 +54,12 @@ object StreamingQueries {
       (s, d) => Streams.streamDedup(s, d, Seq("user_id", "event_type")),
       Some("SELECT DISTINCT user_id, event_type FROM events")),
 
+    // stream-static broadcast enrichment ≡ batch dimension join
+    Q("q_stream_enrich",
+      (s, d) => Streams.enrich(s, d),
+      Some("""SELECT event_id, user_id, c_mktsegment, c_nationkey, value
+              FROM events JOIN customer ON user_id = c_custkey""")),
+
     // arbitrary keyed state (mapGroupsWithState) ≡ per-user lifetime aggs
     Q("q_stream_user_state",
       (s, d) => Streams.userState(s, d),

@@ -128,6 +128,23 @@ object Streams {
     drain(deduped, OutputMode.Append(), "stream_dedup")
   }
 
+  /** Stream-static enrichment join: each event picks up its user's static
+    * dimension attributes. Stateless — no watermark, no state store; the
+    * static side is (re)broadcast per micro-batch, which is the canonical
+    * scale pattern for dimension enrichment (a dimension delta is picked
+    * up at the next batch for free, versus a stream-stream join paying a
+    * state store it never needs). */
+  def enrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = tuned(spark)
+    val dim = broadcast(Tables.customer(s, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
+    val joined = eventsStream(s, sfDir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        col("c_nationkey"), col("value"))
+    drain(joined, OutputMode.Append(), "stream_enrich")
+  }
+
   // not private: Catalyst's codegen'd encoders can't reach private members
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserState(n: Long, first: java.sql.Timestamp, total: Double)

@@ -77,6 +77,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("document chunking is a zero-shuffle generator projection") {
+    val docs = Tables.documents(spark, sf0001)
+    val p = graft.llm.Chunking.chunkDocs(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected a generator plan:\n$p")
+  }
+
   test("a pagerank round computes its shuffle once (exchange reuse)") {
     // the contrib branch and the dangling-mass branch of pagerankStep both
     // sit above the same groupBy(dst) Exchange; if exchange reuse breaks,
