@@ -313,6 +313,29 @@ object LlmQueries {
               FROM (VALUES (1, 2, 1), (1, 3, 0), (2, 3, 1), (4, 5, 3))
                 t(da, db, hamming)""")),
 
+    // per-label centroids via the fixed-dim VectorMeanAggregator (the
+    // centroid step an IVF quantizer trains with): one 64-double buffer
+    // per group with map-side partials — never an exploded (row, dim)
+    // shuffle. Emitted one row per (label, dim) — scalar rows hash
+    // portably where array cells would not.
+    Q("q_embed_centroids",
+      (s, d) => {
+        val cent = Tables.embeddings(s, d)
+          .groupBy(col("label"))
+          .agg(graft.functions.VectorMeanAggregator.vecMean(64)(
+            col("embedding")).as("c"))
+        cent.select(col("label"), posexplode(col("c")).as(Seq("pos", "m0")))
+          .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+            round(col("m0"), 6).as("m"))
+      },
+      Some("""WITH d AS (
+                SELECT label, t.i AS dim,
+                       avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+                FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+                GROUP BY 1, 2)
+              SELECT label, CAST(dim AS BIGINT) AS dim, round(m, 6) AS m
+              FROM d""")),
+
     // brute-force cosine top-5 for query vectors vec_id < 10
     Q("q_embed_knn",
       (s, d) => Similarity.bruteForceKnn(Tables.embeddings(s, d),

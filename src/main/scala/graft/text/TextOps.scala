@@ -40,6 +40,30 @@ object TextOps {
   def topWords(docs: DataFrame, textCol: String, n: Int): DataFrame =
     wordFreq(docs, textCol).orderBy(col("n").desc, col("word").asc).limit(n)
 
+  /** TF-IDF, top-`k` terms per document (tf × ln(N/df), rounded to 6dp
+    * so any engine ranks identical keys). Shuffle budget: one (doc, word)
+    * aggregation for tf; document frequency is derived from tf's OUTPUT
+    * (vocabulary-sized — never a second pass over raw tokens); the corpus
+    * size joins in as a broadcast 1-row aggregate; the final top-k is a
+    * window partitioned by document (per-doc vocab bounds each
+    * partition). */
+  def tfIdfTopK(docs: DataFrame, textCol: String, docCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = words(docs, textCol, docCol)
+      .groupBy(col(docCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfc, "word").crossJoin(broadcast(nd))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val byDoc = Window.partitionBy(col(docCol))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    scored.withColumn("rn", row_number().over(byDoc))
+      .where(col("rn") <= k)
+      .select(col(docCol), col("word"), col("tf"), col("tfidf"))
+  }
+
   /** Inverted index: token → sorted distinct posting list + frequency. */
   def invertedIndex(docs: DataFrame, textCol: String, docCol: String): DataFrame =
     words(docs, textCol, docCol).distinct()

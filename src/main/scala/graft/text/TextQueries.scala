@@ -17,6 +17,27 @@ object TextQueries {
                 SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
               ) WHERE length(word) > 0 GROUP BY word""")),
 
+    // tf-idf: top-3 distinguishing terms per document (retrieval prep)
+    Q("q_tfidf",
+      (s, d) => TextOps.tfIdfTopK(Tables.documents(s, d), "text", "doc_id",
+        k = 3),
+      Some("""WITH w AS (SELECT doc_id,
+                     unnest(string_split_regex(text, '\s+')) AS word
+                   FROM documents),
+              ww AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+              tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                     FROM ww GROUP BY 1, 2),
+              dfc AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                      FROM tf GROUP BY 1),
+              nd AS (SELECT count(*) AS n_docs FROM documents),
+              sc AS (SELECT tf.doc_id, tf.word, tf.tf,
+                            round(tf.tf * ln(nd.n_docs / dfc.df), 6) AS tfidf
+                     FROM tf JOIN dfc USING (word) CROSS JOIN nd)
+              SELECT doc_id, word, tf, tfidf FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, word) AS rn FROM sc)
+              WHERE rn <= 3""")),
+
     // wordfreq Ntop: global top-20, deterministic tiebreak
     Q("q_wordfreq_topn",
       (s, d) => TextOps.topWords(Tables.documents(s, d), "text", 20),

@@ -234,6 +234,33 @@ class TextLlmSpec extends AnyFunSuite {
     assert(packs == Set(("s1", 0L, 2L, 7L), ("s1", 1L, 2L, 7L)))
   }
 
+  test("vecMean: exact centroid; null and wrong-length vectors skipped") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1, Array(1.0f, 3.0f)), (1, Array(3.0f, 5.0f)),
+      (1, null.asInstanceOf[Array[Float]]), (1, Array(9.0f)), // both skipped
+      (2, Array(2.0f, 2.0f)))
+      .toDF("label", "embedding")
+    val out = d.groupBy(col("label"))
+      .agg(graft.functions.VectorMeanAggregator.vecMean(2)(col("embedding"))
+        .as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(out == Map(1 -> Seq(2.0, 4.0), 2 -> Seq(2.0, 2.0)))
+  }
+
+  test("tfIdfTopK ranks by tfidf desc with word-asc tiebreak") {
+    // 3 docs; "common" is in all docs (idf = 0), so distinguishing terms win
+    val d = docs(
+      (1L, "common apple apple banana"),
+      (2L, "common banana"),
+      (3L, "common cherry"))
+    val top = TextOps.tfIdfTopK(d, "text", "doc_id", k = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // doc 1: apple tf=2, df=1 → top; doc 2: banana (df=2 but common has idf 0)
+    assert(top == Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+  }
+
   test("sessionize: gap strictly over the threshold starts a new session") {
     val s = spark
     import s.implicits._
