@@ -8,11 +8,14 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native Catalyst expression: DISTINCT word k-shingles of a token array
-  * in one pass — `shingle_array(split(text, "\\s+"), k)` →
-  * `array<string>` in first-occurrence order, empty when fewer than k
-  * non-empty tokens (zero-length tokens are skipped inside, like
-  * [[MinHashSig]]).
+/** Native Catalyst expression: word k-shingles of a token array in one
+  * pass — `shingle_array(split(text, "\\s+"), k)` → `array<string>`,
+  * empty when fewer than k non-empty tokens (zero-length tokens are
+  * skipped inside, like [[MinHashSig]]). With `distinct` (the default,
+  * and the SQL-registered form) each shingle appears once in
+  * first-occurrence order — the set semantics every Jaccard/minhash
+  * consumer wants; with `distinct = false` every occurrence is kept in
+  * position order — the multiset semantics n-gram COUNTING wants.
   *
   * Replaces the shifted-`slice` + `zip_with`-chain column formulation:
   * `zip_with` is a CodegenFallback higher-order function, so every
@@ -22,7 +25,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * verification joins (minhash candidates, the quadratic truth baseline,
   * decontamination) — per-row work in the hottest dedup scans.
   */
-case class ShingleArray(child: Expression, k: Int) extends UnaryExpression {
+case class ShingleArray(child: Expression, k: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   require(k >= 1, "shingle size must be >= 1")
 
@@ -36,12 +40,12 @@ case class ShingleArray(child: Expression, k: Int) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleArray.compute(input.asInstanceOf[ArrayData], k)
+    ShingleArray.compute(input.asInstanceOf[ArrayData], k, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = "graft.functions.ShingleArray$.MODULE$"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = $helper.compute($c, $k);")
+      s"${ev.value} = $helper.compute($c, $k, $distinct);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleArray =
@@ -50,10 +54,11 @@ case class ShingleArray(child: Expression, k: Int) extends UnaryExpression {
 
 object ShingleArray {
 
-  /** Distinct k-shingles (space-joined) of the non-empty tokens, first
-    * occurrence first — byte-identical to
-    * `array_distinct(<zip_with concat chain>)` over the filtered words. */
-  def compute(words: ArrayData, k: Int): ArrayData = {
+  /** k-shingles (space-joined) of the non-empty tokens; `distinct` keeps
+    * first occurrences only — byte-identical to
+    * `array_distinct(<zip_with concat chain>)` over the filtered words —
+    * while `!distinct` keeps every occurrence in position order. */
+  def compute(words: ArrayData, k: Int, distinct: Boolean): ArrayData = {
     val raw = words.numElements()
     val w = new Array[UTF8String](raw)
     var n = 0
@@ -64,21 +69,35 @@ object ShingleArray {
       r += 1
     }
     if (n < k) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]()
     val sep = UTF8String.fromString(" ")
-    var i = 0
-    while (i <= n - k) {
+    def shingleAt(i: Int): UTF8String = {
       val parts = new Array[UTF8String](k)
       var j = 0
       while (j < k) { parts(j) = w(i + j); j += 1 }
-      seen.add(UTF8String.concatWs(sep, parts: _*))
-      i += 1
+      UTF8String.concatWs(sep, parts: _*)
     }
-    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i <= n - k) { seen.add(shingleAt(i)); i += 1 }
+      new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+    } else {
+      val out = new Array[Any](n - k + 1)
+      var i = 0
+      while (i <= n - k) { out(i) = shingleAt(i); i += 1 }
+      new GenericArrayData(out)
+    }
   }
 
   def shingles(words: Column, k: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.toColumn(ShingleArray(ColumnBridge.toExpression(words), k))
+  }
+
+  /** Multiset form: every shingle occurrence, in position order. */
+  def shinglesAll(words: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.toColumn(
+      ShingleArray(ColumnBridge.toExpression(words), k, distinct = false))
   }
 }

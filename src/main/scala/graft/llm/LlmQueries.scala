@@ -336,6 +336,45 @@ object LlmQueries {
               SELECT label, CAST(dim AS BIGINT) AS dim, round(m, 6) AS m
               FROM d""")),
 
+    // k-means over the embedding corpus: 2 fixed Lloyd rounds, k=16,
+    // mixer-seeded init — the oracle unrolls both rounds as CTEs with
+    // term-for-term identical arithmetic (6dp rounding pins the FP
+    // boundary between rounds on both engines)
+    Q("q_kmeans",
+      (s, d) => Similarity.kmeans(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, k = 16, iters = 2),
+      Some({
+        def sq(a: String, b: String): String =
+          s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
+               - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+               + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))"""
+        s"""WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, e AS cv FROM v
+                   ORDER BY ((vec_id % 1000000007) * 2654435761 + 445533) % 9973,
+                            vec_id
+                   LIMIT 16),
+            a1 AS (SELECT vec_id, e, cid FROM (
+                     SELECT v.vec_id, v.e, c.cid,
+                            row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round(${sq("v.e", "c.cv")}, 6), c.cid)
+                              AS rn
+                     FROM v, c0 c) WHERE rn = 1),
+            c1 AS (SELECT cid, list(mm ORDER BY dim) AS cv FROM (
+                     SELECT cid, t.i AS dim, round(avg(e[t.i]), 6) AS mm
+                     FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2)
+                   GROUP BY cid),
+            a2 AS (SELECT vec_id, cid FROM (
+                     SELECT v.vec_id, c.cid,
+                            row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round(${sq("v.e", "c.cv")}, 6), c.cid)
+                              AS rn
+                     FROM v, c1 c) WHERE rn = 1)
+            SELECT vec_id, cid AS cluster FROM a2"""
+      })),
+
     // brute-force cosine top-5 for query vectors vec_id < 10
     Q("q_embed_knn",
       (s, d) => Similarity.bruteForceKnn(Tables.embeddings(s, d),

@@ -179,4 +179,52 @@ object Similarity {
       .where(col("rn") <= k)
       .select(col("qid"), col("nid"), col("cos"), col("rn").cast("long").as("rn"))
   }
+
+  /** Lloyd's k-means over an embedding column, `iters` FIXED rounds (the
+    * oracle unrolls the same rounds as CTEs) — the clustering step an
+    * embedding pipeline runs between centroid training and IVF layout.
+    * Deterministic end to end: init picks the `k` corpus vectors with
+    * the smallest portable-mixer key (same TakeOrderedAndProject shape
+    * as [[ivfKnn]]'s quantizer — corpus-size-independent broadcast),
+    * assignment is argmin squared-L2 rounded to 6dp with centroid-id
+    * tiebreak, and recomputed centroids ([[graft.functions.VectorMeanAggregator]]
+    * — map-side partial buffers, never an exploded (row, dim) shuffle)
+    * are rounded to 6dp per component so both engines feed bitwise-equal
+    * centroids into the next round. Squared L2 is composed as
+    * a·a − 2·a·b + b·b from three codegen'd [[graft.functions.DotProduct]]
+    * evaluations, mirrored term for term in the oracle SQL. Per round:
+    * one k-row broadcast join + one window by point id + one centroid
+    * aggregation — all linear in the corpus. Returns (idCol, cluster).
+    */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int = 16, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "kmeans needs at least one assignment round")
+    def sq(a: Column, b: Column): Column =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    val pts = emb.select(col(idCol).as("vid"), col(vecCol).as("pv"))
+    // seed offset 11*40503: distinct from the IVF quantizer's 7*40503 so
+    // the two samples are independent
+    var cents = broadcast(pts
+      .select(col("vid").as("cid"), col("pv").as("cv"))
+      .orderBy(pmod(pmod(col("cid"), lit(1000000007L)) * lit(2654435761L)
+          + lit(445533L), lit(9973L)).asc, col("cid").asc)
+      .limit(k))
+    val byPoint = Window.partitionBy(col("vid"))
+      .orderBy(col("d").asc, col("cid").asc)
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      assigned = pts.crossJoin(cents)
+        .select(col("vid"), col("pv"), col("cid"),
+          round(sq(col("pv"), col("cv")), 6).as("d"))
+        .withColumn("rn", row_number().over(byPoint))
+        .where(col("rn") === 1)
+        .select(col("vid"), col("pv"), col("cid"))
+      if (i < iters)
+        cents = broadcast(assigned.groupBy(col("cid"))
+          .agg(graft.functions.VectorMeanAggregator.vecMean(dim)(col("pv"))
+            .as("cm"))
+          .select(col("cid"), transform(col("cm"), x => round(x, 6)).as("cv")))
+    }
+    assigned.select(col("vid").as(idCol), col("cid").as("cluster"))
+  }
 }

@@ -17,6 +17,27 @@ object TextQueries {
                 SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
               ) WHERE length(word) > 0 GROUP BY word""")),
 
+    // bigram counts, global top-20: the n-gram generalization of wordfreq
+    // (unigram case) via the native shingle expression — one generator
+    // projection + one vocabulary-keyed aggregation, top-K lowered to
+    // TakeOrderedAndProject
+    Q("q_bigram_topn",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(graft.functions.ShingleArray.shinglesAll(
+          split(col("text"), "\\s+"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20),
+      Some("""WITH ws AS (SELECT list_filter(string_split_regex(text, '\s+'),
+                       w -> length(w) > 0) AS w
+                     FROM documents),
+              sh AS (SELECT unnest(list_transform(range(1, len(w)),
+                       i -> w[i] || ' ' || w[i+1])) AS bigram
+                     FROM ws WHERE len(w) >= 2)
+              SELECT bigram, CAST(count(*) AS BIGINT) AS n
+              FROM sh GROUP BY 1
+              ORDER BY n DESC, bigram LIMIT 20""")),
+
     // tf-idf: top-3 distinguishing terms per document (retrieval prep)
     Q("q_tfidf",
       (s, d) => TextOps.tfIdfTopK(Tables.documents(s, d), "text", "doc_id",

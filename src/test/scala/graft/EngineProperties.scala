@@ -135,6 +135,21 @@ object EngineProperties extends Properties("graft") {
       got == expect
     }
 
+  property("ShingleArray multiset form keeps every occurrence in order") =
+    forAll(tokenGen, Gen.chooseNum(1, 4)) { (tokens, k) =>
+      val s = spark
+      import s.implicits._
+      val got = Seq(tokens.mkString(" ")).toDF("text")
+        .select(graft.functions.ShingleArray.shinglesAll(
+          split(col("text"), "\\s+"), k).as("sh"))
+        .head().getSeq[String](0).toList
+      val words = tokens.mkString(" ").split("\\s+").filter(_.nonEmpty).toList
+      val expect =
+        if (words.length < k) Nil
+        else words.sliding(k).map(_.mkString(" ")).toList
+      got == expect
+    }
+
   property("sampling buckets stay in [0, 9973) for negative and huge keys") =
     forAll(Gen.chooseNum(Long.MinValue / 3, Long.MaxValue / 3)) { key =>
       val s = spark

@@ -63,7 +63,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_embed_knn", "q_embed_ivf_knn", "q_embed_lsh_knn",
       "q_embed_dup_pairs", "q_embed_dup_clusters",
       "q_pagerank", "q_pagerank_golden", "q_join_multi",
-      "q_tfidf") // 1-row corpus-size aggregate broadcast into the scorer
+      "q_tfidf",  // 1-row corpus-size aggregate broadcast into the scorer
+      "q_kmeans") // k-row centroid table broadcast into assignment
     val offenders = Registry.byName.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream"))
       .flatMap { name =>
