@@ -187,7 +187,39 @@ object GraphQueries {
         SELECT source, v, dist FROM d$rounds"""
   }
 
+  /** DuckDB replay of [[Iterative.kCore]]: `rounds` peel rounds unrolled
+    * as chained CTEs. Peeling is idempotent at fixpoint, so any round
+    * budget ≥ the convergence depth is EXACT (measured depth 7 at sf0.01
+    * for k=4 on the mid graph; 10 leaves margin). The per-round CTEs are
+    * MATERIALIZED: DuckDB inlines plain CTEs at every reference, and with
+    * each round referencing the previous ~3×, inlining re-scans the
+    * parquet 3^rounds times (observed as fd exhaustion at 10 rounds). */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (
+            SELECT v FROM g${i - 1} GROUP BY v HAVING count(*) >= $k),
+          g$i AS MATERIALIZED (
+            SELECT g.v, g.nbr FROM g${i - 1} g
+            JOIN k$i x ON g.v = x.v JOIN k$i y ON g.nbr = y.v)"""
+    }.mkString(",\n")
+    s"""WITH $me,
+        $su,
+        g0 AS MATERIALIZED (
+          SELECT src AS v, dst AS nbr FROM u
+          UNION ALL SELECT dst AS v, src AS nbr FROM u),
+        $steps
+        SELECT v, CAST(count(*) AS BIGINT) AS deg
+        FROM g$rounds GROUP BY v"""
+  }
+
   val all: Seq[Q] = Seq(
+
+    // k-core decomposition at k=4 over the mid-density graph: iterative
+    // peeling to fixpoint, oracle-unrolled (rounds are idempotent past
+    // convergence)
+    Q("q_kcore",
+      (s, d) => Iterative.kCore(GraphOps.midEdgesFromLineitem(s, d), k = 4),
+      Some(kCoreSql(4, 10))),
 
     Q("q_edge_upper",
       (s, d) => GraphOps.edgeUpper(GraphOps.edgesFromLineitem(s, d)),

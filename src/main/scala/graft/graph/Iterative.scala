@@ -218,6 +218,35 @@ object Iterative {
         active.select("v").schema))
   }
 
+  /** k-core: iteratively peel vertices of (undirected) degree < k until
+    * fixpoint; returns each surviving vertex with its degree inside the
+    * core subgraph. The natural companion of the degree/degree_stats
+    * commands (`oink/degree.cpp`) for graph cleaning. Round discipline
+    * matches ccFindStar: checkpoint per round, edge-count convergence
+    * (peeling only shrinks, so equal counts == fixpoint — and extra
+    * rounds at fixpoint are no-ops, which is what lets the oracle unroll
+    * a fixed round budget). Per round: one degree aggregation + two
+    * semi-join-shaped filters, all partial-aggregated and skew-free. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    var g = symmetric(edges).localCheckpoint()
+    var m = g.count()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val keep = g.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("v"))
+      val g2 = g.join(keep, "v")
+        .join(keep.withColumnRenamed("v", "nbr"), "nbr")
+        .select(col("v"), col("nbr"))
+        .localCheckpoint()
+      val m2 = g2.count()
+      changed = m2 != m
+      g = g2; m = m2
+      iter += 1
+    }
+    g.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+  }
+
   /** sssp (`oink/sssp.cpp:49-160`): Bellman-Ford frontier relaxation from
     * one source over weighted directed edges (src, dst, w).
     * Edges are partitioned by src once and persisted across all rounds —

@@ -56,6 +56,17 @@ class GraphSpec extends AnyFunSuite {
     assert(stats == Map(3L -> 2L, 2L -> 1L))
   }
 
+  test("kCore peels a hanging path, keeps K5, reports core degrees") {
+    // K5 on 0..4 (degree 4 each) + path 0-10-11-12 that must peel away
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val g = edges(k5 ++ Seq((0L, 10L), (10L, 11L), (11L, 12L)): _*)
+    val core = Iterative.kCore(g, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == (0L to 4L).map(_ -> 4L).toMap)
+    // k above the max degree empties the graph
+    assert(Iterative.kCore(g, k = 5).count() == 0L)
+  }
+
   test("triangleCount finds all 4 triangles of K4 and none in a path") {
     val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     assert(Triangles.triangleCount(k4).head().getLong(0) == 4L)
