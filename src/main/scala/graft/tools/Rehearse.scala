@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Registry, Tables}
+
+/** 10× scale rehearsal (dev tooling, SCALE.md "10× scale rehearsal"):
+  * synthesizes a 10×-sf0.1 corpus by key-shifted replication into
+  * `outDir` (documents replicated verbatim — dup-heavy BY CONSTRUCTION;
+  * events get shifted users so key cardinality scales; lineitem gets
+  * coprime key offsets so the derived mod-N graphs genuinely densify),
+  * then times the named queries there, printing one line per query for
+  * the SCALE.md table. Usage:
+  *   runMain graft.tools.Rehearse <sf0.1Dir> <outDir> <query,query,...>
+  */
+object Rehearse {
+
+  private def replicate(spark: SparkSession, df: DataFrame,
+      shift: DataFrame => Int => DataFrame): DataFrame =
+    (0 until 10).map(r => shift(df)(r)).reduce(_ unionByName _)
+
+  def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val done = new java.io.File(s"$outDir/_done")
+    if (done.exists()) return
+    val docs = Tables.documents(spark, sfDir)
+    replicate(spark, docs, d => r =>
+      d.withColumn("doc_id", col("doc_id") + lit(r * 10000000L)))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val ev = Tables.events(spark, sfDir)
+    replicate(spark, ev, d => r =>
+      d.withColumn("event_id", col("event_id") + lit(r * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(r * 1000L)))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    val emb = Tables.embeddings(spark, sfDir)
+    replicate(spark, emb, d => r =>
+      d.withColumn("vec_id", col("vec_id") + lit(r * 1000000L)))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    val li = Tables.lineitem(spark, sfDir)
+    replicate(spark, li, d => r =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(r * 31L))
+        .withColumn("l_partkey", col("l_partkey") + lit(r * 37L)))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // small dims copied verbatim (q_pivot/q_stream_enrich deps)
+    Seq("customer", "orders", "nation", "region").foreach { t =>
+      try Tables.load(spark, sfDir, t)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      catch { case _: Throwable => () }
+    }
+    done.createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, queryCsv) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark, sfDir, outDir)
+    queryCsv.split(",").foreach { name =>
+      val q = Registry.byName(name)
+      q.run(spark, outDir).count() // warm (codegen + listing)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        q.run(spark, outDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"REHEARSE $name%-22s median=${ts.sorted.apply(1)}%.2f s  (runs=${ts.map(t => f"$t%.2f").mkString(",")})")
+    }
+    spark.stop()
+  }
+}
