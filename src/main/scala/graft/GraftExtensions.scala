@@ -64,9 +64,15 @@ object GraftExtensions {
         }),
       ("shingle_array",
         new ExpressionInfo(classOf[ShingleArray].getName, "shingle_array"),
-        (args: Seq[Expression]) => {
-          arity(2, args, "shingle_array")
-          ShingleArray(args(0), litInt(args(1), "shingle_array k"))
+        (args: Seq[Expression]) => args match {
+          // optional 3rd arg mirrors the Column API's multiset mode:
+          // shingle_array(words, k, false) keeps every occurrence
+          case Seq(w, k) =>
+            ShingleArray(w, litInt(k, "shingle_array k"))
+          case Seq(w, k, Literal(d: Boolean, _)) =>
+            ShingleArray(w, litInt(k, "shingle_array k"), distinct = d)
+          case _ => throw new IllegalArgumentException(
+            "shingle_array expects (array<string>, k [, distinct])")
         }),
       ("normalize_text",
         new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),

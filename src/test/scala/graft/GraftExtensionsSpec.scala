@@ -67,6 +67,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql.getSeq[String](0) == viaCols.getSeq[String](0))
     assert(viaSql.getString(1) == viaCols.getString(1))
     assert(viaSql.get(2) == viaCols.get(2))
+    // 3-arg multiset form ≡ shinglesAll (occurrence-keeping semantics are
+    // property-tested in EngineProperties; here pin the SQL wiring)
+    val multiSql = spark.sql(
+      "SELECT shingle_array(split(text, '\\\\s+'), 2, false) AS sh FROM ext_docs2")
+      .head().getSeq[String](0)
+    val multiCol = Seq((1L, "  The  cat SAT on the cat sat mat  "))
+      .toDF("doc_id", "text")
+      .select(graft.functions.ShingleArray.shinglesAll(
+        split(col("text"), "\\s+"), 2).as("sh"))
+      .head().getSeq[String](0)
+    assert(multiSql == multiCol)
   }
 
   test("minhash_sig rejects non-literal k") {
