@@ -212,7 +212,42 @@ object GraphQueries {
         FROM g$rounds GROUP BY v"""
   }
 
+  /** DuckDB replay of [[Iterative.labelPropagation]]: `rounds` synchronous
+    * LPA rounds unrolled (argmax per vertex = row_number over (cnt DESC,
+    * label) — the same winner as Spark's min(struct(-cnt, label))).
+    * MATERIALIZED for the same inlining reason as [[kCoreSql]]. */
+  private def labelPropSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (
+            SELECT g.v, l.label, count(*) AS cnt
+            FROM g0 g JOIN l${i - 1} l ON g.nbr = l.v
+            GROUP BY 1, 2),
+          l$i AS MATERIALIZED (
+            SELECT v, label FROM (
+              SELECT v, label, row_number() OVER (PARTITION BY v
+                ORDER BY cnt DESC, label) AS rn
+              FROM c$i) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH $se,
+        $su,
+        g0 AS MATERIALIZED (
+          SELECT src AS v, dst AS nbr FROM u
+          UNION ALL SELECT dst AS v, src AS nbr FROM u),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT v, v AS label FROM g0),
+        $steps
+        SELECT v, label FROM l$rounds"""
+  }
+
   val all: Seq[Q] = Seq(
+
+    // label-propagation communities over the sparse graph, 3 fixed
+    // synchronous rounds (LPA can 2-cycle, so a fixed budget IS the
+    // operator's spec — and what the oracle unrolls)
+    Q("q_label_prop",
+      (s, d) => Iterative.labelPropagation(
+        GraphOps.sparseEdgesFromLineitem(s, d), rounds = 3),
+      Some(labelPropSql(3))),
 
     // k-core decomposition at k=4 over the mid-density graph: iterative
     // peeling to fixpoint, oracle-unrolled (rounds are idempotent past

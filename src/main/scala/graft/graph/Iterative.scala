@@ -218,6 +218,36 @@ object Iterative {
         active.select("v").schema))
   }
 
+  /** Label propagation communities: every vertex starts as its own label
+    * and each synchronous round adopts the most frequent label among its
+    * neighbors (tie → smallest label). FIXED round count — LPA has no
+    * convergence guarantee (synchronous updates can 2-cycle), so a fixed
+    * budget is the honest spec AND what lets the oracle unroll the exact
+    * rounds. Deterministic end to end. Per round: one adjacency join +
+    * two partial-aggregated shuffles ((v, label) counts, then argmax per
+    * v via min(struct(-cnt, label)) — never a per-vertex collect). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val adj = symmetric(edges)
+      .repartition(col("nbr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = adj.select(col("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      labels = adj
+        .join(labels.select(col("v").as("nbr"), col("label")), "nbr")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("v"), col("m.l").as("label"))
+        .localCheckpoint()
+      i += 1
+    }
+    adj.unpersist()
+    labels
+  }
+
   /** k-core: iteratively peel vertices of (undirected) degree < k until
     * fixpoint; returns each surviving vertex with its degree inside the
     * core subgraph. The natural companion of the degree/degree_stats

@@ -56,6 +56,17 @@ class GraphSpec extends AnyFunSuite {
     assert(stats == Map(3L -> 2L, 2L -> 1L))
   }
 
+  test("labelPropagation converges to the min label on disjoint triangles") {
+    // hand-replay: r1 each vertex takes its min neighbor; r2/r3 the min
+    // label floods the triangle (same for the shifted copy)
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 20L), (10L, 30L), (20L, 30L))
+    val lp = Iterative.labelPropagation(g, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 20L -> 10L, 30L -> 10L))
+  }
+
   test("kCore peels a hanging path, keeps K5, reports core degrees") {
     // K5 on 0..4 (degree 4 each) + path 0-10-11-12 that must peel away
     val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
