@@ -13,14 +13,17 @@ import org.apache.spark.sql.SparkSession
   * while the complete per-query map is written to bench_out.json in the
   * working directory for anything that wants the full detail.
   *
-  * Timing discipline: every query is timed once; queries whose first run
-  * is under `RerunBelowSec` are re-run twice more and report the MEDIAN
-  * of three (cheap queries are where ±20–40 % scheduler/GC noise swamps
-  * the signal); queries above it are re-run ONCE and report the MIN of
-  * two — the noise is one-sided (a spike only ever adds time; a 28 s
-  * pagerank next to a 4.7 s probe of the same plan motivated this), so
-  * min-of-2 bounds the spike while only doubling the heavy tail's wall
-  * cost. Names are sorted so per-query diffs line up run to run.
+  * Timing discipline (round 5: min-of-N for EVERY query — r4's
+  * heavy-tail-only rerun left sub-3 s rows exposed to one-sided spikes,
+  * which is what the r4 review chased as phantom "regressions" on
+  * q_simhash_pairs / q_join_multi / q_json_extract): scheduler/GC noise
+  * only ever ADDS time, so each query reports the MIN over its runs —
+  * 3 runs below `RerunBelowSec` (cheap, where ±40 % noise swamps the
+  * signal), 2 above it (bounding the wall cost of the heavy tail). Each
+  * timed run releases its terminal checkpoint blocks afterwards
+  * (graft.core.Checkpoints) so 103 queries × N runs don't accumulate
+  * dead localCheckpoint storage and distort later rows via GC pressure.
+  * Names are sorted so per-query diffs line up run to run.
   */
 object Bench {
 
@@ -67,14 +70,19 @@ object Bench {
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        val df = fn(spark, sfDir)
+        df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.Checkpoints.release(df)
+        dt
+      } catch { case _: Throwable => (System.nanoTime() - t0) / 1e9 }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t1 = timeOnce(fn)
       val t =
         if (t1 >= RerunBelowSec) math.min(t1, timeOnce(fn)) // min of 2
-        else Seq(t1, timeOnce(fn), timeOnce(fn)).sorted.apply(1) // median of 3
+        else Seq(t1, timeOnce(fn), timeOnce(fn)).min // min of 3
       name -> t
     }
     spark.stop()

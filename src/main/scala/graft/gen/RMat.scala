@@ -78,9 +78,11 @@ object RMat {
     while (have < target && round < maxRounds) {
       val need = target - have
       val fresh = batch(spark, p, need, numTasks, round)
-      edges = (if (edges == null) fresh else edges.union(fresh))
+      val next = (if (edges == null) fresh else edges.union(fresh))
         .dropDuplicates("src", "dst")
         .localCheckpoint()
+      if (edges != null) graft.core.Checkpoints.release(edges)
+      edges = next
       have = edges.count()
       round += 1
     }

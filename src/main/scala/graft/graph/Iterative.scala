@@ -67,6 +67,7 @@ object Iterative {
           least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
           (col("cand").isNotNull && col("cand") < col("label")).as("changed"))
         .localCheckpoint()
+      graft.core.Checkpoints.release(labels) // round N-1 dead once next exists
       frontier = next.where(col("changed")).select(col("v"), col("label"))
       changedN = frontier.count()
       labels = next.select(col("v"), col("label"))
@@ -140,6 +141,7 @@ object Iterative {
           .where(col("l").isNull || col("r").isNull)
           .count()
       eCount = rehungCount
+      graft.core.Checkpoints.release(e) // after the diff-join consumed it
       e = rehung
       iter += 1
     }
@@ -150,6 +152,7 @@ object Iterative {
       .select(col("v"), coalesce(col("label"), col("v")).as("label"))
       .localCheckpoint()
     vertices.unpersist()
+    graft.core.Checkpoints.release(e) // final star set folded into out
     out
   }
 
@@ -209,13 +212,17 @@ object Iterative {
       val removed = winners
         .union(adj.join(winners, "v").select(col("nbr").as("v")))
         .distinct()
-      active = active.join(removed, Seq("v"), "left_anti").localCheckpoint()
+      val nextActive = active.join(removed, Seq("v"), "left_anti").localCheckpoint()
+      graft.core.Checkpoints.release(active) // winners are separately checkpointed
+      active = nextActive
       iter += 1
     }
-    rounds.reduceOption(_ union _).getOrElse(
+    val out = rounds.reduceOption(_ union _).getOrElse(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         active.select("v").schema))
+    graft.core.Checkpoints.release(active, adj)
+    out
   }
 
   /** Label propagation communities: every vertex starts as its own label
@@ -235,13 +242,15 @@ object Iterative {
       .localCheckpoint()
     var i = 0
     while (i < rounds) {
-      labels = adj
+      val next = adj
         .join(labels.select(col("v").as("nbr"), col("label")), "nbr")
         .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("v"))
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
         .select(col("v"), col("m.l").as("label"))
         .localCheckpoint()
+      graft.core.Checkpoints.release(labels)
+      labels = next
       i += 1
     }
     adj.unpersist()
@@ -271,6 +280,7 @@ object Iterative {
         .localCheckpoint()
       val m2 = g2.count()
       changed = m2 != m
+      graft.core.Checkpoints.release(g)
       g = g2; m = m2
       iter += 1
     }
@@ -310,6 +320,7 @@ object Iterative {
         .select(col("v"), col("dist"), col("cand"),
           least(coalesce(col("dist"), lit(Double.MaxValue)), col("cand")).as("newDist"))
         .localCheckpoint()
+      graft.core.Checkpoints.release(dist) // prior round's merged, now folded in
       frontier = merged
         .where(col("dist").isNull || (col("cand").isNotNull && col("cand") < col("dist")))
         .select(col("v"), col("newDist").as("dist"))
@@ -362,6 +373,7 @@ object Iterative {
         .select(col("source"), col("v"), col("dist"), col("cand"),
           least(coalesce(col("dist"), lit(Double.MaxValue)), col("cand")).as("newDist"))
         .localCheckpoint()
+      graft.core.Checkpoints.release(dist)
       frontier = merged
         .where(col("dist").isNull || (col("cand").isNotNull && col("cand") < col("dist")))
         .select(col("source"), col("v"), col("newDist").as("dist"))
@@ -383,7 +395,12 @@ object Iterative {
   def pagerank(edges: DataFrame, alpha: Double = 0.85, tol: Double = 1e-6,
       maxIter: Int = 20): DataFrame = {
     val directed = edges.where(col("src") =!= col("dst")).distinct()
-    val vertices = GraphOps.vertexExtract(directed).persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted hash(v)-partitioned: the per-round rank rebuild joins
+    // vertices on v, and a cached frame's partitioning survives into the
+    // plan — without the repartition every round re-exchanges vertices
+    val vertices = GraphOps.vertexExtract(directed)
+      .repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = vertices.count().toDouble
     val outDeg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val w = directed.join(outDeg, "src")
@@ -398,6 +415,7 @@ object Iterative {
       if (tol > 0)
         delta = next.join(ranks.withColumnRenamed("rank", "old"), "v")
           .agg(sum(abs(col("rank") - col("old")))).head().getDouble(0)
+      graft.core.Checkpoints.release(ranks) // after the delta join consumed it
       ranks = next
       iter += 1
     }
