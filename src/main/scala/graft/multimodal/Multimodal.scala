@@ -9,14 +9,18 @@ import graft.Tables
   * `binary` columns with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * The heavy codecs (JPEG/PNG decode, audio resample, video demux) are NOT
-  * in this container — the decode step is STUBBED with a deterministic
-  * fake (byte-level features). Everything around the stub is the real
-  * production shape: schema (binary + metadata struct), per-partition
-  * batch processing via mapPartitions (the Scala analog of mapInPandas —
-  * one codec instance per partition, streamed rows), and pure column
-  * slicing for frame extraction. Swapping the fake for a real codec
-  * changes one function body, no plan shape.
+  * The decode path uses a REAL codec (round 5; replaces the round-4
+  * identity stub): [[imageTable]] encodes each payload into an actual PNG
+  * with `javax.imageio` and [[decodeFeatures]] decodes it back with the
+  * same codec before extracting features. PNG is lossless, so the decoded
+  * pixel stream is the original payload bytes plus deterministic zero
+  * padding — which keeps the features byte-replayable by an engine that
+  * never decodes anything (the DuckDB oracle). The plumbing around the
+  * codec is the production shape: schema (binary + metadata struct),
+  * per-partition batch processing via mapPartitions (the Scala analog of
+  * mapInPandas — one codec context per partition, streamed rows), and
+  * pure column slicing for frame extraction. Swapping PNG for JPEG/audio
+  * /video demux changes the two codec call sites, no plan shape.
   */
 object Multimodal {
 
@@ -57,19 +61,88 @@ object Multimodal {
   case class Features(media_id: Long, n_bytes: Long, mean_byte: Double,
       histogram: Array[Long])
 
-  /** Per-partition batched "decode" + feature extraction. REAL plumbing:
+  /** Image geometry: fixed width, height sized to the payload. 16 px ×
+    * 3 channels = 48 payload bytes per row; the last row zero-pads. */
+  val ImgWidth = 16
+  private val RowBytes = ImgWidth * 3
+
+  private[graft] def imgHeight(nBytes: Int): Int =
+    math.max(1, (nBytes + RowBytes - 1) / RowBytes)
+
+  /** Encode a payload into a real PNG: bytes fill a [[ImgWidth]]-wide
+    * RGB raster in index order (byte 3p → R of pixel p, 3p+1 → G,
+    * 3p+2 → B), zero-padded to the last row. Deterministic: same payload
+    * → same pixels (PNG container bytes may differ across JDKs, but the
+    * DECODED content never does — which is what the features read). */
+  private[graft] def encodePng(payload: Array[Byte]): Array[Byte] = {
+    val h = imgHeight(payload.length)
+    val img = new java.awt.image.BufferedImage(
+      ImgWidth, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    val nPix = ImgWidth * h
+    while (p < nPix) {
+      val i = 3 * p
+      def b(j: Int): Int = if (j < payload.length) payload(j) & 0xff else 0
+      img.setRGB(p % ImgWidth, p / ImgWidth, (b(i) << 16) | (b(i + 1) << 8) | b(i + 2))
+      p += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Decode a PNG back to its raster bytes in RGB index order — the
+    * inverse of [[encodePng]] (PNG is lossless, so this IS the padded
+    * payload). One call per row, context-free; the expensive part is the
+    * actual `javax.imageio` PNG inflate. */
+  private[graft] def decodePngBytes(png: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val i = 3 * (y * w + x)
+        out(i) = ((rgb >> 16) & 0xff).toByte
+        out(i + 1) = ((rgb >> 8) & 0xff).toByte
+        out(i + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Image table: each document's payload encoded as an actual PNG
+    * binary column + (kind, n_bytes=payload length, origin) metadata —
+    * the ingest side of the decode pipeline. */
+  def imageTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, sfDir).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("content")).as[MediaRow]
+    payloads.mapPartitions { rows =>
+      // one encoder context per partition (ImageIO writer lookup is
+      // per-call here, but a stateful codec would init in this scope)
+      rows.map(r => MediaRow(r.media_id, encodePng(r.content)))
+    }.toDF()
+  }
+
+  /** Per-partition batched decode + feature extraction over REAL PNGs:
     * partition-streamed rows, one decoder context per partition, typed
-    * output schema. STUB decode: a real implementation replaces
-    * `decodeBytes` with the actual codec call. */
+    * output schema. `javax.imageio` inflates each payload back to its
+    * raster; features are computed over the DECODED bytes (original
+    * payload + zero padding to the raster size). */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("content")).as[MediaRow]
       .mapPartitions { rows =>
-        // one (stub) decoder per partition — where a codec would init
-        def decodeBytes(payload: Array[Byte]): Array[Byte] = payload // STUB
         rows.map { r =>
-          val decoded = decodeBytes(r.content)
+          val decoded = decodePngBytes(r.content)
           val hist = new Array[Long](16)
           var sum = 0L
           decoded.foreach { b =>

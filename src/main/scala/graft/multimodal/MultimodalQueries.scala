@@ -44,23 +44,34 @@ object MultimodalQueries {
                        AS frame_md5
               FROM f WHERE frame_idx % 4 = 0""")),
 
-    // stubbed decode + feature extraction via mapPartitions. The byte math
-    // is replayed in SQL from the ENCODED payload: bytes are read out of
-    // hex(encode(text)) two hex digits at a time, so the oracle sees the
-    // exact UTF-8 bytes the decoder saw regardless of character content
-    // (a character-position substring would silently diverge on non-ASCII
-    // text). The histogram array is emitted as a comma-joined string so
-    // the harness can sort/hash it (the postings/nbrs pattern), and
-    // mean_byte is a single IEEE division of two exact integers —
-    // bit-identical across engines, no rounding step needed.
+    // REAL-codec decode + feature extraction via mapPartitions (round 5;
+    // the identity-stub round-4 version verified byte replay only):
+    // imageTable encodes each payload into an actual PNG with
+    // javax.imageio, decodeFeatures inflates it back with the same codec,
+    // and the features run over the DECODED raster bytes. PNG is
+    // lossless, so the raster is the payload plus zero padding to the
+    // 16-px-wide RGB grid — which the oracle replays WITHOUT any codec:
+    // bytes are read out of hex(encode(text)) two hex digits at a time
+    // (exact UTF-8 bytes regardless of character content), padded length
+    // is 48 * ceil(n/48) (min one row), and the padding zeros land in
+    // histogram bucket 0. A codec or pixel-packing bug on the Spark side
+    // shows up as a sum/histogram mismatch — the decode is load-bearing,
+    // not decorative. The histogram array is emitted as a comma-joined
+    // string so the harness can sort/hash it (the postings/nbrs pattern);
+    // mean_byte is a single IEEE division of two exact integers.
     Q("q_decode_features",
-      (s, d) => Multimodal.decodeFeatures(Multimodal.mediaTable(s, d))
+      (s, d) => Multimodal.decodeFeatures(Multimodal.imageTable(s, d))
         .withColumn("histogram",
           array_join(transform(col("histogram"), _.cast("string")), ",")),
       Some("""WITH m AS (
                 SELECT doc_id AS media_id, hex(encode(text)) AS h,
                        octet_length(encode(text)) AS n_bytes
                 FROM documents),
+              dims AS (
+                SELECT media_id, n_bytes,
+                       48 * greatest(1, CAST(ceil(n_bytes / 48.0) AS BIGINT))
+                         AS dec_bytes
+                FROM m),
               pos AS (
                 SELECT media_id, h,
                        unnest(range(1, n_bytes + 1)) AS i
@@ -79,8 +90,11 @@ object MultimodalQueries {
                 SELECT media_id, unnest(range(0, 16)) AS bucket FROM m),
               hist AS (
                 SELECT grid.media_id, grid.bucket,
-                       coalesce(cnt, 0) AS cnt
-                FROM grid LEFT JOIN bk
+                       coalesce(cnt, 0) + CASE WHEN grid.bucket = 0
+                         THEN d.dec_bytes - d.n_bytes ELSE 0 END AS cnt
+                FROM grid
+                JOIN dims d ON grid.media_id = d.media_id
+                LEFT JOIN bk
                   ON grid.media_id = bk.media_id AND grid.bucket = bk.bucket),
               hs AS (
                 SELECT media_id,
@@ -88,12 +102,11 @@ object MultimodalQueries {
                          AS histogram
                 FROM hist GROUP BY media_id),
               stats AS (SELECT media_id, sum(byte) AS s FROM by GROUP BY 1)
-              SELECT m.media_id, CAST(m.n_bytes AS BIGINT) AS n_bytes,
-                     CASE WHEN m.n_bytes = 0 THEN 0.0
-                          ELSE CAST(coalesce(s, 0) AS DOUBLE) / m.n_bytes
-                     END AS mean_byte,
+              SELECT m.media_id, CAST(d.dec_bytes AS BIGINT) AS n_bytes,
+                     CAST(coalesce(s, 0) AS DOUBLE) / d.dec_bytes AS mean_byte,
                      hs.histogram
               FROM m
+              JOIN dims d ON m.media_id = d.media_id
               JOIN hs ON m.media_id = hs.media_id
               LEFT JOIN stats ON m.media_id = stats.media_id"""))
   )

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** The multimodal decode path uses a REAL codec: encodePng must produce a
+  * PNG that javax.imageio round-trips losslessly back to the payload plus
+  * zero padding, and decodeFeatures must compute its features over those
+  * DECODED bytes — distributed results pinned against a driver-side
+  * re-derivation that never touches the codec. */
+class MultimodalSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def padded(payload: Array[Byte]): Array[Byte] = {
+    val h = Multimodal.imgHeight(payload.length)
+    java.util.Arrays.copyOf(payload, Multimodal.ImgWidth * 3 * h)
+  }
+
+  test("imgHeight sizes the raster to the payload, minimum one row") {
+    assert(Multimodal.imgHeight(0) === 1)
+    assert(Multimodal.imgHeight(1) === 1)
+    assert(Multimodal.imgHeight(48) === 1)
+    assert(Multimodal.imgHeight(49) === 2)
+    assert(Multimodal.imgHeight(96) === 2)
+  }
+
+  test("PNG round-trip is lossless: decoded raster = payload + zero pad") {
+    val cases = Seq(
+      Array.empty[Byte],
+      "hello multimodal".getBytes("UTF-8"),
+      Array.tabulate(256)(i => i.toByte), // every byte value incl. >= 0x80
+      Array.fill(49)(0xff.toByte))
+    cases.foreach { payload =>
+      val png = Multimodal.encodePng(payload)
+      // a real PNG container, not a passthrough of the payload
+      assert(png.take(4).map(_ & 0xff).toSeq === Seq(0x89, 0x50, 0x4e, 0x47),
+        "encodePng must emit a PNG signature")
+      assert(Multimodal.decodePngBytes(png).toSeq === padded(payload).toSeq)
+    }
+  }
+
+  test("decodeFeatures computes histogram/mean over the decoded bytes") {
+    val s = spark
+    import s.implicits._
+    val payloads = Seq(
+      1L -> "abc".getBytes("UTF-8"),
+      2L -> Array.tabulate(100)(i => (i * 7).toByte),
+      3L -> Array.empty[Byte])
+    val media = payloads.map { case (id, p) =>
+      (id, Multimodal.encodePng(p))
+    }.toDF("media_id", "content")
+    val got = Multimodal.decodeFeatures(media)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getSeq[Long](3)))).toMap
+    payloads.foreach { case (id, p) =>
+      val dec = padded(p)
+      val hist = new Array[Long](16)
+      dec.foreach(b => hist((b & 0xff) / 16) += 1)
+      val sum = dec.map(b => (b & 0xff).toLong).sum
+      val (nBytes, mean, gotHist) = got(id)
+      assert(nBytes === dec.length.toLong)
+      assert(mean === sum.toDouble / dec.length)
+      assert(gotHist === hist.toSeq)
+    }
+  }
+
+  test("imageTable emits real PNGs whose features match the documents") {
+    val media = Multimodal.imageTable(spark, sf0001)
+    val row = media.orderBy("media_id").limit(1).collect()(0)
+    val png = row.getAs[Array[Byte]]("content")
+    assert(png.take(4).map(_ & 0xff).toSeq === Seq(0x89, 0x50, 0x4e, 0x47))
+    // features of the decoded corpus = padded byte stats of the raw text
+    val feats = Multimodal.decodeFeatures(media)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    feats.collect().foreach { r =>
+      val dec = padded(docs(r.getLong(0)))
+      assert(r.getLong(1) === dec.length.toLong)
+      assert(r.getDouble(2) === dec.map(b => (b & 0xff).toLong).sum.toDouble / dec.length)
+    }
+  }
+}
