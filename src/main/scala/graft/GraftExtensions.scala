@@ -33,6 +33,19 @@ object GraftExtensions {
       s"$what must be a literal integer, got $e")
   }
 
+  /** Constant-folds a boolean argument the way [[litInt]] does for ints —
+    * `1=1` or `NOT false` work anywhere a bare literal does. */
+  private def litBool(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other if other.foldable => other.eval() match {
+      case b: Boolean => b
+      case v => throw new IllegalArgumentException(
+        s"$what must be a boolean literal, got $v")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $e")
+  }
+
   private def arity(n: Int, args: Seq[Expression], name: String): Unit =
     if (args.length != n) throw new IllegalArgumentException(
       s"$name expects $n arguments, got ${args.length}")
@@ -69,8 +82,9 @@ object GraftExtensions {
           // shingle_array(words, k, false) keeps every occurrence
           case Seq(w, k) =>
             ShingleArray(w, litInt(k, "shingle_array k"))
-          case Seq(w, k, Literal(d: Boolean, _)) =>
-            ShingleArray(w, litInt(k, "shingle_array k"), distinct = d)
+          case Seq(w, k, d) =>
+            ShingleArray(w, litInt(k, "shingle_array k"),
+              distinct = litBool(d, "shingle_array distinct"))
           case _ => throw new IllegalArgumentException(
             "shingle_array expects (array<string>, k [, distinct])")
         }),

@@ -68,6 +68,36 @@ object MrOps {
   /** add (`src/mapreduce.cpp:348-374`): append another KV set. */
   def add(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
 
+  /** scan over a KV (`src/mapreduce.cpp:1933-1983`): visit every pair in
+    * place, read-only — no shuffle, no new KV. The reference's scan
+    * callback must not emit; the Unit return encodes that. */
+  def scanKV[T](ds: Dataset[T])(f: T => Unit): Unit = ds.foreach(f(_))
+
+  /** scan over a KMV (`src/mapreduce.cpp:1984-2074`): visit each grouped
+    * key once with its values streamed as an Iterator (the multivalue-
+    * block discipline of [[groupReduce]]), read-only. */
+  def scanKMV[T, K: Encoder](ds: Dataset[T])(key: T => K)(
+      f: (K, Iterator[T]) => Unit): Unit =
+    ds.groupByKey(key)
+      .mapGroups { (k, it) => f(k, it); true }(
+        org.apache.spark.sql.Encoders.scalaBoolean)
+      .foreach(_ => ())
+
+  /** scrunch (`src/mapreduce.cpp:2075-2101` = gather(n) ∘ collapse):
+    * concentrate onto n partitions, then collapse EACH partition's pairs
+    * into one (key, pairs) row — one output row per partition, every row
+    * carrying the caller's constant key (`doc/scrunch.txt`: "one for each
+    * of the nprocs", same key on every processor). collect_list partial-
+    * aggregates map-side, so the post-gather shuffle carries n already-
+    * collapsed rows, not the pair data. */
+  def scrunch(df: DataFrame, n: Int, key: Column, sortKey: Column,
+      value: Column): DataFrame =
+    gather(df, n)
+      .groupBy(spark_partition_id().as("partition"))
+      .agg(array_sort(collect_list(struct(sortKey.as("k"), value.as("v"))))
+        .as("pairs"))
+      .select(key.as("key"), col("pairs"))
+
   /** gather (`src/mapreduce.cpp:893-1043`): concentrate onto n partitions
     * without a shuffle (coalesce folds existing partitions in place). */
   def gather(df: DataFrame, n: Int): DataFrame = df.coalesce(n)

@@ -190,7 +190,13 @@ object GraphQueries {
   /** DuckDB replay of [[Iterative.kCore]]: `rounds` peel rounds unrolled
     * as chained CTEs. Peeling is idempotent at fixpoint, so any round
     * budget ≥ the convergence depth is EXACT (measured depth 7 at sf0.01
-    * for k=4 on the mid graph; 10 leaves margin). The per-round CTEs are
+    * for k=4 on the mid graph; 10 leaves margin). NOTE the sf coupling:
+    * peel depth grows with graph density, so running this oracle at a
+    * LARGER scale factor can exceed the 10-round budget — the mismatch
+    * fails LOUD (Spark runs to fixpoint, the oracle stops early, rows
+    * differ), never silently; raise `rounds` in the q_kcore registration
+    * when moving the verify sf (the ssspMulti 20-vs-17 margin-note
+    * pattern). The per-round CTEs are
     * MATERIALIZED: DuckDB inlines plain CTEs at every reference, and with
     * each round referencing the previous ~3×, inlining re-scans the
     * parquet 3^rounds times (observed as fd exhaustion at 10 rounds). */

@@ -48,8 +48,11 @@ object Dedup {
   def decontaminate(train: DataFrame, test: DataFrame,
       textCol: String, idCol: String, k: Int = 3): DataFrame = {
     val trainSh = shingles(train, textCol, idCol, k)
-    val testSh = test.select(
-      explode(shingleArray(col(textCol), k)).as("shingle")).distinct()
+    // the eval set is small by construction (benchmarks, not corpora) —
+    // broadcast it EXPLICITLY so the training corpus never shuffles at
+    // any scale, rather than leaving the choice to runtime stats
+    val testSh = broadcast(test.select(
+      explode(shingleArray(col(textCol), k)).as("shingle")).distinct())
     trainSh.join(testSh, "shingle")
       .groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_shared_shingles"))

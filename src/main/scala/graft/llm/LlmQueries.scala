@@ -339,7 +339,13 @@ object LlmQueries {
     // k-means over the embedding corpus: 2 fixed Lloyd rounds, k=16,
     // mixer-seeded init — the oracle unrolls both rounds as CTEs with
     // term-for-term identical arithmetic (6dp rounding pins the FP
-    // boundary between rounds on both engines)
+    // boundary between rounds on both engines). Residual risk, accepted:
+    // Spark's partial-aggregation merge order is nondeterministic, so a
+    // centroid component landing within ~1e-15 of a 6dp rounding boundary
+    // could round differently across runs and cascade into round-2
+    // assignments — a FLAKY mismatch, not a wrong answer. Not observed
+    // through sf0.1; if it appears at larger sf, widen the pin (round the
+    // DISTANCES too, not just the centroids) rather than loosening it.
     Q("q_kmeans",
       (s, d) => Similarity.kmeans(Tables.embeddings(s, d), "vec_id",
         "embedding", dim = 64, k = 16, iters = 2),

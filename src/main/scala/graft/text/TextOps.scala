@@ -40,6 +40,22 @@ object TextOps {
   def topWords(docs: DataFrame, textCol: String, n: Int): DataFrame =
     wordFreq(docs, textCol).orderBy(col("n").desc, col("word").asc).limit(n)
 
+  /** wordfreq through [[graft.core.Skew.saltedAgg]] — the cc_find nthresh
+    * analog (`oink/cc_find.cpp:224-264`): each word's rows are split over
+    * `salts` sub-keys, counted per (word, salt), then the salt partials
+    * are summed per word. Same answer as [[wordFreq]] (the salt only
+    * reshapes the shuffle), so the two share an oracle; for an ALGEBRAIC
+    * count Spark's partial aggregation already splits hot keys, so this
+    * exists to keep the two-phase plan exercised end-to-end for the
+    * holistic/flatMapGroups cases that genuinely need it. */
+  def wordFreqSalted(docs: DataFrame, textCol: String, salts: Int): DataFrame =
+    graft.core.Skew.saltedAgg(
+      docs.select(explode(tokens(col(textCol))).as("word")),
+      col("word"), salts)(
+      Seq(count(lit(1)).as("n_part")),
+      Seq(sum(col("n_part")).as("n")))
+      .withColumnRenamed("_k", "word")
+
   /** TF-IDF, top-`k` terms per document (tf × ln(N/df), rounded to 6dp
     * so any engine ranks identical keys). Shuffle budget: one (doc, word)
     * aggregation for tf; document frequency is derived from tf's OUTPUT

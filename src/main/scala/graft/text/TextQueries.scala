@@ -17,6 +17,18 @@ object TextQueries {
                 SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
               ) WHERE length(word) > 0 GROUP BY word""")),
 
+    // wordfreq routed through the two-phase salted aggregation — the
+    // nthresh zone-splitting the reference hand-codes for its giant
+    // component (`oink/cc_find.cpp:224-264`). Salting is answer-invariant
+    // (counts re-merge identically), so the oracle is plain word→count;
+    // PlanShapeSpec pins the (word, salt) → word two-phase plan.
+    Q("q_wordfreq_salted",
+      (s, d) => TextOps.wordFreqSalted(Tables.documents(s, d), "text",
+        salts = 8),
+      Some("""SELECT word, count(*) AS n FROM (
+                SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents
+              ) WHERE length(word) > 0 GROUP BY word""")),
+
     // bigram counts, global top-20: the n-gram generalization of wordfreq
     // (unigram case) via the native shingle expression — one generator
     // projection + one vocabulary-keyed aggregation, top-K lowered to

@@ -28,9 +28,12 @@ object Rehearse {
       d.withColumn("doc_id", col("doc_id") + lit(r * 10000000L)))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val ev = Tables.events(spark, sfDir)
+    // user shift exceeds the sf0.1 max user_id (1499), so each replica
+    // brings NEW users — key cardinality genuinely scales 10× (a smaller
+    // shift would overlap replicas and merely densify existing keys)
     replicate(spark, ev, d => r =>
       d.withColumn("event_id", col("event_id") + lit(r * 1000000000L))
-        .withColumn("user_id", col("user_id") + lit(r * 1000L)))
+        .withColumn("user_id", col("user_id") + lit(r * 10000L)))
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     val emb = Tables.embeddings(spark, sfDir)
     replicate(spark, emb, d => r =>
@@ -41,11 +44,18 @@ object Rehearse {
       d.withColumn("l_orderkey", col("l_orderkey") + lit(r * 31L))
         .withColumn("l_partkey", col("l_partkey") + lit(r * 37L)))
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    // small dims copied verbatim (q_pivot/q_stream_enrich deps)
+    // small dims copied verbatim (q_pivot/q_stream_enrich deps). Only a
+    // MISSING source table is skippable (logged); any other failure —
+    // including fatal ones — must propagate so the _done marker is never
+    // written over a partial corpus (which would permanently break the
+    // dependent rehearsals: _done short-circuits every later run).
     Seq("customer", "orders", "nation", "region").foreach { t =>
       try Tables.load(spark, sfDir, t)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      catch { case _: Throwable => () }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          System.err.println(s"[rehearse] dim $t skipped (missing): ${e.getMessage}")
+      }
     }
     done.createNewFile()
   }

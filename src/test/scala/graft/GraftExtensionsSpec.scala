@@ -78,6 +78,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         split(col("text"), "\\s+"), 2).as("sh"))
       .head().getSeq[String](0)
     assert(multiSql == multiCol)
+    // foldable-but-unliteral boolean constant-folds like litInt does for
+    // ints: NOT true ≡ false (the multiset mode)
+    val foldedSql = spark.sql(
+      "SELECT shingle_array(split(text, '\\\\s+'), 2, NOT true) AS sh FROM ext_docs2")
+      .head().getSeq[String](0)
+    assert(foldedSql == multiCol)
   }
 
   test("minhash_sig rejects non-literal k") {

@@ -61,6 +61,38 @@ class MrOpsSpec extends AnyFunSuite {
     assert(total == li.count())
   }
 
+  test("scan KV visits every pair exactly once, read-only") {
+    val s = spark
+    import s.implicits._
+    val visited = s.sparkContext.longAccumulator("kv_visited")
+    val kv = li.select(col("l_orderkey"), col("l_quantity")).as[(Long, Double)]
+    MrOps.scanKV(kv)(_ => visited.add(1))
+    assert(visited.value == li.count())
+  }
+
+  test("scan KMV visits each group once and streams all its values") {
+    val s = spark
+    import s.implicits._
+    val groups = s.sparkContext.longAccumulator("kmv_groups")
+    val values = s.sparkContext.longAccumulator("kmv_values")
+    val kv = li.select(col("l_orderkey"), col("l_quantity")).as[(Long, Double)]
+    MrOps.scanKMV(kv)(_._1) { (_, it) =>
+      groups.add(1)
+      it.foreach(_ => values.add(1))
+    }
+    assert(groups.value == li.select("l_orderkey").distinct().count())
+    assert(values.value == li.count())
+  }
+
+  test("scrunch = gather(n) ∘ collapse: one row per partition, same key") {
+    val src = li.select(col("l_orderkey"), col("l_quantity")).repartition(8)
+    val out = MrOps.scrunch(src, 3, lit("all"), col("l_orderkey"),
+      col("l_quantity")).collect()
+    assert(out.length == 3, "doc/scrunch.txt: one KMV pair per proc")
+    assert(out.forall(_.getString(0) == "all"))
+    assert(out.map(_.getSeq[Any](1).size).sum == li.count())
+  }
+
   test("groupReduce streams each group once (multivalue-block discipline)") {
     val s = spark
     import s.implicits._

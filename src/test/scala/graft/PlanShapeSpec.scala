@@ -13,6 +13,25 @@ class PlanShapeSpec extends AnyFunSuite {
     Registry.byName(name).run(spark, sf0001)
       .queryExecution.executedPlan.toString
 
+  /** Data shuffles a plan would EXECUTE: tree-collected
+    * ShuffleExchangeExec nodes. Cached/checkpointed inputs
+    * (InMemoryTableScan, LogicalRDD) are leaves, so their construction
+    * shuffles — rendered in toString but never re-run — don't count;
+    * broadcasts and reuses don't count. Run with AQE off so the tree is
+    * final at planning time (AQE hides exchanges inside leaf query
+    * stages). */
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+    }.sum
+
+  private def withoutAqe[T](body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   test("filters and projection reach the parquet scan") {
     val p = plan("q_scan_project")
     assert(p.contains("PushedFilters") && p.contains("l_quantity"),
@@ -101,6 +120,83 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ReusedExchange"),
       s"dangling-mass branch must reuse the contrib shuffle:\n$p")
+  }
+
+  test("salted wordfreq plans the two-phase (word, salt) → word aggregation") {
+    val p = plan("q_wordfreq_salted")
+    assert(p.contains("_salt"),
+      s"phase 1 must group by (word, _salt):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggregates for BOTH phases:\n$p")
+  }
+
+  test("decontamination broadcasts the eval side; the corpus never shuffles") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the training corpus must not shuffle for the join:\n$p")
+  }
+
+  test("kmeans assignment is broadcast-only: no shuffle joins anywhere") {
+    // the k-row centroid table rides a broadcast into every assignment;
+    // a SortMergeJoin/ShuffledHashJoin here would mean the corpus is
+    // being exchanged per round — the exploded (row, dim) shape the
+    // design explicitly avoids
+    val p = plan("q_kmeans")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"kmeans must never shuffle-join the points:\n$p")
+  }
+
+  test("label propagation costs three exchanges per round") {
+    // round body: adj join (labels re-keyed to nbr) + (v, label) count
+    // + per-v argmax — adj arrives pre-partitioned on nbr, so the round
+    // pays exactly: labels→nbr exchange, (v,label) agg exchange, (v) agg
+    // exchange. A fourth exchange means the adj pre-partitioning or a
+    // partial aggregation regressed.
+    import spark.implicits._
+    withoutAqe {
+      // persist (not checkpoint) for adj, exactly as labelPropagation
+      // does: InMemoryRelation preserves the hash(nbr) partitioning, so
+      // the loop-invariant side never re-exchanges
+      val adj = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("v", "nbr")
+        .repartition(col("nbr")).persist()
+      adj.count()
+      val labels = adj.select(col("v")).distinct()
+        .withColumn("label", col("v")).localCheckpoint()
+      val round = adj
+        .join(labels.select(col("v").as("nbr"), col("label")), "nbr")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("v"), col("m.l").as("label"))
+      val n = shuffleCount(round)
+      adj.unpersist()
+      assert(n <= 3,
+        s"label propagation round must cost <= 3 shuffles, planned $n:\n" +
+          round.queryExecution.executedPlan)
+    }
+  }
+
+  test("k-core round: one degree aggregation + two shuffle-free-side joins") {
+    // round body: degree count over g, then two semi-join-shaped filters
+    // of g against the surviving vertex set; keep is degree-bounded
+    // (vertex-sized), so both joins must resolve without re-exchanging g
+    // more than the join keys require — pinned as a ceiling of 4
+    // exchanges (g→v agg; keep reuse; g→v join; g→nbr join)
+    import spark.implicits._
+    withoutAqe {
+      val g = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("v", "nbr")
+        .localCheckpoint()
+      val keep = g.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= 2).select(col("v"))
+      val round = g.join(keep, "v")
+        .join(keep.withColumnRenamed("v", "nbr"), "nbr")
+        .select(col("v"), col("nbr"))
+      val n = shuffleCount(round)
+      assert(n <= 4, s"k-core round must cost <= 4 shuffles, planned $n:\n" +
+        round.queryExecution.executedPlan)
+    }
   }
 
   test("whole-stage codegen covers the signature projections") {
