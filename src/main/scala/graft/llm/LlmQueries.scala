@@ -608,6 +608,50 @@ object LlmQueries {
               FROM cum GROUP BY 1, 2""")),
 
     // quality signals
+    // repetition quality filters (boilerplate/spam signals): fraction of
+    // the document that is its most frequent word / bigram + distinct-
+    // word fraction. Spark computes the counts in one native scan
+    // (functions.RepetitionStats, zero shuffle); the oracle replays them
+    // relationally over the identical tokenization. Ratios are IEEE
+    // divisions of exact integer counts, 6dp display rounding.
+    Q("q_repetition",
+      (s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d),
+        "text", "doc_id"),
+      Some("""WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                         x -> length(x) > 0) AS ws
+                FROM documents),
+              base AS (SELECT doc_id, len(ws) AS nw FROM w),
+              words AS (SELECT doc_id, unnest(ws) AS word FROM w),
+              wc AS (SELECT doc_id, word, count(*) AS c
+                     FROM words GROUP BY 1, 2),
+              ws2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd,
+                             max(c) AS topw
+                      FROM wc GROUP BY 1),
+              bg AS (SELECT doc_id,
+                            unnest(list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1])) AS b
+                     FROM w WHERE len(ws) >= 2),
+              bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+              bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+                            max(c) AS topb
+                     FROM bc GROUP BY 1)
+              SELECT base.doc_id,
+                     CAST(base.nw AS BIGINT) AS n_words,
+                     CASE WHEN base.nw = 0 THEN 0.0
+                          ELSE round(CAST(ws2.nd AS DOUBLE) / base.nw, 6)
+                     END AS distinct_word_frac,
+                     CASE WHEN base.nw = 0 THEN 0.0
+                          ELSE round(CAST(ws2.topw AS DOUBLE) / base.nw, 6)
+                     END AS top_word_frac,
+                     CASE WHEN coalesce(bs.nb, 0) = 0 THEN 0.0
+                          ELSE round(CAST(bs.topb AS DOUBLE) / bs.nb, 6)
+                     END AS top_bigram_frac
+              FROM base
+              LEFT JOIN ws2 USING (doc_id)
+              LEFT JOIN bs USING (doc_id)""")),
+
     Q("q_quality_score",
       (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d), "text", "doc_id"),
       Some(s"""WITH t AS (
@@ -734,6 +778,29 @@ object LlmQueries {
                                 WHEN 'src1' THEN 4986
                                 WHEN 'src2' THEN 997
                                 ELSE -1 END""")),
+
+    // temperature-flattened mixture (α = 1/2): sampled mass per language
+    // ∝ √(corpus mass) — rare languages upweighted, the dominant one
+    // thinned. √/×/÷ are correctly-rounded IEEE ops, so DuckDB replays
+    // the per-group cut bit-for-bit; membership is the shared mixer gate
+    Q("q_mixture_temperature",
+      (s, d) => Sampling.temperatureMixture(Tables.documents(s, d),
+          "doc_id", "lang", frac = 0.3)
+        .select(col("doc_id"), col("lang")),
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                         FROM documents GROUP BY 1),
+              t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                           sum(sqrt(CAST(n AS DOUBLE))) AS s
+                    FROM c),
+              cut AS (SELECT lang,
+                             CAST(floor(least(1.0,
+                               0.3 * t.nn / (t.s * sqrt(CAST(n AS DOUBLE))))
+                               * 9973) AS BIGINT) AS cut
+                      FROM c, t)
+              SELECT d.doc_id, d.lang
+              FROM documents d JOIN cut USING (lang)
+              WHERE ((doc_id % 1000000007) * 2654435761 + 283521) % 9973
+                    < cut.cut""")),
 
     // corpus report: language × source → doc counts, token mass, mean
     // quality — the composed analysis rollup a curation run prints

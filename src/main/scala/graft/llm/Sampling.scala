@@ -55,6 +55,37 @@ object Sampling {
     df.where(b < cut)
   }
 
+  /** Temperature-flattened mixture (α = 1/2): each group's keep fraction
+    * is f_g = C/√n_g with C = frac·N/Σ_g√n_g, so the sampled mix carries
+    * group mass ∝ √(source mass) — the standard flattening of a skewed
+    * source distribution toward rarer groups (expected kept mass ≈
+    * frac·N overall, rare sources upweighted, dominant ones thinned).
+    * α is FIXED at 1/2 because every step is then a correctly-rounded
+    * IEEE op (√, ×, ÷) that any engine reproduces bit-for-bit — a free
+    * α would route through pow(), whose last-bit behavior is libm-
+    * specific. Residual cross-engine risk is only the Σ√n_g summation
+    * order (groups are few; a flip needs the cut within ~1e-12 of an
+    * integer — the kmeans-oracle convention). Group counts are one
+    * aggregation; the per-group cut broadcasts; membership is the same
+    * replayable [[bucket]] gate, so nested-subset determinism holds. */
+  def temperatureMixture(df: DataFrame, keyCol: String, groupCol: String,
+      frac: Double, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // N and Σ√n ride a global window over the GROUP table (a handful of
+    // rows — one window task), not over the data; joining the counts
+    // frame with its own aggregate would be a self-referencing lineage
+    val all = Window.partitionBy(lit(1))
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val cuts = counts.select(col(groupCol),
+      floor(least(lit(1.0),
+        lit(frac) * sum(col("_n")).over(all).cast("double") /
+          (sum(sqrt(col("_n"))).over(all) * sqrt(col("_n"))))
+        * Buckets).cast("long").as("_cut"))
+    df.join(broadcast(cuts), groupCol :: Nil)
+      .where(bucket(col(keyCol), seed) < col("_cut"))
+      .drop("_cut")
+  }
+
   /** Assign each row a named split by cumulative fraction, e.g.
     * Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1). */
   def splits(df: DataFrame, keyCol: String, parts: Seq[(String, Double)],

@@ -69,6 +69,29 @@ object TextAnalysis {
         .otherwise("und").as("lang_pred"))
   }
 
+  /** Repetition quality signals (the boilerplate/spam filters of a
+    * curation pass): fraction of the document that is its most frequent
+    * word / word-bigram, plus the distinct-word fraction. One native
+    * one-scan expression ([[graft.functions.RepetitionStats]]) feeding
+    * plain-column ratio arithmetic — no shuffle, and every ratio is one
+    * IEEE division of two exact integer counts (engine-identical before
+    * the shared 6dp display rounding). Documents with no words (or no
+    * bigram) report 0.0 for the undefined ratios. */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val st = graft.functions.RepetitionStats.repetitionStats(col(textCol))
+    val nWords = element_at(st, 1)
+    val nBigrams = element_at(st, 4)
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0))
+        .otherwise(round(num.cast("double") / den, 6))
+    docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      frac(element_at(st, 2), nWords).as("distinct_word_frac"),
+      frac(element_at(st, 3), nWords).as("top_word_frac"),
+      frac(element_at(st, 5), nBigrams).as("top_bigram_frac"))
+  }
+
   /** Content fingerprint: md5 over case/whitespace-normalized text —
     * the join key for exact dedup across differently-formatted copies.
     * Normalization is the native one-scan NormalizeText expression. */

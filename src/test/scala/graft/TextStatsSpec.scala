@@ -11,6 +11,37 @@ import graft.llm.TextAnalysis
 class TextStatsSpec extends AnyFunSuite {
   import TestSession._
 
+  test("RepetitionStats matches a driver-side re-derivation (codegen on)") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val s = spark
+      import s.implicits._
+      val rnd = new scala.util.Random(11)
+      val vocab = Seq("the", "cat", "sat", "mat", "a", "é€")
+      val texts = Seq.fill(40)(
+        Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")) ++
+        Seq("", "   ", "one", "x x x x", "a b a b a", "tab\tsep  runs")
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = df.select(col("doc_id"),
+        graft.functions.RepetitionStats.repetitionStats(col("text")).as("st"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val words = t.split("\\s+").filter(_.nonEmpty).toSeq
+        val bigrams = words.sliding(2).filter(_.size == 2)
+          .map(_.mkString(" ")).toSeq
+        val wc = words.groupBy(identity).view.mapValues(_.size.toLong)
+        val bc = bigrams.groupBy(identity).view.mapValues(_.size.toLong)
+        val expect = Seq(words.size.toLong, wc.size.toLong,
+          if (wc.isEmpty) 0L else wc.values.max,
+          bigrams.size.toLong,
+          if (bc.isEmpty) 0L else bc.values.max)
+        assert(got(i.toLong) === expect, s"doc $i: '$t'")
+      }
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("matches the HOF/regex formulation (codegen, no fallback)") {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
