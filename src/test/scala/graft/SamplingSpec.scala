@@ -43,6 +43,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(mix == plain)
   }
 
+  test("temperature mixture flattens group mass toward sqrt and nests") {
+    val s = spark
+    import s.implicits._
+    // 4000 of g0, 250 of g1: flattening should keep g1's RATE well above
+    // g0's (C/sqrt(n) is decreasing in n) while total mass ≈ frac
+    val df = ((0L until 4000L).map(i => (i, "g0")) ++
+      (4000L until 4250L).map(i => (i, "g1"))).toDF("id", "grp")
+    val kept = Sampling.temperatureMixture(df, "id", "grp", frac = 0.3)
+    val counts = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rate0 = counts.getOrElse("g0", 0L).toDouble / 4000
+    val rate1 = counts.getOrElse("g1", 0L).toDouble / 250
+    assert(rate1 > rate0 * 2,
+      s"rare group must be upweighted: g0=$rate0 g1=$rate1")
+    val total = counts.values.sum.toDouble / 4250
+    assert(math.abs(total - 0.3) < 0.05, s"overall mass ~frac, got $total")
+    // expected ratio of rates is sqrt(n0/n1) = 4: check within sampling
+    // tolerance (the gate itself is exact; the tolerance is for the
+    // per-group hash-mass variance)
+    assert(math.abs(rate1 / rate0 - 4.0) < 1.0, s"${rate1 / rate0}")
+    // nested: lower overall frac is a subset at the same seed
+    val small = Sampling.temperatureMixture(df, "id", "grp", frac = 0.15)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val big = kept.select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
   test("splits cover every row exactly once with ~requested mass") {
     val df = ids(5000)
     val sp = Sampling.splits(df, "id",
