@@ -62,14 +62,18 @@ object Iterative {
       val cand = adj
         .join(frontier.withColumnRenamed("v", "nbr"), "nbr")
         .groupBy(col("v")).agg(min(col("label")).as("cand"))
+      // LAZY checkpoint: the frontier count below is the round's only
+      // job — it materializes the checkpoint as a side effect (the
+      // round-4 eager form paid a second traversal per round just to
+      // materialize before counting)
       val next = labels.join(cand, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
           (col("cand").isNotNull && col("cand") < col("label")).as("changed"))
-        .localCheckpoint()
-      graft.core.Checkpoints.release(labels) // round N-1 dead once next exists
+        .localCheckpoint(eager = false)
       frontier = next.where(col("changed")).select(col("v"), col("label"))
       changedN = frontier.count()
+      graft.core.Checkpoints.release(labels) // AFTER next materialized above
       labels = next.select(col("v"), col("label"))
       iter += 1
     }
@@ -125,7 +129,7 @@ object Iterative {
         .select(least(col("u"), col("v")).as("nu"), greatest(col("u"), col("v")).as("nv"))
         .select(col("nv").as("u"), col("nu").as("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // the count below materializes
       // convergence: both sides are distinct canonical edge sets, so
       // unequal COUNTS prove the sets differ — a scan-only job on the
       // fresh checkpoint, no join. Only when counts match (typically the
@@ -195,8 +199,9 @@ object Iterative {
     // once at the end instead of re-checkpointing an ever-growing
     // accumulator every round (one fewer job per round, same result)
     val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var activeN = active.count()
     var iter = 0
-    while (active.count() > 0 && iter < maxIter) {
+    while (activeN > 0 && iter < maxIter) {
       // winner: priority strictly below every active neighbor's
       val nbrPrio = adj
         .join(active.select(col("v").as("nbr"), col("prio").as("nprio")), "nbr")
@@ -212,7 +217,9 @@ object Iterative {
       val removed = winners
         .union(adj.join(winners, "v").select(col("nbr").as("v")))
         .distinct()
-      val nextActive = active.join(removed, Seq("v"), "left_anti").localCheckpoint()
+      val nextActive = active.join(removed, Seq("v"), "left_anti")
+        .localCheckpoint(eager = false) // the count below materializes
+      activeN = nextActive.count()
       graft.core.Checkpoints.release(active) // winners are separately checkpointed
       active = nextActive
       iter += 1
@@ -277,7 +284,7 @@ object Iterative {
       val g2 = g.join(keep, "v")
         .join(keep.withColumnRenamed("v", "nbr"), "nbr")
         .select(col("v"), col("nbr"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // the count below materializes
       val m2 = g2.count()
       changed = m2 != m
       graft.core.Checkpoints.release(g)
@@ -309,21 +316,24 @@ object Iterative {
     import spark.implicits._
     var dist = Seq((source, 0.0)).toDF("v", "dist").localCheckpoint()
     var frontier = dist
+    var frontierN = frontier.count()
     var iter = 0
-    while (frontier.count() > 0 && iter < maxIter) {
+    while (frontierN > 0 && iter < maxIter) {
       val relaxed = frontier
         .join(edges, frontier("v") === edges("src"))
         .select(col("dst").as("v"), (col("dist") + col("w")).as("cand"))
         .groupBy(col("v")).agg(min(col("cand")).as("cand"))
-      // one materialization per round; frontier/dist are cheap projections
+      // ONE job per round: the frontier count materializes the lazy
+      // checkpoint; frontier/dist are cheap projections of it
       val merged = dist.join(relaxed, Seq("v"), "full")
         .select(col("v"), col("dist"), col("cand"),
           least(coalesce(col("dist"), lit(Double.MaxValue)), col("cand")).as("newDist"))
-        .localCheckpoint()
-      graft.core.Checkpoints.release(dist) // prior round's merged, now folded in
+        .localCheckpoint(eager = false)
       frontier = merged
         .where(col("dist").isNull || (col("cand").isNotNull && col("cand") < col("dist")))
         .select(col("v"), col("newDist").as("dist"))
+      frontierN = frontier.count()
+      graft.core.Checkpoints.release(dist) // AFTER merged materialized above
       dist = merged
         .select(col("v"), coalesce(col("newDist"), col("dist")).as("dist"))
       iter += 1
@@ -362,8 +372,9 @@ object Iterative {
     var dist = sources.map(s => (s, s, 0.0)).toDF("source", "v", "dist")
       .localCheckpoint()
     var frontier = dist
+    var frontierN = frontier.count()
     var iter = 0
-    while (frontier.count() > 0 && iter < maxIter) {
+    while (frontierN > 0 && iter < maxIter) {
       val relaxed = frontier
         .join(edges, frontier("v") === edges("src"))
         .select(col("source"), col("dst").as("v"),
@@ -372,11 +383,12 @@ object Iterative {
       val merged = dist.join(relaxed, Seq("source", "v"), "full")
         .select(col("source"), col("v"), col("dist"), col("cand"),
           least(coalesce(col("dist"), lit(Double.MaxValue)), col("cand")).as("newDist"))
-        .localCheckpoint()
-      graft.core.Checkpoints.release(dist)
+        .localCheckpoint(eager = false) // the frontier count materializes
       frontier = merged
         .where(col("dist").isNull || (col("cand").isNotNull && col("cand") < col("dist")))
         .select(col("source"), col("v"), col("newDist").as("dist"))
+      frontierN = frontier.count()
+      graft.core.Checkpoints.release(dist)
       dist = merged
         .select(col("source"), col("v"), coalesce(col("newDist"), col("dist")).as("dist"))
       iter += 1
@@ -410,6 +422,12 @@ object Iterative {
     var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var delta = Double.MaxValue
     var iter = 0
+    // One materialization per round is LOAD-BEARING here, not just a
+    // lineage cut: contrib feeds two consumers (the dangling-mass sum
+    // and the rank join), so a lazily-fused multi-round plan duplicates
+    // the whole previous-round subtree under each consumer and the
+    // duplication compounds per round (measured 5–6 s → 30 s+ for 5
+    // rounds when round 5 tried stride-checkpointing fixed mode).
     while (delta > tol && iter < maxIter) {
       val next = pagerankStep(ranks, w, vertices, n, alpha).localCheckpoint()
       if (tol > 0)

@@ -2,6 +2,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import graft.graph.{GraphOps, Iterative}
 
+/** Dev probe: isolated warm timings for the iterative family (the
+  * bench-noise attribution tool — see SCALE.md round-5 notes). */
 object CcProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,10 +19,17 @@ object CcProbe {
       println(f"PROBE $name%-22s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
     }
     Iterative.ccFind(spark.range(3).selectExpr("id as src", "id+1 as dst")).count()
-    for (i <- 1 to 3)
-      t(s"pagerank_$i") { Iterative.pagerank(GraphOps.sparseEdgesFromLineitem(spark, sfDir), tol = 0, maxIter = 20).count() }
-    for (i <- 1 to 2)
-      t(s"cc_stats_$i")  { Iterative.ccStats(Iterative.ccFind(GraphOps.sparseEdgesFromLineitem(spark, sfDir))).count() }
+    for (i <- 1 to 2) {
+      t(s"cc_labels_$i") { Iterative.ccFind(GraphOps.sparseEdgesFromLineitem(spark, sfDir)).count() }
+      t(s"cc_star_$i")   { Iterative.ccFindStar(GraphOps.sparseEdgesFromLineitem(spark, sfDir)).count() }
+      t(s"sssp_multi_$i"){
+        import org.apache.spark.sql.functions.col
+        val e = GraphOps.sparseEdgesFromLineitem(spark, sfDir).where("src <> dst")
+        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        Iterative.ssspMulti(GraphOps.withWeights(sym), Iterative.goodSources(sym, 3)).count()
+      }
+      t(s"luby_$i")      { Iterative.lubyMis(GraphOps.sparseEdgesFromLineitem(spark, sfDir)).count() }
+    }
     spark.stop()
   }
 }
