@@ -42,7 +42,10 @@ object Bench {
     "q_ngram_jaccard_pairs", "q_pagerank", "q_simhash_pairs",
     "q_simhash_pairs_wide", "q_sort_global", "q_sssp", "q_sssp_multi",
     "q_stream_hourly", "q_token_stats", "q_triangle_count",
-    "q_union_all_count", "q_window_rank", "q_wordfreq")
+    "q_union_all_count", "q_window_rank", "q_wordfreq",
+    // round-5 additions
+    "q_wordfreq_salted", "q_repetition", "q_mixture_temperature",
+    "q_decode_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -122,6 +122,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"dangling-mass branch must reuse the contrib shuffle:\n$p")
   }
 
+  test("repetition stats is a zero-shuffle native projection") {
+    val docs = Tables.documents(spark, sf0001)
+    val df = graft.llm.TextAnalysis.repetitionStats(docs, "text", "doc_id")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"repetition stats must not shuffle:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"native counters must stay inside whole-stage codegen:\n$p")
+  }
+
+  test("temperature mixture broadcasts its per-group cuts into the scan") {
+    val p = plan("q_mixture_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the group-cut table must broadcast — the corpus never shuffles:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in the gate:\n$p")
+  }
+
   test("salted wordfreq plans the two-phase (word, salt) → word aggregation") {
     val p = plan("q_wordfreq_salted")
     assert(p.contains("_salt"),
