@@ -97,6 +97,50 @@ object Dedup {
       .where(col("jaccard") >= tau)
   }
 
+  /** Incremental ingestion dedup: admit only FRESH documents with no
+    * near-duplicate (exact shingle Jaccard ≥ tau among banded MinHash
+    * candidates) in the EXISTING corpus — the per-crawl-batch step of a
+    * growing corpus, where re-deduplicating the whole corpus per batch
+    * is the scale anti-pattern. Cross-banding only: fresh×fresh and
+    * corpus×corpus pairs are never formed, the corpus side ships
+    * signatures (64 longs/doc) rather than text through the band join,
+    * and shingles are joined for candidate documents only. With
+    * recall-adequate banding the admitted set equals the exact
+    * cross-Jaccard answer (the q_minhash_lsh_pairs row pins that
+    * banding-recall equivalence), which is what the oracle computes.
+    * Returns the admitted fresh rows. */
+  def incrementalDedup(fresh: DataFrame, corpus: DataFrame, textCol: String,
+      idCol: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tau: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
+    }
+    def banded(sigs: DataFrame, as: String) =
+      sigs.select(col("id").as(as), explode(array(bandKeys: _*)).as("bk"))
+    val cand = banded(minHashSignatures(fresh, textCol, idCol, k, numHashes), "fid")
+      .join(banded(minHashSignatures(corpus, textCol, idCol, k, numHashes), "cid"), "bk")
+      .select(col("fid"), col("cid")).distinct()
+      .localCheckpoint()
+    val fSh = shingles(fresh, textCol, idCol, k)
+      .join(cand.select(col("fid").as("id")).distinct(), Seq("id"), "left_semi")
+    val cSh = shingles(corpus, textCol, idCol, k)
+      .join(cand.select(col("cid").as("id")).distinct(), Seq("id"), "left_semi")
+    val fSize = fSh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val cSize = cSh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val dup = cand
+      .join(fSh.select(col("id").as("fid"), col("shingle")), "fid")
+      .join(cSh.select(col("id").as("cid"), col("shingle")), Seq("cid", "shingle"))
+      .groupBy(col("fid"), col("cid")).agg(count(lit(1)).as("c"))
+      .join(fSize.select(col("id").as("fid"), col("n").as("nf")), "fid")
+      .join(cSize.select(col("id").as("cid"), col("n").as("nc")), "cid")
+      .where(round(col("c") / (col("nf") + col("nc") - col("c")), 4) >= tau)
+      .select(col("fid").as(idCol)).distinct()
+    fresh.join(dup, Seq(idCol), "left_anti")
+  }
+
   /** MinHash signatures: (id, sig: array<long>) — element i = min over
     * shingles of xxhash64(shingle, seed=i), computed by the native
     * [[graft.functions.MinHashSig]] expression in one zero-shuffle

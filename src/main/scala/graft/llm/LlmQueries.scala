@@ -221,6 +221,40 @@ object LlmQueries {
     // scrub, replayed exactly by DuckDB. k = 8 so only genuine overlap
     // (near-dups, quotes) flags; at k = 3 phrase-level collisions flag
     // essentially the whole corpus.
+    // incremental ingestion dedup: the 20% mixer slice plays the "new
+    // crawl batch", the rest the existing corpus; admitted = fresh docs
+    // with no corpus near-dup at exact Jaccard >= 0.8 among banded
+    // MinHash candidates. The oracle computes the true cross-Jaccard
+    // directly (banding recall equivalence pinned by q_minhash_lsh_pairs)
+    Q("q_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val fresh = Sampling.hashSample(docs, "doc_id", 0.2)
+        val corpus = docs.join(fresh.select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        Dedup.incrementalDedup(fresh, corpus, "text", "doc_id")
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH $shingleCte,
+               fresh AS (SELECT doc_id FROM documents
+                         WHERE ((doc_id % 1000000007) * 2654435761 + 283521)
+                               % 9973 < 1994),
+               fs AS (SELECT sh.doc_id, shingle FROM sh JOIN fresh USING (doc_id)),
+               cs AS (SELECT sh.doc_id, shingle FROM sh
+                      WHERE sh.doc_id NOT IN (SELECT doc_id FROM fresh)),
+               fsz AS (SELECT doc_id, count(*) AS nf FROM fs GROUP BY 1),
+               csz AS (SELECT doc_id, count(*) AS nc FROM cs GROUP BY 1),
+               inter AS (SELECT fs.doc_id AS fid, cs.doc_id AS cid,
+                                count(*) AS c
+                         FROM fs JOIN cs ON fs.shingle = cs.shingle
+                         GROUP BY 1, 2),
+               dup AS (SELECT DISTINCT fid FROM inter
+                       JOIN fsz ON fsz.doc_id = inter.fid
+                       JOIN csz ON csz.doc_id = inter.cid
+                       WHERE round(c * 1.0 / (nf + nc - c), 4) >= 0.8)
+               SELECT doc_id FROM fresh
+               WHERE doc_id NOT IN (SELECT fid FROM dup)""")),
+
     Q("q_decontaminate",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -15,6 +15,20 @@ class TextLlmSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("incrementalDedup rejects corpus near-dups, admits novel docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = docs((100L, base), (101L, "completely different corpus text " +
+      "with many unrelated words forming its own distinct shingle set"))
+    val fresh = docs(
+      (1L, base),                                   // exact dup → rejected
+      (2L, base + " extra"),                        // near-dup → rejected
+      (3L, "a genuinely novel document about spark plans and shuffles " +
+        "sharing nothing with the existing corpus at all"))
+    val admitted = graft.llm.Dedup.incrementalDedup(fresh, corpus,
+      "text", "doc_id").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(3L), s"got $admitted")
+  }
+
   test("wordFreq counts strtok tokens, punctuation kept") {
     val d = docs((1L, "a b  a\tc!"), (2L, "a"))
     val freq = TextOps.wordFreq(d, "text").collect()
