@@ -252,6 +252,21 @@ object Dedup {
       .select(col("v").as("doc_id"), col("label").as("cluster"))
   }
 
+  /** Survivor selection by QUALITY: per near-dup cluster keep the
+    * highest-quality member (tie → smallest id) instead of the smallest
+    * id — the survivor-policy knob a real curation pipeline wants (keep
+    * the cleanest copy, not the first-crawled one). One
+    * partial-aggregated argmax (min over (−quality, id) structs combines
+    * map-side — no per-cluster window sort); `quality` is any per-doc
+    * score frame, e.g. [[TextAnalysis.qualityScore]]'s output. */
+  def survivorsByQuality(clusters: DataFrame, quality: DataFrame,
+      idCol: String = "doc_id", qualCol: String = "quality"): DataFrame =
+    clusters.join(quality.select(col(idCol), col(qualCol)), idCol)
+      .groupBy(col("cluster"))
+      .agg(min(struct((-col(qualCol)).as("nq"), col(idCol).as("id"))).as("m"))
+      .select(col("cluster"), col("m.id").as("survivor_id"),
+        (-col("m.nq")).as("survivor_quality"))
+
   /** Connected components of a SMALL edge set by union-find in one task.
     * Union always hangs the larger root under the smaller, so every root
     * is its component's minimum id — the same label contract as

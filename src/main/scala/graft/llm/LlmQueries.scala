@@ -531,6 +531,68 @@ object LlmQueries {
                  SELECT adj.v, reach.r FROM adj JOIN reach ON adj.nbr = reach.v)
                SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v""")),
 
+    // survivor policy: per near-dup cluster keep the HIGHEST-QUALITY
+    // member (tie → min id) — the curation knob layered on the same
+    // cluster set as q_dedup_clusters; quality is the 4dp-rounded blend,
+    // so the argmax compares values both engines compute identically
+    Q("q_dedup_survivors",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.survivorsByQuality(
+          Dedup.dedupClusters(
+            Dedup.minHashLshPairsExact(docs, "text", "doc_id",
+              k = 3, numHashes = 64, bands = 16, tau = 0.8)),
+          TextAnalysis.qualityScore(docs, "text", "doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               shared AS (
+                 SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+               pairs AS (
+                 SELECT da, db FROM shared
+                 JOIN sizes sa ON da = sa.doc_id
+                 JOIN sizes sb ON db = sb.doc_id
+                 WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+               adj AS (SELECT da AS v, db AS nbr FROM pairs
+                       UNION ALL SELECT db, da FROM pairs),
+               reach(v, r) AS (
+                 SELECT v, v FROM (SELECT DISTINCT v FROM adj)
+                 UNION
+                 SELECT adj.v, reach.r FROM adj JOIN reach ON adj.nbr = reach.v),
+               clusters AS (SELECT v AS doc_id, min(r) AS cluster
+                            FROM reach GROUP BY v),
+               qt AS (
+                 SELECT doc_id, text,
+                        list_filter(string_split_regex(text, '\\s+'),
+                          w -> length(w) > 0) AS w
+                 FROM documents),
+               qm AS (
+                 SELECT doc_id,
+                        len(w) AS n_words,
+                        len(list_filter(w, x -> list_contains(
+                          ${TextAnalysis.stopwords.mkString("['", "','", "']")}, x)))
+                          * 1.0 / len(w) AS stop_ratio,
+                        len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+                          AS punct_ratio
+                 FROM qt),
+               q AS (
+                 SELECT doc_id,
+                        round(least(n_words / 100.0, 1.0) * 0.4 +
+                              least(stop_ratio * 5.0, 1.0) * 0.4 +
+                              (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 4)
+                          AS quality
+                 FROM qm)
+               SELECT cluster, doc_id AS survivor_id,
+                      quality AS survivor_quality
+               FROM (
+                 SELECT c.cluster, c.doc_id, q.quality,
+                        row_number() OVER (PARTITION BY c.cluster
+                          ORDER BY q.quality DESC, c.doc_id) AS rn
+                 FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+               WHERE rn = 1""")),
+
     // IVF ANN: coarse-quantizer cells + nProbe search — fully deterministic
     // (portable-mixer hash-sample of a FIXED 64 centroids, so the
     // broadcast quantizer side is corpus-size-independent), and DuckDB
