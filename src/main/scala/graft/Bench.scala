@@ -45,7 +45,7 @@ object Bench {
     "q_union_all_count", "q_window_rank", "q_wordfreq",
     // round-5 additions
     "q_wordfreq_salted", "q_repetition", "q_mixture_temperature",
-    "q_decode_features")
+    "q_decode_features", "q_incremental_dedup", "q_dedup_survivors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
