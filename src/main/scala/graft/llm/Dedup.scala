@@ -141,6 +141,47 @@ object Dedup {
     fresh.join(dup, Seq(idCol), "left_anti")
   }
 
+  /** EXACT incremental dedup with a Bloom pre-filter: admit fresh
+    * documents whose normalized content fingerprint is not in the
+    * corpus. The corpus fingerprints build a Bloom filter with Spark's
+    * own runtime-filter machinery (`BloomFilterAggregate` /
+    * `BloomFilterMightContain` — codegen'd Catalyst expressions, the
+    * same ones AQE injects for runtime join pruning); the bloom rides
+    * into the batch scan as a CONSTANT, so at 100 TB the expensive
+    * fingerprint equi-join only sees the bloom's survivors — true
+    * duplicates plus an fpp-bounded trickle of false positives — and
+    * the final exact semi-join makes the answer bloom-INVARIANT (false
+    * positives are weeded, false negatives are impossible), which is
+    * why the oracle is plain set difference. The driver holds the bloom
+    * between build and use exactly as Spark's injected runtime filters
+    * do (a scalar-subquery result); its size is ~1.2 GB per 10⁹ corpus
+    * items at fpp=1 % — raise fpp or shard the corpus beyond that. */
+  def exactIncremental(fresh: DataFrame, corpus: DataFrame, textCol: String,
+      idCol: String, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    def fp(t: Column) = md5(graft.functions.NormalizeText.normalize(t))
+    def hashed(c: Column) = new XxHash64(Seq(ColumnBridge.toExpression(c)))
+    val cFp = corpus.select(fp(col(textCol)).as("fp"))
+    val items = math.max(1L, cFp.count())
+    val numBits = math.max(64L,
+      (-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = cFp.agg(ColumnBridge.toColumn(
+        new BloomFilterAggregate(hashed(col("fp")),
+          Literal(items), Literal(numBits)).toAggregateExpression())
+        .as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+    val candidates = fresh.withColumn("_fp", fp(col(textCol)))
+      .where(ColumnBridge.toColumn(BloomFilterMightContain(
+        Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        hashed(col("_fp")))))
+    val dups = candidates
+      .join(cFp.withColumnRenamed("fp", "_fp"), Seq("_fp"), "left_semi")
+      .select(col(idCol))
+    fresh.join(dups, Seq(idCol), "left_anti")
+  }
+
   /** MinHash signatures: (id, sig: array<long>) — element i = min over
     * shingles of xxhash64(shingle, seed=i), computed by the native
     * [[graft.functions.MinHashSig]] expression in one zero-shuffle

@@ -221,6 +221,41 @@ object LlmQueries {
     // scrub, replayed exactly by DuckDB. k = 8 so only genuine overlap
     // (near-dups, quotes) flags; at k = 3 phrase-level collisions flag
     // essentially the whole corpus.
+    // exact incremental dedup behind a Bloom pre-filter (Spark's own
+    // runtime-filter expressions): the answer is bloom-invariant (exact
+    // semi-join weeds false positives; false negatives impossible), so
+    // the oracle is a plain fingerprint set difference
+    Q("q_bloom_prefilter",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sampled = Sampling.hashSample(docs, "doc_id", 0.2)
+        val corpus = docs.join(sampled.select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        // the batch = the 20% slice (novel) plus a re-crawl of part of
+        // the corpus under NEW ids (true duplicates by construction) —
+        // the corpus has no exact-dup groups of its own, so without the
+        // re-crawl the rejection path would never fire
+        val recrawl = corpus.where(col("doc_id") % 10 === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        Dedup.exactIncremental(sampled.unionByName(recrawl), corpus,
+          "text", "doc_id")
+          .select(col("doc_id"))
+      },
+      Some("""WITH f0 AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                       ((doc_id % 1000000007) * 2654435761 + 283521) % 9973 < 1994
+                         AS in_sample
+                FROM documents),
+              fresh AS (
+                SELECT doc_id, fp FROM f0 WHERE in_sample
+                UNION ALL
+                SELECT doc_id + 1000000, fp FROM f0
+                WHERE NOT in_sample AND doc_id % 10 = 3),
+              cf AS (SELECT fp FROM f0 WHERE NOT in_sample)
+              SELECT doc_id FROM fresh
+              WHERE fp NOT IN (SELECT fp FROM cf)""")),
+
     // incremental ingestion dedup: the 20% mixer slice plays the "new
     // crawl batch", the rest the existing corpus; admitted = fresh docs
     // with no corpus near-dup at exact Jaccard >= 0.8 among banded

@@ -139,6 +139,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no shuffle join anywhere in the gate:\n$p")
   }
 
+  test("bloom prefilter rides the batch scan as a constant predicate") {
+    val p = plan("q_bloom_prefilter")
+    assert(p.contains("might_contain"),
+      s"the bloom must gate the batch before the fingerprint join:\n$p")
+  }
+
   test("salted wordfreq plans the two-phase (word, salt) → word aggregation") {
     val p = plan("q_wordfreq_salted")
     assert(p.contains("_salt"),

@@ -29,6 +29,17 @@ class TextLlmSpec extends AnyFunSuite {
     assert(admitted == Set(3L), s"got $admitted")
   }
 
+  test("exactIncremental: bloom-prefiltered exact dedup is bloom-invariant") {
+    val corpus = docs((100L, "shared corpus document body"),
+      (101L, "another corpus document"))
+    val fresh = docs(
+      (1L, "shared  CORPUS   document body"), // normalized dup → rejected
+      (2L, "a novel document"))
+    val admitted = graft.llm.Dedup.exactIncremental(fresh, corpus,
+      "text", "doc_id").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(2L), s"got $admitted")
+  }
+
   test("wordFreq counts strtok tokens, punctuation kept") {
     val d = docs((1L, "a b  a\tc!"), (2L, "a"))
     val freq = TextOps.wordFreq(d, "text").collect()
