@@ -29,6 +29,16 @@ class TextLlmSpec extends AnyFunSuite {
     assert(admitted == Set(3L), s"got $admitted")
   }
 
+  test("incremental dedup admits everything against an empty corpus") {
+    val empty = docs().where("1 = 0")
+    val fresh = docs((1L, "some document body here"), (2L, "another one entirely"))
+    val viaBloom = graft.llm.Dedup.exactIncremental(fresh, empty,
+      "text", "doc_id").count()
+    val viaBands = graft.llm.Dedup.incrementalDedup(fresh, empty,
+      "text", "doc_id").count()
+    assert(viaBloom == 2 && viaBands == 2)
+  }
+
   test("exactIncremental: bloom-prefiltered exact dedup is bloom-invariant") {
     val corpus = docs((100L, "shared corpus document body"),
       (101L, "another corpus document"))
