@@ -54,6 +54,14 @@ object StreamingQueries {
       (s, d) => Streams.streamDedup(s, d, Seq("user_id", "event_type")),
       Some("SELECT DISTINCT user_id, event_type FROM events")),
 
+    // mixer-gated sampling per micro-batch (stateless) ≡ the batch gate:
+    // stream and backfill agree on membership row for row
+    Q("q_stream_sample",
+      (s, d) => Streams.streamSample(s, d, fraction = 0.1),
+      Some("""SELECT event_id, user_id, event_type FROM events
+              WHERE ((event_id % 1000000007) * 2654435761 + 283521) % 9973
+                    < 997""")),
+
     // stream-static broadcast enrichment ≡ batch dimension join
     Q("q_stream_enrich",
       (s, d) => Streams.enrich(s, d),

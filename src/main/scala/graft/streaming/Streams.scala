@@ -128,6 +128,22 @@ object Streams {
     drain(deduped, OutputMode.Append(), "stream_dedup")
   }
 
+  /** Deterministic sampling ON a stream: the same portable mixer gate as
+    * [[graft.llm.Sampling.hashSample]], applied per micro-batch — a
+    * stateless filter (no watermark, no state store), so the streamed
+    * sample is row-identical to the batch sample of the same data: the
+    * property that makes backfill (batch) + live (stream) corpus
+    * pipelines agree on membership. */
+  def streamSample(spark: SparkSession, sfDir: String, fraction: Double,
+      seed: Long = 7L): DataFrame = {
+    val s = tuned(spark)
+    val sampled = eventsStream(s, sfDir)
+      .where(graft.llm.Sampling.bucket(col("event_id"), seed)
+        < lit((fraction * graft.llm.Sampling.Buckets).toLong))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    drain(sampled, OutputMode.Append(), "stream_sample")
+  }
+
   /** Stream-static enrichment join: each event picks up its user's static
     * dimension attributes. Stateless — no watermark, no state store; the
     * static side is (re)broadcast per micro-batch, which is the canonical
