@@ -27,10 +27,17 @@ object Streams {
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(s"$sfDir/events.parquet")
-    val dir = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_stream_${math.abs(sfDir.hashCode)}")
-    Files.createDirectories(dir)
-    Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // a directory-shaped table (any Spark-written output, e.g. the 10×
+    // rehearsal corpus) IS a file-stream source already; only the
+    // single-file testdata layout needs staging. (Files.copy on a
+    // directory silently copies nothing — an empty stream, round-5 bug.)
+    val dir = if (Files.isDirectory(src)) src else {
+      val d = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_stream_${math.abs(sfDir.hashCode)}")
+      Files.createDirectories(d)
+      Files.copy(src, d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      d
+    }
     val schema = Tables.load(spark, sfDir, "events").schema
     val df = spark.readStream.schema(schema).parquet(dir.toString)
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
