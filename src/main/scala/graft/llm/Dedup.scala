@@ -155,7 +155,19 @@ object Dedup {
     * why the oracle is plain set difference. The driver holds the bloom
     * between build and use exactly as Spark's injected runtime filters
     * do (a scalar-subquery result); its size is ~1.2 GB per 10⁹ corpus
-    * items at fpp=1 % — raise fpp or shard the corpus beyond that. */
+    * items at fpp=1 % — raise fpp or shard the corpus beyond that.
+    *
+    * Sizing caveat: `BloomFilterAggregate` silently clamps its
+    * estimatedNumItems / numBits arguments to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M)
+    * and `...maxNumBits` (default 67108864 ≈ 8 MB) — sized for AQE's
+    * injected join filters, not a corpus sketch. Past a few million
+    * corpus items the default-capped bloom saturates and the prefilter
+    * stops pruning (still correct — the exact semi-join weeds the flood
+    * — just no longer cheap). So the confs are raised to this build's
+    * computed size for the duration of the aggregate and restored
+    * after: the documented ~1.2 GB per 10⁹ items sizing then actually
+    * materializes. */
   def exactIncremental(fresh: DataFrame, corpus: DataFrame, textCol: String,
       idCol: String, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -167,11 +179,28 @@ object Dedup {
     val items = math.max(1L, cFp.count())
     val numBits = math.max(64L,
       (-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val bloomBytes = cFp.agg(ColumnBridge.toColumn(
-        new BloomFilterAggregate(hashed(col("fp")),
-          Literal(items), Literal(numBits)).toAggregateExpression())
-        .as("bloom"))
-      .head().getAs[Array[Byte]]("bloom")
+    val conf = corpus.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val savedItems = conf.getOption(itemsKey)
+    val savedBits = conf.getOption(bitsKey)
+    val bloomBytes =
+      try {
+        if (conf.get(itemsKey, "4000000").toLong < items)
+          conf.set(itemsKey, items.toString)
+        if (conf.get(bitsKey, "67108864").toLong < numBits)
+          conf.set(bitsKey, numBits.toString)
+        cFp.agg(ColumnBridge.toColumn(
+            new BloomFilterAggregate(hashed(col("fp")),
+              Literal(items), Literal(numBits)).toAggregateExpression())
+            .as("bloom"))
+          .head().getAs[Array[Byte]]("bloom")
+      } finally {
+        def restore(k: String, v: Option[String]): Unit =
+          v.fold(conf.unset(k))(conf.set(k, _))
+        restore(itemsKey, savedItems)
+        restore(bitsKey, savedBits)
+      }
     val candidates = fresh.withColumn("_fp", fp(col(textCol)))
       .where(ColumnBridge.toColumn(BloomFilterMightContain(
         Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),

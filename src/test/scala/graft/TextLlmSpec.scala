@@ -50,6 +50,29 @@ class TextLlmSpec extends AnyFunSuite {
     assert(admitted == Set(2L), s"got $admitted")
   }
 
+  test("exactIncremental raises the runtime bloom size caps and restores them") {
+    // Simulate a corpus bigger than the configured cap: with the caps left
+    // at these values a correctly-sized bloom would be impossible, so the
+    // operator must raise them for the build — and put them back after.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    spark.conf.set(itemsKey, "2")
+    spark.conf.set(bitsKey, "64")
+    try {
+      val corpus = docs((100L, "corpus doc one"), (101L, "corpus doc two"),
+        (102L, "corpus doc three"), (103L, "corpus doc four"))
+      val fresh = docs((1L, "corpus doc three"), (2L, "a novel document"))
+      val admitted = Dedup.exactIncremental(fresh, corpus, "text", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(admitted == Set(2L), s"got $admitted")
+      assert(spark.conf.get(itemsKey) == "2", "maxNumItems not restored")
+      assert(spark.conf.get(bitsKey) == "64", "maxNumBits not restored")
+    } finally {
+      spark.conf.unset(itemsKey)
+      spark.conf.unset(bitsKey)
+    }
+  }
+
   test("wordFreq counts strtok tokens, punctuation kept") {
     val d = docs((1L, "a b  a\tc!"), (2L, "a"))
     val freq = TextOps.wordFreq(d, "text").collect()
