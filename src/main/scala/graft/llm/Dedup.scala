@@ -112,17 +112,8 @@ object Dedup {
   def incrementalDedup(fresh: DataFrame, corpus: DataFrame, textCol: String,
       idCol: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       tau: Double = 0.8): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    def bandKeys = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
-    }
-    def banded(sigs: DataFrame, as: String) =
-      sigs.select(col("id").as(as), explode(array(bandKeys: _*)).as("bk"))
-    val cand = banded(minHashSignatures(fresh, textCol, idCol, k, numHashes), "fid")
-      .join(banded(minHashSignatures(corpus, textCol, idCol, k, numHashes), "cid"), "bk")
-      .select(col("fid"), col("cid")).distinct()
+    val cand = crossBandCandidates(fresh, corpus, textCol, idCol,
+        k, numHashes, bands)
       .localCheckpoint()
     val fSh = shingles(fresh, textCol, idCol, k)
       .join(cand.select(col("fid").as("id")).distinct(), Seq("id"), "left_semi")
@@ -139,6 +130,27 @@ object Dedup {
       .where(round(col("c") / (col("nf") + col("nc") - col("c")), 4) >= tau)
       .select(col("fid").as(idCol)).distinct()
     fresh.join(dup, Seq(idCol), "left_anti")
+  }
+
+  /** The cross-banding candidate stage of [[incrementalDedup]], exposed
+    * so PlanShapeSpec can pin its load-bearing property: ONE equi-join on
+    * the band key between the fresh side and the corpus side — never a
+    * fresh×fresh or corpus×corpus branch (re-deduplicating the corpus
+    * per batch is exactly what the incremental shape exists to avoid). */
+  private[graft] def crossBandCandidates(fresh: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, k: Int, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def bandKeys = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
+    }
+    def banded(sigs: DataFrame, as: String) =
+      sigs.select(col("id").as(as), explode(array(bandKeys: _*)).as("bk"))
+    banded(minHashSignatures(fresh, textCol, idCol, k, numHashes), "fid")
+      .join(banded(minHashSignatures(corpus, textCol, idCol, k, numHashes), "cid"), "bk")
+      .select(col("fid"), col("cid")).distinct()
   }
 
   /** EXACT incremental dedup with a Bloom pre-filter: admit fresh
@@ -362,6 +374,106 @@ object Dedup {
       val vs = parent.keys.toArray
       vs.iterator.map(v => (v, find(v)))
     }.toDF("doc_id", "cluster")
+  }
+
+  /** Sequence-level (substring) dedup: maximal token spans of length ≥ L
+    * that appear in at least `minDocs` distinct documents — the
+    * "deduplicating training data" repeated-passage operation, vs. the
+    * whole-document identity every other dedup operator here keys on.
+    * Returns (doc_id, span_start, span_end, span_tokens) with 1-based
+    * inclusive positions into the document's NON-EMPTY whitespace token
+    * sequence, one row per maximal span.
+    *
+    * Scale design (the suffix-array formulation is a single-machine
+    * algorithm; this is the shuffle-lean equivalent):
+    *  1. one codegen'd projection computes every positional L-gram hash
+    *     via the O(tokens) rolling [[graft.functions.TokenGramHashes]] —
+    *     TWO independently-seeded 64-bit hashes per position, so the
+    *     group key is effectively 128-bit and hash-equality ≡
+    *     gram-equality for any non-adversarial corpus (first expected
+    *     birthday collision past 10^18 grams; an adversarial corpus can
+    *     forge collisions — this operator's contract is statistical, like
+    *     every hashing dedup here);
+    *  2. duplicated grams by a two-phase countDistinct aggregate over
+    *     (h1, h2) — the shuffle carries 24-byte rows (two hashes + id),
+    *     never gram text (a naive slice+concat gram column would shuffle
+    *     L tokens per position: ~50× the bytes at the production L≈50);
+    *  3. duplicated positions by a semi-join on the gram key;
+    *  4. maximal spans by the gaps-and-islands merge: positions p, p'
+    *     cover overlapping-or-adjacent L-windows iff p' − p ≤ L, so one
+    *     window pass per document (a shuffle by doc id, bounded by
+    *     tokens-per-doc) merges them.
+    * No step is quadratic in the corpus; the only per-gram state is two
+    * longs. DuckDB replays the whole pipeline over gram TEXT, which is
+    * exactly the hash-collision-free semantics the 128-bit key
+    * approximates. */
+  def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      spanLen: Int = 50, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), "\\s+")
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(arrays_zip(
+          graft.functions.TokenGramHashes.gramHashes(toks, spanLen, 1L),
+          graft.functions.TokenGramHashes.gramHashes(toks, spanLen, 2L))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col.0").as("h1"), col("col.1").as("h2"))
+    val dup = grams.groupBy(col("h1"), col("h2"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("h1"), col("h2"))
+    val dpos = grams.join(dup, Seq("h1", "h2"), "left_semi")
+      .select(col("doc_id"), col("p"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val islands = dpos
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(w) <= spanLen, 0L).otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + spanLen - 1).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Substring-dedup EXCISION: rewrite each document with every token
+    * covered by a cross-document repeated L-gram removed (the Lee et al.
+    * "remove one copy of each duplicated span" family's strictest form:
+    * remove ALL copies — deterministic, so any engine replays it; a
+    * keep-one policy needs a global tie-break and buys little for
+    * training data). Output is (doc_id, clean_text, n_removed) for EVERY
+    * document; `clean_text` is the surviving tokens joined with single
+    * spaces — i.e. whitespace-normalized, also for documents with
+    * nothing removed, so the output is a pure function of the token
+    * sequence.
+    *
+    * The span set rides a broadcast-friendly frame only when small; the
+    * general path is one join on doc id (covered positions are grouped
+    * per doc first, so the join carries one row per AFFECTED doc, not
+    * per span). The final rewrite is a per-row projection: higher-order
+    * `filter`/`exists` over (token, position) — CodegenFallback, but a
+    * leaf projection outside every shuffle, and only the affected-doc
+    * rows pay the `exists` scan over their spans. */
+  def exciseRepeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      spanLen: Int = 50, minDocs: Int = 2): DataFrame = {
+    val spans = repeatedSpans(docs, textCol, idCol, spanLen, minDocs)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("spans"))
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    docs.select(col(idCol).as("doc_id"), toks.as("w"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, array_join(col("w"), " "))
+          .otherwise(array_join(
+            filter(col("w"), (t, i) => !exists(col("spans"),
+              s => (i + 1) >= s.getField("s") && (i + 1) <= s.getField("e"))),
+            " ")).as("clean_text"),
+        when(col("spans").isNull, lit(0L))
+          .otherwise(size(col("w")).cast("long") -
+            size(filter(col("w"), (t, i) => !exists(col("spans"),
+              s => (i + 1) >= s.getField("s") && (i + 1) <= s.getField("e"))))
+              .cast("long")).as("n_removed"))
   }
 
   /** SimHash 64-bit fingerprints: per-word PORTABLE polynomial hash +

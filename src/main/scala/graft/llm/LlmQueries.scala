@@ -77,6 +77,36 @@ object LlmQueries {
   /** The 3-shingle instance every Jaccard oracle shares. */
   private val shingleCte = shingleCteK(3)
 
+  /** DuckDB replay of the substring-dedup front half
+    * ([[Dedup.repeatedSpans]] steps 1-4 over gram TEXT instead of the
+    * 128-bit gram hash): positional L-grams, grams in ≥2 distinct docs,
+    * their positions, and the gaps-and-islands span merge (same island
+    * iff p − lag(p) ≤ L; the lag-NULL first row starts an island via the
+    * CASE ELSE). Ends inside the WITH — callers append `, cte AS ...` or
+    * the final SELECT. */
+  private def substringDedupCte(l: Int): String =
+    s"""WITH ws AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'),
+                        x -> length(x) > 0) AS w
+                    FROM documents),
+        gr AS (SELECT doc_id,
+                 unnest(range(1, len(w) - ${l - 2})) AS p,
+                 unnest(list_transform(range(1, len(w) - ${l - 2}),
+                   i -> array_to_string(list_slice(w, i, i + ${l - 1}), ' ')))
+                   AS gram
+               FROM ws WHERE len(w) >= $l),
+        dup AS (SELECT gram FROM gr GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2),
+        dp AS (SELECT doc_id, p FROM gr JOIN dup USING (gram)),
+        brk AS (SELECT doc_id, p,
+                  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                         <= $l THEN 0 ELSE 1 END AS b
+                FROM dp),
+        isl AS (SELECT doc_id, p,
+                  sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                    ROWS UNBOUNDED PRECEDING) AS island
+                FROM brk)"""
+
   /** DuckDB replay of [[graft.functions.WinnowFingerprint]]: bytes from
     * hex(encode(text)), k-gram hashes as Σ byte·B^(k-1-j) mod M (equal to
     * the expression's rolling recurrence), window minima via a ROWS frame,
@@ -289,6 +319,44 @@ object LlmQueries {
                        WHERE round(c * 1.0 / (nf + nc - c), 4) >= 0.8)
                SELECT doc_id FROM fresh
                WHERE doc_id NOT IN (SELECT fid FROM dup)""")),
+
+    // sequence-level (substring) dedup: maximal cross-document repeated
+    // token spans (L=10 fits the fixture's 10-99-token docs; production
+    // default is 50). The oracle replays the whole pipeline over gram
+    // TEXT — the collision-free semantics the operator's 128-bit gram
+    // key approximates (first expected collision past 10^18 grams).
+    Q("q_repeated_spans",
+      (s, d) => Dedup.repeatedSpans(Tables.documents(s, d), "text", "doc_id",
+        spanLen = 10),
+      Some(substringDedupCte(10) +
+        """ SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+                  CAST(max(p) + 9 AS BIGINT) AS span_end,
+                  CAST(max(p) + 9 - min(p) + 1 AS BIGINT) AS span_tokens
+           FROM isl GROUP BY doc_id, island""")),
+
+    // substring-dedup excision: every token covered by a cross-document
+    // repeated 10-gram removed; clean_text is the surviving tokens joined
+    // by single spaces (whitespace-normalized by contract, so the output
+    // is a pure function of the token sequence on both engines).
+    Q("q_excise_spans",
+      (s, d) => Dedup.exciseRepeatedSpans(Tables.documents(s, d), "text",
+        "doc_id", spanLen = 10),
+      Some(substringDedupCte(10) +
+        """, cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 10)) AS t
+                     FROM dp),
+           tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS t,
+                          unnest(w) AS tokv
+                   FROM ws),
+           keep AS (SELECT doc_id, t, tokv FROM tok
+                    WHERE NOT EXISTS (SELECT 1 FROM cov
+                                      WHERE cov.doc_id = tok.doc_id
+                                        AND cov.t = tok.t)),
+           agg AS (SELECT doc_id, string_agg(tokv, ' ' ORDER BY t) AS ct,
+                          count(*) AS nk
+                   FROM keep GROUP BY doc_id)
+           SELECT ws.doc_id, coalesce(ct, '') AS clean_text,
+                  CAST(len(w) - coalesce(nk, 0) AS BIGINT) AS n_removed
+           FROM ws LEFT JOIN agg USING (doc_id)""")),
 
     Q("q_decontaminate",
       (s, d) => {

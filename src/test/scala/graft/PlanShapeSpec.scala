@@ -145,6 +145,52 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the bloom must gate the batch before the fingerprint join:\n$p")
   }
 
+  test("bloom-prefiltered incremental dedup plans the semi/anti join chain") {
+    val p = plan("q_bloom_prefilter")
+    assert(p.contains("might_contain"),
+      s"the bloom must gate the batch scan:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"bloom survivors must be verified by an exact semi-join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"admitted rows must come from an anti-join on the dup set:\n$p")
+  }
+
+  test("incremental dedup candidates: ONE cross-band join, no self-join branch") {
+    val docs = Tables.documents(spark, sf0001)
+    val fresh = graft.llm.Sampling.hashSample(docs, "doc_id", 0.2)
+    val corpus = docs.join(fresh.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    withoutAqe {
+      val cand = graft.llm.Dedup.crossBandCandidates(
+        fresh, corpus, "text", "doc_id", 3, 64, 16)
+      // the corpus anti-join above contributes one Join; the candidate
+      // stage itself must add exactly ONE more — the fresh×corpus band
+      // join. A fresh×fresh or corpus×corpus branch would add a third.
+      val joins = cand.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      val bandJoins = joins.filterNot(_.joinType.toString.contains("Anti"))
+      assert(bandJoins.size == 1,
+        s"expected exactly one band join, got ${joins.map(_.joinType)}:\n$cand")
+      assert(bandJoins.head.leftKeys.nonEmpty,
+        "the band join must be an equi-join on the band key")
+      val p = cand.queryExecution.executedPlan.toString
+      assert(p.contains("minhash_sig"),
+        s"both sides must band the zero-shuffle native signatures:\n$p")
+    }
+  }
+
+  test("substring dedup: native gram hashes feed a semi-join, gram text never shuffles") {
+    val p = plan("q_repeated_spans")
+    assert(p.contains("token_gram_hashes"),
+      s"positional gram hashes must come from the O(n) native expression:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"duplicated positions must come from a semi-join on the gram key:\n$p")
+    // the shuffle columns are the two 64-bit gram hashes — never a
+    // materialized gram string (an L-token concat would ship ~L× the bytes)
+    assert(!p.contains("concat_ws"),
+      s"no gram text column may be materialized:\n$p")
+  }
+
   test("salted wordfreq plans the two-phase (word, salt) → word aggregation") {
     val p = plan("q_wordfreq_salted")
     assert(p.contains("_salt"),
