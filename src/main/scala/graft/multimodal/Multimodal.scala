@@ -19,8 +19,14 @@ import graft.Tables
   * codec is the production shape: schema (binary + metadata struct),
   * per-partition batch processing via mapPartitions (the Scala analog of
   * mapInPandas — one codec context per partition, streamed rows), and
-  * pure column slicing for frame extraction. Swapping PNG for JPEG/audio
-  * /video demux changes the two codec call sites, no plan shape.
+  * pure column slicing for frame extraction. Swapping codecs changes the
+  * two codec call sites, no plan shape — DEMONSTRATED (round 6): the WAV
+  * PCM audio path ([[audioTable]] + [[decodeWavBytes]]) reuses
+  * [[decodeFeatures]] verbatim with only the decode call site swapped;
+  * both codecs are lossless, which is what keeps the features
+  * byte-replayable by the codec-free DuckDB oracle (a lossy codec — JPEG,
+  * MP3 — would plumb identically but its oracle would need tolerance
+  * bands instead of exact hashes).
   */
 object Multimodal {
 
@@ -116,6 +122,31 @@ object Multimodal {
     out
   }
 
+  /** Encode a payload as an actual WAV container: bytes as 8-bit
+    * unsigned PCM mono samples (`javax.sound.sampled` — the second real
+    * JDK codec, proving the PNG path's swap claim). PCM is lossless and
+    * sample-per-byte, so the decoded stream is EXACTLY the payload — no
+    * padding, unlike the PNG raster. */
+  private[graft] def encodeWav(payload: Array[Byte]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(payload), fmt, payload.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Decode a WAV back to its raw PCM sample bytes — the inverse of
+    * [[encodeWav]]. Same contract as [[decodePngBytes]]: one call per
+    * row, context-free, the expensive part is the real container parse. */
+  private[graft] def decodeWavBytes(wav: Array[Byte]): Array[Byte] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    try in.readAllBytes() finally in.close()
+  }
+
   /** Image table: each document's payload encoded as an actual PNG
     * binary column + (kind, n_bytes=payload length, origin) metadata —
     * the ingest side of the decode pipeline. */
@@ -131,18 +162,35 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Per-partition batched decode + feature extraction over REAL PNGs:
-    * partition-streamed rows, one decoder context per partition, typed
-    * output schema. `javax.imageio` inflates each payload back to its
-    * raster; features are computed over the DECODED bytes (original
-    * payload + zero padding to the raster size). */
-  def decodeFeatures(media: DataFrame): DataFrame = {
+  /** Audio table: each document's payload encoded as an actual 8-bit PCM
+    * WAV — the same ingest shape as [[imageTable]] with only the encode
+    * call site swapped. */
+  def audioTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, sfDir).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("content")).as[MediaRow]
+    payloads.mapPartitions { rows =>
+      rows.map(r => MediaRow(r.media_id, encodeWav(r.content)))
+    }.toDF()
+  }
+
+  /** Per-partition batched decode + feature extraction over REAL encoded
+    * payloads: partition-streamed rows, one decoder context per
+    * partition, typed output schema. The codec is the `decode` call site
+    * (default: `javax.imageio` PNG inflate; [[decodeWavBytes]] for the
+    * audio path) — swapping it changes NOTHING else in the operator, so
+    * both codecs share this one plan shape. Features are computed over
+    * the DECODED bytes (for PNG: payload + zero padding to the raster
+    * size; for WAV PCM: the exact payload). */
+  def decodeFeatures(media: DataFrame,
+      decode: Array[Byte] => Array[Byte] = decodePngBytes): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("content")).as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val decoded = decodePngBytes(r.content)
+          val decoded = decode(r.content)
           val hist = new Array[Long](16)
           var sum = 0L
           decoded.foreach { b =>

@@ -59,6 +59,58 @@ object MultimodalQueries {
     // not decorative. The histogram array is emitted as a comma-joined
     // string so the harness can sort/hash it (the postings/nbrs pattern);
     // mean_byte is a single IEEE division of two exact integers.
+    // SECOND real codec through the SAME decodeFeatures operator (round
+    // 6 — the "swapping codecs changes two call sites, no plan shape"
+    // claim, demonstrated): audioTable encodes each payload as an actual
+    // 8-bit PCM WAV (javax.sound.sampled), decodeFeatures runs verbatim
+    // with only the decode call site swapped. PCM is sample-per-byte
+    // lossless, so the decoded stream is EXACTLY the payload — the
+    // oracle is the PNG oracle minus the raster padding terms.
+    Q("q_decode_audio_features",
+      (s, d) => Multimodal.decodeFeatures(Multimodal.audioTable(s, d),
+          Multimodal.decodeWavBytes)
+        .withColumn("histogram",
+          array_join(transform(col("histogram"), _.cast("string")), ",")),
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n_bytes
+                FROM documents),
+              pos AS (
+                SELECT media_id, h,
+                       unnest(range(1, n_bytes + 1)) AS i
+                FROM m),
+              by AS (
+                SELECT media_id,
+                       16 * (strpos('0123456789ABCDEF',
+                               substring(h, CAST(2 * i - 1 AS BIGINT), 1)) - 1)
+                         + (strpos('0123456789ABCDEF',
+                               substring(h, CAST(2 * i AS BIGINT), 1)) - 1) AS byte
+                FROM pos),
+              bk AS (
+                SELECT media_id, byte // 16 AS bucket, count(*) AS cnt
+                FROM by GROUP BY 1, 2),
+              grid AS (
+                SELECT media_id, unnest(range(0, 16)) AS bucket FROM m),
+              hist AS (
+                SELECT grid.media_id, grid.bucket, coalesce(cnt, 0) AS cnt
+                FROM grid
+                LEFT JOIN bk
+                  ON grid.media_id = bk.media_id AND grid.bucket = bk.bucket),
+              hs AS (
+                SELECT media_id,
+                       string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY bucket)
+                         AS histogram
+                FROM hist GROUP BY media_id),
+              stats AS (SELECT media_id, sum(byte) AS s FROM by GROUP BY 1)
+              SELECT m.media_id, CAST(m.n_bytes AS BIGINT) AS n_bytes,
+                     CASE WHEN m.n_bytes = 0 THEN 0.0
+                          ELSE CAST(coalesce(s, 0) AS DOUBLE) / m.n_bytes
+                     END AS mean_byte,
+                     hs.histogram
+              FROM m
+              JOIN hs ON m.media_id = hs.media_id
+              LEFT JOIN stats ON m.media_id = stats.media_id""")),
+
     Q("q_decode_features",
       (s, d) => Multimodal.decodeFeatures(Multimodal.imageTable(s, d))
         .withColumn("histogram",
