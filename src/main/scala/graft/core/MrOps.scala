@@ -89,7 +89,20 @@ object MrOps {
     * carrying the caller's constant key (`doc/scrunch.txt`: "one for each
     * of the nprocs", same key on every processor). collect_list partial-
     * aggregates map-side, so the post-gather shuffle carries n already-
-    * collapsed rows, not the pair data. */
+    * collapsed rows, not the pair data.
+    *
+    * Two deliberate deviations from the reference contract:
+    * 1. the multivalue is `array_sort`ed by (sortKey, value), whereas the
+    *    reference's collapse preserves arrival order — collect_list order
+    *    is nondeterministic under parallel execution, so the sort is the
+    *    price of a replayable result (callers wanting arrival order have
+    *    no deterministic analog on any parallel engine);
+    * 2. a post-gather partition holding zero rows emits NO output row,
+    *    whereas the reference emits one (possibly empty) KMV pair per
+    *    proc — so the output can have fewer than n rows when the input
+    *    has fewer than n rows (an aggregation can't manufacture rows for
+    *    empty groups; the one-row-per-proc shape exists for MPI rank
+    *    bookkeeping Spark doesn't have). */
   def scrunch(df: DataFrame, n: Int, key: Column, sortKey: Column,
       value: Column): DataFrame =
     gather(df, n)

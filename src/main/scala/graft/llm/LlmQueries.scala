@@ -291,6 +291,14 @@ object LlmQueries {
     // with no corpus near-dup at exact Jaccard >= 0.8 among banded
     // MinHash candidates. The oracle computes the true cross-Jaccard
     // directly (banding recall equivalence pinned by q_minhash_lsh_pairs)
+    // NOTE on check strength: the Spark side admits via banded-MinHash
+    // candidates, the oracle via exact cross-Jaccard — equal only when
+    // banding recall is perfect. At tau=0.8, r=4, b=16 the per-pair miss
+    // probability is (1−0.8⁴)^16 ≈ 2·10⁻⁴, and this fixture has no pair
+    // near the boundary, so the check is deterministic HERE; on a
+    // different corpus a missed band pair could admit a doc the oracle
+    // rejects. Probabilistic-recall by design — same class as the
+    // q_minhash_lsh_pairs equivalence it reuses.
     Q("q_incremental_dedup",
       (s, d) => {
         val docs = Tables.documents(s, d)

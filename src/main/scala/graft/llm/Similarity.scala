@@ -190,7 +190,15 @@ object Similarity {
     * tiebreak, and recomputed centroids ([[graft.functions.VectorMeanAggregator]]
     * — map-side partial buffers, never an exploded (row, dim) shuffle)
     * are rounded to 6dp per component so both engines feed bitwise-equal
-    * centroids into the next round. Squared L2 is composed as
+    * centroids into the next round. Rounding-boundary caveat: the 6dp
+    * pin makes cross-engine agreement overwhelmingly likely, not
+    * certain — a distance or centroid component landing EXACTLY on a
+    * half-ulp rounding boundary could round differently in an engine
+    * whose intermediate fold order differs, flipping an argmin whose
+    * runner-up is within 1e-6. No fixture hits this (the oracle replays
+    * the same fold order), but on adversarial inputs the pin is
+    * probabilistic in the same sense as the banding-recall notes.
+    * Squared L2 is composed as
     * a·a − 2·a·b + b·b from three codegen'd [[graft.functions.DotProduct]]
     * evaluations, mirrored term for term in the oracle SQL. Per round:
     * one k-row broadcast join + one window by point id + one centroid
