@@ -859,6 +859,46 @@ object LlmQueries {
               LEFT JOIN ws2 USING (doc_id)
               LEFT JOIN bs USING (doc_id)""")),
 
+    // PII scrub: the corpus has no natural PII, so the query plants a
+    // deterministic email + phone on every doc (+ an ssn on every third)
+    // from doc_id — replayable on both engines — then redacts. Counts
+    // are taken before redaction; the oracle's regex chain is generated
+    // from the SAME Scrub.piiPatterns the operator applies, in the same
+    // order (single source of truth — a pattern edit can't desync them).
+    Q("q_pii_scrub",
+      (s, d) => {
+        val id4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+        val aug = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or call 415-555-"), id4,
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" ssn 123-45-"), id4)).otherwise(lit("")))
+            .as("text"))
+        Scrub.piiScrub(aug, "text", "doc_id")
+      },
+      Some {
+        val clean = Scrub.piiPatterns.foldLeft("text") {
+          case (c, (_, pat, repl)) => s"regexp_replace($c, '$pat', '$repl', 'g')"
+        }
+        val counts = Scrub.piiPatterns.map { case (cat, pat, _) =>
+          s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$cat"
+        }.mkString(",\n                     ")
+        s"""WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id ||
+                     '@mail.example.com or call 415-555-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN ' ssn 123-45-' ||
+                               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id, $clean AS clean_text,
+                     $counts
+            FROM aug"""
+      }),
+
     Q("q_quality_score",
       (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d), "text", "doc_id"),
       Some(s"""WITH t AS (

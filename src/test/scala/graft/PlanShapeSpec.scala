@@ -131,6 +131,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"native counters must stay inside whole-stage codegen:\n$p")
   }
 
+  test("pii scrub is a zero-shuffle projection over the scan") {
+    withoutAqe {
+      val df = Registry.byName("q_pii_scrub").run(spark, sf0001)
+      assert(shuffleCount(df) == 0,
+        s"redaction must be per-row map work:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
   test("temperature mixture broadcasts its per-group cuts into the scan") {
     val p = plan("q_mixture_temperature")
     assert(p.contains("BroadcastHashJoin"),

@@ -73,6 +73,21 @@ class TextLlmSpec extends AnyFunSuite {
     }
   }
 
+  test("piiScrub redacts emails/phones/ssns and counts what it found") {
+    val d = docs(
+      (1L, "mail a.b+c@x.co and d@y.org, call 415-555-0100 or 415.555.0101"),
+      (2L, "ssn 123-45-6789 is not a phone; 12-34-5678 is neither"),
+      (3L, "nothing to redact here"))
+    val out = graft.llm.Scrub.piiScrub(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("mail <EMAIL> and <EMAIL>, call <PHONE> or <PHONE>",
+      2L, 2L, 0L)))
+    assert(out(2L) == (("ssn <SSN> is not a phone; 12-34-5678 is neither",
+      0L, 0L, 1L)))
+    assert(out(3L) == (("nothing to redact here", 0L, 0L, 0L)))
+  }
+
   test("wordFreq counts strtok tokens, punctuation kept") {
     val d = docs((1L, "a b  a\tc!"), (2L, "a"))
     val freq = TextOps.wordFreq(d, "text").collect()
