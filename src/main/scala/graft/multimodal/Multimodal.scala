@@ -122,28 +122,60 @@ object Multimodal {
     out
   }
 
+  /** The WAV codec providers, resolved ONCE per JVM. Going through the
+    * `AudioSystem` facade per row is the audio-path scale killer the
+    * round-6 10× rehearsal caught (q_decode_audio_features 22× at 10×
+    * data): every facade call re-scans the SPI registry under a lock and
+    * burns control-flow exceptions on non-matching providers, so 32
+    * executor threads decode SLOWER than one (R6AudioProbe: 64k decodes
+    * 3.1 s single-thread, 5.0 s on 32). Resolving the concrete
+    * `AudioFileReader`/`AudioFileWriter` once and calling it directly is
+    * the codec-context-hoisting the mapPartitions decode shape exists
+    * for — here the context is JVM-static because the providers are
+    * stateless per call. */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter on this JVM"))
+  }
+
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    val probe = encodeWav(Array[Byte](1, 2, 3))
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala
+      .find { r =>
+        try { r.getAudioFileFormat(new java.io.ByteArrayInputStream(probe)); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException("no WAVE AudioFileReader on this JVM"))
+  }
+
   /** Encode a payload as an actual WAV container: bytes as 8-bit
     * unsigned PCM mono samples (`javax.sound.sampled` — the second real
     * JDK codec, proving the PNG path's swap claim). PCM is lossless and
     * sample-per-byte, so the decoded stream is EXACTLY the payload — no
     * padding, unlike the PNG raster. */
   private[graft] def encodeWav(payload: Array[Byte]): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
     val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
       8000f, 8, 1, 1, 8000f, false)
     val in = new AudioInputStream(
       new java.io.ByteArrayInputStream(payload), fmt, payload.length.toLong)
     val baos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(in, AudioFileFormat.Type.WAVE, baos)
+    wavWriter.write(in, AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
   }
 
   /** Decode a WAV back to its raw PCM sample bytes — the inverse of
     * [[encodeWav]]. Same contract as [[decodePngBytes]]: one call per
-    * row, context-free, the expensive part is the real container parse. */
+    * row, the expensive part is the real container parse (via the
+    * once-resolved [[wavReader]], NOT the locking `AudioSystem` facade —
+    * see its scaladoc). */
   private[graft] def decodeWavBytes(wav: Array[Byte]): Array[Byte] = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(wav))
+    val in = wavReader.getAudioInputStream(new java.io.ByteArrayInputStream(wav))
     try in.readAllBytes() finally in.close()
   }
 

@@ -39,7 +39,13 @@ object Streams {
       d
     }
     val schema = Tables.load(spark, sfDir, "events").schema
-    val df = spark.readStream.schema(schema).parquet(dir.toString)
+    val reader = spark.readStream.schema(schema)
+    // operational knob (used by tools.StreamSmoke to force multi-batch
+    // incremental arrival): cap files per micro-batch like a production
+    // ingest would; unset = AvailableNow's default batching
+    val tuned = spark.conf.getOption("graft.stream.maxFilesPerTrigger")
+      .fold(reader)(v => reader.option("maxFilesPerTrigger", v))
+    val df = tuned.parquet(dir.toString)
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
@@ -58,6 +64,11 @@ object Streams {
     val s = spark.newSession()
     val parent = spark.conf.get("spark.sql.shuffle.partitions", "8").toInt
     s.conf.set("spark.sql.shuffle.partitions", math.min(8, parent).toString)
+    // newSession does NOT inherit runtime confs — carry the graft.*
+    // operational knobs (e.g. the StreamSmoke multi-batch cap) across
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("graft.")) s.conf.set(k, v)
+    }
     s
   }
 

@@ -70,16 +70,29 @@ object Rehearse {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    synthesize(spark, sfDir, outDir)
-    queryCsv.split(",").foreach { name =>
-      val q = Registry.byName(name)
-      q.run(spark, outDir).count() // warm (codegen + listing)
+    // outDir == sfDir means "time at the base scale only" (never
+    // synthesize into — let alone over — the source tables)
+    if (outDir != sfDir) synthesize(spark, sfDir, outDir)
+    def time(q: graft.Q, dir: String): Double = {
+      q.run(spark, dir).count() // warm (codegen + listing)
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        q.run(spark, outDir).count()
+        q.run(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"REHEARSE $name%-22s median=${ts.sorted.apply(1)}%.2f s  (runs=${ts.map(t => f"$t%.2f").mkString(",")})")
+      ts.sorted.apply(1) // median of 3
+    }
+    queryCsv.split(",").foreach { name =>
+      val q = Registry.byName(name)
+      if (outDir == sfDir) {
+        println(f"REHEARSE $name%-24s base=${time(q, sfDir)}%.2f s")
+      } else {
+        // base and 10× in the SAME session, back to back — the ±25 %
+        // cross-run box swing cancels out of the ratio
+        val base = time(q, sfDir)
+        val big = time(q, outDir)
+        println(f"REHEARSE $name%-24s base=$base%.2f s  x10=$big%.2f s  ratio=${big / base}%.1f")
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Registry, Tables}
+
+/** Streaming file-source smoke (dev tooling, SCALE.md "streaming
+  * incremental-source smoke"): proves every streaming op runs against a
+  * REAL incremental source — not just the one-shot memory-sink harness —
+  * by chunking the events table into 8 time-range parquet files and
+  * forcing one file per micro-batch (`graft.stream.maxFilesPerTrigger=1`,
+  * AvailableNow), then comparing each op's multi-batch result to its
+  * single-batch run on the unchunked table.
+  *
+  * Expected equivalences, by op class:
+  *  - Complete-mode aggs (hourly, sessions): the memory sink holds the
+  *    final complete result — EXACT equality.
+  *  - Stateless appends (sample, enrich): per-row maps — EXACT equality.
+  *  - Interval join: ts-ordered chunks keep every in-window partner
+  *    inside the watermark horizon — EXACT equality on this data.
+  *  - Watermarked dedup: a key recurring > 1 h (event time) after the
+  *    watermark passes its first occurrence is re-admitted when arrival
+  *    is incremental (state legitimately evicted) — so the multi-batch
+  *    output DISTINCT must equal the single-batch output (reconciled).
+  *  - mapGroupsWithState (user_state): update mode emits one snapshot
+  *    per key per touching batch; the LAST snapshot per key (max
+  *    n_events — counters are monotone) must equal the single-batch row
+  *    (reconciled).
+  *
+  * Usage: runMain graft.tools.StreamSmoke <sfDir> <chunkDir>
+  */
+object StreamSmoke {
+
+  private def diff(a: DataFrame, b: DataFrame): Long =
+    a.exceptAll(b).count() + b.exceptAll(a).count()
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val done = new java.io.File(s"$outDir/_done")
+    if (!done.exists()) {
+      // 8 contiguous ts ranges; part file order = arrival order, so the
+      // watermark advances monotonically like a live ingest's would
+      Tables.events(spark, sfDir)
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      // FileStreamSource orders files by MODIFICATION TIME, and the 8
+      // parts finish their parallel write in arbitrary order — which
+      // scrambles arrival vs event time and makes the watermark drop
+      // whole chunks as late. Stagger mtimes in part-name (= ts-range)
+      // order so arrival order is event-time order, like a live ingest.
+      val parts = new java.io.File(s"$outDir/events.parquet")
+        .listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - parts.length * 2000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(base + i * 2000L)
+      }
+      Tables.customer(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+      done.createNewFile()
+    }
+
+    def run(name: String, chunked: Boolean): DataFrame =
+      if (!chunked) Registry.byName(name).run(spark, sfDir)
+      else {
+        spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+        try Registry.byName(name).run(spark, outDir)
+        finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+      }
+
+    Seq("q_stream_hourly", "q_stream_sessions", "q_stream_interval_join",
+      "q_stream_dedup", "q_stream_sample", "q_stream_enrich",
+      "q_stream_user_state").foreach { name =>
+      val single = run(name, chunked = false)
+      val multi = run(name, chunked = true)
+      val (verdict, d) = name match {
+        case "q_stream_dedup" =>
+          ("distinct(multi)=single", diff(multi.distinct(), single))
+        case "q_stream_user_state" =>
+          val last = multi
+            .groupBy("user_id")
+            .agg(max(struct(col("n_events"), col("first_seen"),
+              col("total_value"))).as("s"))
+            .select(col("user_id"), col("s.n_events"), col("s.first_seen"),
+              col("s.total_value"))
+          ("last-snapshot=single", diff(last, single))
+        case _ => ("exact", diff(multi, single))
+      }
+      println(f"SMOKE $name%-24s single=${single.count()}%7d multi=${multi.count()}%7d $verdict diff=$d")
+    }
+    spark.stop()
+  }
+}
