@@ -57,7 +57,10 @@ object Bench {
     "q_union_all_count", "q_window_rank", "q_wordfreq",
     // round-5 additions
     "q_wordfreq_salted", "q_repetition", "q_mixture_temperature",
-    "q_decode_features", "q_incremental_dedup", "q_dedup_survivors")
+    "q_decode_features", "q_incremental_dedup", "q_dedup_survivors",
+    // round-6 additions
+    "q_repeated_spans", "q_excise_spans", "q_pii_scrub",
+    "q_decode_audio_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProduct, MinHashSig, NormalizeText, ShingleArray, SimHashFp, WinnowFingerprint}
+import graft.functions.{DotProduct, MinHashSig, NormalizeText, ShingleArray, SimHashFp, TokenGramHashes, WinnowFingerprint}
 
 /** SQL surface for the native expression layer: `vec_dot`, `simhash_fp`,
   * `minhash_sig`, `shingle_array`, `normalize_text`,
@@ -87,6 +87,19 @@ object GraftExtensions {
               distinct = litBool(d, "shingle_array distinct"))
           case _ => throw new IllegalArgumentException(
             "shingle_array expects (array<string>, k [, distinct])")
+        }),
+      ("token_gram_hashes",
+        new ExpressionInfo(classOf[TokenGramHashes].getName, "token_gram_hashes"),
+        (args: Seq[Expression]) => args match {
+          // optional 3rd arg: hash seed (substring dedup keys on two
+          // independently-seeded hashes for an effective 128-bit gram id)
+          case Seq(t, l) =>
+            TokenGramHashes(t, litInt(l, "token_gram_hashes L"), 0L)
+          case Seq(t, l, seed) =>
+            TokenGramHashes(t, litInt(l, "token_gram_hashes L"),
+              litInt(seed, "token_gram_hashes seed").toLong)
+          case _ => throw new IllegalArgumentException(
+            "token_gram_hashes expects (array<string>, L [, seed])")
         }),
       ("normalize_text",
         new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),

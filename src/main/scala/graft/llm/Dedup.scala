@@ -408,8 +408,16 @@ object Dedup {
     * exactly the hash-collision-free semantics the 128-bit key
     * approximates. */
   def repeatedSpans(docs: DataFrame, textCol: String, idCol: String,
-      spanLen: Int = 50, minDocs: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      spanLen: Int = 50, minDocs: Int = 2): DataFrame =
+    mergedSpans(dupPositions(docs, textCol, idCol, spanLen, minDocs,
+      keepOne = false), spanLen)
+
+  /** Positions (doc_id, p) covered-at-start by a cross-document
+    * duplicated L-gram. With `keepOne`, positions in the gram's OWNER
+    * (min doc id among the docs containing it) are exempt — the
+    * keep-one-copy excision policy's front half. */
+  private def dupPositions(docs: DataFrame, textCol: String, idCol: String,
+      spanLen: Int, minDocs: Int, keepOne: Boolean): DataFrame = {
     val toks = split(col(textCol), "\\s+")
     val grams = docs.select(col(idCol).as("doc_id"),
         posexplode(arrays_zip(
@@ -418,11 +426,25 @@ object Dedup {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col.0").as("h1"), col("col.1").as("h2"))
     val dup = grams.groupBy(col("h1"), col("h2"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("owner"))
       .where(col("nd") >= minDocs)
-      .select(col("h1"), col("h2"))
-    val dpos = grams.join(dup, Seq("h1", "h2"), "left_semi")
-      .select(col("doc_id"), col("p"))
+      .select(col("h1"), col("h2"), col("owner"))
+    if (keepOne)
+      // the owner column is needed row by row, so this is an equi-join
+      // (not a semi-join) — same key, same shuffle shape
+      grams.join(dup, Seq("h1", "h2"))
+        .where(col("doc_id") =!= col("owner"))
+        .select(col("doc_id"), col("p")).distinct()
+    else
+      grams.join(dup.select(col("h1"), col("h2")), Seq("h1", "h2"), "left_semi")
+        .select(col("doc_id"), col("p"))
+  }
+
+  /** Gaps-and-islands merge of duplicated gram-start positions into
+    * maximal spans (same island iff p − prev ≤ L). */
+  private def mergedSpans(dpos: DataFrame, spanLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val islands = dpos
       .withColumn("brk",
@@ -437,15 +459,17 @@ object Dedup {
   }
 
   /** Substring-dedup EXCISION: rewrite each document with every token
-    * covered by a cross-document repeated L-gram removed (the Lee et al.
-    * "remove one copy of each duplicated span" family's strictest form:
-    * remove ALL copies — deterministic, so any engine replays it; a
-    * keep-one policy needs a global tie-break and buys little for
-    * training data). Output is (doc_id, clean_text, n_removed) for EVERY
-    * document; `clean_text` is the surviving tokens joined with single
-    * spaces — i.e. whitespace-normalized, also for documents with
-    * nothing removed, so the output is a pure function of the token
-    * sequence.
+    * covered by a cross-document repeated L-gram removed. Two policies:
+    * the default removes ALL copies (the strictest form of the Lee et
+    * al. "deduplicating training data" operation); `keepOne = true`
+    * keeps each duplicated gram's copy in its OWNER document (min doc id
+    * among the docs containing it — a deterministic global tie-break any
+    * engine replays), so the corpus retains exactly the canonical copy
+    * of each duplicated passage — the production dedup semantics. Output
+    * is (doc_id, clean_text, n_removed) for EVERY document; `clean_text`
+    * is the surviving tokens joined with single spaces — i.e.
+    * whitespace-normalized, also for documents with nothing removed, so
+    * the output is a pure function of the token sequence.
     *
     * The span set rides a broadcast-friendly frame only when small; the
     * general path is one join on doc id (covered positions are grouped
@@ -455,8 +479,9 @@ object Dedup {
     * leaf projection outside every shuffle, and only the affected-doc
     * rows pay the `exists` scan over their spans. */
   def exciseRepeatedSpans(docs: DataFrame, textCol: String, idCol: String,
-      spanLen: Int = 50, minDocs: Int = 2): DataFrame = {
-    val spans = repeatedSpans(docs, textCol, idCol, spanLen, minDocs)
+      spanLen: Int = 50, minDocs: Int = 2, keepOne: Boolean = false): DataFrame = {
+    val spans = mergedSpans(
+        dupPositions(docs, textCol, idCol, spanLen, minDocs, keepOne), spanLen)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("spans"))

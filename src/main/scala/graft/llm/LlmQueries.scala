@@ -84,7 +84,7 @@ object LlmQueries {
     * iff p − lag(p) ≤ L; the lag-NULL first row starts an island via the
     * CASE ELSE). Ends inside the WITH — callers append `, cte AS ...` or
     * the final SELECT. */
-  private def substringDedupCte(l: Int): String =
+  private def substringDedupCte(l: Int, keepOne: Boolean = false): String =
     s"""WITH ws AS (SELECT doc_id,
                       list_filter(string_split_regex(text, '\\s+'),
                         x -> length(x) > 0) AS w
@@ -95,9 +95,10 @@ object LlmQueries {
                    i -> array_to_string(list_slice(w, i, i + ${l - 1}), ' ')))
                    AS gram
                FROM ws WHERE len(w) >= $l),
-        dup AS (SELECT gram FROM gr GROUP BY gram
+        dup AS (SELECT gram, min(doc_id) AS owner FROM gr GROUP BY gram
                 HAVING count(DISTINCT doc_id) >= 2),
-        dp AS (SELECT doc_id, p FROM gr JOIN dup USING (gram)),
+        dp AS (SELECT doc_id, p FROM gr JOIN dup USING (gram)${
+      if (keepOne) " WHERE doc_id != owner" else ""}),
         brk AS (SELECT doc_id, p,
                   CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
                          <= $l THEN 0 ELSE 1 END AS b
@@ -350,6 +351,31 @@ object LlmQueries {
       (s, d) => Dedup.exciseRepeatedSpans(Tables.documents(s, d), "text",
         "doc_id", spanLen = 10),
       Some(substringDedupCte(10) +
+        """, cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 10)) AS t
+                     FROM dp),
+           tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS t,
+                          unnest(w) AS tokv
+                   FROM ws),
+           keep AS (SELECT doc_id, t, tokv FROM tok
+                    WHERE NOT EXISTS (SELECT 1 FROM cov
+                                      WHERE cov.doc_id = tok.doc_id
+                                        AND cov.t = tok.t)),
+           agg AS (SELECT doc_id, string_agg(tokv, ' ' ORDER BY t) AS ct,
+                          count(*) AS nk
+                   FROM keep GROUP BY doc_id)
+           SELECT ws.doc_id, coalesce(ct, '') AS clean_text,
+                  CAST(len(w) - coalesce(nk, 0) AS BIGINT) AS n_removed
+           FROM ws LEFT JOIN agg USING (doc_id)""")),
+
+    // keep-one-copy excision: each duplicated gram survives in its OWNER
+    // document (min doc_id containing it — a deterministic global
+    // tie-break both engines replay); every other copy is removed. The
+    // production substring-dedup semantics: the corpus retains exactly
+    // one canonical copy of each duplicated passage.
+    Q("q_excise_spans_keep_one",
+      (s, d) => Dedup.exciseRepeatedSpans(Tables.documents(s, d), "text",
+        "doc_id", spanLen = 10, keepOne = true),
+      Some(substringDedupCte(10, keepOne = true) +
         """, cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 10)) AS t
                      FROM dp),
            tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS t,

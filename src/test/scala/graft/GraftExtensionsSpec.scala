@@ -44,7 +44,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     assert(GraftExtensions.descriptors.map(_._1) ==
       Seq("vec_dot", "simhash_fp", "minhash_sig", "shingle_array",
-        "normalize_text", "winnow_fingerprint"))
+        "token_gram_hashes", "normalize_text", "winnow_fingerprint"))
   }
 
   test("shingle_array / normalize_text / winnow_fingerprint match the Column API") {
@@ -84,6 +84,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT shingle_array(split(text, '\\\\s+'), 2, NOT true) AS sh FROM ext_docs2")
       .head().getSeq[String](0)
     assert(foldedSql == multiCol)
+  }
+
+  test("token_gram_hashes SQL form matches the Column API, seed optional") {
+    GraftExtensions.register(spark)
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a b c d e f"))
+      .toDF("doc_id", "text").createOrReplaceTempView("ext_docs3")
+    val viaSql = spark.sql(
+      """SELECT token_gram_hashes(split(text, '\\s+'), 3) AS g0,
+               token_gram_hashes(split(text, '\\s+'), 3, 2) AS g2
+         FROM ext_docs3""").head()
+    val viaCols = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+      .select(
+        graft.functions.TokenGramHashes.gramHashes(
+          split(col("text"), "\\s+"), 3).as("g0"),
+        graft.functions.TokenGramHashes.gramHashes(
+          split(col("text"), "\\s+"), 3, 2L).as("g2"))
+      .head()
+    assert(viaSql.getSeq[Long](0) == viaCols.getSeq[Long](0))
+    assert(viaSql.getSeq[Long](1) == viaCols.getSeq[Long](1))
+    assert(viaSql.getSeq[Long](0) != viaSql.getSeq[Long](1)) // seeds independent
   }
 
   test("minhash_sig rejects non-literal k") {

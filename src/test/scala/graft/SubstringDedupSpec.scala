@@ -80,6 +80,19 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out(4L) == ((s"d1 $innerQ d2 $innerQ", 0L)))
   }
 
+  test("keepOne excision: the min-id owner keeps its copy, others lose theirs") {
+    val out = Dedup.exciseRepeatedSpans(fixture, "text", "doc_id",
+      spanLen = 5, keepOne = true)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1 is the owner of every shared gram (min id) → keeps P intact
+    assert(out(1L) == ((s"a1 a2 a3 $P a4 a5", 0L)))
+    // doc 2 loses its copy of P
+    assert(out(2L) == (("b1 b2 b3 b4", 12L)))
+    assert(out(3L)._2 == 0L)
+    assert(out(4L)._2 == 0L)
+  }
+
   test("repeatedSpans merges overlapping spans from different partners") {
     // X shares its first 6 tokens with Y and tokens 4-9 with Z: the two
     // duplicated gram runs on X overlap → ONE maximal span 1-9.
