@@ -925,6 +925,32 @@ object LlmQueries {
             FROM aug"""
       }),
 
+    // corpus bigram-LM fluency score (perplexity-style, self-contained):
+    // mean ln(c(w1,w2)/c(w1)) over each doc's bigrams, corpus counts
+    Q("q_lm_score",
+      (s, d) => TextAnalysis.lmScore(Tables.documents(s, d), "text", "doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                       x -> length(x) > 0) AS ws
+                   FROM documents),
+              bg AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS bigram,
+                       unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i])) AS w1
+                     FROM w WHERE len(ws) >= 2),
+              un AS (SELECT unnest(ws) AS w1 FROM w),
+              bc AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY 1),
+              wc AS (SELECT w1, count(*) AS cw FROM un GROUP BY 1),
+              sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       round(avg(ln(CAST(cb AS DOUBLE) / cw)), 6) AS avg_logp
+                     FROM bg JOIN bc USING (bigram) JOIN wc USING (w1)
+                     GROUP BY doc_id)
+              SELECT d.doc_id,
+                     CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                     coalesce(avg_logp, 0.0) AS avg_logp
+              FROM documents d LEFT JOIN sc USING (doc_id)""")),
+
     Q("q_quality_score",
       (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d), "text", "doc_id"),
       Some(s"""WITH t AS (

@@ -92,6 +92,49 @@ object TextAnalysis {
       frac(element_at(st, 5), nBigrams).as("top_bigram_frac"))
   }
 
+  /** Corpus bigram-LM fluency score — the perplexity-style quality
+    * signal a curation pipeline uses to filter gibberish, computed
+    * self-contained against the corpus's OWN bigram statistics (no
+    * external model): score(doc) = mean over the doc's bigrams (w1,w2)
+    * of ln( c(w1,w2) / c(w1) ), with c(·) corpus-wide multiset counts
+    * (unigram denominator — the plain MLE conditional; every doc bigram
+    * has c ≥ 1, so no smoothing term is needed for finiteness).
+    * Repetitive/boilerplate text scores HIGH (predictable), random word
+    * salad scores LOW — the complement of [[repetitionStats]], which
+    * only sees within-doc structure. Returns (doc_id, n_bigrams,
+    * avg_logp) for every document; degenerate docs (< 2 tokens) carry
+    * n_bigrams = 0, avg_logp = 0.0.
+    *
+    * Scale shape: two corpus-wide count aggregates (map-side partial —
+    * skewed common bigrams combine before the shuffle) + two equi-joins
+    * of the doc-bigram stream against them (hash joins on
+    * high-cardinality keys; at 100 TB the bigram vocabulary is not
+    * broadcastable and this shuffle IS the cost of corpus-conditional
+    * scoring) + one per-doc aggregate. The per-term ln is rounded at
+    * 6dp only after the mean — the kmeans rounding-boundary caveat
+    * applies verbatim. */
+  def lmScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    val bigr = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.ShingleArray.shinglesAll(toks, 2)).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val words = docs.select(
+      explode(graft.functions.ShingleArray.shinglesAll(toks, 1)).as("w1"))
+    val bc = bigr.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    val wc = words.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    val scored = bigr
+      .join(bc, "bigram")
+      .join(wc, "w1")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("cb").cast("double") / col("cw"))), 6).as("avg_logp"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_logp"), lit(0.0)).as("avg_logp"))
+  }
+
   /** Content fingerprint: md5 over case/whitespace-normalized text —
     * the join key for exact dedup across differently-formatted copies.
     * Normalization is the native one-scan NormalizeText expression. */

@@ -73,6 +73,22 @@ class TextLlmSpec extends AnyFunSuite {
     }
   }
 
+  test("lmScore: corpus-MLE bigram log-likelihood, hand-computed") {
+    // corpus: "a b" ×2 and "a c" ×1 (plus a 1-token doc → degenerate).
+    // counts: c(a)=3, c(b)=2, c(c)=1, c("a b")=2, c("a c")=1.
+    // doc 1 "a b": ln(2/3); doc 2 "a b": ln(2/3); doc 3 "a c": ln(1/3).
+    val d = docs((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+    val out = graft.llm.TextAnalysis.lmScore(d, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((1L, r6(math.log(2.0 / 3.0)))))
+    assert(out(2L) == ((1L, r6(math.log(2.0 / 3.0)))))
+    assert(out(3L) == ((1L, r6(math.log(1.0 / 3.0)))))
+    assert(out(4L) == ((0L, 0.0)))
+    // fluency ordering: the more predictable continuation scores higher
+    assert(out(1L)._2 > out(3L)._2)
+  }
+
   test("piiScrub redacts emails/phones/ssns and counts what it found") {
     val d = docs(
       (1L, "mail a.b+c@x.co and d@y.org, call 415-555-0100 or 415.555.0101"),
