@@ -83,6 +83,37 @@ object EngineProperties extends Properties("graft") {
       rows.forall(r => r.getString(0) == r.getString(1))
     }
 
+  private val tokenDocGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 12)
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "d1", "Ω", "xy"))
+  } yield ws.mkString(" ")
+
+  property("TokenGramHashes: hash equality ≡ gram equality on small vocab") =
+    forAll(Gen.listOfN(6, tokenDocGen), Gen.chooseNum(1, 3)) { (texts, l) =>
+      val s = spark
+      import s.implicits._
+      // every positional gram hashed two ways: the rolling expression and
+      // the direct slice — equal grams must collide, different must not
+      // (6-token vocab, ≤12 tokens: any real collision would be a bug,
+      // not birthday luck)
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(col("id"),
+          graft.functions.TokenGramHashes.gramHashes(
+            split(col("text"), "\\s+"), l, 7L).as("g"),
+          graft.functions.ShingleArray.shinglesAll(
+            split(col("text"), "\\s+"), l).as("sh"))
+        .collect()
+      val pairs = rows.flatMap { r =>
+        val g = Option(r.getSeq[Long](1)).getOrElse(Seq.empty)
+        val sh = Option(r.getSeq[String](2)).getOrElse(Seq.empty)
+        g.zip(sh)
+      }
+      // grouped by gram text, all hashes equal; grouped by hash, one text
+      pairs.groupBy(_._2).values.forall(_.map(_._1).distinct.size == 1) &&
+        pairs.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1)
+    }
+
   property("asof join equals brute-force range-join argmax") =
     forAll(Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 50L))),
       Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 50L)))) {
