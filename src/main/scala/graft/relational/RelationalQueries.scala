@@ -96,6 +96,32 @@ object RelationalQueries {
                      count(DISTINCT l_suppkey) AS n_supps
               FROM lineitem GROUP BY l_returnflag""")),
 
+    // KMV distinct-count sketch (bounded O(k) state per group vs the
+    // exact count-distinct's full key shuffle above). The portable-mixer
+    // hash makes the ESTIMATE deterministic, so DuckDB replays the whole
+    // sketch — k-th smallest distinct hash and all — bit for bit (Spark's
+    // own approx_count_distinct HLL++ bytes are engine-private and could
+    // only ever get a rows-only check).
+    Q("q_approx_distinct_kmv",
+      (s, d) => graft.operators.KmvDistinct.approxDistinct(
+        li(s, d), col("l_partkey"), Seq(col("l_returnflag")), k = 64),
+      Some(s"""WITH h AS (
+                 SELECT DISTINCT l_returnflag,
+                        ((l_partkey % 1000000007) * 2654435761 + 283521)
+                          % 1000000007 AS hv
+                 FROM lineitem),
+               r AS (
+                 SELECT l_returnflag, hv,
+                        row_number() OVER (PARTITION BY l_returnflag
+                                           ORDER BY hv) AS rn,
+                        count(*) OVER (PARTITION BY l_returnflag) AS nd
+                 FROM h)
+               SELECT l_returnflag,
+                      CAST(CASE WHEN nd < 64 THEN nd
+                                ELSE (CAST(63 AS BIGINT) * 1000000008) // (hv + 1)
+                           END AS BIGINT) AS approx_distinct
+               FROM r WHERE rn = least(nd, 64)""")),
+
     // --- distinct / cull (`oink/reduce_cull.cpp`) --------------------------
     Q("q_distinct",
       (s, d) => li(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct(),
