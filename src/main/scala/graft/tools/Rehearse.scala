@@ -74,13 +74,19 @@ object Rehearse {
     // synthesize into — let alone over — the source tables)
     if (outDir != sfDir) synthesize(spark, sfDir, outDir)
     def time(q: graft.Q, dir: String): Double = {
-      q.run(spark, dir).count() // warm (codegen + listing)
-      val ts = (1 to 3).map { _ =>
+      // release each run's terminal checkpoints (the round-5 leak
+      // discipline): N queries × 4 runs × 2 scales would otherwise
+      // accumulate dead blocks and tax whatever runs late
+      def once(): Double = {
         val t0 = System.nanoTime()
-        q.run(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
+        val df = q.run(spark, dir)
+        df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.Checkpoints.release(df)
+        dt
       }
-      ts.sorted.apply(1) // median of 3
+      once() // warm (codegen + listing)
+      (1 to 3).map(_ => once()).sorted.apply(1) // median of 3
     }
     queryCsv.split(",").foreach { name =>
       val q = Registry.byName(name)
