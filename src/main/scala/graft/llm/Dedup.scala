@@ -483,22 +483,22 @@ object Dedup {
     val spans = mergedSpans(
         dupPositions(docs, textCol, idCol, spanLen, minDocs, keepOne), spanLen)
       .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("span_start").as("s"),
-        col("span_end").as("e"))).as("spans"))
-    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
-    docs.select(col(idCol).as("doc_id"), toks.as("w"))
+      .agg(sort_array(collect_list(struct(col("span_start").as("s"),
+          col("span_end").as("e")))).as("spans"),
+        sum(col("span_tokens")).as("n_cut"))
+    // the rewrite is the native codegen'd merge-walk ExciseTokens (the
+    // HOF filter/exists formulation was CodegenFallback and O(tokens ×
+    // spans) per row — and this projection touches EVERY document);
+    // n_removed comes from the span aggregate (spans are merged
+    // non-overlapping and in-range, so their token mass IS the cut)
+    val noSpans = expr("CAST(array() AS array<struct<s: bigint, e: bigint>>)")
+    docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), "\\s+").as("w"))
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("spans").isNull, array_join(col("w"), " "))
-          .otherwise(array_join(
-            filter(col("w"), (t, i) => !exists(col("spans"),
-              s => (i + 1) >= s.getField("s") && (i + 1) <= s.getField("e"))),
-            " ")).as("clean_text"),
-        when(col("spans").isNull, lit(0L))
-          .otherwise(size(col("w")).cast("long") -
-            size(filter(col("w"), (t, i) => !exists(col("spans"),
-              s => (i + 1) >= s.getField("s") && (i + 1) <= s.getField("e"))))
-              .cast("long")).as("n_removed"))
+        array_join(graft.functions.ExciseTokens.excise(col("w"),
+          coalesce(col("spans"), noSpans)), " ").as("clean_text"),
+        coalesce(col("n_cut"), lit(0L)).as("n_removed"))
   }
 
   /** SimHash 64-bit fingerprints: per-word PORTABLE polynomial hash +

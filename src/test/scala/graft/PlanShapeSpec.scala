@@ -199,6 +199,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no gram text column may be materialized:\n$p")
   }
 
+  test("span excision rewrites via the native merge-walk, not HOF fallback") {
+    val p = plan("q_excise_spans")
+    assert(p.contains("excise_tokens"),
+      s"the rewrite must be the codegen'd ExciseTokens expression:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"no higher-order-function fallback in the excision projection:\n$p")
+  }
+
   test("salted wordfreq plans the two-phase (word, salt) → word aggregation") {
     val p = plan("q_wordfreq_salted")
     assert(p.contains("_salt"),

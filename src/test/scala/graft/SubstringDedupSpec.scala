@@ -93,6 +93,28 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out(4L)._2 == 0L)
   }
 
+  test("ExciseTokens: unsorted/overlapping spans, empty tokens, empty spans") {
+    val s = spark
+    import s.implicits._
+    def run(text: String, spans: Seq[(Long, Long)]): Seq[String] = {
+      val spanCol =
+        if (spans.isEmpty)
+          expr("CAST(array() AS array<struct<s: bigint, e: bigint>>)")
+        else array(spans.map { case (a, b) =>
+          struct(lit(a).as("s"), lit(b).as("e")) }: _*)
+      Seq(text).toDF("t")
+        .select(graft.functions.ExciseTokens.excise(
+          split(col("t"), "\\s+"), spanCol))
+        .head().getSeq[String](0)
+    }
+    // unsorted + overlapping spans cover 2-5; double space skips an empty
+    assert(run("w1 w2  w3 w4 w5 w6", Seq((4L, 5L), (2L, 4L))) == Seq("w1", "w6"))
+    assert(run("w1 w2 w3", Seq.empty) == Seq("w1", "w2", "w3"))
+    assert(run("w1 w2 w3", Seq((1L, 3L))) == Seq.empty)
+    // span beyond the token range is harmless
+    assert(run("w1 w2", Seq((5L, 9L))) == Seq("w1", "w2"))
+  }
+
   test("repeatedSpans merges overlapping spans from different partners") {
     // X shares its first 6 tokens with Y and tokens 4-9 with Z: the two
     // duplicated gram runs on X overlap → ONE maximal span 1-9.
