@@ -235,4 +235,83 @@ object Similarity {
     }
     assigned.select(col("vid").as(idCol), col("cid").as("cluster"))
   }
+
+  /** Product-quantization ANN (the PQ half of the billion-scale IVF-PQ
+    * layout): the vector space is split into `m` subspaces of dim/m
+    * components; each subspace trains a tiny `ksub`-centroid codebook
+    * (mixer-seeded init + ONE Lloyd recompute, the [[kmeans]] determinism
+    * discipline — centroids 6dp-pinned), each corpus vector is encoded
+    * as `m` small codes (argmin subspace distance, id tiebreak), and a
+    * query scores a vector by ASYMMETRIC distance: the sum over
+    * subspaces of the query-to-codeword distance, looked up from a
+    * precomputed (query × codeword) table.
+    *
+    * 100 TB shape — why PQ is the scale path: the corpus side of the
+    * scoring join carries only `m` SMALL INTS per vector (codes), never
+    * the vectors; the (query, subspace, codeword) distance table is
+    * |Q|·m·ksub rows — tiny — and BROADCAST, so scoring is a broadcast
+    * equi-join on (subspace, code) plus one partial-aggregated sum:
+    * no shuffle touches raw vectors after encoding. Codebook training
+    * scans the corpus twice (assign + recompute) with the 32-row
+    * codebook union broadcast; code assignment is a map-side
+    * min(struct) argmin — no window, no per-vector state. Composing
+    * with [[ivfKnn]]'s cell routing gives IVF-PQ proper; the fixture
+    * keeps them separate so each half is oracle-checked on its own.
+    *
+    * Determinism: every distance is rounded at 6dp with codeword-id
+    * tiebreak before any argmin/rank, and the final ADC sum (m rounded
+    * terms, associativity-exposed by the aggregate) is re-rounded at
+    * 6dp — the kmeans rounding-boundary caveat applies verbatim.
+    * Returns (qid, nid, dist, rn), rn ≤ k. */
+  def pqKnn(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryPred: Column, m: Int = 4, ksub: Int = 8, k: Int = 5): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sd = dim / m
+    def sq(a: Column, b: Column): Column =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    def subspaces(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
+          explode(array((0 until m).map { j =>
+            struct(lit(j).as("j"),
+              slice(col(vecCol), j * sd + 1, sd).as("sv"))
+          }: _*)).as("s"))
+        .select(col(id), col("s.j").as("j"), col("s.sv").as("sv"))
+    val sub = subspaces(emb, "vid")
+    // init: ksub corpus vectors by portable mixer key (seed offset
+    // 13*40503 — distinct from the IVF/kmeans samples); their
+    // subvectors seed every subspace codebook
+    val init = emb.select(col(idCol).as("cid"))
+      .orderBy(pmod(pmod(col("cid"), lit(1000000007L)) * lit(2654435761L)
+          + lit(526539L), lit(9973L)).asc, col("cid").asc)
+      .limit(ksub)
+    val cb0 = broadcast(sub.join(init, sub("vid") === init("cid"))
+      .select(col("j"), col("cid"), col("sv").as("cv")))
+    def assign(cb: DataFrame): DataFrame =
+      sub.join(cb, "j")
+        .groupBy(col("vid"), col("j"))
+        .agg(min(struct(round(sq(col("sv"), col("cv")), 6).as("d"),
+          col("cid").as("c"))).as("a"))
+        .select(col("vid"), col("j"), col("a.c").as("cid"))
+    val cb1 = broadcast(assign(cb0)
+      .join(sub, Seq("vid", "j"))
+      .groupBy(col("j"), col("cid"))
+      .agg(graft.functions.VectorMeanAggregator.vecMean(sd)(col("sv")).as("cm"))
+      .select(col("j"), col("cid"),
+        transform(col("cm"), x => round(x, 6)).as("cv")))
+    val codes = assign(cb1)
+    val qd = broadcast(subspaces(emb.where(queryPred), "qid")
+      .join(cb1, "j")
+      .select(col("qid"), col("j"), col("cid"),
+        round(sq(col("sv"), col("cv")), 6).as("d")))
+    val scored = codes.join(qd, Seq("j", "cid"))
+      .where(col("vid") =!= col("qid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(round(sum(col("d")), 6).as("dist"))
+    val byQuery = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("vid").asc)
+    scored.withColumn("rn", row_number().over(byQuery))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("vid").as("nid"), col("dist"),
+        col("rn").cast("long").as("rn"))
+  }
 }

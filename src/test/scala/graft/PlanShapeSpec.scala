@@ -187,6 +187,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ scoring is broadcast-only: no shuffle join touches raw vectors") {
+    val p = plan("q_embed_pq_knn")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebooks and the query-distance table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in train/encode/score:\n$p")
+  }
+
   test("substring dedup: native gram hashes feed a semi-join, gram text never shuffles") {
     val p = plan("q_repeated_spans")
     assert(p.contains("token_gram_hashes"),

@@ -278,6 +278,35 @@ class TextLlmSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("PQ shortlist catches true neighbors (shortlist-then-rerank shape)") {
+    // raw ADC rank is a SHORTLIST stage, not a final ranking — the
+    // production pipeline reranks the shortlist exactly. Pin: the PQ
+    // top-20 shortlist (8 subspaces × 16 codewords, deterministic
+    // codebooks) contains a decent fraction of the true EUCLIDEAN top-5
+    // (PQ approximates L2, so the truth metric is L2, not cosine).
+    val emb = Tables.embeddings(spark, sf0001)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.DotProduct.dot(a, b)
+    val q = broadcast(emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val truth = q.crossJoin(emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nv")))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("nv"))
+          + dot(col("nv"), col("nv"))).as("d2"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("d2").asc, col("nid").asc)))
+      .where(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shortlist = Similarity.pqKnn(emb, "vec_id", "embedding", dim = 64,
+      col("vec_id") < 10, m = 8, ksub = 16, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & shortlist).size.toDouble / truth.size
+    assert(recall >= 0.3, s"shortlist recall $recall")
+  }
+
   test("token stats and quality on a known string") {
     val d = docs((1L, "The cat, the hat!"))
     val ts = TextAnalysis.tokenStats(d, "text", "doc_id").head()
