@@ -69,6 +69,30 @@ object Similarity {
       .where(col("cos") >= tau)
   }
 
+  /** The IVF coarse quantizer: `numCentroids` corpus vectors picked by
+    * portable mixer key (seed offset 7·40503) — constant-size, broadcast. */
+  private def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int): DataFrame =
+    broadcast(emb
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .orderBy(pmod(pmod(col("cid"), lit(1000000007L)) * lit(2654435761L)
+          + lit(283521L), lit(9973L)).asc,
+        col("cid").asc)
+      .limit(numCentroids))
+
+  /** Route rows to their `n` nearest coarse cells (cosine, 6dp + cid
+    * tiebreak) — broadcast centroid join, window per row id. */
+  private def nearestCells(df: DataFrame, cents: DataFrame, id: String,
+      v: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid").asc)
+    df.crossJoin(cents)
+      .select(col(id), col(v), col("cid"),
+        round(cosine(col(v), col("cv")), 6).as("csim"))
+      .withColumn("crn", row_number().over(w))
+      .where(col("crn") <= n)
+      .select(col(id), col(v), col("cid"))
+  }
+
   /** IVF (inverted-file) ANN: centroids are a FIXED-SIZE deterministic
     * hash-sample of the corpus (the `numCentroids` rows with the smallest
     * portable-mixer key — a TakeOrderedAndProject, cheap at any scale);
@@ -84,26 +108,13 @@ object Similarity {
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int = 5, numCentroids: Int = 64,
       nProbe: Int = 2): DataFrame = {
-    val cents = broadcast(emb
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .orderBy(pmod(pmod(col("cid"), lit(1000000007L)) * lit(2654435761L)
-          + lit(283521L), lit(9973L)).asc,
-        col("cid").asc)
-      .limit(numCentroids))
-    def nearestCells(df: DataFrame, id: String, v: String, n: Int) = {
-      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid").asc)
-      df.crossJoin(cents)
-        .select(col(id), col(v), col("cid"),
-          round(cosine(col(v), col("cv")), 6).as("csim"))
-        .withColumn("crn", row_number().over(w))
-        .where(col("crn") <= n)
-        .select(col(id), col(v), col("cid"))
-    }
+    val cents = ivfCentroids(emb, idCol, vecCol, numCentroids)
     val corpus = nearestCells(
-      emb.select(col(idCol).as("nid"), col(vecCol).as("nv")), "nid", "nv", 1)
+      emb.select(col(idCol).as("nid"), col(vecCol).as("nv")), cents,
+      "nid", "nv", 1)
     val queries = nearestCells(
       emb.where(queryPred).select(col(idCol).as("qid"), col(vecCol).as("qv")),
-      "qid", "qv", nProbe)
+      cents, "qid", "qv", nProbe)
     val scored = queries.join(corpus, "cid")
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -263,23 +274,30 @@ object Similarity {
     * terms, associativity-exposed by the aggregate) is re-rounded at
     * 6dp — the kmeans rounding-boundary caveat applies verbatim.
     * Returns (qid, nid, dist, rn), rn ≤ k. */
-  def pqKnn(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-      queryPred: Column, m: Int = 4, ksub: Int = 8, k: Int = 5): DataFrame = {
+  private def pqSq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** (id, j, sv): the m subvector slices of each row. */
+  private def pqSubspaces(df: DataFrame, idCol: String, vecCol: String,
+      id: String, m: Int, sd: Int): DataFrame =
+    df.select(col(idCol).as(id),
+        explode(array((0 until m).map { j =>
+          struct(lit(j).as("j"),
+            slice(col(vecCol), j * sd + 1, sd).as("sv"))
+        }: _*)).as("s"))
+      .select(col(id), col("s.j").as("j"), col("s.sv").as("sv"))
+
+  /** Train the per-subspace codebooks and encode the corpus:
+    * returns (codes (vid, j, cid), codebooks cb1 (j, cid, cv) —
+    * broadcast). Init: ksub corpus vectors by portable mixer key (seed
+    * offset 13·40503 — distinct from the IVF/kmeans samples); one
+    * 6dp-pinned Lloyd recompute; argmin assignment via map-side
+    * min(struct). */
+  private def pqTrainEncode(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int): (DataFrame, DataFrame) = {
     require(dim % m == 0, "m must divide dim")
     val sd = dim / m
-    def sq(a: Column, b: Column): Column =
-      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
-    def subspaces(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id),
-          explode(array((0 until m).map { j =>
-            struct(lit(j).as("j"),
-              slice(col(vecCol), j * sd + 1, sd).as("sv"))
-          }: _*)).as("s"))
-        .select(col(id), col("s.j").as("j"), col("s.sv").as("sv"))
-    val sub = subspaces(emb, "vid")
-    // init: ksub corpus vectors by portable mixer key (seed offset
-    // 13*40503 — distinct from the IVF/kmeans samples); their
-    // subvectors seed every subspace codebook
+    val sub = pqSubspaces(emb, idCol, vecCol, "vid", m, sd)
     val init = emb.select(col(idCol).as("cid"))
       .orderBy(pmod(pmod(col("cid"), lit(1000000007L)) * lit(2654435761L)
           + lit(526539L), lit(9973L)).asc, col("cid").asc)
@@ -289,7 +307,7 @@ object Similarity {
     def assign(cb: DataFrame): DataFrame =
       sub.join(cb, "j")
         .groupBy(col("vid"), col("j"))
-        .agg(min(struct(round(sq(col("sv"), col("cv")), 6).as("d"),
+        .agg(min(struct(round(pqSq(col("sv"), col("cv")), 6).as("d"),
           col("cid").as("c"))).as("a"))
         .select(col("vid"), col("j"), col("a.c").as("cid"))
     val cb1 = broadcast(assign(cb0)
@@ -298,13 +316,21 @@ object Similarity {
       .agg(graft.functions.VectorMeanAggregator.vecMean(sd)(col("sv")).as("cm"))
       .select(col("j"), col("cid"),
         transform(col("cm"), x => round(x, 6)).as("cv")))
-    val codes = assign(cb1)
-    val qd = broadcast(subspaces(emb.where(queryPred), "qid")
+    (assign(cb1), cb1)
+  }
+
+  /** The broadcast ADC lookup: (qid, j, cid, d) for every query ×
+    * codeword pair. */
+  private def pqQueryDists(queries: DataFrame, idCol: String, vecCol: String,
+      cb1: DataFrame, m: Int, sd: Int): DataFrame =
+    broadcast(pqSubspaces(queries, idCol, vecCol, "qid", m, sd)
       .join(cb1, "j")
       .select(col("qid"), col("j"), col("cid"),
-        round(sq(col("sv"), col("cv")), 6).as("d")))
-    val scored = codes.join(qd, Seq("j", "cid"))
-      .where(col("vid") =!= col("qid"))
+        round(pqSq(col("sv"), col("cv")), 6).as("d")))
+
+  /** ADC-sum the (qid, vid) pairs present in `pairs` and rank top-k. */
+  private def adcTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs
       .groupBy(col("qid"), col("vid"))
       .agg(round(sum(col("d")), 6).as("dist"))
     val byQuery = Window.partitionBy(col("qid"))
@@ -313,5 +339,51 @@ object Similarity {
       .where(col("rn") <= k)
       .select(col("qid"), col("vid").as("nid"), col("dist"),
         col("rn").cast("long").as("rn"))
+  }
+
+  def pqKnn(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryPred: Column, m: Int = 4, ksub: Int = 8, k: Int = 5): DataFrame = {
+    val (codes, cb1) = pqTrainEncode(emb, idCol, vecCol, dim, m, ksub)
+    val qd = pqQueryDists(emb.where(queryPred), idCol, vecCol, cb1, m, dim / m)
+    adcTopK(codes.join(qd, Seq("j", "cid"))
+      .where(col("vid") =!= col("qid")), k)
+  }
+
+  /** IVF-PQ: the composed billion-scale ANN layout — IVF's coarse cells
+    * bound WHICH vectors a query scores (nProbe cells instead of the
+    * whole corpus), PQ's codes bound WHAT the scoring join carries
+    * (m small ints per vector instead of the vector). Search cost per
+    * query: |probed cells|·(corpus/numCentroids) candidate rows × a
+    * broadcast ADC lookup — both knobs (`nProbe`, `numCentroids`) trade
+    * recall for fan-in with no plan change. This is flat-PQ within IVF
+    * cells (codebooks trained on raw vectors, shared across cells);
+    * residual-PQ — codebooks over (vector − cell centroid) — is the
+    * standard refinement and would slot into pqTrainEncode unchanged,
+    * at the cost of per-cell training data in the oracle. Candidate
+    * routing and ADC scoring are both broadcast equi-joins: like
+    * [[pqKnn]], nothing after encoding shuffles raw vectors. */
+  def ivfPqKnn(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryPred: Column, numCentroids: Int = 64, nProbe: Int = 2,
+      m: Int = 4, ksub: Int = 8, k: Int = 5): DataFrame = {
+    val cents = ivfCentroids(emb, idCol, vecCol, numCentroids)
+    val cellCorpus = nearestCells(
+        emb.select(col(idCol).as("vid"), col(vecCol).as("nv")), cents,
+        "vid", "nv", 1)
+      .select(col("vid"), col("cid").as("cell"))
+    val cellQueries = nearestCells(
+        emb.where(queryPred)
+          .select(col(idCol).as("qid"), col(vecCol).as("qv")), cents,
+        "qid", "qv", nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    val (codes, cb1) = pqTrainEncode(emb, idCol, vecCol, dim, m, ksub)
+    val qd = pqQueryDists(emb.where(queryPred), idCol, vecCol, cb1, m, dim / m)
+    // the query side is small by construction (online ANN: |Q| · nProbe
+    // cells of corpus/numCentroids vectors) — broadcast it so candidate
+    // routing is a broadcast equi-join and the corpus-sized codes frame
+    // never shuffles
+    val cand = broadcast(broadcast(cellQueries).join(cellCorpus, "cell")
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid")).distinct())
+    adcTopK(cand.join(codes, "vid").join(qd, Seq("qid", "j", "cid")), k)
   }
 }

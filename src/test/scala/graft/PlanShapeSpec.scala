@@ -83,7 +83,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_embed_dup_pairs", "q_embed_dup_clusters",
       "q_pagerank", "q_pagerank_golden", "q_join_multi",
       "q_tfidf",  // 1-row corpus-size aggregate broadcast into the scorer
-      "q_kmeans") // k-row centroid table broadcast into assignment
+      "q_kmeans", // k-row centroid table broadcast into assignment
+      "q_embed_ivfpq_knn") // IVF coarse assignment (same centroid crossJoin as ivf_knn)
     val offenders = Registry.byName.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream"))
       .flatMap { name =>
@@ -193,6 +194,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"codebooks and the query-distance table must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"no shuffle join anywhere in train/encode/score:\n$p")
+  }
+
+  test("IVF-PQ: cell routing and ADC scoring stay broadcast-shaped") {
+    val p = plan("q_embed_ivfpq_knn")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroids, codebooks and the ADC table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"after encoding, no join may shuffle raw vectors:\n$p")
   }
 
   test("substring dedup: native gram hashes feed a semi-join, gram text never shuffles") {
