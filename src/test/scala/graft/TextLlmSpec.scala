@@ -305,6 +305,29 @@ class TextLlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & shortlist).size.toDouble / truth.size
     assert(recall >= 0.3, s"shortlist recall $recall")
+
+    // the composed IVF-PQ shortlist restricts candidates to probed
+    // cells BEFORE ADC-scoring them; with most cells probed (6 of 8
+    // over the 50-vector corpus) its shortlist must stay comparable
+    val composed = Similarity.ivfPqKnn(emb, "vec_id", "embedding",
+      dim = 64, col("vec_id") < 10, numCentroids = 8, nProbe = 6,
+      m = 8, ksub = 16, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composedRecall = (truth & composed).size.toDouble / truth.size
+    assert(composedRecall >= 0.3, s"IVF-PQ shortlist recall $composedRecall")
+    // routing only FILTERS candidates — the ADC distance of any pair
+    // both variants score must be bit-identical (same codebooks)
+    val flatDist = Similarity.pqKnn(emb, "vec_id", "embedding", dim = 64,
+      col("vec_id") < 10, m = 8, ksub = 16, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val composedDist = Similarity.ivfPqKnn(emb, "vec_id", "embedding",
+      dim = 64, col("vec_id") < 10, numCentroids = 8, nProbe = 6,
+      m = 8, ksub = 16, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    composedDist.foreach { case (pair, d) =>
+      assert(flatDist.get(pair).contains(d),
+        s"ADC distance diverges for $pair: ivfpq=$d flat=${flatDist.get(pair)}")
+    }
   }
 
   test("token stats and quality on a known string") {
