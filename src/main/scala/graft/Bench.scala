@@ -61,7 +61,8 @@ object Bench {
     // round-6 additions
     "q_repeated_spans", "q_excise_spans", "q_pii_scrub",
     "q_decode_audio_features", "q_embed_pq_knn", "q_embed_ivfpq_knn",
-    "q_lm_score", "q_approx_distinct_kmv")
+    "q_lm_score", "q_approx_distinct_kmv", "q_contamination_score",
+    "q_stratified_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

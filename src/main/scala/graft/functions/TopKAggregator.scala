@@ -42,3 +42,30 @@ object TopKIdsAggregator {
     org.apache.spark.sql.functions.udaf(new TopKIdsAggregator(k),
       Encoders.product[Ranked])
 }
+
+/** Array-output sibling of [[TopKIdsAggregator]] for operators that
+  * CONSUME the selection downstream (e.g. [[graft.llm.Sampling]]'s
+  * stratifiedQuota explodes the kept ids and joins them back to their
+  * rows) instead of printing it: same bounded O(K) buffer and
+  * (score desc, id asc) total order, ids emitted as `array<bigint>` in
+  * rank order. */
+class TopKIdsArrayAggregator(k: Int)
+    extends Aggregator[Ranked, Seq[Ranked], Array[Long]] {
+  private val inner = new TopKIdsAggregator(k)
+  override def zero: Seq[Ranked] = inner.zero
+  override def reduce(buf: Seq[Ranked], in: Ranked): Seq[Ranked] =
+    inner.reduce(buf, in)
+  override def merge(a: Seq[Ranked], b: Seq[Ranked]): Seq[Ranked] =
+    inner.merge(a, b)
+  override def finish(r: Seq[Ranked]): Array[Long] = r.map(_.id).toArray
+  override def bufferEncoder: Encoder[Seq[Ranked]] = inner.bufferEncoder
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+object TopKIdsArrayAggregator {
+  /** DataFrame-callable form: `topkIdsArray(3)(col(score), col(id))`. */
+  def topkIdsArray(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKIdsArrayAggregator(k),
+      Encoders.product[Ranked])
+}

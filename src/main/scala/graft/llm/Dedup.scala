@@ -59,6 +59,32 @@ object Dedup {
       .select(col("doc_id"), col("n_shared_shingles"))
   }
 
+  /** Contamination SCORE: the graded form of [[decontaminate]] — for
+    * EVERY training document with at least one k-shingle, the fraction
+    * of its distinct shingles that appear anywhere in the eval corpus.
+    * [[decontaminate]] answers "touched at all?"; thresholding this
+    * overlap is how pipelines actually adjudicate partial contamination
+    * (a boilerplate shingle shared with a benchmark is not a leaked
+    * benchmark item). Same plan shape as decontaminate — eval side
+    * broadcast and deduplicated, training corpus never shuffled before
+    * its own per-doc aggregate — with the join flipped to a marking
+    * left-outer so clean documents score 0.0 instead of vanishing.
+    * Returns (doc_id, n_shingles, n_shared, overlap ∈ [0,1], 6dp). */
+  def contaminationScore(train: DataFrame, test: DataFrame,
+      textCol: String, idCol: String, k: Int = 3): DataFrame = {
+    val trainSh = shingles(train, textCol, idCol, k)
+    val testSh = broadcast(test.select(
+        explode(shingleArray(col(textCol), k)).as("shingle")).distinct()
+      .withColumn("_hit", lit(1L)))
+    trainSh.join(testSh, Seq("shingle"), "left")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6)
+          .as("overlap"))
+  }
+
   /** Exact dedup (`cull` over content hashes): one row per distinct
     * content, keeping the smallest id; group size included. */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =

@@ -408,6 +408,29 @@ object LlmQueries {
                WHERE sh.doc_id NOT IN (SELECT doc_id FROM test_ids)
                GROUP BY sh.doc_id""")),
 
+    // graded contamination: per-training-doc FRACTION of shingles shared
+    // with the eval slice (left join marks membership, so clean docs
+    // score 0.0 rather than vanishing) — thresholdable overlap, the form
+    // pipelines adjudicate partial contamination with
+    Q("q_contamination_score",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val test = Sampling.hashSample(docs, "doc_id", 0.2)
+        val train = docs.join(test.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        Dedup.contaminationScore(train, test, "text", "doc_id", k = 8)
+      },
+      Some(s"""WITH ${shingleCteK(8)},
+               test_ids AS (SELECT doc_id FROM documents
+                            WHERE ((doc_id % 1000000007) * 2654435761 + 283521) % 9973 < 1994),
+               tsh AS (SELECT DISTINCT shingle FROM sh JOIN test_ids USING (doc_id))
+               SELECT sh.doc_id,
+                      CAST(count(*) AS BIGINT) AS n_shingles,
+                      CAST(count(tsh.shingle) AS BIGINT) AS n_shared,
+                      round(count(tsh.shingle) * 1.0 / count(*), 6) AS overlap
+               FROM sh LEFT JOIN tsh ON sh.shingle = tsh.shingle
+               WHERE sh.doc_id NOT IN (SELECT doc_id FROM test_ids)
+               GROUP BY sh.doc_id""")),
+
     // exact n-gram Jaccard near-dup pairs (quadratic truth baseline)
     Q("q_ngram_jaccard_pairs",
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
@@ -1225,6 +1248,22 @@ object LlmQueries {
                                 WHEN 'src1' THEN 4986
                                 WHEN 'src2' THEN 997
                                 ELSE -1 END""")),
+
+    // stratified quota: exactly 25 docs per language, the n smallest
+    // mixer buckets per stratum (ties by id) — selection via the
+    // bounded top-n aggregator, never a per-stratum window sort of the
+    // data; DuckDB replays with the window formulation (same total
+    // order, so identical rows)
+    Q("q_stratified_sample",
+      (s, d) => Sampling.stratifiedQuota(Tables.documents(s, d), "doc_id",
+          "lang", n = 25)
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY ((doc_id % 1000000007) * 2654435761
+                                   + 283521) % 9973, doc_id) AS rn
+                FROM documents) WHERE rn <= 25""")),
 
     // temperature-flattened mixture (α = 1/2): sampled mass per language
     // ∝ √(corpus mass) — rare languages upweighted, the dominant one

@@ -86,6 +86,36 @@ object Sampling {
       .drop("_cut")
   }
 
+  /** Stratified QUOTA sampling: exactly min(n, |stratum|) rows per
+    * group, chosen deterministically as the n smallest mixer buckets
+    * (ties by key) within each stratum — the "N examples per
+    * source/lang" curation step, where a per-group FRACTION
+    * ([[mixtureSample]]) can neither cap a dominant stratum at a hard
+    * count nor guarantee a floor for a rare one. Selection runs on
+    * (group, bucket, key) triples through the bounded
+    * [[graft.functions.TopKIdsArrayAggregator]] — map-side partial
+    * top-n with O(n) state per group, never a per-stratum window sort
+    * carrying every row — and the kept ids (≤ n·|groups| rows BY
+    * CONSTRUCTION) broadcast back onto the corpus as a semi-join, so
+    * the data itself is never shuffled. Same nested-subset determinism
+    * as [[hashSample]]: the quota-m sample is a prefix of the quota-n
+    * sample for m < n (identical total order per stratum). */
+  def stratifiedQuota(df: DataFrame, keyCol: String, groupCol: String,
+      n: Int, seed: Long = 7L): DataFrame = {
+    val selected = df.select(col(groupCol).as("_g"),
+        // negated bucket: the aggregator keeps score DESC, we want the
+        // SMALLEST buckets; [0, 9973) is exact in double
+        (-bucket(col(keyCol), seed)).cast("double").as("_s"),
+        col(keyCol).cast("long").as("_id"))
+      .groupBy(col("_g"))
+      .agg(graft.functions.TopKIdsArrayAggregator.topkIdsArray(n)(
+        col("_s"), col("_id")).as("_ids"))
+      .select(col("_g"), explode(col("_ids")).as("_id"))
+    df.join(broadcast(selected),
+      col(groupCol) === col("_g") && col(keyCol).cast("long") === col("_id"),
+      "left_semi")
+  }
+
   /** Assign each row a named split by cumulative fraction, e.g.
     * Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1). */
   def splits(df: DataFrame, keyCol: String, parts: Seq[(String, Double)],

@@ -240,6 +240,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the training corpus must not shuffle for the join:\n$p")
   }
 
+  test("contamination score keeps the decontaminate shape despite the outer join") {
+    val p = plan("q_contamination_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the training corpus must not shuffle for the join:\n$p")
+  }
+
+  test("stratified quota never window-sorts the data; ids broadcast back") {
+    val p = plan("q_stratified_sample")
+    assert(!p.contains("Window"),
+      s"selection must ride the bounded top-n aggregator, not a window sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"kept ids (bounded by n x |groups|) must broadcast back as a semi-join:\n$p")
+  }
+
   test("kmeans assignment is broadcast-only: no shuffle joins anywhere") {
     // the k-row centroid table rides a broadcast into every assignment;
     // a SortMergeJoin/ShuffledHashJoin here would mean the corpus is

@@ -86,4 +86,30 @@ class SamplingSpec extends AnyFunSuite {
       .where(col("a.split") =!= col("b.split")).count()
     assert(moved > 0)
   }
+
+  test("stratified quota keeps exactly min(n, |stratum|) per group and nests") {
+    val s = spark
+    import s.implicits._
+    // g0: 400 rows, g1: 50 rows, g2: 8 rows (below the quota)
+    val df = ((0L until 400L).map(i => (i, "g0")) ++
+      (1000L until 1050L).map(i => (i, "g1")) ++
+      (2000L until 2008L).map(i => (i, "g2"))).toDF("id", "grp")
+    val q20 = Sampling.stratifiedQuota(df, "id", "grp", 20)
+    val counts = q20.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 20L, "g1" -> 20L, "g2" -> 8L), counts.toString)
+    // nested: the quota-10 sample is a prefix of the quota-20 sample
+    val q10 = Sampling.stratifiedQuota(df, "id", "grp", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(q10.subsetOf(
+      q20.select("id").collect().map(_.getLong(0)).toSet))
+    // selection matches the window formulation (same total order)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(Sampling.bucket(col("id"), 7L).asc, col("id").asc)
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 20).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(q20.select("id").collect().map(_.getLong(0)).toSet == windowed)
+  }
 }

@@ -15,6 +15,20 @@ class TextLlmSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("contaminationScore grades overlap per doc, keeps clean docs at 0") {
+    val train = docs(
+      (1L, "a b c d e"),  // shingles: "a b c","b c d","c d e"
+      (2L, "x y z w v"),  // none shared
+      (3L, "b c d"))      // single shingle, fully in the eval set
+    val eval_ = docs((9L, "b c d q r"))
+    val got = graft.llm.Dedup.contaminationScore(train, eval_, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 1L, 0.333333)))
+    assert(got(2L) == ((3L, 0L, 0.0)))
+    assert(got(3L) == ((1L, 1L, 1.0)))
+  }
+
   test("incrementalDedup rejects corpus near-dups, admits novel docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val corpus = docs((100L, base), (101L, "completely different corpus text " +
