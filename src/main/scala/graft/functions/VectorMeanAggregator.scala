@@ -50,9 +50,42 @@ class VectorMeanAggregator(dim: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
 }
 
+/** `array<double>` input twin of [[VectorMeanAggregator]] — residual-PQ
+  * trains codebooks over double residual vectors, and routing them
+  * through the float encoder would silently narrow every element before
+  * summation, breaking the oracle's double-arithmetic replay. Same
+  * buffer, skip, and finish semantics. */
+class VectorMeanDoubleAggregator(dim: Int)
+    extends Aggregator[Array[Double], VecSum, Array[Double]] {
+
+  private val inner = new VectorMeanAggregator(dim)
+
+  override def zero: VecSum = inner.zero
+
+  override def reduce(buf: VecSum, in: Array[Double]): VecSum = {
+    if (in != null && in.length == dim) {
+      var i = 0
+      while (i < dim) { buf.sum(i) += in(i); i += 1 }
+      buf.n += 1
+    }
+    buf
+  }
+
+  override def merge(a: VecSum, b: VecSum): VecSum = inner.merge(a, b)
+  override def finish(r: VecSum): Array[Double] = inner.finish(r)
+  override def bufferEncoder: Encoder[VecSum] = Encoders.product[VecSum]
+  override def outputEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+}
+
 object VectorMeanAggregator {
   /** DataFrame-callable form: `vecMean(64)(col("embedding"))`. */
   def vecMean(dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new VectorMeanAggregator(dim),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+
+  /** `array<double>` form: `vecMeanDouble(16)(col("residual_slice"))`. */
+  def vecMeanDouble(dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new VectorMeanDoubleAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
 }

@@ -906,6 +906,103 @@ object LlmQueries {
             WHERE rn <= 5"""
       })),
 
+    // residual IVF-PQ: same cell/codebook CTEs as q_embed_ivfpq_knn but
+    // codebooks train on (vector − cell centroid) residuals, and the
+    // query ADC table carries the probed-cell key (a query's residual
+    // differs per cell). Subtraction is double-widened on both engines.
+    Q("q_embed_ivfpq_res_knn",
+      (s, d) => Similarity.ivfPqResidualKnn(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, col("vec_id") < 10,
+        numCentroids = 16, nProbe = 4, m = 4, ksub = 8, k = 5),
+      Some({
+        def sq(a: String, b: String): String =
+          s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
+               - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+               + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))"""
+        s"""WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            cents AS (SELECT vec_id AS ccid, e AS ccv FROM v
+                      ORDER BY ((vec_id % 1000000007) * 2654435761 + 283521)
+                               % 9973, vec_id
+                      LIMIT 16),
+            cellc AS (SELECT vid, cell FROM (
+                      SELECT v.vec_id AS vid, c.ccid AS cell,
+                             row_number() OVER (PARTITION BY v.vec_id
+                               ORDER BY ${duckCos("v.e", "c.ccv")} DESC, c.ccid)
+                               AS crn
+                      FROM v, cents c) WHERE crn <= 1),
+            cellq AS (SELECT qid, cell FROM (
+                      SELECT v.vec_id AS qid, c.ccid AS cell,
+                             row_number() OVER (PARTITION BY v.vec_id
+                               ORDER BY ${duckCos("v.e", "c.ccv")} DESC, c.ccid)
+                               AS crn
+                      FROM v, cents c WHERE v.vec_id < 10) WHERE crn <= 4),
+            resc AS (SELECT cellc.vid, cellc.cell,
+                            list_transform(range(1, 65),
+                              i -> v.e[i] - c.ccv[i]) AS rv
+                     FROM cellc JOIN v ON v.vec_id = cellc.vid
+                                JOIN cents c ON c.ccid = cellc.cell),
+            sub AS (
+              SELECT vid AS vec_id, t.j,
+                     list_slice(rv, t.j * 16 + 1, t.j * 16 + 16) AS sv
+              FROM resc, UNNEST([0, 1, 2, 3]) AS t(j)),
+            init AS (SELECT vec_id AS cid FROM v
+                     ORDER BY ((vec_id % 1000000007) * 2654435761 + 526539)
+                              % 9973, vec_id
+                     LIMIT 8),
+            cb0 AS (SELECT s.j, s.vec_id AS cid, s.sv AS cv
+                    FROM sub s JOIN init ON s.vec_id = init.cid),
+            a1 AS (SELECT vec_id, j, cid FROM (
+                     SELECT s.vec_id, s.j, c.cid,
+                            row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY round(${sq("s.sv", "c.cv")}, 6), c.cid)
+                              AS rn
+                     FROM sub s JOIN cb0 c ON s.j = c.j) WHERE rn = 1),
+            cb1 AS (SELECT j, cid, list(mm ORDER BY dim) AS cv FROM (
+                     SELECT a1.j, a1.cid, t.i AS dim,
+                            round(avg(s.sv[t.i]), 6) AS mm
+                     FROM a1 JOIN sub s
+                       ON a1.vec_id = s.vec_id AND a1.j = s.j,
+                       UNNEST(range(1, 17)) AS t(i)
+                     GROUP BY 1, 2, 3)
+                   GROUP BY 1, 2),
+            codes AS (SELECT vec_id, j, cid FROM (
+                     SELECT s.vec_id, s.j, c.cid,
+                            row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY round(${sq("s.sv", "c.cv")}, 6), c.cid)
+                              AS rn
+                     FROM sub s JOIN cb1 c ON s.j = c.j) WHERE rn = 1),
+            qres AS (SELECT cellq.qid, cellq.cell,
+                            list_transform(range(1, 65),
+                              i -> v.e[i] - c.ccv[i]) AS rq
+                     FROM cellq JOIN v ON v.vec_id = cellq.qid
+                                JOIN cents c ON c.ccid = cellq.cell),
+            qsub AS (
+              SELECT qid, cell, t.j,
+                     list_slice(rq, t.j * 16 + 1, t.j * 16 + 16) AS sv
+              FROM qres, UNNEST([0, 1, 2, 3]) AS t(j)),
+            qd AS (SELECT qsub.qid, qsub.cell, c.j, c.cid,
+                          round(${sq("qsub.sv", "c.cv")}, 6) AS d
+                   FROM qsub JOIN cb1 c ON qsub.j = c.j),
+            cand AS (SELECT cellq.qid, cellc.vid, cellc.cell
+                     FROM cellq JOIN cellc USING (cell)
+                     WHERE cellq.qid <> cellc.vid),
+            sc AS (SELECT cand.qid, cand.vid AS nid,
+                          round(sum(qd.d), 6) AS dist
+                   FROM cand
+                   JOIN codes ON codes.vec_id = cand.vid
+                   JOIN qd ON qd.qid = cand.qid AND qd.cell = cand.cell
+                          AND qd.j = codes.j AND qd.cid = codes.cid
+                   GROUP BY 1, 2)
+            SELECT qid, nid, dist, rn FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rn
+              FROM sc)
+            WHERE rn <= 5"""
+      })),
+
     Q("q_embed_ivf_knn",
       (s, d) => Similarity.ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") < 10, k = 5, numCentroids = 64, nProbe = 2),

@@ -310,10 +310,31 @@ object Similarity {
         .agg(min(struct(round(pqSq(col("sv"), col("cv")), 6).as("d"),
           col("cid").as("c"))).as("a"))
         .select(col("vid"), col("j"), col("a.c").as("cid"))
-    val cb1 = broadcast(assign(cb0)
-      .join(sub, Seq("vid", "j"))
+    // mean aggregator picked by the vector column's ELEMENT type: raw
+    // embeddings are array<float>, residual vectors array<double> (the
+    // float encoder would silently narrow residual elements and break
+    // the oracle's double-arithmetic replay)
+    val isDouble = emb.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }
+    val vecMean =
+      if (isDouble) graft.functions.VectorMeanAggregator.vecMeanDouble(sd)
+      else graft.functions.VectorMeanAggregator.vecMean(sd)
+    // the training pass carries sv THROUGH the argmin aggregate (sv is
+    // constant per (vid, j) group, so first() is deterministic in
+    // value) instead of re-joining assignments back onto sub — the
+    // re-join was a second corpus-sized shuffle of subvector payloads
+    // on (vid, j), and the one shuffle join in an otherwise
+    // broadcast-only pipeline
+    val cb1 = broadcast(sub.join(cb0, "j")
+      .groupBy(col("vid"), col("j"))
+      .agg(min(struct(round(pqSq(col("sv"), col("cv")), 6).as("d"),
+        col("cid").as("c"))).as("a"), first(col("sv")).as("sv"))
+      .select(col("j"), col("a.c").as("cid"), col("sv"))
       .groupBy(col("j"), col("cid"))
-      .agg(graft.functions.VectorMeanAggregator.vecMean(sd)(col("sv")).as("cm"))
+      .agg(vecMean(col("sv")).as("cm"))
       .select(col("j"), col("cid"),
         transform(col("cm"), x => round(x, 6)).as("cv")))
     (assign(cb1), cb1)
@@ -385,5 +406,64 @@ object Similarity {
       .where(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid")).distinct())
     adcTopK(cand.join(codes, "vid").join(qd, Seq("qid", "j", "cid")), k)
+  }
+
+  /** Elementwise a − b over two vector columns, each element widened to
+    * double BEFORE subtracting (float-subtract-then-widen rounds to
+    * float precision first and would break the oracle's double-
+    * arithmetic replay). zip_with is CodegenFallback, but this runs once
+    * per corpus row in the ENCODE pass — off the per-pair scoring hot
+    * path [[graft.functions.DotProduct]] exists for. */
+  private def vecSub(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.cast("double") - y.cast("double"))
+
+  /** Residual IVF-PQ: the FAISS-style production layout — PQ codebooks
+    * trained on (vector − its cell centroid) residuals instead of raw
+    * vectors, concentrating codeword resolution on within-cell variation
+    * (the coarse quantizer already explains the between-cell mass).
+    * Proves [[ivfPqKnn]]'s claim that residual-PQ slots into
+    * [[pqTrainEncode]] unchanged: the ONLY structural differences are
+    * the residual frame fed to it (same (id, vec) shape) and the query
+    * ADC table gaining the probed-cell key — a query's residual differs
+    * per probed cell, so qd is per (query, cell) and the scoring join
+    * matches on it. Candidate routing and ADC scoring remain broadcast
+    * equi-joins; the residual projection is one broadcast centroid join
+    * per corpus row. */
+  def ivfPqResidualKnn(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, queryPred: Column, numCentroids: Int = 64, nProbe: Int = 2,
+      m: Int = 4, ksub: Int = 8, k: Int = 5): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sd = dim / m
+    val cents = ivfCentroids(emb, idCol, vecCol, numCentroids)
+    val cellCorpus = nearestCells(
+      emb.select(col(idCol).as("vid"), col(vecCol).as("nv")), cents,
+      "vid", "nv", 1)
+    val resCorpus = cellCorpus.join(cents, "cid")
+      .select(col("vid"), col("cid").as("cell"),
+        vecSub(col("nv"), col("cv")).as("rv"))
+    val (codes, cb1) = pqTrainEncode(resCorpus, "vid", "rv", dim, m, ksub)
+    val qCells = nearestCells(
+      emb.where(queryPred).select(col(idCol).as("qid"), col(vecCol).as("qv")),
+      cents, "qid", "qv", nProbe)
+    val qRes = qCells.join(cents, "cid")
+      .select(col("qid"), col("cid").as("cell"),
+        vecSub(col("qv"), col("cv")).as("rq"))
+    val qd = broadcast(qRes.select(col("qid"), col("cell"),
+        explode(array((0 until m).map { j =>
+          struct(lit(j).as("j"), slice(col("rq"), j * sd + 1, sd).as("sv"))
+        }: _*)).as("s"))
+      .select(col("qid"), col("cell"), col("s.j").as("j"), col("s.sv").as("sv"))
+      .join(cb1, "j")
+      .select(col("qid"), col("cell"), col("j"), col("cid"),
+        round(pqSq(col("sv"), col("cv")), 6).as("d")))
+    // (qid, vid, cell) triples: a corpus vector has exactly ONE cell, so
+    // each admitted pair appears once; the query side is small by
+    // construction — broadcast so the codes frame never shuffles
+    val cand = broadcast(
+      broadcast(qCells.select(col("qid"), col("cid").as("cell")))
+        .join(cellCorpus.select(col("vid"), col("cid").as("cell")), "cell")
+        .where(col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid"), col("cell")))
+    adcTopK(cand.join(codes, "vid").join(qd, Seq("qid", "cell", "j", "cid")), k)
   }
 }

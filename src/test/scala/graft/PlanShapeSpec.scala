@@ -84,7 +84,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_pagerank", "q_pagerank_golden", "q_join_multi",
       "q_tfidf",  // 1-row corpus-size aggregate broadcast into the scorer
       "q_kmeans", // k-row centroid table broadcast into assignment
-      "q_embed_ivfpq_knn") // IVF coarse assignment (same centroid crossJoin as ivf_knn)
+      "q_embed_ivfpq_knn", // IVF coarse assignment (same centroid crossJoin as ivf_knn)
+      "q_embed_ivfpq_res_knn") // same coarse assignment, residual codebooks
     val offenders = Registry.byName.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream"))
       .flatMap { name =>
@@ -202,6 +203,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"centroids, codebooks and the ADC table must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"after encoding, no join may shuffle raw vectors:\n$p")
+  }
+
+  test("residual IVF-PQ keeps the broadcast shape; residuals never shuffle") {
+    val p = plan("q_embed_ivfpq_res_knn")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroids, codebooks and the per-cell ADC table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"neither raw vectors nor residuals may ride a shuffle join:\n$p")
   }
 
   test("substring dedup: native gram hashes feed a semi-join, gram text never shuffles") {

@@ -329,6 +329,15 @@ class TextLlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val composedRecall = (truth & composed).size.toDouble / truth.size
     assert(composedRecall >= 0.3, s"IVF-PQ shortlist recall $composedRecall")
+    // residual codebooks train on 50 residual vectors here — far too few
+    // for their advantage (within-cell resolution) to show, so the pin
+    // is only "catches a sensible fraction", slightly looser than flat
+    val residual = Similarity.ivfPqResidualKnn(emb, "vec_id", "embedding",
+      dim = 64, col("vec_id") < 10, numCentroids = 8, nProbe = 6,
+      m = 8, ksub = 16, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val residualRecall = (truth & residual).size.toDouble / truth.size
+    assert(residualRecall >= 0.2, s"residual IVF-PQ recall $residualRecall")
     // routing only FILTERS candidates — the ADC distance of any pair
     // both variants score must be bit-identical (same codebooks)
     val flatDist = Similarity.pqKnn(emb, "vec_id", "embedding", dim = 64,
