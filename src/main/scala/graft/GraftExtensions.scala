@@ -88,6 +88,11 @@ object GraftExtensions {
           case _ => throw new IllegalArgumentException(
             "shingle_array expects (array<string>, k [, distinct])")
         }),
+      ("word_hash",
+        new ExpressionInfo(classOf[graft.functions.WordHash].getName, "word_hash"),
+        (args: Seq[Expression]) => {
+          arity(1, args, "word_hash"); graft.functions.WordHash(args(0))
+        }),
       ("token_gram_hashes",
         new ExpressionInfo(classOf[TokenGramHashes].getName, "token_gram_hashes"),
         (args: Seq[Expression]) => args match {

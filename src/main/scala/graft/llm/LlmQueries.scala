@@ -145,6 +145,25 @@ object LlmQueries {
         FROM documents d LEFT JOIN fp USING (doc_id)"""
   }
 
+  /** DuckDB replay of [[graft.functions.SimHashFp.wordHash]] for column
+    * `w` — Σ byte·B^(L-j) mod M over the UTF-8 bytes, decoded from
+    * hex(encode(..)) (the simhashCountsCte formulation, extracted for
+    * operators that need the word hash standalone; words beyond 64
+    * bytes index past the power table and fail LOUDLY as null). */
+  private def duckWordHash(w: String): String = {
+    val M = graft.functions.SimHashFp.Mod
+    val B = graft.functions.SimHashFp.Base
+    val pows = (0 until 64).scanLeft(1L)((a, _) => a * B % M).dropRight(1)
+    val powLit = pows.mkString("[", ", ", "]")
+    s"""list_sum(list_transform(range(1, octet_length(encode($w)) + 1),
+          j -> (16 * (strpos('0123456789ABCDEF',
+                   hex(encode($w))[CAST(2 * j - 1 AS BIGINT)]) - 1)
+                + (strpos('0123456789ABCDEF',
+                   hex(encode($w))[CAST(2 * j AS BIGINT)]) - 1))
+               * $powLit[CAST(octet_length(encode($w)) - j + 1 AS BIGINT)]))
+        % $M"""
+  }
+
   /** Shared CTE prefix of both SimHash oracles — the full fingerprint
     * replay: per-word polynomial hash (Σ byte·B^(L-j) mod M over the
     * encoded bytes, ≡ [[graft.functions.SimHashFp.wordHash]]'s rolling
@@ -1218,6 +1237,41 @@ object LlmQueries {
                      CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
                      coalesce(avg_logp, 0.0) AS avg_logp
               FROM documents d LEFT JOIN sc USING (doc_id)""")),
+
+    // count-min sketch heavy hitters: frequency estimation in bounded
+    // depth×width state (KmvDistinct's frequency sibling) probed with
+    // the exact top-20 tokens; the portable word hash makes every
+    // estimate — collisions included — replayable, and est ≥ exact
+    // always (overcount-only bound, pinned in CountMinSpec)
+    Q("q_cms_heavy_hitters",
+      (s, d) => graft.operators.CountMin.heavyHitters(
+        Tables.documents(s, d), "text", topK = 20, depth = 4, width = 1024,
+        seed = 11L),
+      Some(s"""WITH words AS (
+                 SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                   x -> length(x) > 0)) AS w
+                 FROM documents),
+               wh AS MATERIALIZED (
+                 SELECT w, ${duckWordHash("w")} AS h FROM words),
+               dd AS (SELECT unnest(range(0, 4)) AS i),
+               sk AS (SELECT i,
+                             ((h * 2654435761 + (11 + i) * 40503) % 1000000007)
+                               % 1024 AS bucket,
+                             count(*) AS c
+                      FROM wh CROSS JOIN dd GROUP BY 1, 2),
+               exact AS (SELECT w, n_exact FROM (
+                      SELECT w, CAST(count(*) AS BIGINT) AS n_exact,
+                             row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+                      FROM words GROUP BY w) WHERE rn <= 20),
+               whd AS (SELECT DISTINCT w, h FROM wh),
+               probes AS (SELECT e.w, e.n_exact, dd.i,
+                                 ((whd.h * 2654435761 + (11 + dd.i) * 40503)
+                                   % 1000000007) % 1024 AS bucket
+                          FROM exact e JOIN whd ON e.w = whd.w CROSS JOIN dd)
+               SELECT p.w AS word, p.n_exact,
+                      CAST(min(sk.c) AS BIGINT) AS n_est
+               FROM probes p JOIN sk ON sk.i = p.i AND sk.bucket = p.bucket
+               GROUP BY 1, 2""")),
 
     Q("q_quality_score",
       (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d), "text", "doc_id"),

@@ -44,7 +44,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     assert(GraftExtensions.descriptors.map(_._1) ==
       Seq("vec_dot", "simhash_fp", "minhash_sig", "shingle_array",
-        "token_gram_hashes", "normalize_text", "winnow_fingerprint"))
+        "word_hash", "token_gram_hashes", "normalize_text",
+        "winnow_fingerprint"))
   }
 
   test("shingle_array / normalize_text / winnow_fingerprint match the Column API") {
@@ -84,6 +85,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT shingle_array(split(text, '\\\\s+'), 2, NOT true) AS sh FROM ext_docs2")
       .head().getSeq[String](0)
     assert(foldedSql == multiCol)
+  }
+
+  test("word_hash SQL form matches SimHashFp.wordHash") {
+    GraftExtensions.register(spark)
+    val got = spark.sql("SELECT word_hash('cat'), word_hash('')").head()
+    assert(got.getLong(0) == graft.functions.SimHashFp.wordHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("cat")))
+    assert(got.getLong(1) == 0L)
   }
 
   test("token_gram_hashes SQL form matches the Column API, seed optional") {

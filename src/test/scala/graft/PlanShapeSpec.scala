@@ -257,6 +257,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the training corpus must not shuffle for the join:\n$p")
   }
 
+  test("count-min sketch probes join the broadcast sketch, never shuffle-join") {
+    val p = plan("q_cms_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the depth x width sketch must broadcast into the probe join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"neither tokens nor probes may ride a shuffle join:\n$p")
+  }
+
   test("stratified quota never window-sorts the data; ids broadcast back") {
     val p = plan("q_stratified_sample")
     assert(!p.contains("Window"),
