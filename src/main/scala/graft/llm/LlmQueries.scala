@@ -1558,6 +1558,63 @@ object LlmQueries {
                           ELSE 'test' END AS split
               FROM documents""")),
 
+    // deterministic global shuffle + shard assignment: the serving end
+    // of the pipeline — fixed pseudo-random order, numShards parallel
+    // shard files, byte-identical on rebuild; one hash exchange + an
+    // in-partition sort (window partitioned by shard — never a global
+    // single-task window, pinned in PlanShapeSpec)
+    Q("q_shard_assign",
+      (s, d) => Sampling.shardAssign(Tables.documents(s, d), "doc_id",
+          numShards = 16, seed = 7L)
+        .select(col("doc_id"), col("shard"), col("pos")),
+      Some("""WITH h AS (SELECT doc_id,
+                     ((doc_id % 1000000007) * 2654435761 + 283521)
+                       % 1000000007 AS h
+                   FROM documents)
+              SELECT doc_id, h % 16 AS shard,
+                     CAST(row_number() OVER (PARTITION BY h % 16
+                            ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+              FROM h""")),
+
+    // frequency-ranked vocabulary (top-50 by count desc, token asc;
+    // id 1..V, OOV = 0) + per-doc encode summary with an
+    // order-sensitive mod-1e9+7 checksum of the encoded id sequence —
+    // the tokenizer-adjacent step; vocab broadcasts into the token
+    // scan (PlanShapeSpec-pinned)
+    Q("q_vocab_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.text.Vocab.encodeSummary(docs, "text", "doc_id",
+          graft.text.Vocab.build(docs, "text", size = 50))
+      },
+      Some("""WITH words AS (
+                SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                  x -> length(x) > 0)) AS w
+                FROM documents),
+              vocab AS (
+                SELECT w, rn AS id FROM (
+                  SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+                  FROM words GROUP BY w)
+                WHERE rn <= 50),
+              toks AS (
+                SELECT doc_id, unnest(range(1, len(lst) + 1)) AS pos1, lst
+                FROM (SELECT doc_id,
+                        list_filter(string_split_regex(text, '\s+'),
+                          x -> length(x) > 0) AS lst
+                      FROM documents)),
+              enc AS (
+                SELECT t.doc_id, t.pos1, v.id
+                FROM (SELECT doc_id, pos1,
+                        lst[CAST(pos1 AS BIGINT)] AS w FROM toks) t
+                LEFT JOIN vocab v USING (w))
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_oov,
+                     CAST(sum((pos1 * (coalesce(id, 0) + 7)) % 1000000007)
+                       % 1000000007 AS BIGINT) AS ids_checksum
+              FROM enc GROUP BY doc_id""")),
+
     // winnowing fingerprint: rolling k-gram hashes → sliding-window
     // minima, computed by the native WinnowFingerprint expression in one
     // O(n) pass. Pure integer arithmetic (B=257, M=1e9+7, bytes from the

@@ -116,6 +116,36 @@ object Sampling {
       "left_semi")
   }
 
+  /** Deterministic global shuffle + shard assignment — the SERVING end
+    * of the pipeline: training wants examples in a fixed pseudo-random
+    * order, split into `numShards` files a loader can consume in
+    * parallel, and byte-identical on every rebuild. Each row gets
+    * `shard` = mixer(key) mod numShards and `pos` = its rank within the
+    * shard ordered by (mixer(key), key) — a total order any engine
+    * replays, with no RNG and no partition-layout dependence.
+    *
+    * 100 TB shape: ONE hash exchange on `shard` + an in-partition sort
+    * (the window partitions by shard, so there is no global range sort
+    * and no single-task window — the scale killer here would be
+    * `Window.orderBy` without a partition). Shards sort independently;
+    * at 10k shards a 100 TB corpus sorts ~10 GB per shard. The full
+    * mixer range (mod 1e9+7, not the 9973 sampling buckets) keeps the
+    * within-shard order fine-grained; key is the tiebreak so equal
+    * hashes (expected at corpus scale by birthday math) stay total. */
+  def shardAssign(df: DataFrame, keyCol: String, numShards: Int,
+      seed: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, "numShards must be positive")
+    val h = pmod(pmod(col(keyCol).cast("long"), lit(1000000007L))
+      * lit(2654435761L) + lit(seed * 40503L), lit(1000000007L))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_h").asc, col(keyCol).asc)
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("_h")
+  }
+
   /** Assign each row a named split by cumulative fraction, e.g.
     * Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1). */
   def splits(df: DataFrame, keyCol: String, parts: Seq[(String, Double)],

@@ -265,6 +265,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"neither tokens nor probes may ride a shuffle join:\n$p")
   }
 
+  test("shard assignment shuffles once by shard, never a single-task window") {
+    val p = plan("q_shard_assign")
+    assert(p.contains("hashpartitioning(shard"),
+      s"the window must partition by shard (one hash exchange):\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a global window would serialize the corpus through one task:\n$p")
+  }
+
+  test("vocab encode broadcasts the vocabulary; the corpus never shuffle-joins") {
+    val p = plan("q_vocab_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the V-row vocabulary must broadcast into the token scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the token stream must not ride a shuffle join:\n$p")
+  }
+
   test("stratified quota never window-sorts the data; ids broadcast back") {
     val p = plan("q_stratified_sample")
     assert(!p.contains("Window"),

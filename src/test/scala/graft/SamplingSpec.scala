@@ -112,4 +112,31 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(q20.select("id").collect().map(_.getLong(0)).toSet == windowed)
   }
+
+  test("shard assignment is a deterministic permutation with dense per-shard positions") {
+    val df = ids(3000)
+    val a = Sampling.shardAssign(df, "id", numShards = 8)
+    val rows = a.select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 3000, "shard assignment must not drop or duplicate rows")
+    assert(rows.map(_._1).toSet.size == 3000)
+    // every shard's positions are exactly 0..count-1 (dense, no gaps)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length.toLong),
+        s"shard $shard positions must be dense 0..${rs.length - 1}")
+    }
+    // all shards occupied and roughly balanced at n >> shards
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0L until 8L).toSet)
+    assert(sizes.values.max < 2 * sizes.values.min,
+      s"mixer balance at 3000/8: $sizes")
+    // deterministic: a rebuild yields the identical assignment; a
+    // different seed yields a different order
+    val again = Sampling.shardAssign(df, "id", numShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.toSet)
+    val other = Sampling.shardAssign(df, "id", numShards = 8, seed = 99L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(other != rows.toSet)
+  }
 }

@@ -413,6 +413,29 @@ class TextLlmSpec extends AnyFunSuite {
     assert(out == Map(1 -> Seq(2.0, 4.0), 2 -> Seq(2.0, 2.0)))
   }
 
+  test("vocab build ranks count-desc word-asc; encode counts OOV and checksums order") {
+    import graft.text.Vocab
+    val d = docs(
+      (1L, "b b b a a c"),
+      (2L, "a  rare"))  // double space: empty token must be dropped
+    val vocab = Vocab.build(d, "text", size = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // counts: a=3, b=3, c=1, rare=1 → ids: a=1 (tie with b, word asc),
+    // b=2, c=3; "rare" falls outside size=3
+    assert(vocab.sortBy(_._3).toSeq ==
+      Seq(("a", 3L, 1L), ("b", 3L, 2L), ("c", 1L, 3L)))
+    val enc = Vocab.encodeSummary(d, "text", "doc_id",
+        Vocab.build(d, "text", size = 3))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: ids b,b,b,a,a,c = 2,2,2,1,1,3 →
+    //   Σ (pos+1)(id+7): 1·9+2·9+3·9+4·8+5·8+6·10 = 186
+    assert(enc(1L) == ((6L, 0L, 186L)))
+    // doc 2: tokens a, rare (positions AFTER empty-token removal) →
+    //   ids 1, OOV=0: 1·8 + 2·7 = 22
+    assert(enc(2L) == ((2L, 1L, 22L)))
+  }
+
   test("tfIdfTopK ranks by tfidf desc with word-asc tiebreak") {
     // 3 docs; "common" is in all docs (idf = 0), so distinguishing terms win
     val d = docs(
