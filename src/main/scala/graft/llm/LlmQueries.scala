@@ -1302,6 +1302,43 @@ object LlmQueries {
                         AS quality
                FROM m""")),
 
+    // per-source RELATIVE quality filter: drop the worst 20% of each
+    // source by quantized-score histogram CDF — never a per-group
+    // window sort over the data; whole-bucket drop rule makes the kept
+    // set exactly replayable (no within-bucket tie-breaking)
+    Q("q_relative_quality",
+      (s, d) => TextAnalysis.relativeQualityFilter(Tables.documents(s, d),
+          "text", "doc_id", "source", dropFrac = 0.2)
+        .select(col("doc_id"), col("source"), col("q_bucket")),
+      Some(s"""WITH t AS (
+                 SELECT doc_id, source, text,
+                        list_filter(string_split_regex(text, '\\s+'),
+                          w -> length(w) > 0) AS w
+                 FROM documents),
+               q AS (
+                 SELECT doc_id, source,
+                        CAST(round(round(
+                          least(len(w) / 100.0, 1.0) * 0.4 +
+                          least((len(list_filter(w, x -> list_contains(
+                            ${TextAnalysis.stopwords.mkString("['", "','", "']")}, x)))
+                            * 1.0 / len(w)) * 5.0, 1.0) * 0.4 +
+                          (1.0 - least((len(regexp_extract_all(text, '[^\\w\\s]'))
+                            * 1.0 / length(text)) * 10.0, 1.0)) * 0.2, 4)
+                          * 10000) AS BIGINT) AS q_bucket
+                 FROM t),
+               hist AS (SELECT source, q_bucket, count(*) AS c
+                        FROM q GROUP BY 1, 2),
+               cum AS (SELECT source, q_bucket,
+                              sum(c) OVER (PARTITION BY source
+                                ORDER BY q_bucket) AS cum,
+                              sum(c) OVER (PARTITION BY source) AS n
+                       FROM hist),
+               thr AS (SELECT source, max(q_bucket) AS t FROM cum
+                       WHERE cum <= floor(0.2 * n) GROUP BY source)
+               SELECT q.doc_id, q.source, q.q_bucket
+               FROM q LEFT JOIN thr USING (source)
+               WHERE t IS NULL OR q.q_bucket > t""")),
+
     // heuristic language id
     Q("q_langid",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d), "text", "doc_id"),

@@ -33,6 +33,60 @@ object TextAnalysis {
       element_at(st, 3).as("n_chars"))
   }
 
+  /** The blended 4dp quality heuristic of [[qualityScore]] as a bare
+    * column (shared with [[relativeQualityFilter]]; identical stats()
+    * instances collapse via codegen subexpression elimination). */
+  def quality(text: Column): Column = {
+    val st = stats(text)
+    val nWords = element_at(st, 1)
+    val stopRatio = element_at(st, 5).cast("double") / nWords
+    val punctRatio = element_at(st, 6).cast("double") / element_at(st, 3)
+    round(
+      least(nWords.cast("double") / 100.0, lit(1.0)) * 0.4 +
+        least(stopRatio * 5.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2,
+      4)
+  }
+
+  /** Per-group RELATIVE quality filter — "drop the worst `dropFrac` of
+    * each source", the curation step where an absolute score cut is
+    * wrong because sources have different score distributions. Ranking
+    * runs on a quantized-score histogram CDF, NOT a per-group window
+    * sort over the corpus: the score is 4dp, so bucket =
+    * round(quality·10⁴) is an exact integer in [0, 10⁴] and the whole
+    * distribution per group is ≤ 10 001 cells. A bucket is wholly
+    * dropped iff its group-cumulative count (ascending buckets,
+    * inclusive) ≤ floor(dropFrac·n_group) — whole-bucket granularity is
+    * the documented rounding of the fraction, which makes the kept set
+    * exactly replayable (no tie-breaking inside a bucket to agree on).
+    *
+    * 100 TB shape: one map-side-partial histogram aggregate (shuffle
+    * carries (group, bucket) CELLS, never documents), a window over the
+    * tiny histogram frame, and a ≤-one-row-per-group threshold table
+    * broadcast back as the filter — the corpus itself is scanned twice
+    * and shuffled never. A per-group `Window.orderBy(score)` over the
+    * data would sort 100 TB inside each group and collapse on skewed
+    * sources; this shape is invariant to both. */
+  def relativeQualityFilter(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, dropFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dropFrac >= 0.0 && dropFrac < 1.0, "dropFrac must be in [0, 1)")
+    val withB = docs.withColumn("q_bucket",
+      round(quality(col(textCol)) * 10000.0).cast("long"))
+    val hist = withB.groupBy(col(groupCol), col("q_bucket"))
+      .agg(count(lit(1)).as("_c"))
+    val cum = hist
+      .withColumn("_cum", sum(col("_c"))
+        .over(Window.partitionBy(groupCol).orderBy(col("q_bucket"))))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(groupCol)))
+    val thresholds = cum
+      .where(col("_cum") <= floor(lit(dropFrac) * col("_n")))
+      .groupBy(col(groupCol)).agg(max(col("q_bucket")).as("_t"))
+    withB.join(broadcast(thresholds), Seq(groupCol), "left")
+      .where(col("_t").isNull || col("q_bucket") > col("_t"))
+      .drop("_t")
+  }
+
   /** Quality signals: word count, mean word length, stopword ratio,
     * punctuation ratio, and a blended score. Single projection, no shuffle. */
   def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {

@@ -281,6 +281,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the token stream must not ride a shuffle join:\n$p")
   }
 
+  test("relative quality filter never shuffles documents; thresholds broadcast") {
+    val p = plan("q_relative_quality")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-group threshold table must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not ride a shuffle join:\n$p")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"only histogram cells may shuffle, never documents:\n$p")
+  }
+
   test("stratified quota never window-sorts the data; ids broadcast back") {
     val p = plan("q_stratified_sample")
     assert(!p.contains("Window"),

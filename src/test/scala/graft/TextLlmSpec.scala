@@ -413,6 +413,46 @@ class TextLlmSpec extends AnyFunSuite {
     assert(out == Map(1 -> Seq(2.0, 4.0), 2 -> Seq(2.0, 2.0)))
   }
 
+  test("relativeQualityFilter drops lowest buckets per group, whole-bucket rule") {
+    import graft.llm.TextAnalysis
+    val s = spark
+    import s.implicits._
+    // two groups with spread quality: stopword-dense docs score high,
+    // stopword-free low; duplicate texts share a bucket (tie case)
+    val d = Seq(
+      (1L, "ga", "zz yy xx ww vv"),
+      (2L, "ga", "zz yy xx ww vv"), // same bucket as doc 1
+      (3L, "ga", "the a of to and"),
+      (4L, "ga", "the a of qq rr ss"),
+      (5L, "ga", "the of zz yy xx ww vv uu tt"),
+      (6L, "gb", "no stop words here at all friend"),
+      (7L, "gb", "the the the a of in is"),
+      (8L, "gb", "mixed the content of words going on")
+    ).toDF("doc_id", "src", "text")
+    val qb = d.withColumn("qb",
+        round(TextAnalysis.quality(col("text")) * 10000.0).cast("long"))
+      .select("doc_id", "src", "qb").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // replay the histogram-CDF rule: drop whole buckets (ascending)
+    // while cumulative count stays <= floor(dropFrac * n)
+    val expected = qb.groupBy(_._2).flatMap { case (_, rows) =>
+      val cut = math.floor(0.4 * rows.length).toLong
+      var cum = 0L
+      val dropped = rows.groupBy(_._3).toSeq.sortBy(_._1).flatMap {
+        case (b, rs) =>
+          cum += rs.length
+          if (cum <= cut) Some(b) else None
+      }.toSet
+      rows.filterNot(r => dropped(r._3)).map(_._1).toSeq
+    }.toSet
+    val got = TextAnalysis.relativeQualityFilter(d, "text", "doc_id", "src", 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"buckets: ${qb.mkString(", ")}")
+    assert(got.size < 8, "the filter must actually drop documents")
+    assert(TextAnalysis.relativeQualityFilter(d, "text", "doc_id", "src", 0.0)
+      .count() == 8, "dropFrac=0 keeps everything")
+  }
+
   test("vocab build ranks count-desc word-asc; encode counts OOV and checksums order") {
     import graft.text.Vocab
     val d = docs(
