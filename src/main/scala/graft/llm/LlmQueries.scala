@@ -1083,6 +1083,41 @@ object LlmQueries {
                  FROM scored)
                WHERE rn <= 5""")),
 
+    // semantic decontamination: flag training vectors within cosine
+    // >= tau of any eval vector — cross-set-only LSH candidates
+    // (eval x train, never train x train), the tiny multi-probed eval
+    // side broadcasts, the training corpus never shuffles
+    // (PlanShapeSpec-pinned); oracle replays the bucketing exactly
+    Q("q_embed_decontaminate",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.semanticDecontaminate(
+          emb.where(col("vec_id") >= 50), emb.where(col("vec_id") < 50),
+          "vec_id", "embedding", dim = 64, tau = 0.35, nPlanes = 4)
+      },
+      Some(s"""WITH v AS (
+                 SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings),
+               train AS (
+                 SELECT vec_id AS tid, e AS tv, ${duckBucket("e", 4)} AS bucket
+                 FROM v WHERE vec_id >= 50),
+               eb AS (
+                 SELECT vec_id AS eid, e AS ev, ${duckBucket("e", 4)} AS b0
+                 FROM v WHERE vec_id < 50),
+               probes AS (
+                 SELECT eid, ev, xor(b0, flip) AS bucket
+                 FROM eb CROSS JOIN (VALUES (0), (1), (2), (4), (8)) f(flip)),
+               pairs AS (
+                 SELECT DISTINCT tid, eid, cos FROM (
+                   SELECT tid, eid, ${duckCos("tv", "ev")} AS cos
+                   FROM probes JOIN train USING (bucket))
+                 WHERE cos >= 0.35)
+               SELECT tid AS vec_id,
+                      CAST(count(*) AS BIGINT) AS n_hits,
+                      max(cos) AS max_cos
+               FROM pairs GROUP BY tid""")),
+
     // token statistics
     Q("q_token_stats",
       (s, d) => TextAnalysis.tokenStats(Tables.documents(s, d), "text", "doc_id"),

@@ -191,6 +191,44 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"), col("rn").cast("long").as("rn"))
   }
 
+  /** Semantic decontamination: flag TRAINING vectors whose embedding
+    * lies within cosine ≥ tau of ANY evaluation vector — shingle
+    * [[Dedup.decontaminate]] lifted to embedding space, with the
+    * cross-set discipline of incremental dedup: candidates come ONLY
+    * from eval × train LSH-bucket matches (never train × train — the
+    * corpus is not being deduplicated here), the eval side (benchmark
+    * sets — tiny by definition) carries the multi-probe expansion and
+    * BROADCASTS into the training scan, so the training corpus is
+    * scanned once and shuffled never; only flagged (tid, eid, cos)
+    * hits reach the per-vector aggregate. Recall < 1 by LSH
+    * construction — the oracle replays the bucketing term-for-term,
+    * so the check stays exact over the candidate set (the
+    * q_embed_lsh_knn convention). Output: (idCol, n_hits, max_cos). */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, dim: Int, tau: Double,
+      nPlanes: Int = 8, multiProbe: Boolean = true): DataFrame = {
+    val t = train.select(col(idCol).as("tid"), col(vecCol).as("tv"),
+      lshBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val e0 = evalSet.select(col(idCol).as("eid"), col(vecCol).as("ev"),
+      lshBucket(col(vecCol), dim, nPlanes).as("b0"))
+    val probes =
+      if (multiProbe)
+        array(lit(0L) +: (0 until nPlanes).map(j => lit(1L << j)): _*)
+      else array(lit(0L))
+    val ev = e0
+      .select(col("eid"), col("ev"), col("b0"), explode(probes).as("flip"))
+      .select(col("eid"), col("ev"),
+        col("b0").bitwiseXOR(col("flip")).as("bucket"))
+    val pairs = t.join(broadcast(ev), "bucket")
+      .select(col("tid"), col("eid"),
+        round(cosine(col("tv"), col("ev")), 6).as("cos"))
+      .where(col("cos") >= tau)
+      .distinct()
+    pairs.groupBy(col("tid"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+      .select(col("tid").as(idCol), col("n_hits"), col("max_cos"))
+  }
+
   /** Lloyd's k-means over an embedding column, `iters` FIXED rounds (the
     * oracle unrolls the same rounds as CTEs) — the clustering step an
     * embedding pipeline runs between centroid training and IVF layout.

@@ -281,6 +281,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the token stream must not ride a shuffle join:\n$p")
   }
 
+  test("semantic decontamination broadcasts the eval side; train never bucket-shuffles") {
+    val p = plan("q_embed_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the multi-probed eval side must broadcast into the train scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the training corpus must not ride a shuffle join:\n$p")
+    assert(!p.contains("hashpartitioning(bucket"),
+      s"a bucket exchange would shuffle the training corpus:\n$p")
+  }
+
   test("relative quality filter never shuffles documents; thresholds broadcast") {
     val p = plan("q_relative_quality")
     assert(p.contains("BroadcastHashJoin"),

@@ -413,6 +413,28 @@ class TextLlmSpec extends AnyFunSuite {
     assert(out == Map(1 -> Seq(2.0, 4.0), 2 -> Seq(2.0, 2.0)))
   }
 
+  test("semanticDecontaminate flags near-eval train vectors, cross-set only") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val base = v(1, 0, 0, 0, 0, 0, 0, 0)
+    val near = v(0.99, 0.01, 0, 0, 0, 0, 0, 0)
+    val ortho = v(0, 0, 0, 0, 1, 0, 0, 0)
+    val evalSet = Seq((1L, base)).toDF("vec_id", "embedding")
+    // 100/101: near-identical PAIR within train with no eval counterpart
+    // — must NOT flag each other (candidates are eval x train only)
+    val train = Seq((10L, near), (11L, ortho),
+      (100L, v(0, 1, 0, 0, 0, 0, 0, 0.02)),
+      (101L, v(0, 1, 0, 0, 0, 0, 0, 0.01))).toDF("vec_id", "embedding")
+    val got = graft.llm.Similarity.semanticDecontaminate(
+        train, evalSet, "vec_id", "embedding", dim = 8, tau = 0.5,
+        nPlanes = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == Set(10L), s"only the near-eval vector flags: $got")
+    assert(got(10L)._1 == 1L && got(10L)._2 > 0.999)
+  }
+
   test("relativeQualityFilter drops lowest buckets per group, whole-bucket rule") {
     import graft.llm.TextAnalysis
     val s = spark
