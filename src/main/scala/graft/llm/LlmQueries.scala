@@ -150,7 +150,7 @@ object LlmQueries {
     * hex(encode(..)) (the simhashCountsCte formulation, extracted for
     * operators that need the word hash standalone; words beyond 64
     * bytes index past the power table and fail LOUDLY as null). */
-  private def duckWordHash(w: String): String = {
+  private[graft] def duckWordHash(w: String): String = {
     val M = graft.functions.SimHashFp.Mod
     val B = graft.functions.SimHashFp.Base
     val pows = (0 until 64).scanLeft(1L)((a, _) => a * B % M).dropRight(1)

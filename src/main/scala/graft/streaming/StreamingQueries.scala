@@ -74,6 +74,26 @@ object StreamingQueries {
       Some("""SELECT user_id, count(*) AS n_events,
                      CAST(min(ts) AS TIMESTAMP) AS first_seen,
                      round(sum(value), 2) AS total_value
-              FROM events GROUP BY user_id"""))
+              FROM events GROUP BY user_id""")),
+
+    // count-min sketch maintained incrementally over a documents stream
+    // — the aggregation state IS the depth×width sketch; final state ≡
+    // the batch sketch over the same corpus (exact: the sketch is a
+    // deterministic function of the token multiset)
+    Q("q_stream_cms",
+      (s, d) => Streams.streamCms(s, d, depth = 4, width = 1024, seed = 11L),
+      Some(s"""WITH words AS (
+                 SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                   x -> length(x) > 0)) AS w
+                 FROM documents),
+               wh AS MATERIALIZED (
+                 SELECT w, ${graft.llm.LlmQueries.duckWordHash("w")} AS h
+                 FROM words),
+               dd AS (SELECT unnest(range(0, 4)) AS i)
+               SELECT i,
+                      CAST(((h * 2654435761 + (11 + i) * 40503) % 1000000007)
+                        % 1024 AS BIGINT) AS bucket,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM wh CROSS JOIN dd GROUP BY 1, 2"""))
   )
 }

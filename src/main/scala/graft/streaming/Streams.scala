@@ -25,30 +25,42 @@ object Streams {
     * column arrives as nanosecond longs (see Tables.events) and is
     * converted to Spark-native microsecond timestamps. */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = tableStream(spark, sfDir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Streaming view of the documents table (crawl-batch ingestion). */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
+    tableStream(spark, sfDir, "documents")
+
+  /** File-stream source for any testdata table. A directory-shaped
+    * table (any Spark-written output, e.g. the 10× rehearsal corpus) IS
+    * a file-stream source already; only the single-file testdata layout
+    * needs staging into a temp dir per (sfDir, table, jvm). (Files.copy
+    * on a directory silently copies nothing — an empty stream,
+    * round-5 bug.) */
+  private def tableStream(spark: SparkSession, sfDir: String,
+      table: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(s"$sfDir/events.parquet")
-    // a directory-shaped table (any Spark-written output, e.g. the 10×
-    // rehearsal corpus) IS a file-stream source already; only the
-    // single-file testdata layout needs staging. (Files.copy on a
-    // directory silently copies nothing — an empty stream, round-5 bug.)
+    val src = Paths.get(s"$sfDir/$table.parquet")
     val dir = if (Files.isDirectory(src)) src else {
       val d = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_stream_${math.abs(sfDir.hashCode)}")
+        s"graft_stream_${table}_${math.abs(sfDir.hashCode)}")
       Files.createDirectories(d)
-      Files.copy(src, d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(src, d.resolve(s"$table.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
       d
     }
-    val schema = Tables.load(spark, sfDir, "events").schema
+    val schema = Tables.load(spark, sfDir, table).schema
     val reader = spark.readStream.schema(schema)
     // operational knob (used by tools.StreamSmoke to force multi-batch
     // incremental arrival): cap files per micro-batch like a production
     // ingest would; unset = AvailableNow's default batching
     val tuned = spark.conf.getOption("graft.stream.maxFilesPerTrigger")
       .fold(reader)(v => reader.option("maxFilesPerTrigger", v))
-    val df = tuned.parquet(dir.toString)
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    tuned.parquet(dir.toString)
   }
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -210,5 +222,25 @@ object Streams {
       .toDF("user_id", "n_events", "first_seen", "total_value")
       .withColumn("total_value", round(col("total_value"), 2))
     drain(updated, OutputMode.Update(), "stream_user_state")
+  }
+
+  /** Streaming count-min sketch over a documents stream: the depth×width
+    * cell counts of [[graft.operators.CountMin]] maintained
+    * incrementally — the aggregation STATE here IS the sketch
+    * (≤ depth·width rows regardless of stream length), which is exactly
+    * the bounded-memory property that makes CMS the streaming frequency
+    * structure; per micro-batch the tokens fold into cells map-side and
+    * only cell deltas touch the state store. Complete-mode drain of the
+    * final state ≡ the batch sketch over the same corpus (the
+    * stream-twin discipline; exact, since the sketch is a deterministic
+    * function of the multiset of tokens). */
+  def streamCms(spark: SparkSession, sfDir: String, depth: Int = 4,
+      width: Int = 1024, seed: Long = 11L): DataFrame = {
+    val s = tuned(spark)
+    val docs = documentsStream(s, sfDir)
+    val words = graft.operators.CountMin.tokens(docs, "text")
+    val sk = graft.operators.CountMin.sketch(words, "w", depth, width, seed)
+      .select(col("i").cast("long").as("i"), col("bucket"), col("c"))
+    drain(sk, OutputMode.Complete(), "stream_cms")
   }
 }

@@ -66,6 +66,11 @@ object StreamSmoke {
       }
       Tables.customer(spark, sfDir)
         .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+      // documents in 8 crawl-batch chunks for the sketch stream (no
+      // event time — arrival order is irrelevant to a complete-mode agg)
+      Tables.documents(spark, sfDir)
+        .repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
       done.createNewFile()
     }
 
@@ -79,7 +84,7 @@ object StreamSmoke {
 
     Seq("q_stream_hourly", "q_stream_sessions", "q_stream_interval_join",
       "q_stream_dedup", "q_stream_sample", "q_stream_enrich",
-      "q_stream_user_state").foreach { name =>
+      "q_stream_user_state", "q_stream_cms").foreach { name =>
       val single = run(name, chunked = false)
       val multi = run(name, chunked = true)
       // memory-sink tables are materialized; nothing else to retain, so
