@@ -1337,6 +1337,22 @@ object LlmQueries {
                         AS quality
                FROM m""")),
 
+    // table profiling: per-column row/null/distinct/min/max in ONE
+    // aggregate pass (Expand + map-side partials — no joins, no
+    // windows); the pre-training corpus audit
+    Q("q_profile_docs",
+      (s, d) => graft.operators.Profile.profile(Tables.documents(s, d),
+        Seq("doc_id", "lang", "source", "n_chars")),
+      Some(Seq("doc_id", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count($c) AS BIGINT) AS n_nonnull,
+                   CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                   CAST(min($c) AS VARCHAR) AS min_s,
+                   CAST(max($c) AS VARCHAR) AS max_s
+            FROM documents"""
+      }.mkString("\nUNION ALL\n"))),
+
     // per-source RELATIVE quality filter: drop the worst 20% of each
     // source by quantized-score histogram CDF — never a per-group
     // window sort over the data; whole-bucket drop rule makes the kept
