@@ -1213,6 +1213,28 @@ object LlmQueries {
     // are taken before redaction; the oracle's regex chain is generated
     // from the SAME Scrub.piiPatterns the operator applies, in the same
     // order (single source of truth — a pattern edit can't desync them).
+    // keyed pseudonymization: stable opaque tokens from the portable
+    // mixer — the same id maps identically in every table under the
+    // same seed, so joins survive; zero-shuffle projection
+    Q("q_pseudonymize",
+      (s, d) => Scrub.pseudonymize(
+          Tables.events(s, d).select(col("event_id"), col("user_id")),
+          Seq("user_id")),
+      Some("""SELECT event_id,
+                     'anon_' || CAST(((user_id % 1000000007) * 2654435761
+                       + 283521) % 1000000007 AS VARCHAR) AS user_id
+              FROM events""")),
+
+    // k-anonymity audit: occupancy of every quasi-identifier
+    // combination + violation flag; shuffle carries (combination,
+    // count) cells, never rows
+    Q("q_k_anonymity",
+      (s, d) => Scrub.kAnonymityAudit(Tables.documents(s, d),
+        Seq("lang", "source"), k = 10L),
+      Some("""SELECT lang, source, CAST(count(*) AS BIGINT) AS group_n,
+                     count(*) < 10 AS violates_k
+              FROM documents GROUP BY lang, source""")),
+
     Q("q_pii_scrub",
       (s, d) => {
         val id4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")

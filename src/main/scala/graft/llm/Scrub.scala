@@ -50,4 +50,38 @@ object Scrub {
       col(idCol).as("doc_id") +: scrubbed(col(textCol)).as("clean_text") +:
         countCols: _*)
   }
+
+  /** Keyed pseudonymization: replace an integer identifier with a
+    * stable opaque token derived from the portable mixer under `seed` —
+    * the same id maps to the same token in EVERY table sharing the
+    * seed, so joins and group-bys survive while raw identifiers leave
+    * the dataset (keyed tokenization for pipeline hygiene, NOT
+    * cryptography — rotate the seed to unlink releases; a keyed
+    * cryptographic PRF drops in at the same call site if an adversarial
+    * threat model applies). Zero-shuffle projection; the id is reduced
+    * mod 1e9+7 before the multiply (the [[Sampling.bucket]] ANSI
+    * overflow discipline). */
+  def pseudonymize(df: DataFrame, idCols: Seq[String],
+      seed: Long = 7L): DataFrame =
+    idCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, concat(lit("anon_"),
+        pmod(pmod(col(c).cast("long"), lit(1000000007L)) * lit(2654435761L)
+          + lit(seed * 40503L), lit(1000000007L))))
+    }
+
+  /** k-anonymity audit over quasi-identifier columns: every distinct
+    * quasi-identifier combination with its occupancy and whether it
+    * violates `k` (fewer than k rows share it — those rows are
+    * re-identifiable at the audited granularity). One map-side-partial
+    * aggregate; the shuffle carries (combination, count) cells, never
+    * rows. The release gate is `violations == 0`; the per-combination
+    * frame (bounded by the quasi-identifier cardinality product, tiny
+    * relative to the data) feeds suppression or generalization. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "audit requires at least one column")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"))
+      .withColumn("violates_k", col("group_n") < k)
+  }
 }

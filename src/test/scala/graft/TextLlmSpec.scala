@@ -413,6 +413,42 @@ class TextLlmSpec extends AnyFunSuite {
     assert(out == Map(1 -> Seq(2.0, 4.0), 2 -> Seq(2.0, 2.0)))
   }
 
+  test("pseudonymize is join-consistent across tables and seed-dependent") {
+    import graft.llm.Scrub
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("row_id", "user_id")
+    val b = Seq((20L, "x"), (10L, "y")).toDF("user_id", "tag")
+    val pa = Scrub.pseudonymize(a, Seq("user_id"))
+    val pb = Scrub.pseudonymize(b, Seq("user_id"))
+    // tokens are opaque, stable, and join exactly like the raw ids did
+    val joined = pa.join(pb, "user_id").collect()
+    assert(joined.length == 2)
+    val tok = pa.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tok.values.forall(_.startsWith("anon_")))
+    assert(tok(1L) != tok(2L))
+    // a different seed unlinks the mapping
+    val rot = Scrub.pseudonymize(a, Seq("user_id"), seed = 99L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rot(1L) != tok(1L))
+  }
+
+  test("kAnonymityAudit flags quasi-identifier groups under k") {
+    import graft.llm.Scrub
+    val s = spark
+    import s.implicits._
+    val d = (Seq.fill(5)(("en", "s1")) ++ Seq.fill(2)(("en", "s2")) ++
+      Seq.fill(1)(("fr", "s1"))).zipWithIndex
+      .map { case ((l, src), i) => (i.toLong, l, src) }
+      .toDF("id", "lang", "src")
+    val got = Scrub.kAnonymityAudit(d, Seq("lang", "src"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(("en", "s1")) == ((5L, false)))
+    assert(got(("en", "s2")) == ((2L, true)))
+    assert(got(("fr", "s1")) == ((1L, true)))
+  }
+
   test("semanticDecontaminate flags near-eval train vectors, cross-set only") {
     val s = spark
     import s.implicits._
