@@ -62,12 +62,13 @@ object LlmQueries {
       (6L, text(base("gamma"))))                      // unrelated
   }
 
-  /** DuckDB word-shingle CTE fragment (k-word shingles, distinct). */
-  private def shingleCteK(k: Int): String = {
+  /** DuckDB word-shingle CTE fragment (k-word shingles, distinct);
+    * `where` optionally scopes the documents scan. */
+  private def shingleCteK(k: Int, where: String = ""): String = {
     val joined = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
     s"""ws AS (SELECT doc_id,
                list_filter(string_split_regex(text, '\\s+'), w -> length(w) > 0) AS w
-             FROM documents),
+             FROM documents $where),
        sh AS (SELECT DISTINCT doc_id,
                 unnest(list_transform(range(1, len(w) - ${k - 2}),
                   i -> $joined)) AS shingle
@@ -451,6 +452,38 @@ object LlmQueries {
                GROUP BY sh.doc_id""")),
 
     // exact n-gram Jaccard near-dup pairs (quadratic truth baseline)
+    // asymmetric containment pairs: sub-document duplication Jaccard
+    // misses; rare-shingle-anchored candidates (df <= 20, >= 5 shared —
+    // both deterministic dials, tuned for the synthetic corpus's
+    // 31-word vocabulary where shingle df is artificially dense) make
+    // the candidate set an exact function of the corpus: the oracle
+    // replays it term for term, no banding recall to adjudicate
+    Q("q_containment_pairs",
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "text",
+        "doc_id", k = 3, tau = 0.8, maxDf = 20L, minShared = 5L),
+      Some(s"""WITH $shingleCte,
+               df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+               rare AS (SELECT sh.doc_id, sh.shingle
+                        FROM sh JOIN df USING (shingle) WHERE df <= 20),
+               cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+                        FROM rare a JOIN rare b
+                          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2 HAVING count(*) >= 5),
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (SELECT c.da, c.db, count(*) AS c
+                         FROM cand c
+                         JOIN sh a ON a.doc_id = c.da
+                         JOIN sh b ON b.doc_id = c.db AND b.shingle = a.shingle
+                         GROUP BY 1, 2)
+               SELECT da, db,
+                      round(c * 1.0 / sa.n, 4) AS cont_a,
+                      round(c * 1.0 / sb.n, 4) AS cont_b
+               FROM inter
+               JOIN sizes sa ON da = sa.doc_id
+               JOIN sizes sb ON db = sb.doc_id
+               WHERE greatest(round(c * 1.0 / sa.n, 4),
+                              round(c * 1.0 / sb.n, 4)) >= 0.8""")),
+
     Q("q_ngram_jaccard_pairs",
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
         k = 3, tau = 0.8),

@@ -413,6 +413,26 @@ class TextLlmSpec extends AnyFunSuite {
     assert(out == Map(1 -> Seq(2.0, 4.0), 2 -> Seq(2.0, 2.0)))
   }
 
+  test("containmentPairs catches subset duplication that Jaccard misses") {
+    val inner = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = docs(
+      (1L, inner), // fully contained in doc 2
+      (2L, inner + " iota kappa lambda mu nu xi omicron pi rho sigma tau"),
+      (3L, "wholly unrelated words about spark shuffles and catalyst plans"))
+    val got = Dedup.containmentPairs(d, "text", "doc_id", k = 3, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set((1L, 2L)), s"got $got")
+    assert(got((1L, 2L))._1 == 1.0, "doc 1's shingles are all inside doc 2")
+    // symmetric Jaccard at the same threshold misses the pair
+    assert(Dedup.jaccardPairs(d, "text", "doc_id", k = 3, tau = 0.9)
+      .count() == 0)
+    // hot-shingle exclusion is deterministic: with maxDf = 1 no shingle
+    // is rare, so no candidates exist at all
+    assert(Dedup.containmentPairs(d, "text", "doc_id", k = 3, tau = 0.9,
+      maxDf = 1L).count() == 0)
+  }
+
   test("pseudonymize is join-consistent across tables and seed-dependent") {
     import graft.llm.Scrub
     val s = spark
