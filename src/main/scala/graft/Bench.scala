@@ -65,7 +65,8 @@ object Bench {
     "q_stratified_sample", "q_embed_ivfpq_res_knn", "q_cms_heavy_hitters",
     "q_shard_assign", "q_vocab_encode", "q_relative_quality",
     "q_embed_decontaminate", "q_stream_cms", "q_profile_docs",
-    "q_pseudonymize", "q_k_anonymity", "q_containment_pairs")
+    "q_pseudonymize", "q_k_anonymity", "q_containment_pairs",
+    "q_pmi_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1328,6 +1328,37 @@ object LlmQueries {
                      coalesce(avg_logp, 0.0) AS avg_logp
               FROM documents d LEFT JOIN sc USING (doc_id)""")),
 
+    // PMI collocations: top-20 adjacent pairs by pointwise mutual
+    // information (min count 5) — one double expression shape mirrored
+    // operand-for-operand so 6dp rounding agrees; unigram table
+    // broadcasts, top-k is a TakeOrdered
+    Q("q_pmi_pairs",
+      (s, d) => TextAnalysis.pmiPairs(Tables.documents(s, d), "text",
+        topK = 20, minCount = 5L),
+      Some("""WITH w AS (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                       x -> length(x) > 0) AS ws
+                   FROM documents),
+              bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                       i -> ws[i] || ' ' || ws[i+1])) AS bigram
+                     FROM w WHERE len(ws) >= 2),
+              un AS (SELECT unnest(ws) AS wd FROM w),
+              bc AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY 1
+                     HAVING count(*) >= 5),
+              wc AS (SELECT wd, count(*) AS cw FROM un GROUP BY 1),
+              n1 AS (SELECT count(*) AS n1 FROM un),
+              n2 AS (SELECT count(*) AS n2 FROM bg),
+              sc AS (SELECT bigram, CAST(cb AS BIGINT) AS n_pair,
+                       round(ln((CAST(cb AS DOUBLE) * n1 * n1) /
+                                (CAST(n2 AS DOUBLE) * c1.cw * c2.cw)), 6)
+                         AS pmi
+                     FROM bc
+                     JOIN wc c1 ON c1.wd = string_split(bigram, ' ')[1]
+                     JOIN wc c2 ON c2.wd = string_split(bigram, ' ')[2]
+                     CROSS JOIN n1 CROSS JOIN n2)
+              SELECT bigram, n_pair, pmi FROM sc
+              ORDER BY pmi DESC, bigram LIMIT 20""")),
+
     // count-min sketch heavy hitters: frequency estimation in bounded
     // depth×width state (KmvDistinct's frequency sibling) probed with
     // the exact top-20 tokens; the portable word hash makes every

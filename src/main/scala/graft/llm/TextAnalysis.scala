@@ -189,6 +189,46 @@ object TextAnalysis {
         coalesce(col("avg_logp"), lit(0.0)).as("avg_logp"))
   }
 
+  /** Top-k collocations by pointwise mutual information over adjacent
+    * token pairs: PMI(a,b) = ln(p(ab) / (p(a)·p(b))) — the corpus
+    * analysis that surfaces multiword units ("new york") a frequency
+    * top-k buries under stopword pairs. Computed in ONE double
+    * expression shape, ln((c_ab·N1·N1) / (N2·c_a·c_b)), mirrored
+    * operand-for-operand by the oracle so 6dp rounding agrees (the
+    * [[lmScore]] ln-parity discipline); `minCount` is the standard
+    * low-frequency cutoff (PMI of rare pairs explodes).
+    *
+    * 100 TB shape: two count aggregates (map-side partials; shuffles
+    * carry (gram, count) cells); the unigram table is vocabulary-sized
+    * and BROADCASTS into the bigram frame twice; totals are 1-row
+    * broadcasts; the final top-k is a TakeOrdered, never a global
+    * sort. */
+  def pmiPairs(docs: DataFrame, textCol: String, topK: Int = 20,
+      minCount: Long = 5L): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    val bigr = docs.select(
+      explode(graft.functions.ShingleArray.shinglesAll(toks, 2)).as("bigram"))
+    val words = docs.select(
+      explode(graft.functions.ShingleArray.shinglesAll(toks, 1)).as("wd"))
+    val bc = bigr.groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val wc = words.groupBy(col("wd")).agg(count(lit(1)).as("cw"))
+    val n1 = words.agg(count(lit(1)).as("n1"))
+    val n2 = bigr.agg(count(lit(1)).as("n2"))
+    bc
+      .join(broadcast(wc.select(col("wd").as("w1"), col("cw").as("c1"))), "w1")
+      .join(broadcast(wc.select(col("wd").as("w2"), col("cw").as("c2"))), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("bigram"), col("n_pair"),
+        round(log(
+          (col("n_pair").cast("double") * col("n1") * col("n1")) /
+            (col("n2").cast("double") * col("c1") * col("c2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topK)
+  }
+
   /** Content fingerprint: md5 over case/whitespace-normalized text —
     * the join key for exact dedup across differently-formatted copies.
     * Normalization is the native one-scan NormalizeText expression. */

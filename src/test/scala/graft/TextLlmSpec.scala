@@ -413,6 +413,18 @@ class TextLlmSpec extends AnyFunSuite {
     assert(out == Map(1 -> Seq(2.0, 4.0), 2 -> Seq(2.0, 2.0)))
   }
 
+  test("pmiPairs ranks collocations by hand-computed PMI with min-count cut") {
+    import graft.llm.TextAnalysis
+    val d = docs((1L, "x y x y x y"), (2L, "x z"))
+    // unigrams: x=4 y=3 z=1, N1=8; bigrams: "x y"=3 "y x"=2 "x z"=1, N2=6
+    // minCount=2 keeps "x y","y x":
+    //   pmi(x y) = ln(3*8*8 / (6*4*3)) = ln(8/3)  = 0.980829
+    //   pmi(y x) = ln(2*8*8 / (6*3*4)) = ln(16/9) = 0.575364
+    val got = TextAnalysis.pmiPairs(d, "text", topK = 5, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("x y", 3L, 0.980829), ("y x", 2L, 0.575364)))
+  }
+
   test("containmentPairs catches subset duplication that Jaccard misses") {
     val inner = "alpha beta gamma delta epsilon zeta eta theta"
     val d = docs(
