@@ -66,7 +66,7 @@ object Bench {
     "q_shard_assign", "q_vocab_encode", "q_relative_quality",
     "q_embed_decontaminate", "q_stream_cms", "q_profile_docs",
     "q_pseudonymize", "q_k_anonymity", "q_containment_pairs",
-    "q_pmi_pairs")
+    "q_pmi_pairs", "q_bm25_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -80,6 +80,56 @@ object TextOps {
       .select(col(docCol), col("word"), col("tf"), col("tfidf"))
   }
 
+  /** Okapi BM25 top-k retrieval: score every document against a small
+    * keyword-query set — the retrieval counterpart of [[tfIdfTopK]]
+    * (scoring the corpus FOR queries rather than summarizing each doc).
+    * Per query term: idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)), summed per (query, doc) and
+    * rounded to 6dp; the whole formula is ONE double expression shape
+    * mirrored operand-for-operand by the oracle (the ln-parity
+    * discipline; the cross-term summation order is the documented
+    * rounding-boundary caveat shared with avg-of-ln ops like lmScore).
+    *
+    * 100 TB shape: tf is the wordfreq aggregate; df joins to the TINY
+    * query-term list first (≤ Σ|query| rows) and that product
+    * BROADCASTS into tf, so only rows whose term appears in some query
+    * survive; doc lengths join doc-keyed (both sides already hash by
+    * doc); corpus totals ride a 1-row broadcast; per-query top-k is a
+    * window partitioned by qid. The corpus is never cartesian-joined
+    * against the query set. */
+  def bm25TopK(docs: DataFrame, textCol: String, docCol: String,
+      queries: Seq[(String, String)], k: Int = 5, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = words(docs, textCol, docCol)
+    val tf = w.groupBy(col(docCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(docCol)).agg(sum(col("tf")).as("dl"))
+    val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, qt) =>
+      qt.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }.toDF("qid", "word")
+    val qdf = broadcast(qterms.join(dfc, "word"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val term = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(docCol).asc)
+    tf.join(qdf, "word")
+      .join(dl, docCol)
+      .crossJoin(broadcast(tot))
+      .groupBy(col("qid"), col(docCol))
+      .agg(round(sum(term), 6).as("score"))
+      .withColumn("rn", row_number().over(byQ).cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** Inverted index: token → sorted distinct posting list + frequency. */
   def invertedIndex(docs: DataFrame, textCol: String, docCol: String): DataFrame =
     words(docs, textCol, docCol).distinct()

@@ -71,6 +71,48 @@ object TextQueries {
                   ORDER BY tfidf DESC, word) AS rn FROM sc)
               WHERE rn <= 3""")),
 
+    // Okapi BM25 top-5 retrieval for a fixed keyword-query set; the
+    // formula is one double expression shape mirrored operand-for-
+    // operand (ln-parity discipline); query-term df product broadcasts
+    // into tf, 1-row totals broadcast, per-query window top-k
+    Q("q_bm25_topk",
+      (s, d) => TextOps.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+        Seq("q1" -> "spark hash join", "q2" -> "table scan filter",
+          "q3" -> "sort merge batch"), k = 5),
+      Some("""WITH w AS (SELECT doc_id,
+                     unnest(string_split_regex(text, '\s+')) AS word
+                   FROM documents),
+              ww AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+              tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                     FROM ww GROUP BY 1, 2),
+              dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                     FROM tf GROUP BY 1),
+              dfc AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                      FROM tf GROUP BY 1),
+              tot AS (SELECT count(*) AS n_docs,
+                             CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+              q(qid, word) AS (VALUES
+                ('q1', 'spark'), ('q1', 'hash'), ('q1', 'join'),
+                ('q2', 'table'), ('q2', 'scan'), ('q2', 'filter'),
+                ('q3', 'sort'), ('q3', 'merge'), ('q3', 'batch')),
+              sc AS (SELECT q.qid, tf.doc_id,
+                       round(sum(
+                         ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5)
+                                  / (df + 0.5)) *
+                         (tf * (1.2 + 1.0)) /
+                         (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                            (CAST(sum_dl AS DOUBLE) / n_docs)))), 6) AS score
+                     FROM tf
+                     JOIN q USING (word)
+                     JOIN dfc USING (word)
+                     JOIN dl USING (doc_id)
+                     CROSS JOIN tot
+                     GROUP BY 1, 2)
+              SELECT qid, doc_id, score, rn FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY score DESC, doc_id) AS BIGINT) AS rn FROM sc)
+              WHERE rn <= 5""")),
+
     // wordfreq Ntop: global top-20, deterministic tiebreak
     Q("q_wordfreq_topn",
       (s, d) => TextOps.topWords(Tables.documents(s, d), "text", 20),

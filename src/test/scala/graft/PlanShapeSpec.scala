@@ -86,7 +86,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_kmeans", // k-row centroid table broadcast into assignment
       "q_embed_ivfpq_knn", // IVF coarse assignment (same centroid crossJoin as ivf_knn)
       "q_embed_ivfpq_res_knn", // same coarse assignment, residual codebooks
-      "q_pmi_pairs") // two 1-row corpus totals broadcast into the pair scorer
+      "q_pmi_pairs", // two 1-row corpus totals broadcast into the pair scorer
+      "q_bm25_topk") // 1-row (N, sum_dl) totals broadcast into the scorer
     val offenders = Registry.byName.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream"))
       .flatMap { name =>

@@ -413,6 +413,23 @@ class TextLlmSpec extends AnyFunSuite {
     assert(out == Map(1 -> Seq(2.0, 4.0), 2 -> Seq(2.0, 2.0)))
   }
 
+  test("bm25TopK ranks docs matching more/rarer query terms first") {
+    val d = docs(
+      (1L, "spark hash join fast"),
+      (2L, "spark spark spark table"),
+      (3L, "table scan value"))
+    val got = TextOps.bm25TopK(d, "text", "doc_id",
+        Seq("qa" -> "spark hash"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    // doc 3 has no query term — absent; doc 1 (both terms, one rare)
+    // outranks doc 2 (one common term, tf-saturated)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L), s"got ${got.mkString(",")}")
+    assert(got.forall(_._3 > 0.0))
+    val Seq(s1, s2) = got.map(_._3).toSeq
+    assert(s1 > s2)
+  }
+
   test("pmiPairs ranks collocations by hand-computed PMI with min-count cut") {
     import graft.llm.TextAnalysis
     val d = docs((1L, "x y x y x y"), (2L, "x z"))
