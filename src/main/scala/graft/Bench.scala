@@ -135,6 +135,12 @@ object Bench {
 
     def f(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     def fOpt(v: Option[Double]): String = v.map(f).getOrElse("null")
+    // A query that throws on every run reports null and drops OUT of the
+    // headline total — which would read as a round-over-round speedup. The
+    // explicit failure count/list makes total comparisons self-invalidate
+    // when the contributing query sets differ.
+    val failed = results.collect { case (n, None) => n }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jsonLine(qs: Seq[(String, Option[Double])], total: Double, detail: Boolean): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fOpt(v) }
         .mkString("{", ",", "}")
@@ -145,6 +151,7 @@ object Bench {
         }.mkString(""","samples":{""", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
         s""""queries":$m,"sf":"$sfDir","n_queries":${results.size},""" +
+        s""""n_failed":${failed.size},"failed":$failedJson,""" +
         s""""passes":$Passes,"detail":"bench_out.json"$raw}"""
     }
     val total = results.flatMap(_._2).sum

@@ -202,13 +202,17 @@ object Dedup {
     * injected join filters, not a corpus sketch. Past a few million
     * corpus items the default-capped bloom saturates and the prefilter
     * stops pruning (still correct — the exact semi-join weeds the flood
-    * — just no longer cheap). So the confs are raised to this build's
-    * computed size for the duration of the aggregate and restored
-    * after: the documented ~1.2 GB per 10⁹ items sizing then actually
-    * materializes. */
+    * — just no longer cheap). So the build aggregate runs in an
+    * ISOLATED child session (same SparkContext, fresh SQL conf —
+    * [[org.apache.spark.sql.graftbridge.SessionBridge]]) with the caps
+    * raised to this build's computed size: the documented ~1.2 GB per
+    * 10⁹ items sizing actually materializes, concurrent queries on the
+    * caller's session never observe the raised caps, and two concurrent
+    * builds can't race a save/restore (there is none — the child
+    * session is discarded). */
   def exactIncremental(fresh: DataFrame, corpus: DataFrame, textCol: String,
       idCol: String, fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.graftbridge.{ColumnBridge, SessionBridge}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     def fp(t: Column) = md5(graft.functions.NormalizeText.normalize(t))
@@ -217,28 +221,15 @@ object Dedup {
     val items = math.max(1L, cFp.count())
     val numBits = math.max(64L,
       (-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val conf = corpus.sparkSession.conf
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val savedItems = conf.getOption(itemsKey)
-    val savedBits = conf.getOption(bitsKey)
-    val bloomBytes =
-      try {
-        if (conf.get(itemsKey, "4000000").toLong < items)
-          conf.set(itemsKey, items.toString)
-        if (conf.get(bitsKey, "67108864").toLong < numBits)
-          conf.set(bitsKey, numBits.toString)
-        cFp.agg(ColumnBridge.toColumn(
-            new BloomFilterAggregate(hashed(col("fp")),
-              Literal(items), Literal(numBits)).toAggregateExpression())
-            .as("bloom"))
-          .head().getAs[Array[Byte]]("bloom")
-      } finally {
-        def restore(k: String, v: Option[String]): Unit =
-          v.fold(conf.unset(k))(conf.set(k, _))
-        restore(itemsKey, savedItems)
-        restore(bitsKey, savedBits)
-      }
+    val sized = SessionBridge.isolated(cFp, Map(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> items.toString,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
+        math.max(numBits, 67108864L).toString))
+    val bloomBytes = sized.agg(ColumnBridge.toColumn(
+        new BloomFilterAggregate(hashed(col("fp")),
+          Literal(items), Literal(numBits)).toAggregateExpression())
+        .as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
     val candidates = fresh.withColumn("_fp", fp(col(textCol)))
       .where(ColumnBridge.toColumn(BloomFilterMightContain(
         Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),

@@ -56,11 +56,21 @@ object Scrub {
     * the same id maps to the same token in EVERY table sharing the
     * seed, so joins and group-bys survive while raw identifiers leave
     * the dataset (keyed tokenization for pipeline hygiene, NOT
-    * cryptography — rotate the seed to unlink releases; a keyed
-    * cryptographic PRF drops in at the same call site if an adversarial
-    * threat model applies). Zero-shuffle projection; the id is reduced
-    * mod 1e9+7 before the multiply (the [[Sampling.bucket]] ANSI
-    * overflow discipline). */
+    * cryptography — the map is affine mod a prime, so a single known
+    * (id, token) pair algebraically reverses the ENTIRE mapping, and
+    * rotating the seed only unlinks releases against non-adversarial
+    * correlation; a keyed cryptographic PRF drops in at the same call
+    * site if an adversarial threat model applies). Zero-shuffle
+    * projection; the id is reduced mod 1e9+7 before the multiply (the
+    * [[Sampling.bucket]] ANSI overflow discipline).
+    *
+    * PRECONDITION — id range: the mapping is injective only for ids in
+    * [0, 1e9+7). Larger ids are folded mod 1e9+7 FIRST, so two distinct
+    * real ids that differ by a multiple of 1e9+7 map to the SAME token,
+    * silently merging identities in downstream joins/group-bys. At
+    * large-id scale (e.g. 64-bit snowflake ids) pre-hash the full key
+    * into [0, 1e9+7) with a collision-audited map, or widen the token
+    * domain, before calling this. */
   def pseudonymize(df: DataFrame, idCols: Seq[String],
       seed: Long = 7L): DataFrame =
     idCols.foldLeft(df) { (d, c) =>

@@ -31,9 +31,14 @@ object KmvDistinct {
   val M = 1000000007L
   val A = 2654435761L
 
-  /** Deterministic hash of a numeric key onto [0, M). */
+  /** Deterministic hash of a numeric key onto [0, M). Outer pmod (not
+    * `%`): a negative `seed` makes the pre-mod sum negative, and a
+    * negative "hash" would silently corrupt the k-smallest ordering the
+    * estimator depends on (same discipline as `Sampling.bucket`). For
+    * seed ≥ 0 the two operators agree, so existing oracles replay
+    * unchanged. */
   def hashed(key: Column, seed: Long = 7L): Column =
-    (pmod(key.cast("long"), lit(M)) * lit(A) + lit(seed * 40503L)) % lit(M)
+    pmod(pmod(key.cast("long"), lit(M)) * lit(A) + lit(seed * 40503L), lit(M))
 
   class KmvSketchAggregator(k: Int)
       extends Aggregator[Long, Seq[Long], Seq[Long]] {

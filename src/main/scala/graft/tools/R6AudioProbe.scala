@@ -9,6 +9,7 @@ package graft.tools
 object R6AudioProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(50000)
+    val threads = 32
     val payload = Array.tabulate(600)(i => (i % 251).toByte)
     val wav = graft.multimodal.Multimodal.encodeWav(payload)
     def bench(label: String)(work: Int => Unit): Unit = {
@@ -16,31 +17,33 @@ object R6AudioProbe {
       work(n)
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // A dedicated fixed pool — NOT the ForkJoin common pool, whose
+    // parallelism is cores-1, which would understate the claimed
+    // concurrency — with the remainder iterations distributed so every
+    // arm does exactly n ops and wall clocks compare like for like.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    def parallelArm(op: () => Unit): Unit = {
+      val tasks = (0 until threads).map { t =>
+        val mine = n / threads + (if (t < n % threads) 1 else 0)
+        java.util.concurrent.CompletableFuture.runAsync(
+          () => { var i = 0; while (i < mine) { op(); i += 1 } }, pool)
+      }
+      tasks.foreach(_.join())
+    }
     // warm
     (1 to 1000).foreach(_ => graft.multimodal.Multimodal.decodeWavBytes(wav))
     bench("decode 1-thread") { n =>
       var i = 0; while (i < n) { graft.multimodal.Multimodal.decodeWavBytes(wav); i += 1 }
     }
-    bench("decode 32-thread") { n =>
-      val tasks = (0 until 32).map { _ =>
-        java.util.concurrent.CompletableFuture.runAsync { () =>
-          var i = 0
-          while (i < n / 32) { graft.multimodal.Multimodal.decodeWavBytes(wav); i += 1 }
-        }
-      }
-      tasks.foreach(_.join())
+    bench(s"decode $threads-thread") { _ =>
+      parallelArm(() => graft.multimodal.Multimodal.decodeWavBytes(wav))
     }
     bench("encode 1-thread") { n =>
       var i = 0; while (i < n) { graft.multimodal.Multimodal.encodeWav(payload); i += 1 }
     }
-    bench("encode 32-thread") { n =>
-      val tasks = (0 until 32).map { _ =>
-        java.util.concurrent.CompletableFuture.runAsync { () =>
-          var i = 0
-          while (i < n / 32) { graft.multimodal.Multimodal.encodeWav(payload); i += 1 }
-        }
-      }
-      tasks.foreach(_.join())
+    bench(s"encode $threads-thread") { _ =>
+      parallelArm(() => graft.multimodal.Multimodal.encodeWav(payload))
     }
+    pool.shutdown()
   }
 }
