@@ -1,0 +1,412 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import LlmQueries._
+
+/** Dedup-family registry: exact/normalized/incremental dedup, span
+  * excision, decontamination, containment, MinHash/SimHash near-dup
+  * pairs + clustering. Shared DuckDB replay fragments live in
+  * [[LlmQueries]]. */
+object DedupQueries {
+
+  val all: Seq[Q] = Seq(
+    // exact dedup: content-hash groups, survivor = min id
+    Q("q_dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d), "text", "doc_id"),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+              FROM documents GROUP BY md5(text)""")),
+
+    Q("q_dedup_normalized",
+      (s, d) => Dedup.exactNormalized(Tables.documents(s, d), "text", "doc_id"),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+                     min(doc_id) AS keep_id, count(*) AS n_copies
+              FROM documents GROUP BY 1""")),
+
+    // decontamination: training docs sharing any 8-shingle with a
+    // deterministic 20% "benchmark" slice (the q_hash_sample gate) are
+    // flagged with their shared-shingle count — the train/test overlap
+    // scrub, replayed exactly by DuckDB. k = 8 so only genuine overlap
+    // (near-dups, quotes) flags; at k = 3 phrase-level collisions flag
+    // essentially the whole corpus.
+    // exact incremental dedup behind a Bloom pre-filter (Spark's own
+    // runtime-filter expressions): the answer is bloom-invariant (exact
+    // semi-join weeds false positives; false negatives impossible), so
+    // the oracle is a plain fingerprint set difference
+    Q("q_bloom_prefilter",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sampled = Sampling.hashSample(docs, "doc_id", 0.2)
+        val corpus = docs.join(sampled.select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        // the batch = the 20% slice (novel) plus a re-crawl of part of
+        // the corpus under NEW ids (true duplicates by construction) —
+        // the corpus has no exact-dup groups of its own, so without the
+        // re-crawl the rejection path would never fire
+        val recrawl = corpus.where(col("doc_id") % 10 === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+        Dedup.exactIncremental(sampled.unionByName(recrawl), corpus,
+          "text", "doc_id")
+          .select(col("doc_id"))
+      },
+      Some("""WITH f0 AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                       ((doc_id % 1000000007) * 2654435761 + 283521) % 9973 < 1994
+                         AS in_sample
+                FROM documents),
+              fresh AS (
+                SELECT doc_id, fp FROM f0 WHERE in_sample
+                UNION ALL
+                SELECT doc_id + 1000000, fp FROM f0
+                WHERE NOT in_sample AND doc_id % 10 = 3),
+              cf AS (SELECT fp FROM f0 WHERE NOT in_sample)
+              SELECT doc_id FROM fresh
+              WHERE fp NOT IN (SELECT fp FROM cf)""")),
+
+    // incremental ingestion dedup: the 20% mixer slice plays the "new
+    // crawl batch", the rest the existing corpus; admitted = fresh docs
+    // with no corpus near-dup at exact Jaccard >= 0.8 among banded
+    // MinHash candidates. The oracle computes the true cross-Jaccard
+    // directly (banding recall equivalence pinned by q_minhash_lsh_pairs)
+    // NOTE on check strength: the Spark side admits via banded-MinHash
+    // candidates, the oracle via exact cross-Jaccard — equal only when
+    // banding recall is perfect. At tau=0.8, r=4, b=16 the per-pair miss
+    // probability is (1−0.8⁴)^16 ≈ 2·10⁻⁴, and this fixture has no pair
+    // near the boundary, so the check is deterministic HERE; on a
+    // different corpus a missed band pair could admit a doc the oracle
+    // rejects. Probabilistic-recall by design — same class as the
+    // q_minhash_lsh_pairs equivalence it reuses.
+    Q("q_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val fresh = Sampling.hashSample(docs, "doc_id", 0.2)
+        val corpus = docs.join(fresh.select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        Dedup.incrementalDedup(fresh, corpus, "text", "doc_id")
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH $shingleCte,
+               fresh AS (SELECT doc_id FROM documents
+                         WHERE ((doc_id % 1000000007) * 2654435761 + 283521)
+                               % 9973 < 1994),
+               fs AS (SELECT sh.doc_id, shingle FROM sh JOIN fresh USING (doc_id)),
+               cs AS (SELECT sh.doc_id, shingle FROM sh
+                      WHERE sh.doc_id NOT IN (SELECT doc_id FROM fresh)),
+               fsz AS (SELECT doc_id, count(*) AS nf FROM fs GROUP BY 1),
+               csz AS (SELECT doc_id, count(*) AS nc FROM cs GROUP BY 1),
+               inter AS (SELECT fs.doc_id AS fid, cs.doc_id AS cid,
+                                count(*) AS c
+                         FROM fs JOIN cs ON fs.shingle = cs.shingle
+                         GROUP BY 1, 2),
+               dup AS (SELECT DISTINCT fid FROM inter
+                       JOIN fsz ON fsz.doc_id = inter.fid
+                       JOIN csz ON csz.doc_id = inter.cid
+                       WHERE round(c * 1.0 / (nf + nc - c), 4) >= 0.8)
+               SELECT doc_id FROM fresh
+               WHERE doc_id NOT IN (SELECT fid FROM dup)""")),
+
+    // sequence-level (substring) dedup: maximal cross-document repeated
+    // token spans (L=10 fits the fixture's 10-99-token docs; production
+    // default is 50). The oracle replays the whole pipeline over gram
+    // TEXT — the collision-free semantics the operator's 128-bit gram
+    // key approximates (first expected collision past 10^18 grams).
+    Q("q_repeated_spans",
+      (s, d) => Dedup.repeatedSpans(Tables.documents(s, d), "text", "doc_id",
+        spanLen = 10),
+      Some(substringDedupCte(10) +
+        """ SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+                  CAST(max(p) + 9 AS BIGINT) AS span_end,
+                  CAST(max(p) + 9 - min(p) + 1 AS BIGINT) AS span_tokens
+           FROM isl GROUP BY doc_id, island""")),
+
+    // substring-dedup excision: every token covered by a cross-document
+    // repeated 10-gram removed; clean_text is the surviving tokens joined
+    // by single spaces (whitespace-normalized by contract, so the output
+    // is a pure function of the token sequence on both engines).
+    Q("q_excise_spans",
+      (s, d) => Dedup.exciseRepeatedSpans(Tables.documents(s, d), "text",
+        "doc_id", spanLen = 10),
+      Some(substringDedupCte(10) +
+        """, cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 10)) AS t
+                     FROM dp),
+           tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS t,
+                          unnest(w) AS tokv
+                   FROM ws),
+           keep AS (SELECT doc_id, t, tokv FROM tok
+                    WHERE NOT EXISTS (SELECT 1 FROM cov
+                                      WHERE cov.doc_id = tok.doc_id
+                                        AND cov.t = tok.t)),
+           agg AS (SELECT doc_id, string_agg(tokv, ' ' ORDER BY t) AS ct,
+                          count(*) AS nk
+                   FROM keep GROUP BY doc_id)
+           SELECT ws.doc_id, coalesce(ct, '') AS clean_text,
+                  CAST(len(w) - coalesce(nk, 0) AS BIGINT) AS n_removed
+           FROM ws LEFT JOIN agg USING (doc_id)""")),
+
+    // keep-one-copy excision: each duplicated gram survives in its OWNER
+    // document (min doc_id containing it — a deterministic global
+    // tie-break both engines replay); every other copy is removed. The
+    // production substring-dedup semantics: the corpus retains exactly
+    // one canonical copy of each duplicated passage.
+    Q("q_excise_spans_keep_one",
+      (s, d) => Dedup.exciseRepeatedSpans(Tables.documents(s, d), "text",
+        "doc_id", spanLen = 10, keepOne = true),
+      Some(substringDedupCte(10, keepOne = true) +
+        """, cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 10)) AS t
+                     FROM dp),
+           tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS t,
+                          unnest(w) AS tokv
+                   FROM ws),
+           keep AS (SELECT doc_id, t, tokv FROM tok
+                    WHERE NOT EXISTS (SELECT 1 FROM cov
+                                      WHERE cov.doc_id = tok.doc_id
+                                        AND cov.t = tok.t)),
+           agg AS (SELECT doc_id, string_agg(tokv, ' ' ORDER BY t) AS ct,
+                          count(*) AS nk
+                   FROM keep GROUP BY doc_id)
+           SELECT ws.doc_id, coalesce(ct, '') AS clean_text,
+                  CAST(len(w) - coalesce(nk, 0) AS BIGINT) AS n_removed
+           FROM ws LEFT JOIN agg USING (doc_id)""")),
+
+    Q("q_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val test = Sampling.hashSample(docs, "doc_id", 0.2)
+        val train = docs.join(test.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        Dedup.decontaminate(train, test, "text", "doc_id", k = 8)
+      },
+      Some(s"""WITH ${shingleCteK(8)},
+               test_ids AS (SELECT doc_id FROM documents
+                            WHERE ((doc_id % 1000000007) * 2654435761 + 283521) % 9973 < 1994),
+               tsh AS (SELECT DISTINCT shingle FROM sh JOIN test_ids USING (doc_id))
+               SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+               FROM sh JOIN tsh USING (shingle)
+               WHERE sh.doc_id NOT IN (SELECT doc_id FROM test_ids)
+               GROUP BY sh.doc_id""")),
+
+    // graded contamination: per-training-doc FRACTION of shingles shared
+    // with the eval slice (left join marks membership, so clean docs
+    // score 0.0 rather than vanishing) — thresholdable overlap, the form
+    // pipelines adjudicate partial contamination with
+    Q("q_contamination_score",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val test = Sampling.hashSample(docs, "doc_id", 0.2)
+        val train = docs.join(test.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        Dedup.contaminationScore(train, test, "text", "doc_id", k = 8)
+      },
+      Some(s"""WITH ${shingleCteK(8)},
+               test_ids AS (SELECT doc_id FROM documents
+                            WHERE ((doc_id % 1000000007) * 2654435761 + 283521) % 9973 < 1994),
+               tsh AS (SELECT DISTINCT shingle FROM sh JOIN test_ids USING (doc_id))
+               SELECT sh.doc_id,
+                      CAST(count(*) AS BIGINT) AS n_shingles,
+                      CAST(count(tsh.shingle) AS BIGINT) AS n_shared,
+                      round(count(tsh.shingle) * 1.0 / count(*), 6) AS overlap
+               FROM sh LEFT JOIN tsh ON sh.shingle = tsh.shingle
+               WHERE sh.doc_id NOT IN (SELECT doc_id FROM test_ids)
+               GROUP BY sh.doc_id""")),
+
+    // exact n-gram Jaccard near-dup pairs (quadratic truth baseline)
+    // asymmetric containment pairs: sub-document duplication Jaccard
+    // misses; rare-shingle-anchored candidates (df <= 20, >= 5 shared —
+    // both deterministic dials, tuned for the synthetic corpus's
+    // 31-word vocabulary where shingle df is artificially dense) make
+    // the candidate set an exact function of the corpus: the oracle
+    // replays it term for term, no banding recall to adjudicate
+    Q("q_containment_pairs",
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "text",
+        "doc_id", k = 3, tau = 0.8, maxDf = 20L, minShared = 5L),
+      Some(s"""WITH $shingleCte,
+               df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+               rare AS (SELECT sh.doc_id, sh.shingle
+                        FROM sh JOIN df USING (shingle) WHERE df <= 20),
+               cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+                        FROM rare a JOIN rare b
+                          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2 HAVING count(*) >= 5),
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (SELECT c.da, c.db, count(*) AS c
+                         FROM cand c
+                         JOIN sh a ON a.doc_id = c.da
+                         JOIN sh b ON b.doc_id = c.db AND b.shingle = a.shingle
+                         GROUP BY 1, 2)
+               SELECT da, db,
+                      round(c * 1.0 / sa.n, 4) AS cont_a,
+                      round(c * 1.0 / sb.n, 4) AS cont_b
+               FROM inter
+               JOIN sizes sa ON da = sa.doc_id
+               JOIN sizes sb ON db = sb.doc_id
+               WHERE greatest(round(c * 1.0 / sa.n, 4),
+                              round(c * 1.0 / sb.n, 4)) >= 0.8""")),
+
+    Q("q_ngram_jaccard_pairs",
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        k = 3, tau = 0.8),
+      Some(s"""WITH $shingleCte,
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               shared AS (
+                 SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+               SELECT da, db,
+                      round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+               FROM shared
+               JOIN sizes sa ON da = sa.doc_id
+               JOIN sizes sb ON db = sb.doc_id
+               WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8""")),
+
+    // MinHash LSH candidates + EXACT Jaccard verification: the final
+    // answer is hash-independent (banding only prunes the pair space), so
+    // the exact n-gram-Jaccard oracle checks the whole banded plan —
+    // candidate recall at these parameters (P[miss] ≈ 2e-4 per true pair)
+    // is also asserted against the quadratic baseline in TextLlmSpec.
+    // RECALL CAVEAT: oracle equality assumes banding recall = 1 on the
+    // current corpus. That holds for the fixed testdata, but regenerating
+    // documents (or raising sf, adding true pairs near J = 0.8) can
+    // legitimately drop a pair with probability (1 - J^4)^16 per pair —
+    // a failure here after a DATA change means re-check recall before
+    // suspecting the engine.
+    Q("q_minhash_lsh_pairs",
+      (s, d) => Dedup.minHashLshPairsExact(Tables.documents(s, d), "text",
+        "doc_id", k = 3, numHashes = 64, bands = 16, tau = 0.8),
+      Some(s"""WITH $shingleCte,
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               shared AS (
+                 SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+               SELECT da, db,
+                      round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+               FROM shared
+               JOIN sizes sa ON da = sa.doc_id
+               JOIN sizes sb ON db = sb.doc_id
+               WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8""")),
+
+    // SimHash fingerprints + near-dup pairs on the real corpus —
+    // oracle-checked since round 4: the portable polynomial word hash +
+    // mixer signs let DuckDB recompute every fingerprint, band, and
+    // Hamming distance (previously rows-only under xxhash64)
+    Q("q_simhash_pairs",
+      (s, d) => Dedup.simHashPairs(Tables.documents(s, d), "text", "doc_id",
+        maxHamming = 3),
+      Some(simhashPairsSql(maxHamming = 3))),
+
+    // the 128-bit / 32-bit-band layout (the billion-doc scale path) on
+    // the real corpus, with the same full-replay oracle machinery —
+    // both fingerprint halves recomputed in SQL
+    Q("q_simhash_pairs_wide",
+      (s, d) => Dedup.simHashPairsWide(Tables.documents(s, d), "text", "doc_id",
+        maxHamming = 3),
+      Some(simhashPairsWideSql(maxHamming = 3))),
+
+    // SimHash on the fixed golden corpus: fingerprints are a pure function
+    // of the fixed text, so the pair set is a constant — VALUES oracle,
+    // independently cross-checked in TextLlmSpec against brute-force
+    // pairwise Hamming (banding is lossless for distance ≤ 3 by pigeonhole)
+    Q("q_simhash_golden",
+      (s, d) => {
+        import s.implicits._
+        Dedup.simHashPairs(simhashGoldenDocs.toDF("doc_id", "text"),
+          "text", "doc_id", maxHamming = 3)
+      },
+      Some("""SELECT CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db,
+                     CAST(hamming AS BIGINT) AS hamming
+              FROM (VALUES (1, 2, 1), (1, 3, 0), (2, 3, 1), (4, 5, 3))
+                t(da, db, hamming)""")),
+
+    // near-dup clusters: banded LSH pairs (exact-verified) → connected
+    // components → survivor — the flagship production dedup shape. The
+    // pair set is hash-independent (banding only prunes the pair space;
+    // recall caveat as in q_minhash_lsh_pairs), so DuckDB replays the
+    // closure recursively over the exact all-pairs edges and the answers
+    // coincide. The quadratic generator survives only in
+    // q_ngram_jaccard_pairs, its designated truth-baseline row.
+    Q("q_dedup_clusters",
+      (s, d) => Dedup.dedupClusters(
+        Dedup.minHashLshPairsExact(Tables.documents(s, d), "text", "doc_id",
+          k = 3, numHashes = 64, bands = 16, tau = 0.8)),
+      Some(s"""WITH RECURSIVE $shingleCte,
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               shared AS (
+                 SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+               pairs AS (
+                 SELECT da, db FROM shared
+                 JOIN sizes sa ON da = sa.doc_id
+                 JOIN sizes sb ON db = sb.doc_id
+                 WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+               adj AS (SELECT da AS v, db AS nbr FROM pairs
+                       UNION ALL SELECT db, da FROM pairs),
+               reach(v, r) AS (
+                 SELECT v, v FROM (SELECT DISTINCT v FROM adj)
+                 UNION
+                 SELECT adj.v, reach.r FROM adj JOIN reach ON adj.nbr = reach.v)
+               SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v""")),
+
+    // survivor policy: per near-dup cluster keep the HIGHEST-QUALITY
+    // member (tie → min id) — the curation knob layered on the same
+    // cluster set as q_dedup_clusters; quality is the 4dp-rounded blend,
+    // so the argmax compares values both engines compute identically
+    Q("q_dedup_survivors",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.survivorsByQuality(
+          Dedup.dedupClusters(
+            Dedup.minHashLshPairsExact(docs, "text", "doc_id",
+              k = 3, numHashes = 64, bands = 16, tau = 0.8)),
+          TextAnalysis.qualityScore(docs, "text", "doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               shared AS (
+                 SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+               pairs AS (
+                 SELECT da, db FROM shared
+                 JOIN sizes sa ON da = sa.doc_id
+                 JOIN sizes sb ON db = sb.doc_id
+                 WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+               adj AS (SELECT da AS v, db AS nbr FROM pairs
+                       UNION ALL SELECT db, da FROM pairs),
+               reach(v, r) AS (
+                 SELECT v, v FROM (SELECT DISTINCT v FROM adj)
+                 UNION
+                 SELECT adj.v, reach.r FROM adj JOIN reach ON adj.nbr = reach.v),
+               clusters AS (SELECT v AS doc_id, min(r) AS cluster
+                            FROM reach GROUP BY v),
+               qt AS (
+                 SELECT doc_id, text,
+                        list_filter(string_split_regex(text, '\\s+'),
+                          w -> length(w) > 0) AS w
+                 FROM documents),
+               qm AS (
+                 SELECT doc_id,
+                        len(w) AS n_words,
+                        len(list_filter(w, x -> list_contains(
+                          ${TextAnalysis.stopwords.mkString("['", "','", "']")}, x)))
+                          * 1.0 / len(w) AS stop_ratio,
+                        len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+                          AS punct_ratio
+                 FROM qt),
+               q AS (
+                 SELECT doc_id,
+                        round(least(n_words / 100.0, 1.0) * 0.4 +
+                              least(stop_ratio * 5.0, 1.0) * 0.4 +
+                              (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 4)
+                          AS quality
+                 FROM qm)
+               SELECT cluster, doc_id AS survivor_id,
+                      quality AS survivor_quality
+               FROM (
+                 SELECT c.cluster, c.doc_id, q.quality,
+                        row_number() OVER (PARTITION BY c.cluster
+                          ORDER BY q.quality DESC, c.doc_id) AS rn
+                 FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+               WHERE rn = 1"""))
+  )
+}

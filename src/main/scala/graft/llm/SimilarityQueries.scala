@@ -1,0 +1,515 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import LlmQueries._
+
+/** Embedding-similarity registry: k-means/centroids, brute-force and
+  * LSH/IVF/PQ/IVF-PQ ANN, embedding dup pairs/clusters, semantic
+  * decontamination. Shared DuckDB replay fragments live in
+  * [[LlmQueries]]. */
+object SimilarityQueries {
+
+  val all: Seq[Q] = Seq(
+    // per-label centroids via the fixed-dim VectorMeanAggregator (the
+    // centroid step an IVF quantizer trains with): one 64-double buffer
+    // per group with map-side partials — never an exploded (row, dim)
+    // shuffle. Emitted one row per (label, dim) — scalar rows hash
+    // portably where array cells would not.
+    Q("q_embed_centroids",
+      (s, d) => {
+        val cent = Tables.embeddings(s, d)
+          .groupBy(col("label"))
+          .agg(graft.functions.VectorMeanAggregator.vecMean(64)(
+            col("embedding")).as("c"))
+        cent.select(col("label"), posexplode(col("c")).as(Seq("pos", "m0")))
+          .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+            round(col("m0"), 6).as("m"))
+      },
+      Some("""WITH d AS (
+                SELECT label, t.i AS dim,
+                       avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+                FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+                GROUP BY 1, 2)
+              SELECT label, CAST(dim AS BIGINT) AS dim, round(m, 6) AS m
+              FROM d""")),
+
+    // k-means over the embedding corpus: 2 fixed Lloyd rounds, k=16,
+    // mixer-seeded init — the oracle unrolls both rounds as CTEs with
+    // term-for-term identical arithmetic (6dp rounding pins the FP
+    // boundary between rounds on both engines). Residual risk, accepted:
+    // Spark's partial-aggregation merge order is nondeterministic, so a
+    // centroid component landing within ~1e-15 of a 6dp rounding boundary
+    // could round differently across runs and cascade into round-2
+    // assignments — a FLAKY mismatch, not a wrong answer. Not observed
+    // through sf0.1; if it appears at larger sf, widen the pin (round the
+    // DISTANCES too, not just the centroids) rather than loosening it.
+    Q("q_kmeans",
+      (s, d) => Similarity.kmeans(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, k = 16, iters = 2),
+      Some({
+        def sq(a: String, b: String): String =
+          s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
+               - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+               + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))"""
+        s"""WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, e AS cv FROM v
+                   ORDER BY ((vec_id % 1000000007) * 2654435761 + 445533) % 9973,
+                            vec_id
+                   LIMIT 16),
+            a1 AS (SELECT vec_id, e, cid FROM (
+                     SELECT v.vec_id, v.e, c.cid,
+                            row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round(${sq("v.e", "c.cv")}, 6), c.cid)
+                              AS rn
+                     FROM v, c0 c) WHERE rn = 1),
+            c1 AS (SELECT cid, list(mm ORDER BY dim) AS cv FROM (
+                     SELECT cid, t.i AS dim, round(avg(e[t.i]), 6) AS mm
+                     FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2)
+                   GROUP BY cid),
+            a2 AS (SELECT vec_id, cid FROM (
+                     SELECT v.vec_id, c.cid,
+                            row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round(${sq("v.e", "c.cv")}, 6), c.cid)
+                              AS rn
+                     FROM v, c1 c) WHERE rn = 1)
+            SELECT vec_id, cid AS cluster FROM a2"""
+      })),
+
+    // brute-force cosine top-5 for query vectors vec_id < 10
+    Q("q_embed_knn",
+      (s, d) => Similarity.bruteForceKnn(Tables.embeddings(s, d),
+        "vec_id", "embedding", col("vec_id") < 10, k = 5),
+      Some("""WITH q AS (
+                SELECT vec_id AS qid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                FROM embeddings WHERE vec_id < 10),
+              c AS (
+                SELECT vec_id AS nid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+                FROM embeddings),
+              scored AS (
+                SELECT qid, nid,
+                       round(
+                         list_sum(list_transform(range(1, len(qv) + 1),
+                           i -> qv[i] * nv[i]))
+                         / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                              i -> qv[i] * qv[i])))
+                          * sqrt(list_sum(list_transform(range(1, len(nv) + 1),
+                              i -> nv[i] * nv[i])))), 6) AS cos
+                FROM q, c WHERE qid <> nid)
+              SELECT qid, nid, cos, rn FROM (
+                SELECT *, CAST(row_number() OVER (
+                  PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+                FROM scored)
+              WHERE rn <= 5""")),
+
+    // exact embedding near-dup pairs — quadratic truth baseline on a FIXED
+    // slice (vec_id < 500 both sides): the benched cost is constant in sf,
+    // never O(n²) in the corpus. The production-scale paths are the
+    // LSH/IVF queries below; this slice exists to keep an exact-answer
+    // row in the harness.
+    Q("q_embed_dup_pairs",
+      (s, d) => Similarity.embeddingDupPairs(
+        Tables.embeddings(s, d).where(col("vec_id") < 500),
+        "vec_id", "embedding", tau = 0.45),
+      Some("""WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings WHERE vec_id < 500)
+              SELECT da, db, cos FROM (
+                SELECT a.vec_id AS da, b.vec_id AS db,
+                       round(
+                         list_sum(list_transform(range(1, len(a.e) + 1),
+                           i -> a.e[i] * b.e[i]))
+                         / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1),
+                              i -> a.e[i] * a.e[i])))
+                          * sqrt(list_sum(list_transform(range(1, len(b.e) + 1),
+                              i -> b.e[i] * b.e[i])))), 6) AS cos
+                FROM v a JOIN v b ON a.vec_id < b.vec_id)
+              WHERE cos >= 0.45""")),
+
+    // embedding near-dup clusters: cosine pairs → connected components,
+    // the same pairs→cc→survivor composition as q_dedup_clusters but over
+    // the vector side; DuckDB replays the closure recursively
+    Q("q_embed_dup_clusters",
+      (s, d) => Dedup.dedupClusters(
+        Similarity.embeddingDupPairs(
+          Tables.embeddings(s, d).where(col("vec_id") < 500),
+          "vec_id", "embedding", tau = 0.45)
+          .select(col("da"), col("db"))),
+      Some("""WITH RECURSIVE v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings WHERE vec_id < 500),
+              pairs AS (
+                SELECT da, db FROM (
+                  SELECT a.vec_id AS da, b.vec_id AS db,
+                         round(
+                           list_sum(list_transform(range(1, len(a.e) + 1),
+                             i -> a.e[i] * b.e[i]))
+                           / (sqrt(list_sum(list_transform(range(1, len(a.e) + 1),
+                                i -> a.e[i] * a.e[i])))
+                            * sqrt(list_sum(list_transform(range(1, len(b.e) + 1),
+                                i -> b.e[i] * b.e[i])))), 6) AS cos
+                  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+                WHERE cos >= 0.45),
+              adj AS (SELECT da AS v, db AS nbr FROM pairs
+                      UNION ALL SELECT db, da FROM pairs),
+              reach(v, r) AS (
+                SELECT v, v FROM (SELECT DISTINCT v FROM adj)
+                UNION
+                SELECT adj.v, reach.r FROM adj JOIN reach ON adj.nbr = reach.v)
+              SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v""")),
+
+    // IVF ANN: coarse-quantizer cells + nProbe search — fully deterministic
+    // (portable-mixer hash-sample of a FIXED 64 centroids, so the
+    // broadcast quantizer side is corpus-size-independent), and DuckDB
+    // replays the whole pipeline: centroid selection, assignment, nProbe
+    // cell selection, in-cell scoring, top-k
+    // product-quantization ANN: 4 subspaces × 16 dims, 8-codeword
+    // codebooks (mixer-seeded + one 6dp-pinned Lloyd recompute),
+    // asymmetric-distance scoring against a broadcast (query × codeword)
+    // table. The oracle unrolls the whole pipeline — init, assign,
+    // recompute, encode, ADC — with term-for-term identical arithmetic.
+    Q("q_embed_pq_knn",
+      (s, d) => Similarity.pqKnn(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, col("vec_id") < 10, m = 4, ksub = 8, k = 5),
+      Some({
+        def sq(a: String, b: String): String =
+          s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
+               - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+               + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))"""
+        s"""WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            sub AS (
+              SELECT vec_id, t.j,
+                     list_slice(e, t.j * 16 + 1, t.j * 16 + 16) AS sv
+              FROM v, UNNEST([0, 1, 2, 3]) AS t(j)),
+            init AS (SELECT vec_id AS cid FROM v
+                     ORDER BY ((vec_id % 1000000007) * 2654435761 + 526539)
+                              % 9973, vec_id
+                     LIMIT 8),
+            cb0 AS (SELECT s.j, s.vec_id AS cid, s.sv AS cv
+                    FROM sub s JOIN init ON s.vec_id = init.cid),
+            a1 AS (SELECT vec_id, j, cid FROM (
+                     SELECT s.vec_id, s.j, c.cid,
+                            row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY round(${sq("s.sv", "c.cv")}, 6), c.cid)
+                              AS rn
+                     FROM sub s JOIN cb0 c ON s.j = c.j) WHERE rn = 1),
+            cb1 AS (SELECT j, cid, list(mm ORDER BY dim) AS cv FROM (
+                     SELECT a1.j, a1.cid, t.i AS dim,
+                            round(avg(s.sv[t.i]), 6) AS mm
+                     FROM a1 JOIN sub s
+                       ON a1.vec_id = s.vec_id AND a1.j = s.j,
+                       UNNEST(range(1, 17)) AS t(i)
+                     GROUP BY 1, 2, 3)
+                   GROUP BY 1, 2),
+            codes AS (SELECT vec_id, j, cid FROM (
+                     SELECT s.vec_id, s.j, c.cid,
+                            row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY round(${sq("s.sv", "c.cv")}, 6), c.cid)
+                              AS rn
+                     FROM sub s JOIN cb1 c ON s.j = c.j) WHERE rn = 1),
+            qd AS (SELECT s.vec_id AS qid, c.j, c.cid,
+                          round(${sq("s.sv", "c.cv")}, 6) AS d
+                   FROM sub s JOIN cb1 c ON s.j = c.j
+                   WHERE s.vec_id < 10),
+            sc AS (SELECT qd.qid, codes.vec_id AS nid,
+                          round(sum(qd.d), 6) AS dist
+                   FROM codes JOIN qd
+                     ON codes.j = qd.j AND codes.cid = qd.cid
+                   WHERE codes.vec_id <> qd.qid
+                   GROUP BY 1, 2)
+            SELECT qid, nid, dist, rn FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rn
+              FROM sc)
+            WHERE rn <= 5"""
+      })),
+
+    // IVF-PQ composed: coarse cells bound WHICH vectors a query scores,
+    // PQ codes bound WHAT the scoring join carries. Oracle = the IVF
+    // cell CTEs + the PQ train/encode/ADC CTEs, joined on (cell) then
+    // (j, code) — every stage term-for-term identical.
+    Q("q_embed_ivfpq_knn",
+      (s, d) => Similarity.ivfPqKnn(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, col("vec_id") < 10,
+        numCentroids = 16, nProbe = 4, m = 4, ksub = 8, k = 5),
+      Some({
+        def sq(a: String, b: String): String =
+          s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
+               - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+               + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))"""
+        s"""WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            cents AS (SELECT vec_id AS ccid, e AS ccv FROM v
+                      ORDER BY ((vec_id % 1000000007) * 2654435761 + 283521)
+                               % 9973, vec_id
+                      LIMIT 16),
+            cellc AS (SELECT vid, cell FROM (
+                      SELECT v.vec_id AS vid, c.ccid AS cell,
+                             row_number() OVER (PARTITION BY v.vec_id
+                               ORDER BY ${duckCos("v.e", "c.ccv")} DESC, c.ccid)
+                               AS crn
+                      FROM v, cents c) WHERE crn <= 1),
+            cellq AS (SELECT qid, cell FROM (
+                      SELECT v.vec_id AS qid, c.ccid AS cell,
+                             row_number() OVER (PARTITION BY v.vec_id
+                               ORDER BY ${duckCos("v.e", "c.ccv")} DESC, c.ccid)
+                               AS crn
+                      FROM v, cents c WHERE v.vec_id < 10) WHERE crn <= 4),
+            sub AS (
+              SELECT vec_id, t.j,
+                     list_slice(e, t.j * 16 + 1, t.j * 16 + 16) AS sv
+              FROM v, UNNEST([0, 1, 2, 3]) AS t(j)),
+            init AS (SELECT vec_id AS cid FROM v
+                     ORDER BY ((vec_id % 1000000007) * 2654435761 + 526539)
+                              % 9973, vec_id
+                     LIMIT 8),
+            cb0 AS (SELECT s.j, s.vec_id AS cid, s.sv AS cv
+                    FROM sub s JOIN init ON s.vec_id = init.cid),
+            a1 AS (SELECT vec_id, j, cid FROM (
+                     SELECT s.vec_id, s.j, c.cid,
+                            row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY round(${sq("s.sv", "c.cv")}, 6), c.cid)
+                              AS rn
+                     FROM sub s JOIN cb0 c ON s.j = c.j) WHERE rn = 1),
+            cb1 AS (SELECT j, cid, list(mm ORDER BY dim) AS cv FROM (
+                     SELECT a1.j, a1.cid, t.i AS dim,
+                            round(avg(s.sv[t.i]), 6) AS mm
+                     FROM a1 JOIN sub s
+                       ON a1.vec_id = s.vec_id AND a1.j = s.j,
+                       UNNEST(range(1, 17)) AS t(i)
+                     GROUP BY 1, 2, 3)
+                   GROUP BY 1, 2),
+            codes AS (SELECT vec_id, j, cid FROM (
+                     SELECT s.vec_id, s.j, c.cid,
+                            row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY round(${sq("s.sv", "c.cv")}, 6), c.cid)
+                              AS rn
+                     FROM sub s JOIN cb1 c ON s.j = c.j) WHERE rn = 1),
+            qd AS (SELECT s.vec_id AS qid, c.j, c.cid,
+                          round(${sq("s.sv", "c.cv")}, 6) AS d
+                   FROM sub s JOIN cb1 c ON s.j = c.j
+                   WHERE s.vec_id < 10),
+            cand AS (SELECT DISTINCT cellq.qid, cellc.vid
+                     FROM cellq JOIN cellc USING (cell)
+                     WHERE cellq.qid <> cellc.vid),
+            sc AS (SELECT cand.qid, cand.vid AS nid,
+                          round(sum(qd.d), 6) AS dist
+                   FROM cand
+                   JOIN codes ON codes.vec_id = cand.vid
+                   JOIN qd ON qd.qid = cand.qid
+                          AND qd.j = codes.j AND qd.cid = codes.cid
+                   GROUP BY 1, 2)
+            SELECT qid, nid, dist, rn FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rn
+              FROM sc)
+            WHERE rn <= 5"""
+      })),
+
+    // residual IVF-PQ: same cell/codebook CTEs as q_embed_ivfpq_knn but
+    // codebooks train on (vector − cell centroid) residuals, and the
+    // query ADC table carries the probed-cell key (a query's residual
+    // differs per cell). Subtraction is double-widened on both engines.
+    Q("q_embed_ivfpq_res_knn",
+      (s, d) => Similarity.ivfPqResidualKnn(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, col("vec_id") < 10,
+        numCentroids = 16, nProbe = 4, m = 4, ksub = 8, k = 5),
+      Some({
+        def sq(a: String, b: String): String =
+          s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
+               - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+               + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))"""
+        s"""WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            cents AS (SELECT vec_id AS ccid, e AS ccv FROM v
+                      ORDER BY ((vec_id % 1000000007) * 2654435761 + 283521)
+                               % 9973, vec_id
+                      LIMIT 16),
+            cellc AS (SELECT vid, cell FROM (
+                      SELECT v.vec_id AS vid, c.ccid AS cell,
+                             row_number() OVER (PARTITION BY v.vec_id
+                               ORDER BY ${duckCos("v.e", "c.ccv")} DESC, c.ccid)
+                               AS crn
+                      FROM v, cents c) WHERE crn <= 1),
+            cellq AS (SELECT qid, cell FROM (
+                      SELECT v.vec_id AS qid, c.ccid AS cell,
+                             row_number() OVER (PARTITION BY v.vec_id
+                               ORDER BY ${duckCos("v.e", "c.ccv")} DESC, c.ccid)
+                               AS crn
+                      FROM v, cents c WHERE v.vec_id < 10) WHERE crn <= 4),
+            resc AS (SELECT cellc.vid, cellc.cell,
+                            list_transform(range(1, 65),
+                              i -> v.e[i] - c.ccv[i]) AS rv
+                     FROM cellc JOIN v ON v.vec_id = cellc.vid
+                                JOIN cents c ON c.ccid = cellc.cell),
+            sub AS (
+              SELECT vid AS vec_id, t.j,
+                     list_slice(rv, t.j * 16 + 1, t.j * 16 + 16) AS sv
+              FROM resc, UNNEST([0, 1, 2, 3]) AS t(j)),
+            init AS (SELECT vec_id AS cid FROM v
+                     ORDER BY ((vec_id % 1000000007) * 2654435761 + 526539)
+                              % 9973, vec_id
+                     LIMIT 8),
+            cb0 AS (SELECT s.j, s.vec_id AS cid, s.sv AS cv
+                    FROM sub s JOIN init ON s.vec_id = init.cid),
+            a1 AS (SELECT vec_id, j, cid FROM (
+                     SELECT s.vec_id, s.j, c.cid,
+                            row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY round(${sq("s.sv", "c.cv")}, 6), c.cid)
+                              AS rn
+                     FROM sub s JOIN cb0 c ON s.j = c.j) WHERE rn = 1),
+            cb1 AS (SELECT j, cid, list(mm ORDER BY dim) AS cv FROM (
+                     SELECT a1.j, a1.cid, t.i AS dim,
+                            round(avg(s.sv[t.i]), 6) AS mm
+                     FROM a1 JOIN sub s
+                       ON a1.vec_id = s.vec_id AND a1.j = s.j,
+                       UNNEST(range(1, 17)) AS t(i)
+                     GROUP BY 1, 2, 3)
+                   GROUP BY 1, 2),
+            codes AS (SELECT vec_id, j, cid FROM (
+                     SELECT s.vec_id, s.j, c.cid,
+                            row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY round(${sq("s.sv", "c.cv")}, 6), c.cid)
+                              AS rn
+                     FROM sub s JOIN cb1 c ON s.j = c.j) WHERE rn = 1),
+            qres AS (SELECT cellq.qid, cellq.cell,
+                            list_transform(range(1, 65),
+                              i -> v.e[i] - c.ccv[i]) AS rq
+                     FROM cellq JOIN v ON v.vec_id = cellq.qid
+                                JOIN cents c ON c.ccid = cellq.cell),
+            qsub AS (
+              SELECT qid, cell, t.j,
+                     list_slice(rq, t.j * 16 + 1, t.j * 16 + 16) AS sv
+              FROM qres, UNNEST([0, 1, 2, 3]) AS t(j)),
+            qd AS (SELECT qsub.qid, qsub.cell, c.j, c.cid,
+                          round(${sq("qsub.sv", "c.cv")}, 6) AS d
+                   FROM qsub JOIN cb1 c ON qsub.j = c.j),
+            cand AS (SELECT cellq.qid, cellc.vid, cellc.cell
+                     FROM cellq JOIN cellc USING (cell)
+                     WHERE cellq.qid <> cellc.vid),
+            sc AS (SELECT cand.qid, cand.vid AS nid,
+                          round(sum(qd.d), 6) AS dist
+                   FROM cand
+                   JOIN codes ON codes.vec_id = cand.vid
+                   JOIN qd ON qd.qid = cand.qid AND qd.cell = cand.cell
+                          AND qd.j = codes.j AND qd.cid = codes.cid
+                   GROUP BY 1, 2)
+            SELECT qid, nid, dist, rn FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rn
+              FROM sc)
+            WHERE rn <= 5"""
+      })),
+
+    Q("q_embed_ivf_knn",
+      (s, d) => Similarity.ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 10, k = 5, numCentroids = 64, nProbe = 2),
+      Some(s"""WITH v AS (
+                 SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings),
+               cents AS (SELECT vec_id AS cid, e AS cv FROM v
+                         ORDER BY ((vec_id % 1000000007) * 2654435761 + 283521) % 9973, vec_id
+                         LIMIT 64),
+               corpus AS (
+                 SELECT nid, nv, cid FROM (
+                   SELECT v.vec_id AS nid, v.e AS nv, c.cid,
+                          row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.cid) AS crn
+                   FROM v, cents c)
+                 WHERE crn <= 1),
+               queries AS (
+                 SELECT qid, qv, cid FROM (
+                   SELECT v.vec_id AS qid, v.e AS qv, c.cid,
+                          row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.cid) AS crn
+                   FROM v, cents c WHERE v.vec_id < 10)
+                 WHERE crn <= 2),
+               scored AS (
+                 SELECT DISTINCT qid, nid, ${duckCos("qv", "nv")} AS cos
+                 FROM queries JOIN corpus USING (cid) WHERE qid <> nid)
+               SELECT qid, nid, cos, rn FROM (
+                 SELECT *, CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+                 FROM scored)
+               WHERE rn <= 5""")),
+
+    // LSH-bucketed ANN — the Rademacher planes come from a portable
+    // integer mixer (Similarity.planeSign), so DuckDB replays bucketing,
+    // multi-probe, scoring and top-k end-to-end
+    Q("q_embed_lsh_knn",
+      (s, d) => Similarity.lshKnn(Tables.embeddings(s, d),
+        "vec_id", "embedding", dim = 64, col("vec_id") < 10, k = 5, nPlanes = 4),
+      Some(s"""WITH v AS (
+                 SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings),
+               corpus AS (
+                 SELECT vec_id AS nid, e AS nv, ${duckBucket("e", 4)} AS bucket
+                 FROM v),
+               qb AS (
+                 SELECT vec_id AS qid, e AS qv, ${duckBucket("e", 4)} AS b0
+                 FROM v WHERE vec_id < 10),
+               queries AS (
+                 SELECT qid, qv, xor(b0, flip) AS bucket
+                 FROM qb CROSS JOIN (VALUES (0), (1), (2), (4), (8)) f(flip)),
+               scored AS (
+                 SELECT DISTINCT qid, nid, ${duckCos("qv", "nv")} AS cos
+                 FROM queries JOIN corpus USING (bucket) WHERE qid <> nid)
+               SELECT qid, nid, cos, rn FROM (
+                 SELECT *, CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+                 FROM scored)
+               WHERE rn <= 5""")),
+
+    // semantic decontamination: flag training vectors within cosine
+    // >= tau of any eval vector — cross-set-only LSH candidates
+    // (eval x train, never train x train), the tiny multi-probed eval
+    // side broadcasts, the training corpus never shuffles
+    // (PlanShapeSpec-pinned); oracle replays the bucketing exactly
+    Q("q_embed_decontaminate",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.semanticDecontaminate(
+          emb.where(col("vec_id") >= 50), emb.where(col("vec_id") < 50),
+          "vec_id", "embedding", dim = 64, tau = 0.35, nPlanes = 4)
+      },
+      Some(s"""WITH v AS (
+                 SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings),
+               train AS (
+                 SELECT vec_id AS tid, e AS tv, ${duckBucket("e", 4)} AS bucket
+                 FROM v WHERE vec_id >= 50),
+               eb AS (
+                 SELECT vec_id AS eid, e AS ev, ${duckBucket("e", 4)} AS b0
+                 FROM v WHERE vec_id < 50),
+               probes AS (
+                 SELECT eid, ev, xor(b0, flip) AS bucket
+                 FROM eb CROSS JOIN (VALUES (0), (1), (2), (4), (8)) f(flip)),
+               pairs AS (
+                 SELECT DISTINCT tid, eid, cos FROM (
+                   SELECT tid, eid, ${duckCos("tv", "ev")} AS cos
+                   FROM probes JOIN train USING (bucket))
+                 WHERE cos >= 0.35)
+               SELECT tid AS vec_id,
+                      CAST(count(*) AS BIGINT) AS n_hits,
+                      max(cos) AS max_cos
+               FROM pairs GROUP BY tid"""))
+  )
+}
