@@ -137,9 +137,9 @@ object Dedup {
     * Returns the admitted fresh rows. */
   def incrementalDedup(fresh: DataFrame, corpus: DataFrame, textCol: String,
       idCol: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      tau: Double = 0.8): DataFrame = {
+      tau: Double = 0.8, portable: Boolean = false): DataFrame = {
     val cand = crossBandCandidates(fresh, corpus, textCol, idCol,
-        k, numHashes, bands)
+        k, numHashes, bands, portable)
       .localCheckpoint()
     val fSh = shingles(fresh, textCol, idCol, k)
       .join(cand.select(col("fid").as("id")).distinct(), Seq("id"), "left_semi")
@@ -162,20 +162,40 @@ object Dedup {
     * so PlanShapeSpec can pin its load-bearing property: ONE equi-join on
     * the band key between the fresh side and the corpus side — never a
     * fresh×fresh or corpus×corpus branch (re-deduplicating the corpus
-    * per batch is exactly what the incremental shape exists to avoid). */
+    * per batch is exactly what the incremental shape exists to avoid).
+    *
+    * `portable = true` swaps the XXH64 signature+band hashing for
+    * [[graft.functions.MinHashBands]] — identical join shape and
+    * identical statistical behavior, but every hash is portable int64
+    * arithmetic, so a SQL oracle replays the exact candidate set
+    * (including any banding recall misses) instead of appealing to a
+    * probabilistic recall equivalence. The XXH64 default stays the
+    * production path (faster per byte); DedupScaleSpec pins the two
+    * variants' admitted sets against each other. */
   private[graft] def crossBandCandidates(fresh: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String, k: Int, numHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    def bandKeys = (0 until bands).map { b =>
+    def bandKeysSig = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
     }
-    def banded(sigs: DataFrame, as: String) =
-      sigs.select(col("id").as(as), explode(array(bandKeys: _*)).as("bk"))
-    banded(minHashSignatures(fresh, textCol, idCol, k, numHashes), "fid")
-      .join(banded(minHashSignatures(corpus, textCol, idCol, k, numHashes), "cid"), "bk")
+    def bandKeysPortable = (0 until bands).map { b =>
+      struct(lit(b).as("band"), element_at(col("sig"), b + 1).as("bh"))
+    }
+    def banded(docs: DataFrame, as: String) = {
+      val (sigs, keys) =
+        if (portable)
+          (docs.select(col(idCol).as("id"),
+            graft.functions.MinHashBands.minhashBands(
+              split(col(textCol), "\\s+"), k, numHashes, bands).as("sig"))
+            .where(col("sig").isNotNull), bandKeysPortable)
+        else
+          (minHashSignatures(docs, textCol, idCol, k, numHashes), bandKeysSig)
+      sigs.select(col("id").as(as), explode(array(keys: _*)).as("bk"))
+    }
+    banded(fresh, "fid").join(banded(corpus, "cid"), "bk")
       .select(col("fid"), col("cid")).distinct()
   }
 

@@ -95,4 +95,40 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(cand32 <= cand16 / 10,
       s"32-bit banding must shrink candidates: $cand32 vs $cand16")
   }
+
+  test("portable and XXH64 incremental dedup admit the same documents") {
+    // A corpus with genuine cross near-dups: fresh docs 1..6 where 1 and
+    // 2 are near-copies of corpus docs (1-word edit in 40 words → J ≈
+    // 0.93 over 3-shingles), 3 shares half its text (J ≈ 0.33, below
+    // tau), 4-6 are novel. Both hash families must reject exactly {1, 2}:
+    // the portable square-mixer variant exists for oracle replay, not as
+    // a semantic fork, and this pin keeps the two variants' admitted
+    // sets from drifting apart.
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    def t(ws: Seq[String]) = ws.mkString(" ")
+    val a = words("apple", 40)
+    val b = words("berry", 40)
+    val c = words("cedar", 40)
+    val fresh = docs(
+      (1L, t(a.updated(7, "edited"))),
+      (2L, t(b)),
+      (3L, t(c.take(20) ++ words("novel", 20))),
+      (4L, t(words("delta", 40))),
+      (5L, t(words("echo", 40))),
+      (6L, "short doc"))
+    val corpus = docs(
+      (101L, t(a)),
+      (102L, t(b.updated(30, "tweaked"))),
+      (103L, t(c)),
+      (104L, t(words("foxtrot", 40))))
+    def admitted(portable: Boolean): Set[Long] =
+      Dedup.incrementalDedup(fresh, corpus, "text", "doc_id",
+          portable = portable)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    val xxh = admitted(portable = false)
+    val por = admitted(portable = true)
+    info(s"admitted: xxh64 ${xxh.toSeq.sorted}, portable ${por.toSeq.sorted}")
+    assert(xxh == Set(3L, 4L, 5L, 6L))
+    assert(por == xxh)
+  }
 }
