@@ -24,6 +24,7 @@ object Registry {
   lazy val all: Seq[Q] =
     relational.RelationalQueries.all ++
       text.TextQueries.all ++
+      text.BpeQueries.all ++
       graph.GraphQueries.all ++
       llm.LlmQueries.all ++
       streaming.StreamingQueries.all ++

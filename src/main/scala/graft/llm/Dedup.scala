@@ -381,16 +381,7 @@ object Dedup {
       k: Int = 3, tau: Double = 0.8, maxDf: Long = 50L,
       minShared: Long = 1L): DataFrame = {
     val sh = shingles(docs, textCol, idCol, k).localCheckpoint()
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val rare = sh.join(dfreq.where(col("df") <= maxDf).select("shingle"),
-      "shingle")
-    val cand = rare.select(col("id").as("da"), col("shingle"))
-      .join(rare.select(col("id").as("db"), col("shingle")), "shingle")
-      .where(col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("_nsh"))
-      .where(col("_nsh") >= minShared)
-      .select(col("da"), col("db"))
-      .localCheckpoint()
+    val cand = containmentCandidates(sh, maxDf, minShared).localCheckpoint()
     val candIds = cand.select(col("da").as("id"))
       .union(cand.select(col("db").as("id"))).distinct()
     val shc = sh.join(candIds, Seq("id"), "left_semi")
@@ -407,6 +398,25 @@ object Dedup {
         round(col("c") / col("na"), 4).as("cont_a"),
         round(col("c") / col("nb"), 4).as("cont_b"))
       .where(greatest(col("cont_a"), col("cont_b")) >= tau)
+  }
+
+  /** The rare-shingle-anchored candidate stage of [[containmentPairs]],
+    * exposed pre-checkpoint so PlanShapeSpec can pin its shape: the
+    * self-join runs ONLY on the df ≤ maxDf slice (deterministic
+    * frequent-feature exclusion), keys on shingle (equi, never
+    * cartesian), and the pair counts reduce map-side before the
+    * minShared cut. */
+  def containmentCandidates(sh: DataFrame, maxDf: Long,
+      minShared: Long): DataFrame = {
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfreq.where(col("df") <= maxDf).select("shingle"),
+      "shingle")
+    rare.select(col("id").as("da"), col("shingle"))
+      .join(rare.select(col("id").as("db"), col("shingle")), "shingle")
+      .where(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("_nsh"))
+      .where(col("_nsh") >= minShared)
+      .select(col("da"), col("db"))
   }
 
   /** Near-duplicate CLUSTERS: connected components over the near-dup pair

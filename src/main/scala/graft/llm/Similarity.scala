@@ -408,6 +408,43 @@ object Similarity {
       .where(col("vid") =!= col("qid")), k)
   }
 
+  /** FAISS-style refine (re-rank) stage on top of [[pqKnn]]: the ADC
+    * scores a `shortlistK`-deep shortlist per query, then the shortlist
+    * — and ONLY the shortlist — is re-scored with EXACT vectors and cut
+    * to the final top-k. ADC error is bounded by quantization; exact
+    * re-scoring of the shortlist recovers the ordering quantization
+    * scrambled, so refined top-k recall is ≥ ADC-only top-k recall
+    * whenever the true neighbors reach the shortlist (the standard
+    * IndexRefineFlat layout).
+    *
+    * 100 TB shape: the expensive property is preserved — the CORPUS
+    * side still never shuffles vectors. The shortlist is |Q|·shortlistK
+    * (qid, nid) pairs — tiny, BROADCAST into one equi-join against the
+    * corpus scan to pick up exact vectors; the query vectors broadcast
+    * likewise; the final window ranks |Q|·shortlistK re-scored rows.
+    * Exact distances reuse the 6dp-rounded a·a − 2·a·b + b·b
+    * composition, so the oracle replays the re-rank term for term. */
+  def pqKnnRefined(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      queryPred: Column, m: Int = 4, ksub: Int = 8, shortlistK: Int = 20,
+      k: Int = 5): DataFrame = {
+    require(shortlistK >= k, "the shortlist must be at least k deep")
+    val shortlist = pqKnn(emb, idCol, vecCol, dim, queryPred, m, ksub,
+      shortlistK).select(col("qid"), col("nid"))
+    val corpus = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val queries = emb.where(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val exact = broadcast(shortlist).join(corpus, "nid")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("nid"),
+        round(pqSq(col("qv"), col("nv")), 6).as("dist"))
+    val byQuery = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("nid").asc)
+    exact.withColumn("rn", row_number().over(byQuery))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("dist"),
+        col("rn").cast("long").as("rn"))
+  }
+
   /** IVF-PQ: the composed billion-scale ANN layout — IVF's coarse cells
     * bound WHICH vectors a query scores (nProbe cells instead of the
     * whole corpus), PQ's codes bound WHAT the scoring join carries

@@ -235,6 +235,81 @@ object SimilarityQueries {
             WHERE rn <= 5"""
       })),
 
+    // PQ + refine (the FAISS IndexRefineFlat layout): ADC scores a
+    // 20-deep shortlist, exact vectors re-score the shortlist ONLY, top-5
+    // is cut from the re-scored rows. Oracle = the full PQ replay with
+    // the shortlist cut at rn <= 20, then the exact-distance re-rank —
+    // certifying shortlist membership AND the re-ranked order.
+    Q("q_embed_pq_refined",
+      (s, d) => Similarity.pqKnnRefined(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, col("vec_id") < 10, m = 4, ksub = 8,
+        shortlistK = 20, k = 5),
+      Some({
+        def sq(a: String, b: String): String =
+          s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
+               - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+               + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))"""
+        s"""WITH v AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            sub AS (
+              SELECT vec_id, t.j,
+                     list_slice(e, t.j * 16 + 1, t.j * 16 + 16) AS sv
+              FROM v, UNNEST([0, 1, 2, 3]) AS t(j)),
+            init AS (SELECT vec_id AS cid FROM v
+                     ORDER BY ((vec_id % 1000000007) * 2654435761 + 526539)
+                              % 9973, vec_id
+                     LIMIT 8),
+            cb0 AS (SELECT s.j, s.vec_id AS cid, s.sv AS cv
+                    FROM sub s JOIN init ON s.vec_id = init.cid),
+            a1 AS (SELECT vec_id, j, cid FROM (
+                     SELECT s.vec_id, s.j, c.cid,
+                            row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY round(${sq("s.sv", "c.cv")}, 6), c.cid)
+                              AS rn
+                     FROM sub s JOIN cb0 c ON s.j = c.j) WHERE rn = 1),
+            cb1 AS (SELECT j, cid, list(mm ORDER BY dim) AS cv FROM (
+                     SELECT a1.j, a1.cid, t.i AS dim,
+                            round(avg(s.sv[t.i]), 6) AS mm
+                     FROM a1 JOIN sub s
+                       ON a1.vec_id = s.vec_id AND a1.j = s.j,
+                       UNNEST(range(1, 17)) AS t(i)
+                     GROUP BY 1, 2, 3)
+                   GROUP BY 1, 2),
+            codes AS (SELECT vec_id, j, cid FROM (
+                     SELECT s.vec_id, s.j, c.cid,
+                            row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY round(${sq("s.sv", "c.cv")}, 6), c.cid)
+                              AS rn
+                     FROM sub s JOIN cb1 c ON s.j = c.j) WHERE rn = 1),
+            qd AS (SELECT s.vec_id AS qid, c.j, c.cid,
+                          round(${sq("s.sv", "c.cv")}, 6) AS d
+                   FROM sub s JOIN cb1 c ON s.j = c.j
+                   WHERE s.vec_id < 10),
+            sc AS (SELECT qd.qid, codes.vec_id AS nid,
+                          round(sum(qd.d), 6) AS dist
+                   FROM codes JOIN qd
+                     ON codes.j = qd.j AND codes.cid = qd.cid
+                   WHERE codes.vec_id <> qd.qid
+                   GROUP BY 1, 2),
+            shortlist AS (SELECT qid, nid FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY dist, nid) AS rn
+              FROM sc) WHERE rn <= 20),
+            rescored AS (
+              SELECT sl.qid, sl.nid,
+                     round(${sq("q.e", "n.e")}, 6) AS dist
+              FROM shortlist sl
+              JOIN v q ON sl.qid = q.vec_id
+              JOIN v n ON sl.nid = n.vec_id)
+            SELECT qid, nid, dist, rn FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rn
+              FROM rescored)
+            WHERE rn <= 5"""
+      })),
+
     // IVF-PQ composed: coarse cells bound WHICH vectors a query scores,
     // PQ codes bound WHAT the scoring join carries. Oracle = the IVF
     // cell CTEs + the PQ train/encode/ADC CTEs, joined on (cell) then

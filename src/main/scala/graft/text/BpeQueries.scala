@@ -1,0 +1,126 @@
+package graft.text
+
+import graft.{Q, Tables}
+
+/** BPE tokenizer registry: merge-rule training (q_bpe_train) and
+  * document encoding under the learned merges (q_bpe_encode). The
+  * oracles replay the ENTIRE training run — K unrolled rounds of
+  * pair-count → deterministic winner → string-level merge application
+  * (see [[Bpe]] for why literal replace over the wrapped segmentation
+  * encoding IS greedy BPE on both engines). */
+object BpeQueries {
+
+  /** Unrolled training CTEs t0..tK / w1..wK over `documents` rows
+    * matching `trainWhere` (empty for the full corpus). */
+  private def trainCtes(k: Int, trainWhere: String): Seq[String] = {
+    val t0 = s"""t0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n,
+             ' ' || list_aggregate(string_split(w, ''), 'string_agg', '  ')
+               || ' ' AS ss
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+              x -> length(x) > 0)) AS w FROM documents $trainWhere)
+      GROUP BY w)"""
+    t0 +: (1 to k).flatMap { r =>
+      Seq(
+        s"""p$r AS (
+      SELECT u.l AS lhs, u.r AS rhs, CAST(sum(n) AS BIGINT) AS pair_count
+      FROM (
+        SELECT n, unnest(list_transform(range(1, len(s)),
+          i -> {'l': s[i], 'r': s[i+1]})) AS u
+        FROM (SELECT string_split(trim(ss), '  ') AS s, n FROM t${r - 1}))
+      GROUP BY 1, 2)""",
+        s"""w$r AS (
+      SELECT lhs, rhs, pair_count FROM p$r
+      ORDER BY pair_count DESC, lhs, rhs LIMIT 1)""",
+        s"""t$r AS (
+      SELECT w, n, replace(ss, ' ' || lhs || '  ' || rhs || ' ',
+        ' ' || lhs || rhs || ' ') AS ss
+      FROM t${r - 1}, w$r)""")
+    }
+  }
+
+  private def trainSql(k: Int): String = {
+    val union = (1 to k).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, lhs, rhs,
+            lhs || rhs AS merged, pair_count FROM w$r"""
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${trainCtes(k, "").mkString(",\n")}\n$union"
+  }
+
+  /** Encode oracle: train on even doc_ids, fold the learned merges
+    * over every distinct word of the full corpus (e0..eK), id symbols
+    * from the TRAINED inventory, checksum per document. */
+  private def encodeSql(k: Int): String = {
+    val enc = Seq(
+      s"""e0 AS (
+      SELECT DISTINCT w,
+             ' ' || list_aggregate(string_split(w, ''), 'string_agg', '  ')
+               || ' ' AS ss
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+              x -> length(x) > 0)) AS w FROM documents))""") ++
+      (1 to k).map { r =>
+        s"""e$r AS (
+      SELECT w, replace(ss, ' ' || lhs || '  ' || rhs || ' ',
+        ' ' || lhs || rhs || ' ') AS ss
+      FROM e${r - 1}, w$r)"""
+      } ++ Seq(
+        s"""sv AS (
+      SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id
+      FROM (SELECT DISTINCT unnest(string_split(trim(ss), '  ')) AS sym
+            FROM t$k))""",
+        """dw AS (
+      SELECT doc_id, unnest(range(1, len(lst) + 1)) AS wpos, lst
+      FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+              x -> length(x) > 0) AS lst FROM documents))""",
+        s"""dtok AS (
+      SELECT d.doc_id, d.wpos, t.i AS tpos, e.toks[t.i] AS sym
+      FROM (SELECT doc_id, wpos, lst[CAST(wpos AS BIGINT)] AS w FROM dw) d
+      JOIN (SELECT w, string_split(trim(ss), '  ') AS toks FROM e$k) e
+        USING (w),
+      UNNEST(range(1, len(e.toks) + 1)) AS t(i))""")
+    s"""WITH ${(trainCtes(k, "WHERE doc_id % 2 = 0") ++ enc).mkString(",\n")}
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN sv.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(sum((wpos * tpos * (coalesce(sv.id, 0) + 7)) % 1000000007)
+         % 1000000007 AS BIGINT) AS ids_checksum
+FROM dtok d LEFT JOIN sv USING (sym)
+GROUP BY d.doc_id"""
+  }
+
+  val Rounds = 6
+
+  val all: Seq[Q] = Seq(
+    // K fixed merge rounds over the full corpus; output is the learned
+    // merge table itself, so the oracle's green certifies every round's
+    // pair counts AND winner selection.
+    Q("q_bpe_train",
+      (s, d) => {
+        val (merges, types) = Bpe.train(Tables.documents(s, d), "text", Rounds)
+        types.unpersist()
+        Bpe.mergeTable(s, merges)
+      },
+      Some(trainSql(Rounds))),
+
+    // train on even doc_ids, encode the FULL corpus: unseen words
+    // still decompose through the merge fold (char fallback), and only
+    // symbols absent from training land OOV — the (doc, checksum)
+    // output replays training, encoding, and symbol ids end to end.
+    Q("q_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (merges, types) =
+          Bpe.train(docs.where("doc_id % 2 = 0"), "text", Rounds)
+        // materialize the vocabulary-sized symbol table (driver-bounded
+        // by construction, like the merge table) so the persisted types
+        // frame can be released before the encode plan runs
+        import s.implicits._
+        val sv = Bpe.symbolVocab(types).as[(String, Long)].collect().toSeq
+        types.unpersist()
+        Bpe.encodeSummary(docs, "text", "doc_id", merges,
+          sv.toDF("sym", "id"))
+      },
+      Some(encodeSql(Rounds)))
+  )
+}

@@ -372,6 +372,71 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("containment candidates self-join the rare slice on shingle, counts reduce map-side") {
+    // the scale-load-bearing discipline of containmentPairs: the pair
+    // self-join keys on shingle over the df <= maxDf slice only (equi,
+    // never cartesian), and (da, db) counts partial-aggregate before the
+    // shuffle — built pre-checkpoint so the candidate stage itself is
+    // the plan under test
+    val sh = graft.llm.Dedup.shingles(
+      Tables.documents(spark, sf0001), "text", "doc_id")
+    val p = graft.llm.Dedup.containmentCandidates(sh, maxDf = 50L,
+      minShared = 5L).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the shingle equi-join:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts must reduce map-side before the shuffle:\n$p")
+    assert(p.contains("(df#") || p.contains("df <="), // df <= maxDf cut
+      s"the self-join must run on the rare (df-capped) slice:\n$p")
+  }
+
+  test("bm25 broadcasts the (query, df) side; top-k rides a window group limit") {
+    val p = plan("q_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query-term x df table must broadcast into the tf scan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-(query, doc) scores must partial-aggregate map-side:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must prune per-partition before the qid window:\n$p")
+    assert(p.contains("hashpartitioning(qid"),
+      s"the ranking window must partition by qid, never one task:\n$p")
+  }
+
+  test("lm score is two count aggs + equi hash joins, per-doc agg partial") {
+    val p = plan("q_lm_score")
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      s"bigram and unigram counts must both partial-aggregate:\n$p")
+    assert(p.contains("partial_avg"),
+      s"the per-doc ln average must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"count tables must hash-join back onto the bigram stream:\n$p")
+  }
+
+  test("bpe pair counts reduce map-side; encode joins broadcast") {
+    // training: the per-round shuffle carries (lhs, rhs, count) cells
+    val types = graft.text.Bpe.wordTypes(
+      Tables.documents(spark, sf0001), "text")
+    val pc = graft.text.Bpe.pairCounts(types)
+      .queryExecution.executedPlan.toString
+    assert(pc.contains("partial_sum"),
+      s"pair counts must partial-aggregate before the shuffle:\n$pc")
+    // encoding: the word->tokens table and symbol vocabulary broadcast
+    // into the document token scan; the corpus never shuffle-joins
+    val p = plan("q_bpe_encode")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"word->tokens and symbol-id tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the token stream must not ride a shuffle join:\n$p")
+  }
+
+  test("PQ refine broadcasts the shortlist; the corpus never shuffles vectors") {
+    val p = plan("q_embed_pq_refined")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |Q|*shortlistK shortlist must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no re-rank join may shuffle raw vectors:\n$p")
+  }
+
   test("whole-stage codegen covers the signature projections") {
     // regression guard for the CodegenFallback trap: a higher-order
     // filter() in these projections silently drops the stage out of

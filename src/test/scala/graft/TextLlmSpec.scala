@@ -353,6 +353,44 @@ class TextLlmSpec extends AnyFunSuite {
     }
   }
 
+  test("exact refine of the PQ shortlist never loses recall vs ADC-only") {
+    // the IndexRefineFlat claim: re-scoring the 20-deep shortlist with
+    // exact vectors recovers orderings ADC quantization scrambled, so
+    // refined top-5 recall of the true L2 top-5 is >= ADC-only top-5
+    // recall — and every refined hit must come FROM the shortlist
+    val emb = Tables.embeddings(spark, sf0001)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.DotProduct.dot(a, b)
+    val q = broadcast(emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val truth = q.crossJoin(emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nv")))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("nv"))
+          + dot(col("nv"), col("nv"))).as("d2"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("d2").asc, col("nid").asc)))
+      .where(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcOnly = Similarity.pqKnn(emb, "vec_id", "embedding", dim = 64,
+      col("vec_id") < 10, m = 8, ksub = 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shortlist = Similarity.pqKnn(emb, "vec_id", "embedding", dim = 64,
+      col("vec_id") < 10, m = 8, ksub = 16, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.pqKnnRefined(emb, "vec_id", "embedding",
+      dim = 64, col("vec_id") < 10, m = 8, ksub = 16, shortlistK = 20,
+      k = 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined.subsetOf(shortlist),
+      "refine may only reorder the shortlist, never add candidates")
+    val adcRecall = (truth & adcOnly).size.toDouble / truth.size
+    val refinedRecall = (truth & refined).size.toDouble / truth.size
+    assert(refinedRecall >= adcRecall,
+      s"refine lost recall: refined=$refinedRecall adc=$adcRecall")
+  }
+
   test("token stats and quality on a known string") {
     val d = docs((1L, "The cat, the hat!"))
     val ts = TextAnalysis.tokenStats(d, "text", "doc_id").head()
