@@ -66,6 +66,9 @@ object Multimodal {
   case class MediaRow(media_id: Long, content: Array[Byte])
   case class Features(media_id: Long, n_bytes: Long, mean_byte: Double,
       histogram: Array[Long])
+  case class FeaturesE(media_id: Long, n_bytes: Option[Long],
+      mean_byte: Option[Double], histogram: Option[Seq[Long]],
+      error: Option[String])
 
   /** Image geometry: fixed width, height sized to the payload. 16 px ×
     * 3 channels = 48 payload bytes per row; the last row zero-pads. */
@@ -103,6 +106,10 @@ object Multimodal {
     * actual `javax.imageio` PNG inflate. */
   private[graft] def decodePngBytes(png: Array[Byte]): Array[Byte] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    // ImageIO signals an unreadable container by returning null, not by
+    // throwing — normalize to a throw so the error policy sees one path
+    if (img == null)
+      throw new IllegalArgumentException("undecodable image payload")
     val w = img.getWidth
     val h = img.getHeight
     val out = new Array[Byte](w * h * 3)
@@ -235,6 +242,48 @@ object Multimodal {
           Features(r.media_id, decoded.length.toLong,
             if (decoded.isEmpty) 0.0 else sum.toDouble / decoded.length,
             hist)
+        }
+      }.toDF()
+  }
+
+  /** CODEC ERROR POLICY: the fault-tolerant twin of [[decodeFeatures]].
+    * At 100 TB some payloads WILL be corrupt (truncated uploads, codec
+    * mismatches, bit rot), and one bad row must not kill a task that has
+    * decoded millions — a task retry would just re-throw on the same
+    * byte, failing the job deterministically. Per-row decode failures
+    * land in an `error` column (the exception CLASS name — stable across
+    * JVMs, unlike messages) with null features; clean rows carry null
+    * error and features IDENTICAL to [[decodeFeatures]]. Downstream
+    * splits the frame on `error IS NULL`: features flow on, the error
+    * slice feeds a quarantine sink. Catches NonFatal only — OOM and
+    * interrupts still fail the task, as they must. On the clean fixture
+    * tables every error is null, so the strict decode queries stay the
+    * oracle surface; MultimodalSpec feeds malformed payloads. */
+  def decodeFeaturesSafe(media: DataFrame,
+      decode: Array[Byte] => Array[Byte] = decodePngBytes): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          try {
+            val decoded = decode(r.content)
+            val hist = new Array[Long](16)
+            var sum = 0L
+            decoded.foreach { b =>
+              val u = b & 0xff
+              hist(u / 16) += 1
+              sum += u
+            }
+            FeaturesE(r.media_id, Some(decoded.length.toLong),
+              Some(if (decoded.isEmpty) 0.0
+                   else sum.toDouble / decoded.length),
+              Some(hist.toSeq), None)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              FeaturesE(r.media_id, None, None, None,
+                Some(e.getClass.getSimpleName))
+          }
         }
       }.toDF()
   }

@@ -115,7 +115,27 @@ object MultimodalQueries {
       (s, d) => Multimodal.decodeFeatures(Multimodal.imageTable(s, d))
         .withColumn("histogram",
           array_join(transform(col("histogram"), _.cast("string")), ",")),
-      Some("""WITH m AS (
+      Some(pngFeaturesSql(""))),
+
+    // the SAME decode through the fault-tolerant path (codec error
+    // policy): corrupt payloads would land in the error column instead
+    // of killing the task; the fixture is clean, so the oracle is the
+    // strict PNG replay plus an all-NULL error column — certifying that
+    // the safe path's features are byte-identical to the strict path's
+    // wherever decode succeeds. MultimodalSpec covers the corrupt rows.
+    Q("q_decode_features_safe",
+      (s, d) => Multimodal.decodeFeaturesSafe(Multimodal.imageTable(s, d))
+        .withColumn("histogram",
+          array_join(transform(col("histogram"), _.cast("string")), ",")),
+      Some(pngFeaturesSql(",\n                     CAST(NULL AS VARCHAR) AS error")))
+  )
+
+  /** The PNG decode-features replay (hex-derived byte math over the
+    * encoded payload + zero padding to the raster size); `extraCols`
+    * appends to the final SELECT so the strict and safe variants share
+    * one replay. */
+  private def pngFeaturesSql(extraCols: String): String =
+    s"""WITH m AS (
                 SELECT doc_id AS media_id, hex(encode(text)) AS h,
                        octet_length(encode(text)) AS n_bytes
                 FROM documents),
@@ -156,10 +176,9 @@ object MultimodalQueries {
               stats AS (SELECT media_id, sum(byte) AS s FROM by GROUP BY 1)
               SELECT m.media_id, CAST(d.dec_bytes AS BIGINT) AS n_bytes,
                      CAST(coalesce(s, 0) AS DOUBLE) / d.dec_bytes AS mean_byte,
-                     hs.histogram
+                     hs.histogram$extraCols
               FROM m
               JOIN dims d ON m.media_id = d.media_id
               JOIN hs ON m.media_id = hs.media_id
-              LEFT JOIN stats ON m.media_id = stats.media_id"""))
-  )
+              LEFT JOIN stats ON m.media_id = stats.media_id"""
 }

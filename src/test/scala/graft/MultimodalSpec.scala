@@ -117,4 +117,45 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getDouble(2) === dec.map(b => (b & 0xff).toLong).sum.toDouble / dec.length)
     }
   }
+
+  test("codec error policy: corrupt payloads land in the error column, task survives") {
+    val s = spark
+    import s.implicits._
+    val goodPng = Multimodal.encodePng(Array[Byte](1, 2, 3, 4))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, goodPng),
+      Multimodal.MediaRow(2L, goodPng.take(goodPng.length / 2)), // truncated
+      Multimodal.MediaRow(3L, Array[Byte](9, 9, 9, 9, 9)),       // garbage
+      Multimodal.MediaRow(4L, Array.emptyByteArray))             // empty
+    val out = Multimodal.decodeFeaturesSafe(rows.toDF())
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the clean row decodes with features identical to the strict path
+    val strict = Multimodal.decodeFeatures(Seq(rows.head).toDF()).head()
+    assert(out(1L).isNullAt(4), "clean row must carry null error")
+    assert(out(1L).getLong(1) == strict.getLong(1) &&
+      out(1L).getDouble(2) == strict.getDouble(2))
+    // every corrupt row survives as (id, nulls, error-class)
+    Seq(2L, 3L, 4L).foreach { id =>
+      val r = out(id)
+      assert(!r.isNullAt(4), s"row $id must carry a decode error")
+      assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+        s"row $id must carry null features")
+    }
+  }
+
+  test("codec error policy holds for the WAV codec through the same operator") {
+    val s = spark
+    import s.implicits._
+    val goodWav = Multimodal.encodeWav(Array[Byte](5, 6, 7))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, goodWav),
+      Multimodal.MediaRow(2L, goodWav.take(8)),            // truncated header
+      Multimodal.MediaRow(3L, Array[Byte](0, 1, 2, 3)))    // not a RIFF
+    val out = Multimodal.decodeFeaturesSafe(rows.toDF(), Multimodal.decodeWavBytes)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(4) && out(1L).getLong(1) == 3L)
+    Seq(2L, 3L).foreach { id =>
+      assert(!out(id).isNullAt(4), s"row $id must carry a decode error")
+    }
+  }
 }
