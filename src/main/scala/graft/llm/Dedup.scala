@@ -232,12 +232,32 @@ object Dedup {
     * session is discarded). */
   def exactIncremental(fresh: DataFrame, corpus: DataFrame, textCol: String,
       idCol: String, fpp: Double = 0.01): DataFrame = {
+    val cFp = corpus.select(normalizedFp(col(textCol)).as("fp"))
+    val bloomBytes = fingerprintBloom(cFp, fpp)
+    val candidates = fresh
+      .withColumn("_fp", normalizedFp(col(textCol)))
+      .where(bloomMightContain(bloomBytes, col("_fp")))
+    val dups = candidates
+      .join(cFp.withColumnRenamed("fp", "_fp"), Seq("_fp"), "left_semi")
+      .select(col(idCol))
+    fresh.join(dups, Seq(idCol), "left_anti")
+  }
+
+  /** md5 of whitespace-normalized text — the exact-dedup fingerprint
+    * every incremental variant (batch and streaming) keys on. */
+  def normalizedFp(t: Column): Column =
+    md5(graft.functions.NormalizeText.normalize(t))
+
+  /** Build the corpus Bloom filter over a 1-column fingerprint frame
+    * (column `fp`), sized for the ACTUAL corpus cardinality — see
+    * [[exactIncremental]]'s scaladoc for why the build runs in an
+    * isolated child session with the runtime-filter caps raised. The
+    * returned bytes are the same constant Spark's injected runtime
+    * filters carry; [[bloomMightContain]] applies them. */
+  def fingerprintBloom(cFp: DataFrame, fpp: Double): Array[Byte] = {
     import org.apache.spark.sql.graftbridge.{ColumnBridge, SessionBridge}
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    def fp(t: Column) = md5(graft.functions.NormalizeText.normalize(t))
-    def hashed(c: Column) = new XxHash64(Seq(ColumnBridge.toExpression(c)))
-    val cFp = corpus.select(fp(col(textCol)).as("fp"))
     val items = math.max(1L, cFp.count())
     val numBits = math.max(64L,
       (-items * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
@@ -245,19 +265,23 @@ object Dedup {
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> items.toString,
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" ->
         math.max(numBits, 67108864L).toString))
-    val bloomBytes = sized.agg(ColumnBridge.toColumn(
-        new BloomFilterAggregate(hashed(col("fp")),
+    sized.agg(ColumnBridge.toColumn(
+        new BloomFilterAggregate(
+          new XxHash64(Seq(ColumnBridge.toExpression(col("fp")))),
           Literal(items), Literal(numBits)).toAggregateExpression())
         .as("bloom"))
       .head().getAs[Array[Byte]]("bloom")
-    val candidates = fresh.withColumn("_fp", fp(col(textCol)))
-      .where(ColumnBridge.toColumn(BloomFilterMightContain(
-        Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
-        hashed(col("_fp")))))
-    val dups = candidates
-      .join(cFp.withColumnRenamed("fp", "_fp"), Seq("_fp"), "left_semi")
-      .select(col(idCol))
-    fresh.join(dups, Seq(idCol), "left_anti")
+  }
+
+  /** Membership predicate of a built [[fingerprintBloom]] — a constant
+    * codegen'd expression, stateless, so it applies identically to a
+    * batch scan or a per-micro-batch streaming filter. */
+  def bloomMightContain(bloom: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    ColumnBridge.toColumn(BloomFilterMightContain(
+      Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(ColumnBridge.toExpression(c)))))
   }
 
   /** MinHash signatures: (id, sig: array<long>) — element i = min over

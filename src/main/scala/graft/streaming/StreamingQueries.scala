@@ -94,6 +94,25 @@ object StreamingQueries {
                       CAST(((h * 2654435761 + (11 + i) * 40503) % 1000000007)
                         % 1024 AS BIGINT) AS bucket,
                       CAST(count(*) AS BIGINT) AS c
-               FROM wh CROSS JOIN dd GROUP BY 1, 2"""))
+               FROM wh CROSS JOIN dd GROUP BY 1, 2""")),
+
+    // Bloom-prefiltered exact incremental dedup ON a stream: the 20%
+    // mixer slice arrives as the live crawl, the corpus Bloom rides each
+    // micro-batch as a constant predicate, bloom-positives weed through
+    // a stream-static anti join, dropDuplicates state = the exact digest
+    // set. Output (one row per admitted fingerprint) is bloom-invariant
+    // AND arrival-order-invariant, so the oracle is plain set
+    // difference — the q_bloom_prefilter discipline, streamed.
+    Q("q_stream_incremental_dedup",
+      (s, d) => Streams.streamIncrementalDedup(s, d),
+      Some("""WITH f0 AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                       ((doc_id % 1000000007) * 2654435761 + 283521) % 9973 < 1994
+                         AS in_sample
+                FROM documents)
+              SELECT DISTINCT fp FROM f0
+              WHERE in_sample
+                AND fp NOT IN (SELECT fp FROM f0 WHERE NOT in_sample)"""))
   )
 }

@@ -243,4 +243,51 @@ object Streams {
       .select(col("i").cast("long").as("i"), col("bucket"), col("c"))
     drain(sk, OutputMode.Complete(), "stream_cms")
   }
+
+  /** Streaming twin of the Bloom-prefiltered exact incremental dedup
+    * ([[graft.llm.Dedup.exactIncremental]]): the 20 % mixer slice of
+    * documents plays the live crawl stream, the rest the existing
+    * corpus. Emits one row per ADMITTED fingerprint — normalized-text
+    * digests present in the stream but absent from the corpus, each
+    * admitted exactly once across ALL micro-batches.
+    *
+    * Composition, per micro-batch:
+    *  1. the corpus Bloom (built ONCE, batch-side, sized to the corpus
+    *     — the [[graft.llm.Dedup.fingerprintBloom]] bytes) rides the
+    *     stream scan as a constant stateless predicate: bloom-negative
+    *     rows are definitely-new and admit straight through, skipping
+    *     the join entirely (the prefilter's whole point);
+    *  2. bloom-positive rows — true corpus dups plus the fpp trickle —
+    *     weed through a stream-static LEFT ANTI join against corpus
+    *     fingerprints, so admission stays bloom-INVARIANT (exactly the
+    *     batch operator's false-positive discipline);
+    *  3. `dropDuplicates` on the digest dedups across batches: a fp
+    *     first seen in batch 3 is not re-admitted by batch 7. The state
+    *     store holds one 16-byte digest per distinct admitted fp — the
+    *     "exact digest set" — and the BLOOM bounds what reaches it; a
+    *     production deployment with an ingest-time column bounds state
+    *     age with `dropDuplicatesWithinWatermark` at the same call
+    *     site, trading cross-horizon re-admission for bounded state.
+    *
+    * Batch equivalence (StreamSmoke): the admitted fingerprint SET is
+    * arrival-order-independent — set difference of distinct fps — so
+    * 8-batch ≡ single-batch exactly. */
+  def streamIncrementalDedup(spark: SparkSession, sfDir: String,
+      fraction: Double = 0.2, fpp: Double = 0.01): DataFrame = {
+    import graft.llm.{Dedup, Sampling}
+    val s = tuned(spark)
+    val isFresh = Sampling.bucket(col("doc_id"), 7L) <
+      lit((fraction * Sampling.Buckets).toLong)
+    val corpusFp = Tables.documents(s, sfDir).where(!isFresh)
+      .select(Dedup.normalizedFp(col("text")).as("fp"))
+      .localCheckpoint()
+    val bloom = Dedup.fingerprintBloom(corpusFp, fpp)
+    val stream = documentsStream(s, sfDir).where(isFresh)
+      .select(Dedup.normalizedFp(col("text")).as("fp"))
+    val admittedDirect = stream.where(!Dedup.bloomMightContain(bloom, col("fp")))
+    val weeded = stream.where(Dedup.bloomMightContain(bloom, col("fp")))
+      .join(corpusFp, Seq("fp"), "left_anti")
+    val admitted = admittedDirect.unionByName(weeded).dropDuplicates("fp")
+    drain(admitted, OutputMode.Append(), "stream_inc_dedup")
+  }
 }
