@@ -16,7 +16,24 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Parquet `timestamp(isAdjustedToUTC=false)` columns arrive as
+    * TIMESTAMP_NTZ, which rejects the numeric casts and unix-epoch
+    * arithmetic the operators use (`CAST(ts AS DOUBLE)` is an analysis
+    * error on NTZ). Every session here pins `spark.sql.session.timeZone`
+    * to UTC, so casting NTZ → TIMESTAMP preserves the wall-clock value
+    * exactly while restoring instant semantics — the same frame shape the
+    * engine has always exposed. Applied schema-driven so a testdata
+    * regeneration that flips the parquet annotation cannot change
+    * operator behavior. */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.col
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    ntz.foldLeft(df)((d, f) =>
+      d.withColumn(f.name, col(f.name).cast(TimestampType)))
+  }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")

@@ -28,12 +28,12 @@ object Streams {
     val df = tableStream(spark, sfDir, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    else Tables.normalizeTimestamps(df)
   }
 
   /** Streaming view of the documents table (crawl-batch ingestion). */
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
-    tableStream(spark, sfDir, "documents")
+    Tables.normalizeTimestamps(tableStream(spark, sfDir, "documents"))
 
   /** File-stream source for any testdata table. A directory-shaped
     * table (any Spark-written output, e.g. the 10× rehearsal corpus) IS
@@ -53,7 +53,10 @@ object Streams {
         StandardCopyOption.REPLACE_EXISTING)
       d
     }
-    val schema = Tables.load(spark, sfDir, table).schema
+    // raw file schema (pre-normalizeTimestamps): the stream reader must
+    // describe what the parquet files actually contain; NTZ→TIMESTAMP
+    // normalization happens on the streaming frame afterwards
+    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
     val reader = spark.readStream.schema(schema)
     // operational knob (used by tools.StreamSmoke to force multi-batch
     // incremental arrival): cap files per micro-batch like a production
