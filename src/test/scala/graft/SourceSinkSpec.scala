@@ -56,4 +56,29 @@ class SourceSinkSpec extends AnyFunSuite {
       .filter(_.startsWith("v=")).sorted
     assert(parts.sameElements(Array("v=1", "v=2")))
   }
+
+  test("NTZ-annotated parquet timestamps normalize to instant semantics") {
+    // regression for the round-9 testdata regeneration: parquet
+    // timestamp(isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ, which
+    // rejects CAST(ts AS DOUBLE) — Tables.load must normalize it so
+    // ts arithmetic (sessionize's gap test) keeps working across
+    // testdata vintages
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz").toString
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0)),
+      org.apache.spark.sql.Row(1L, java.time.LocalDateTime.of(2026, 1, 1, 0, 10, 0)),
+      org.apache.spark.sql.Row(1L, java.time.LocalDateTime.of(2026, 1, 1, 9, 0, 0)))
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampNTZType)))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType,
+      "NTZ column must normalize to TimestampType")
+    val sessions = graft.operators.Sessionize.sessionize(
+      ev, "user_id", "ts", tieCol = "ts", gapSec = 1800)
+    assert(sessions.select(countDistinct(col("session_id"))).head.getLong(0) == 2,
+      "a 30-minute gap rule must split the 9h-later event into a new session")
+  }
 }
