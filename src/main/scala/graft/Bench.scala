@@ -66,7 +66,9 @@ object Bench {
     "q_shard_assign", "q_vocab_encode", "q_relative_quality",
     "q_embed_decontaminate", "q_stream_cms", "q_profile_docs",
     "q_pseudonymize", "q_k_anonymity", "q_containment_pairs",
-    "q_pmi_pairs", "q_bm25_topk")
+    "q_pmi_pairs", "q_bm25_topk",
+    // round-9 additions
+    "q_dsir_weights", "q_semantic_dedup", "q_blocklist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -94,4 +94,47 @@ object Scrub {
       .agg(count(lit(1)).as("group_n"))
       .withColumn("violates_k", col("group_n") < k)
   }
+
+  /** Phrase-blocklist audit — the content-filter step a curation
+    * pipeline runs against a banned-term/URL/boilerplate list: every
+    * document is scored by its occurrences of any blocklist phrase,
+    * with exact whitespace-token phrase matching (a phrase of L words
+    * matches the document's word-L-shingle stream — no substring false
+    * positives: "ass" never hits "class"). Returns every doc as
+    * (doc_id, n_hits, terms, clean): total match occurrences, the
+    * sorted distinct phrases found, and the `clean` gate the filter
+    * keys on.
+    *
+    * 100 TB shape: the blocklist (config-sized — even a 100 k-phrase
+    * list is a few MB) BROADCASTS into the doc shingle stream — one
+    * hash-join per distinct phrase word-length, no shuffle of the
+    * corpus; the per-doc aggregate partial-aggregates map-side. This is
+    * the join-shaped alternative to an `isin` literal chain, which
+    * stops being viable past a few hundred phrases. Document-side work
+    * is one shingle generation per distinct phrase length present in
+    * the list (typically 1–3). */
+  def blocklistHits(docs: DataFrame, textCol: String, idCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = split(col(textCol), "\\s+")
+    val byLen = phrases.distinct.groupBy(_.split("\\s+").length).toSeq
+      .sortBy(_._1)
+    val hitStream = byLen.map { case (len, ps) =>
+      docs.select(col(idCol).as("doc_id"),
+          explode(graft.functions.ShingleArray.shinglesAll(toks, len))
+            .as("term"))
+        .join(broadcast(ps.toDF("term")), "term")
+    }.reduce(_ unionByName _)
+    val agg = hitStream.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        array_join(sort_array(collect_set(col("term"))), ",").as("terms"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("terms"), lit("")).as("terms"),
+        (coalesce(col("n_hits"), lit(0L)) === 0L).as("clean"))
+  }
 }

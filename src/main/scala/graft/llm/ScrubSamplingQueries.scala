@@ -223,6 +223,35 @@ object ScrubSamplingQueries {
               SELECT doc_id, h % 16 AS shard,
                      CAST(row_number() OVER (PARTITION BY h % 16
                             ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
-              FROM h"""))
+              FROM h""")),
+
+    // phrase-blocklist audit: exact whitespace-token phrase matching
+    // (1- and 2-word phrases → word shingles of each length join the
+    // broadcast list); n_hits counts occurrences, terms lists the
+    // sorted distinct phrases found, clean is the filter gate
+    Q("q_blocklist",
+      (s, d) => Scrub.blocklistHits(Tables.documents(s, d), "text",
+        "doc_id", Seq("slow", "big table", "fast merge")),
+      Some("""WITH w AS (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                       x -> length(x) > 0) AS ws
+                   FROM documents),
+              g1 AS (SELECT doc_id, unnest(ws) AS term FROM w),
+              g2 AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS term
+                     FROM w WHERE len(ws) >= 2),
+              hits AS (SELECT doc_id, term
+                       FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+                       WHERE term IN ('slow', 'big table', 'fast merge')),
+              agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                        array_to_string(list_sort(list(DISTINCT term)), ',')
+                          AS terms
+                      FROM hits GROUP BY 1)
+              SELECT d.doc_id,
+                     CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+                     coalesce(terms, '') AS terms,
+                     coalesce(n_hits, 0) = 0 AS clean
+              FROM documents d LEFT JOIN agg USING (doc_id)"""))
   )
 }

@@ -69,6 +69,50 @@ object Similarity {
       .where(col("cos") >= tau)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — public arXiv:2303.09540): cluster the embedding
+    * space with [[kmeans]] (fixed rounds, deterministic), then compare
+    * pairs ONLY within a cluster — the clustering is what makes
+    * embedding-level dedup tractable at corpus scale, replacing the
+    * corpus² cosine matrix with k × occupancy² work. A row is dropped
+    * when some SMALLER-id vector in its cluster has cosine ≥ tau
+    * (keep-first: deterministic, order-free, one anti-join — dropped
+    * rows can themselves witness later drops, which prunes ε-chains
+    * slightly more aggressively than the paper's keep-one-per-group;
+    * the rule is the documented contract either way). Returns every
+    * input row as (idCol, cluster, kept).
+    *
+    * 100 TB shape: [[kmeans]]'s per-round costs (k-row broadcast +
+    * per-point window + map-side-partial centroid aggregate), then ONE
+    * hash exchange keying vectors by cluster and a within-cluster
+    * equi-self-join — never a cross join; the quadratic term is bounded
+    * by cluster occupancy, and k is chosen ∝ corpus/occupancy exactly
+    * like the IVF cell count, so per-cluster work stays constant as the
+    * corpus grows. Cross-cluster near-dups (pairs straddling a centroid
+    * boundary) are invisible by design — the recall contract is the
+    * paper's, not exhaustive pair coverage. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int = 16, iters: Int = 2, tau: Double = 0.45): DataFrame = {
+    val assign = kmeans(emb, idCol, vecCol, dim, k, iters)
+    def side(id: String, v: String, n: String, c: String) =
+      emb.select(col(idCol).as(id), col(vecCol).as(v))
+        .withColumn(n, sqrt(dot(col(v), col(v))))
+        .join(assign.select(col(idCol).as(id), col("cluster").as(c)), id)
+    val dropped = side("da", "va", "na", "ca")
+      .join(side("db", "vb", "nb", "cb"),
+        col("ca") === col("cb") && col("da") < col("db"))
+      .select(col("db"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .where(col("cos") >= tau)
+      .select(col("db")).distinct()
+    assign.select(col(idCol), col("cluster"))
+      .join(dropped.withColumnRenamed("db", idCol)
+          .withColumn("_drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(!col("_drop"), lit(true)).as("kept"))
+  }
+
   /** The IVF coarse quantizer: `numCentroids` corpus vectors picked by
     * portable mixer key (seed offset 7·40503) — constant-size, broadcast. */
   private def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,

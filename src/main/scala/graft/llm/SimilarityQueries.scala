@@ -48,37 +48,25 @@ object SimilarityQueries {
     Q("q_kmeans",
       (s, d) => Similarity.kmeans(Tables.embeddings(s, d), "vec_id",
         "embedding", dim = 64, k = 16, iters = 2),
-      Some({
-        def sq(a: String, b: String): String =
-          s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
-               - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
-               + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))"""
-        s"""WITH v AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-              FROM embeddings),
-            c0 AS (SELECT vec_id AS cid, e AS cv FROM v
-                   ORDER BY ((vec_id % 1000000007) * 2654435761 + 445533) % 9973,
-                            vec_id
-                   LIMIT 16),
-            a1 AS (SELECT vec_id, e, cid FROM (
-                     SELECT v.vec_id, v.e, c.cid,
-                            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY round(${sq("v.e", "c.cv")}, 6), c.cid)
-                              AS rn
-                     FROM v, c0 c) WHERE rn = 1),
-            c1 AS (SELECT cid, list(mm ORDER BY dim) AS cv FROM (
-                     SELECT cid, t.i AS dim, round(avg(e[t.i]), 6) AS mm
-                     FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2)
-                   GROUP BY cid),
-            a2 AS (SELECT vec_id, cid FROM (
-                     SELECT v.vec_id, c.cid,
-                            row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY round(${sq("v.e", "c.cv")}, 6), c.cid)
-                              AS rn
-                     FROM v, c1 c) WHERE rn = 1)
-            SELECT vec_id, cid AS cluster FROM a2"""
-      })),
+      Some(kmeansSql + """
+            SELECT vec_id, cid AS cluster FROM a2""")),
+
+    // SemDeDup-style semantic dedup: the shared kmeans replay (a2) +
+    // within-cluster cosine pairs + the keep-first drop rule; the
+    // clustering bounds the quadratic term by cell occupancy exactly
+    // like the IVF layout
+    Q("q_semantic_dedup",
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, k = 16, iters = 2, tau = 0.45),
+      Some(kmeansSql + s""",
+            av AS (SELECT v.vec_id, v.e, a2.cid FROM v
+                   JOIN a2 USING (vec_id)),
+            drp AS (SELECT DISTINCT b.vec_id FROM av a JOIN av b
+                      ON a.cid = b.cid AND a.vec_id < b.vec_id
+                    WHERE ${duckCos("a.e", "b.e")} >= 0.45)
+            SELECT a2.vec_id, a2.cid AS cluster,
+                   a2.vec_id NOT IN (SELECT vec_id FROM drp) AS kept
+            FROM a2""")),
 
     // brute-force cosine top-5 for query vectors vec_id < 10
     Q("q_embed_knn",
@@ -557,6 +545,46 @@ object SimilarityQueries {
     // (eval x train, never train x train), the tiny multi-probed eval
     // side broadcasts, the training corpus never shuffles
     // (PlanShapeSpec-pinned); oracle replays the bucketing exactly
+    q_embed_decontaminate_entry
+  )
+
+  /** DuckDB replay of [[Similarity.kmeans]] (dim 64, k 16, iters 2,
+    * seed 445533): init by portable mixer key, two assignment rounds at
+    * 6dp with cid tiebreak, centroid means rounded per component — ends
+    * with CTE `a2` (vec_id, cid). Shared by q_kmeans and
+    * q_semantic_dedup so the two replays cannot drift. */
+  private def kmeansSql: String = {
+    def sq(a: String, b: String): String =
+      s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
+           - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+           + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))"""
+    s"""WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, e AS cv FROM v
+               ORDER BY ((vec_id % 1000000007) * 2654435761 + 445533) % 9973,
+                        vec_id
+               LIMIT 16),
+        a1 AS (SELECT vec_id, e, cid FROM (
+                 SELECT v.vec_id, v.e, c.cid,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY round(${sq("v.e", "c.cv")}, 6), c.cid)
+                          AS rn
+                 FROM v, c0 c) WHERE rn = 1),
+        c1 AS (SELECT cid, list(mm ORDER BY dim) AS cv FROM (
+                 SELECT cid, t.i AS dim, round(avg(e[t.i]), 6) AS mm
+                 FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2)
+               GROUP BY cid),
+        a2 AS (SELECT vec_id, cid FROM (
+                 SELECT v.vec_id, c.cid,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY round(${sq("v.e", "c.cv")}, 6), c.cid)
+                          AS rn
+                 FROM v, c1 c) WHERE rn = 1)"""
+  }
+
+  private def q_embed_decontaminate_entry: Q =
     Q("q_embed_decontaminate",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -586,5 +614,4 @@ object SimilarityQueries {
                       CAST(count(*) AS BIGINT) AS n_hits,
                       max(cos) AS max_cos
                FROM pairs GROUP BY tid"""))
-  )
 }

@@ -229,6 +229,64 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** DSIR-style data-selection importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling" —
+    * public arXiv:2302.03169): score every pool document by how much
+    * its n-gram distribution looks like a TARGET slice of the pool
+    * (e.g. a curated or in-domain subset) relative to the pool itself:
+    *
+    *   weight(doc) = mean over doc bigrams g of
+    *     ln( p̂_target(g) / p̂_pool(g) )
+    *
+    * with add-one–smoothed MLEs p̂(g) = (c(g)+1)/(N+V) (V = pool-wide
+    * distinct-bigram count; smoothing keeps ln finite for bigrams the
+    * target never saw). Selecting the top-quota by weight is the
+    * deterministic "importance resampling" step a pretraining pipeline
+    * runs to tilt a web crawl toward a target domain. The mean (not
+    * sum) keeps long docs from dominating; the single-ln operand shape
+    * ln((ct+1)·(Nr+V) / ((cr+1)·(Nt+V))) is mirrored
+    * operand-for-operand by the oracle so 6dp rounding agrees (the
+    * [[lmScore]] ln-parity discipline). Docs with < 2 tokens carry
+    * n_bigrams = 0, weight = 0.0.
+    *
+    * 100 TB shape: exactly [[lmScore]]'s — two (bigram, count)
+    * aggregates (map-side partials), the doc-bigram stream hash-joins
+    * against them (the bigram vocabulary is NOT broadcastable at
+    * corpus scale; that shuffle is the cost of corpus-conditional
+    * scoring), totals are a 1-row broadcast, and the per-doc mean
+    * partial-aggregates map-side. The target-count table is left-joined
+    * (absent bigram → ct = 0), so the target slice never constrains
+    * the join order. */
+  def dsirWeights(docs: DataFrame, targetPred: Column, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    val bigr = docs.select(col(idCol).as("doc_id"), targetPred.as("is_t"),
+      explode(graft.functions.ShingleArray.shinglesAll(toks, 2)).as("bigram"))
+    val ct = bigr.where(col("is_t")).groupBy(col("bigram"))
+      .agg(count(lit(1)).as("ct"))
+    val cr = bigr.groupBy(col("bigram")).agg(count(lit(1)).as("cr"))
+    val totals = bigr.agg(
+      sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("nt"),
+      count(lit(1)).as("nr"),
+      countDistinct(col("bigram")).as("v"))
+    val scored = bigr
+      .join(ct, Seq("bigram"), "left")
+      .join(cr, Seq("bigram"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(
+          ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
+            * (col("nr") + col("v"))) /
+            ((col("cr") + lit(1L)).cast("double")
+              * (col("nt") + col("v"))))), 6).as("weight"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("weight"), lit(0.0)).as("weight"))
+  }
+
   /** Content fingerprint: md5 over case/whitespace-normalized text —
     * the join key for exact dedup across differently-formatted copies.
     * Normalization is the native one-scan NormalizeText expression. */

@@ -452,6 +452,64 @@ object TextAnalysisQueries {
       (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d), "text", "doc_id"),
       Some("""SELECT doc_id,
                      md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-              FROM documents"""))
+              FROM documents""")),
+
+    // DSIR importance weights: every pool doc scored by the smoothed
+    // bigram log-likelihood ratio of the lang='en' target slice vs the
+    // pool (arXiv:2302.03169's selection signal); the single-ln operand
+    // shape is mirrored exactly so 6dp rounding agrees
+    Q("q_dsir_weights",
+      (s, d) => TextAnalysis.dsirWeights(Tables.documents(s, d),
+        col("lang") === "en", "text", "doc_id"),
+      Some(dsirSql + """
+              SELECT d.doc_id,
+                     CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                     coalesce(weight, 0.0) AS weight
+              FROM documents d LEFT JOIN sc USING (doc_id)""")),
+
+    // the resampling step: top-100 pool docs by target-likeness, the
+    // deterministic selection a pipeline feeds back into the corpus mix;
+    // same full weight replay + (weight desc, doc_id) cut on both sides
+    Q("q_dsir_sample",
+      (s, d) => TextAnalysis.dsirWeights(Tables.documents(s, d),
+          col("lang") === "en", "text", "doc_id")
+        .orderBy(col("weight").desc, col("doc_id").asc)
+        .limit(100),
+      Some(dsirSql + """
+              SELECT d.doc_id,
+                     CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                     coalesce(weight, 0.0) AS weight
+              FROM documents d LEFT JOIN sc USING (doc_id)
+              ORDER BY weight DESC, d.doc_id ASC
+              LIMIT 100"""))
   )
+
+  /** Shared DuckDB replay of [[TextAnalysis.dsirWeights]] (target =
+    * lang='en'): bigram CTEs, target/pool counts, 1-row totals, and the
+    * per-doc mean of the mirrored single-ln operand. Ends with the `sc`
+    * CTE (doc_id, n_bigrams, weight). */
+  private def dsirSql: String =
+    """WITH w AS (SELECT doc_id, lang = 'en' AS is_t,
+              list_filter(string_split_regex(text, '\s+'),
+                x -> length(x) > 0) AS ws
+            FROM documents),
+       bg AS (SELECT doc_id, is_t,
+                unnest(list_transform(range(1, len(ws)),
+                  i -> ws[i] || ' ' || ws[i+1])) AS bigram
+              FROM w WHERE len(ws) >= 2),
+       ctt AS (SELECT bigram, count(*) AS ct FROM bg WHERE is_t GROUP BY 1),
+       crr AS (SELECT bigram, count(*) AS cr FROM bg GROUP BY 1),
+       tot AS (SELECT CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS nt,
+                      CAST(count(*) AS BIGINT) AS nr,
+                      CAST(count(DISTINCT bigram) AS BIGINT) AS v
+               FROM bg),
+       sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(avg(ln(
+                  (CAST(coalesce(ct, 0) + 1 AS DOUBLE) * (nr + v)) /
+                  (CAST(cr + 1 AS DOUBLE) * (nt + v)))), 6) AS weight
+              FROM bg
+              LEFT JOIN ctt USING (bigram)
+              JOIN crr USING (bigram)
+              CROSS JOIN tot
+              GROUP BY doc_id)"""
 }

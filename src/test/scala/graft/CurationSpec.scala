@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-9 curation additions: DSIR importance weights, SemDeDup-style
+  * semantic dedup, and the phrase-blocklist audit. The registry oracles
+  * prove engine parity; these specs pin the operator SEMANTICS on
+  * hand-checkable fixtures. */
+class CurationSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("dsirWeights ranks target-looking docs above out-of-target docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "en"),
+      (2L, "alpha beta alpha beta gamma", "xx"),   // mostly target-like
+      (3L, "zeta eta zeta eta zeta", "xx"),        // nothing like target
+      (4L, "solo", "xx")                            // < 2 tokens
+    ).toDF("doc_id", "text", "lang")
+    val w = graft.llm.TextAnalysis
+      .dsirWeights(docs, col("lang") === "en", "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w(4) == (0L, 0.0), "degenerate doc carries zero weight")
+    assert(w(2)._2 > w(3)._2,
+      s"target-like doc must outscore word salad: ${w(2)} vs ${w(3)}")
+    assert(w(1)._2 > w(3)._2, "the target doc itself must outscore salad")
+  }
+
+  test("semanticDedup drops the later id of a within-cluster near-dup pair") {
+    val s = spark
+    import s.implicits._
+    // two identical vectors + one orthogonal; k=1 puts all in one cluster
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity
+      .semanticDedup(emb, "vec_id", "embedding", dim = 4, k = 1, iters = 1,
+        tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true),
+      s"keep-first must drop exactly the later duplicate id: $out")
+  }
+
+  test("blocklistHits matches whole-token phrases only, never substrings") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the class is big"),           // 'ass' must NOT hit inside 'class'
+      (2L, "a big table stands"),         // 2-word phrase hit
+      (3L, "big tables everywhere"),      // 'big tables' != 'big table'
+      (4L, "ass big table ass")           // 1-word twice + phrase once
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Scrub
+      .blocklistHits(docs, "text", "doc_id", Seq("ass", "big table"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getBoolean(3)))
+      .toMap
+    assert(out(1) == (0L, "", true), s"substring must not match: ${out(1)}")
+    assert(out(2) == (1L, "big table", false))
+    assert(out(3) == (0L, "", true), s"phrase must match exactly: ${out(3)}")
+    assert(out(4) == (3L, "ass,big table", false), s"occurrences count: ${out(4)}")
+  }
+}

@@ -84,10 +84,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_pagerank", "q_pagerank_golden", "q_join_multi",
       "q_tfidf",  // 1-row corpus-size aggregate broadcast into the scorer
       "q_kmeans", // k-row centroid table broadcast into assignment
+      "q_semantic_dedup", // kmeans' centroid broadcast inside the clustering stage
       "q_embed_ivfpq_knn", // IVF coarse assignment (same centroid crossJoin as ivf_knn)
       "q_embed_ivfpq_res_knn", // same coarse assignment, residual codebooks
       "q_pmi_pairs", // two 1-row corpus totals broadcast into the pair scorer
-      "q_bm25_topk") // 1-row (N, sum_dl) totals broadcast into the scorer
+      "q_bm25_topk", // 1-row (N, sum_dl) totals broadcast into the scorer
+      "q_dsir_weights", // 1-row (nt, nr, v) totals broadcast into the scorer
+      "q_dsir_sample")  // same totals broadcast; selection is a TakeOrdered
     val offenders = Registry.byName.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream"))
       .flatMap { name =>
