@@ -94,7 +94,10 @@ object Similarity {
     * paper's, not exhaustive pair coverage. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int = 16, iters: Int = 2, tau: Double = 0.45): DataFrame = {
-    val assign = kmeans(emb, idCol, vecCol, dim, k, iters)
+    // checkpointed: referenced by both pair sides AND the final frame —
+    // without it the whole kmeans subtree re-executes per reference
+    // (caught by the PlanShapeSpec nested-loop-join budget)
+    val assign = kmeans(emb, idCol, vecCol, dim, k, iters).localCheckpoint()
     def side(id: String, v: String, n: String, c: String) =
       emb.select(col(idCol).as(id), col(vecCol).as(v))
         .withColumn(n, sqrt(dot(col(v), col(v))))

@@ -432,6 +432,47 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the token stream must not ride a shuffle join:\n$p")
   }
 
+  test("dsir weights: two count aggs, totals broadcast, per-doc mean partial-aggs") {
+    // lmScore's scale discipline carried over: target and pool bigram
+    // counts both partial-aggregate map-side, the doc-bigram stream
+    // hash-joins them (never SMJ via a corpus shuffle of bigram text
+    // beyond the count tables), and the 1-row totals ride a broadcast
+    val p = plan("q_dsir_weights")
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      s"target and pool bigram counts must both partial-aggregate:\n$p")
+    assert(p.contains("partial_avg"),
+      s"the per-doc mean must partial-aggregate:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row (nt, nr, v) totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unconstrained cross join anywhere:\n$p")
+  }
+
+  test("semantic dedup: within-cluster pairs ride an equi-join, never a cross join") {
+    // the SemDeDup tractability claim enforced: the only nested-loop
+    // joins are kmeans' k-row centroid broadcasts; the pair stage keys
+    // on cluster (ca = cb appears as an equi-join condition), so the
+    // quadratic term is bounded by cell occupancy, not corpus²
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must not plan a cartesian product:\n$p")
+    assert(p.contains("ca#") && p.contains("cb#"),
+      s"the pair self-join must key on the cluster columns:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"nested-loop joins must be kmeans' centroid broadcasts only:\n$p")
+  }
+
+  test("blocklist audit broadcasts the phrase list into the shingle stream") {
+    val p = plan("q_blocklist")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"each phrase-length slice must broadcast-join the list:\n$p")
+    assert(p.contains("Generate"),
+      s"doc shingles must come from a generator projection:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-doc hit counts must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross join:\n$p")
+  }
+
   test("PQ refine broadcasts the shortlist; the corpus never shuffles vectors") {
     val p = plan("q_embed_pq_refined")
     assert(p.contains("BroadcastHashJoin"),
