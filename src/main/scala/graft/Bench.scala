@@ -68,7 +68,7 @@ object Bench {
     "q_pseudonymize", "q_k_anonymity", "q_containment_pairs",
     "q_pmi_pairs", "q_bm25_topk",
     // round-9 additions
-    "q_dsir_weights", "q_semantic_dedup", "q_blocklist")
+    "q_dsir_weights", "q_semantic_dedup", "q_blocklist", "q_linear_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -287,6 +287,58 @@ object TextAnalysis {
         coalesce(col("weight"), lit(0.0)).as("weight"))
   }
 
+  /** Hashed-linear-model document scoring — the inference half of a
+    * fastText/CCNet-style model-based quality filter (the step that
+    * replaces heuristic [[qualityScore]] once a classifier has been
+    * trained offline): each word maps to a weight bucket by the
+    * portable [[graft.functions.WordHash]] mod `weights.size` (feature
+    * hashing), and the document scores bias + mean of its words'
+    * bucket weights — the linear activation. The sigmoid is monotone,
+    * so thresholding the activation IS thresholding the probability;
+    * emitting the raw activation keeps the oracle free of
+    * exp-rounding parity concerns. Docs with no tokens score
+    * round(bias, 6).
+    *
+    * The weight vector is the caller's trained artifact; it rides the
+    * plan as a literal array (a broadcast constant at any corpus
+    * size). The registered query uses a deterministic mixer-generated
+    * stand-in vector — the ENGINE contract under test is the scoring
+    * shape, not a particular model.
+    *
+    * 100 TB shape: one zero-shuffle projection over the scan — hash,
+    * index, fold, per row; scales with executors like any map. A
+    * production fastText head (≥10⁶ buckets × k classes) outgrows a
+    * literal and becomes a broadcast (bucket, weight) join on the
+    * exploded word stream + per-doc aggregate — the [[dsirWeights]]
+    * join shape; at the config-sized vectors a filter actually
+    * thresholds on, the literal projection is strictly better (no
+    * explode, no aggregate exchange). */
+  def hashedLinearScore(docs: DataFrame, textCol: String, idCol: String,
+      weights: Seq[Double], bias: Double = 0.0): DataFrame = {
+    require(weights.nonEmpty, "weight vector must be non-empty")
+    val dim = weights.size
+    val wlit = array(weights.map(lit): _*)
+    val toks = filter(split(col(textCol), "\\s+"), w => length(w) > lit(0))
+    val pw = transform(toks, w => element_at(wlit,
+      (pmod(graft.functions.WordHash.wordHash(w), lit(dim.toLong)) + lit(1L))
+        .cast("int")))
+    val n = size(toks).cast("long")
+    val s = aggregate(pw, lit(0.0), (acc, x) => acc + x)
+    docs.select(col(idCol).as("doc_id"), n.as("n_words"),
+      round(lit(bias) +
+        when(n > 0L, s / n.cast("double")).otherwise(lit(0.0)), 6)
+        .as("score"))
+  }
+
+  /** The deterministic stand-in weight vector the registered query
+    * scores with (mixer-generated, centered on 0): weight i =
+    * ((i·2654435761 + 40503) mod 9973)/9973 − 0.5. Generated by the
+    * SAME formula in the oracle SQL so both engines index an identical
+    * vector. */
+  def mixerWeights(dim: Int): Seq[Double] =
+    (0 until dim).map(i =>
+      ((i * 2654435761L + 40503L) % 9973L).toDouble / 9973.0 - 0.5)
+
   /** Content fingerprint: md5 over case/whitespace-normalized text —
     * the join key for exact dedup across differently-formatted copies.
     * Normalization is the native one-scan NormalizeText expression. */

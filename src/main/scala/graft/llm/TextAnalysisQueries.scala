@@ -481,7 +481,33 @@ object TextAnalysisQueries {
                      coalesce(weight, 0.0) AS weight
               FROM documents d LEFT JOIN sc USING (doc_id)
               ORDER BY weight DESC, d.doc_id ASC
-              LIMIT 100"""))
+              LIMIT 100""")),
+
+    // hashed-linear-model scoring: feature-hash each word into a
+    // 64-bucket weight vector (portable WordHash mod 64) and score the
+    // mean bucket weight — the fastText/CCNet model-based-filter
+    // inference shape as a zero-shuffle projection; the mixer-generated
+    // stand-in weights are built by the same formula on both engines
+    Q("q_linear_score",
+      (s, d) => TextAnalysis.hashedLinearScore(Tables.documents(s, d),
+        "text", "doc_id", TextAnalysis.mixerWeights(64)),
+      Some(s"""WITH w AS (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                       x -> length(x) > 0) AS ws
+                   FROM documents),
+               wt AS (SELECT list_transform(range(0, 64), i ->
+                        CAST((i * 2654435761 + 40503) % 9973 AS DOUBLE)
+                          / 9973.0 - 0.5) AS wv),
+               pw AS (SELECT doc_id, len(ws) AS n_words,
+                        list_sum(list_transform(ws, x ->
+                          wv[CAST(${duckWordHash("x")} % 64 AS BIGINT) + 1]))
+                          AS s
+                      FROM w CROSS JOIN wt)
+               SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                      round(0.0 + CASE WHEN n_words > 0
+                                       THEN s / n_words
+                                       ELSE 0.0 END, 6) AS score
+               FROM pw"""))
   )
 
   /** Shared DuckDB replay of [[TextAnalysis.dsirWeights]] (target =

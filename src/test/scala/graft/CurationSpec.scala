@@ -45,6 +45,19 @@ class CurationSpec extends AnyFunSuite {
       s"keep-first must drop exactly the later duplicate id: $out")
   }
 
+  test("hashedLinearScore is the mean bucket weight; empty docs score the bias") {
+    val s = spark
+    import s.implicits._
+    // dim 1: every word hits bucket 0, so score = bias + weight
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val out = graft.llm.TextAnalysis
+      .hashedLinearScore(docs, "text", "doc_id", Seq(0.25), bias = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1) == (3L, 0.75), s"mean of constant weights + bias: ${out(1)}")
+    assert(out(2) == (0L, 0.5), "empty doc scores the bias")
+    assert(out(3) == (0L, 0.5), "whitespace-only doc scores the bias")
+  }
+
   test("blocklistHits matches whole-token phrases only, never substrings") {
     val s = spark
     import s.implicits._

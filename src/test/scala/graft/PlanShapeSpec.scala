@@ -462,6 +462,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"nested-loop joins must be kmeans' centroid broadcasts only:\n$p")
   }
 
+  test("hashed linear scoring is a zero-shuffle projection over the scan") {
+    // the model-based-filter inference shape: weights ride the plan as
+    // a literal, so scoring adds NO exchange at any corpus size
+    val p = plan("q_linear_score")
+    assert(!p.contains("Exchange"),
+      s"model scoring must not shuffle:\n$p")
+  }
+
   test("blocklist audit broadcasts the phrase list into the shingle stream") {
     val p = plan("q_blocklist")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
