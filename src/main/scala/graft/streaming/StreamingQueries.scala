@@ -113,6 +113,30 @@ object StreamingQueries {
                 FROM documents)
               SELECT DISTINCT fp FROM f0
               WHERE in_sample
-                AND fp NOT IN (SELECT fp FROM f0 WHERE NOT in_sample)"""))
+                AND fp NOT IN (SELECT fp FROM f0 WHERE NOT in_sample)""")),
+
+    // model-based quality scoring ON the crawl stream: the stateless
+    // hashed-linear projection per micro-batch ≡ the batch score over
+    // the same corpus (q_linear_score's oracle, verbatim)
+    Q("q_stream_linear_score",
+      (s, d) => Streams.streamLinearScore(s, d,
+        graft.llm.TextAnalysis.mixerWeights(64)),
+      Some(s"""WITH w AS (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                       x -> length(x) > 0) AS ws
+                   FROM documents),
+               wt AS (SELECT list_transform(range(0, 64), i ->
+                        CAST((i * 2654435761 + 40503) % 9973 AS DOUBLE)
+                          / 9973.0 - 0.5) AS wv),
+               pw AS (SELECT doc_id, len(ws) AS n_words,
+                        list_sum(list_transform(ws, x ->
+                          wv[CAST(${graft.llm.LlmQueries.duckWordHash("x")}
+                             % 64 AS BIGINT) + 1])) AS s
+                      FROM w CROSS JOIN wt)
+               SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                      round(0.0 + CASE WHEN n_words > 0
+                                       THEN s / n_words
+                                       ELSE 0.0 END, 6) AS score
+               FROM pw"""))
   )
 }

@@ -194,6 +194,20 @@ object Streams {
     drain(joined, OutputMode.Append(), "stream_enrich")
   }
 
+  /** Model-based quality filtering ON the crawl stream: the
+    * [[graft.llm.TextAnalysis.hashedLinearScore]] projection applied
+    * per micro-batch — stateless (the weight literal is a constant in
+    * every batch's plan), so the stream scores row-for-row what a
+    * batch backfill scores; the production shape for gating documents
+    * at ingest before they ever land in the corpus. */
+  def streamLinearScore(spark: SparkSession, sfDir: String,
+      weights: Seq[Double], bias: Double = 0.0): DataFrame = {
+    val s = tuned(spark)
+    val scored = graft.llm.TextAnalysis.hashedLinearScore(
+      documentsStream(s, sfDir), "text", "doc_id", weights, bias)
+    drain(scored, OutputMode.Append(), "stream_linear_score")
+  }
+
   // not private: Catalyst's codegen'd encoders can't reach private members
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserState(n: Long, first: java.sql.Timestamp, total: Double)
