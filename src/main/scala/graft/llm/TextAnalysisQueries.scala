@@ -461,7 +461,7 @@ object TextAnalysisQueries {
     Q("q_dsir_weights",
       (s, d) => TextAnalysis.dsirWeights(Tables.documents(s, d),
         col("lang") === "en", "text", "doc_id"),
-      Some(dsirSql + """
+      Some("WITH " + dsirCtes("documents") + """
               SELECT d.doc_id,
                      CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
                      coalesce(weight, 0.0) AS weight
@@ -475,7 +475,7 @@ object TextAnalysisQueries {
           col("lang") === "en", "text", "doc_id")
         .orderBy(col("weight").desc, col("doc_id").asc)
         .limit(100),
-      Some(dsirSql + """
+      Some("WITH " + dsirCtes("documents") + """
               SELECT d.doc_id,
                      CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
                      coalesce(weight, 0.0) AS weight
@@ -507,18 +507,85 @@ object TextAnalysisQueries {
                       round(0.0 + CASE WHEN n_words > 0
                                        THEN s / n_words
                                        ELSE 0.0 END, 6) AS score
-               FROM pw"""))
+               FROM pw""")),
+
+    // the round-9 capstone composition — a full curation pass a
+    // pretraining pipeline runs end to end: phrase-blocklist gate →
+    // model-based quality gate (hashed-linear score ≥ 0) → normalized
+    // exact dedup (survivor = min id) → DSIR-ranked top-50 selection of
+    // the survivors. Four operators, one registered plan; every stage's
+    // replay is the fragment its standalone query already proves.
+    Q("q_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clean = Scrub.blocklistHits(docs, "text", "doc_id",
+            Seq("slow join", "big table", "fast merge"))
+          .where(col("clean")).select(col("doc_id"))
+        val pass = TextAnalysis.hashedLinearScore(docs, "text", "doc_id",
+            TextAnalysis.mixerWeights(64))
+          .where(col("score") >= 0.0).select(col("doc_id"))
+        val gated = docs.join(clean, Seq("doc_id"), "left_semi")
+          .join(pass, Seq("doc_id"), "left_semi")
+        val surv = Dedup.exactNormalized(gated, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        val corpus = docs.join(surv, Seq("doc_id"), "left_semi")
+        TextAnalysis.dsirWeights(corpus, col("lang") === "en", "text",
+            "doc_id")
+          .orderBy(col("weight").desc, col("doc_id").asc)
+          .limit(50)
+      },
+      Some(s"""WITH blw AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'),
+                        x -> length(x) > 0) AS ws
+                    FROM documents),
+               blh AS (SELECT DISTINCT doc_id FROM (
+                         SELECT doc_id, unnest(ws) AS term FROM blw
+                         UNION ALL
+                         SELECT doc_id,
+                                unnest(list_transform(range(1, len(ws)),
+                                  i -> ws[i] || ' ' || ws[i+1])) AS term
+                         FROM blw WHERE len(ws) >= 2)
+                       WHERE term IN ('slow join', 'big table', 'fast merge')),
+               wt AS (SELECT list_transform(range(0, 64), i ->
+                        CAST((i * 2654435761 + 40503) % 9973 AS DOUBLE)
+                          / 9973.0 - 0.5) AS wv),
+               ls AS (SELECT doc_id FROM (
+                        SELECT doc_id, len(ws) AS n_words,
+                               list_sum(list_transform(ws, x ->
+                                 wv[CAST(${duckWordHash("x")} % 64 AS BIGINT)
+                                    + 1])) AS s
+                        FROM blw CROSS JOIN wt)
+                      WHERE round(0.0 + CASE WHEN n_words > 0
+                                             THEN s / n_words
+                                             ELSE 0.0 END, 6) >= 0.0),
+               gated AS (SELECT * FROM documents
+                         WHERE doc_id NOT IN (SELECT doc_id FROM blh)
+                           AND doc_id IN (SELECT doc_id FROM ls)),
+               fp AS (SELECT min(doc_id) AS doc_id FROM gated
+                      GROUP BY md5(trim(regexp_replace(lower(text),
+                        '\\s+', ' ', 'g')))),
+               surv AS (SELECT d.* FROM documents d
+                        WHERE doc_id IN (SELECT doc_id FROM fp)),
+               ${dsirCtes("surv")}
+               SELECT d.doc_id,
+                      CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                      coalesce(weight, 0.0) AS weight
+               FROM surv d LEFT JOIN sc USING (doc_id)
+               ORDER BY weight DESC, d.doc_id ASC
+               LIMIT 50"""))
   )
 
   /** Shared DuckDB replay of [[TextAnalysis.dsirWeights]] (target =
-    * lang='en'): bigram CTEs, target/pool counts, 1-row totals, and the
-    * per-doc mean of the mirrored single-ln operand. Ends with the `sc`
-    * CTE (doc_id, n_bigrams, weight). */
-  private def dsirSql: String =
-    """WITH w AS (SELECT doc_id, lang = 'en' AS is_t,
-              list_filter(string_split_regex(text, '\s+'),
+    * lang='en') over pool `src`: bigram CTEs, target/pool counts, 1-row
+    * totals, and the per-doc mean of the mirrored single-ln operand.
+    * Ends with the `sc` CTE (doc_id, n_bigrams, weight); returns a CTE
+    * LIST (no WITH) so callers can splice it mid-chain
+    * (q_curation_pipeline runs it over the dedup survivors). */
+  private[llm] def dsirCtes(src: String): String =
+    s"""w AS (SELECT doc_id, lang = 'en' AS is_t,
+              list_filter(string_split_regex(text, '\\s+'),
                 x -> length(x) > 0) AS ws
-            FROM documents),
+            FROM $src),
        bg AS (SELECT doc_id, is_t,
                 unnest(list_transform(range(1, len(ws)),
                   i -> ws[i] || ' ' || ws[i+1])) AS bigram

@@ -90,7 +90,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_pmi_pairs", // two 1-row corpus totals broadcast into the pair scorer
       "q_bm25_topk", // 1-row (N, sum_dl) totals broadcast into the scorer
       "q_dsir_weights", // 1-row (nt, nr, v) totals broadcast into the scorer
-      "q_dsir_sample")  // same totals broadcast; selection is a TakeOrdered
+      "q_dsir_sample",  // same totals broadcast; selection is a TakeOrdered
+      "q_curation_pipeline") // the dsir stage's totals broadcast, composed
     val offenders = Registry.byName.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream"))
       .flatMap { name =>
