@@ -441,6 +441,39 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total")),
       Some("""SELECT date_trunc('hour', ts) AS h, event_type,
                      count(*) AS n, round(sum(value), 2) AS total
-              FROM events GROUP BY 1, 2"""))
+              FROM events GROUP BY 1, 2""")),
+
+    // --- range join (operators.RangeJoin): orders placed within a day of
+    // a sampled urgent order — BETWEEN predicates plan a nested-loop join
+    // natively; the bin rewrite makes it an equi-join (plan-pinned).
+    // DuckDB's native inequality join is the independent oracle ------------
+    Q("q_range_join",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val pts = o.select(col("o_orderkey").as("okey"),
+          unix_timestamp(col("o_orderdate")).as("t"))
+        val iv = o.where(col("o_orderpriority") === "1-URGENT" &&
+            pmod(col("o_orderkey"), lit(7L)) === 0L)
+          .select(col("o_orderkey").as("anchor"),
+            unix_timestamp(col("o_orderdate")).as("lo"))
+          .withColumn("hi", col("lo") + lit(86400L))
+        graft.operators.RangeJoin.pointInInterval(pts, iv, "t", "lo", "hi",
+            binSize = 86400L)
+          .where(col("okey") =!= col("anchor"))
+          .select(col("anchor"), col("okey"), col("t"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey,
+                       CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+                         AS t,
+                       o_orderpriority
+                     FROM orders),
+              iv AS (SELECT o_orderkey AS anchor, t AS lo, t + 86400 AS hi
+                     FROM o
+                     WHERE o_orderpriority = '1-URGENT'
+                       AND o_orderkey % 7 = 0)
+              SELECT iv.anchor, o.o_orderkey AS okey, o.t
+              FROM iv JOIN o
+                ON o.t >= iv.lo AND o.t <= iv.hi
+                   AND o.o_orderkey <> iv.anchor"""))
   )
 }

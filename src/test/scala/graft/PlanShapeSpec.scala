@@ -463,6 +463,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"nested-loop joins must be kmeans' centroid broadcasts only:\n$p")
   }
 
+  test("range join lowers to an equi-join on bin, never a nested loop") {
+    // the whole point of the bin rewrite: a BETWEEN join that would
+    // natively plan BNLJ/cartesian becomes hash-partitionable work
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range join must ride the bin equi-join:\n$p")
+    assert(p.contains("Generate"),
+      s"intervals must explode to their covered bins:\n$p")
+  }
+
   test("hashed linear scoring is a zero-shuffle projection over the scan") {
     // the model-based-filter inference shape: weights ride the plan as
     // a literal, so scoring adds NO exchange at any corpus size
