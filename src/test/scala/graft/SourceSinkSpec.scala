@@ -57,6 +57,25 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(parts.sameElements(Array("v=1", "v=2")))
   }
 
+  test("partitioned layout prunes at the scan (only the filtered dir is read)") {
+    // the 100 TB layout receipt: a lang-partitioned corpus + a lang
+    // filter must show PartitionFilters at the file scan and touch ONE
+    // partition directory — scan-level pruning, not a post-read filter
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Tables.documents(spark, sf0001)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).where(col("lang") === "en")
+      .select(col("doc_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"the lang predicate must prune partitions at the scan:\n$plan")
+    val read = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(read.contains(1), s"exactly one partition dir must be read: $read")
+  }
+
   test("NTZ-annotated parquet timestamps normalize to instant semantics") {
     // regression for the round-9 testdata regeneration: parquet
     // timestamp(isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ, which
