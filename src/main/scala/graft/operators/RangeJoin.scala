@@ -45,4 +45,30 @@ object RangeJoin {
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /** Interval-overlap join: all (a, b) pairs whose closed intervals
+    * intersect ([loA,hiA] ∩ [loB,hiB] ≠ ∅ ⇔ loA ≤ hiB AND loB ≤ hiA).
+    * Same bin rewrite as [[pointInInterval]] with BOTH sides exploded;
+    * an overlapping pair shares every bin their intersection covers, so
+    * duplicate emission is suppressed WITHOUT a distinct pass by keeping
+    * a pair only in the FIRST bin it shares — `bin ==
+    * max(floor(loA/binSize), floor(loB/binSize))`, a per-row predicate
+    * (the later of the two starts lands in the first shared bin of any
+    * intersecting pair). Replication and skew economics are
+    * pointInInterval's, paid on both sides. Caller column sets must be
+    * disjoint; `_bin` is reserved on either side. */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+      loA: String, hiA: String, loB: String, hiB: String,
+      binSize: Long): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    val bs = lit(binSize)
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("_bin", explode(sequence(
+        floor(col(lo) / bs).cast("long"), floor(col(hi) / bs).cast("long"))))
+    binned(a, loA, hiA).join(binned(b, loB, hiB), Seq("_bin"))
+      .where(col(loA) <= col(hiB) && col(loB) <= col(hiA) &&
+        col("_bin") === greatest(floor(col(loA) / bs).cast("long"),
+          floor(col(loB) / bs).cast("long")))
+      .drop("_bin")
+  }
 }

@@ -474,6 +474,44 @@ object RelationalQueries {
               SELECT iv.anchor, o.o_orderkey AS okey, o.t
               FROM iv JOIN o
                 ON o.t >= iv.lo AND o.t <= iv.hi
-                   AND o.o_orderkey <> iv.anchor"""))
+                   AND o.o_orderkey <> iv.anchor""")),
+
+    // --- interval-overlap join (operators.RangeJoin.intervalOverlap):
+    // co-active user pairs — per-user daily activity spans from events,
+    // sampled span set × broader span set, overlap = closed-interval
+    // intersection; both sides explode to day bins, pairs dedup via the
+    // first-shared-bin predicate (no distinct pass). DuckDB's native
+    // inequality join is the oracle --------------------------------------
+    Q("q_interval_overlap",
+      (s, d) => {
+        val spans = ev(s, d)
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(unix_timestamp(min(col("ts"))).as("lo"),
+            unix_timestamp(max(col("ts"))).as("hi"))
+        val a = spans.where(pmod(col("user_id"), lit(500L)) === 0L)
+          .select(col("user_id").as("ua"), col("lo").as("lo_a"),
+            col("hi").as("hi_a"))
+        val b = spans.where(pmod(col("user_id"), lit(50L)) === 0L)
+          .select(col("user_id").as("ub"), col("lo").as("lo_b"),
+            col("hi").as("hi_b"))
+        graft.operators.RangeJoin.intervalOverlap(a, b,
+            "lo_a", "hi_a", "lo_b", "hi_b", binSize = 86400L)
+          .where(col("ua") =!= col("ub"))
+          .select(col("ua"), col("ub"), col("lo_a"), col("lo_b"))
+      },
+      Some("""WITH spans AS (
+                SELECT user_id, date_trunc('day', ts) AS day,
+                       CAST(floor(epoch(min(CAST(ts AS TIMESTAMP)))) AS BIGINT)
+                         AS lo,
+                       CAST(floor(epoch(max(CAST(ts AS TIMESTAMP)))) AS BIGINT)
+                         AS hi
+                FROM events GROUP BY 1, 2),
+              a AS (SELECT user_id AS ua, lo AS lo_a, hi AS hi_a
+                    FROM spans WHERE user_id % 500 = 0),
+              b AS (SELECT user_id AS ub, lo AS lo_b, hi AS hi_b
+                    FROM spans WHERE user_id % 50 = 0)
+              SELECT ua, ub, lo_a, lo_b
+              FROM a JOIN b
+                ON lo_a <= hi_b AND lo_b <= hi_a AND ua <> ub"""))
   )
 }

@@ -472,6 +472,10 @@ class PlanShapeSpec extends AnyFunSuite {
       s"range join must ride the bin equi-join:\n$p")
     assert(p.contains("Generate"),
       s"intervals must explode to their covered bins:\n$p")
+    val p2 = plan("q_interval_overlap")
+    assert(!p2.contains("BroadcastNestedLoopJoin") &&
+      !p2.contains("CartesianProduct"),
+      s"interval overlap must ride the bin equi-join:\n$p2")
   }
 
   test("hashed linear scoring is a zero-shuffle projection over the scan") {

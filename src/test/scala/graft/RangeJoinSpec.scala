@@ -41,6 +41,26 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(rows.toSet == expected)
   }
 
+  test("interval overlap: closed-interval semantics, once per pair across bins") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, 0L, 9L), (2L, 20L, 30L), (3L, 35L, 36L))
+      .toDF("ia", "lo_a", "hi_a")
+    val b = Seq((10L, 9L, 25L), (20L, 31L, 40L)).toDF("ib", "lo_b", "hi_b")
+    // truth: (1,10) touch at 9 (closed bounds), (2,10) overlap [20,25],
+    // (3,20) inside [31,40]; (2,20) disjoint (30 < 31)
+    val expected = Set((1L, 10L), (2L, 10L), (3L, 20L))
+    for (bin <- Seq(4L, 7L, 100L)) {
+      val rows = graft.operators.RangeJoin
+        .intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b", bin)
+        .select(col("ia"), col("ib"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.size == rows.distinct.size,
+        s"bin=$bin produced duplicates: $rows")
+      assert(rows.toSet == expected, s"bin=$bin: $rows")
+    }
+  }
+
   test("the join plans as an equi-join on bin, never a nested loop") {
     val s = spark
     import s.implicits._
