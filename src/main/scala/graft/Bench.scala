@@ -69,7 +69,8 @@ object Bench {
     "q_pmi_pairs", "q_bm25_topk",
     // round-9 additions
     "q_dsir_weights", "q_semantic_dedup", "q_blocklist", "q_linear_score",
-    "q_curation_pipeline", "q_range_join", "q_interval_overlap")
+    "q_curation_pipeline", "q_range_join", "q_interval_overlap",
+    "q_anf_reach")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Approximate neighborhood function (the ANF / HyperBall family:
+  * Palmer et al. 2002 "ANF: a fast and scalable tool for data mining in
+  * massive graphs"; Boldi–Vigna 2011 HyperBall): per-vertex estimates
+  * of |N(v, r)| — how many vertices sit within distance ≤ r — kept as a
+  * BOUNDED k-minimum-values sketch per vertex instead of the exact
+  * reach set, whose total size is the transitive-closure blowup that
+  * makes exact neighborhood counting infeasible on large graphs. The
+  * neighborhood function drives effective-diameter and centrality
+  * analytics the reference's graph commands stop short of.
+  *
+  * Round r: sketch(v, r) = merge_k( sketch(v, r−1) ∪ the sketches of
+  * v's neighbors at r−1 ) — the k-smallest-distinct-hash merge of
+  * [[graft.operators.KmvDistinct]], on the portable mixer, so the
+  * DuckDB oracle replays the ESTIMATE bit for bit by computing the
+  * exact ≤r-hop closure and taking the same k-th smallest hash
+  * (HyperBall's HLL registers would be engine-private; KMV is why the
+  * whole pipeline stays oracle-checkable).
+  *
+  * 100 TB shape: per round, ONE edge equi-join against the (v, h)
+  * sketch rows — the join input is bounded at k rows per vertex, so
+  * k·E rows total — and one bounded-buffer aggregation
+  * (KmvSketchAggregator: map-side partials, the shuffle carries ≤ k
+  * hashes per (partition, vertex); hub vertices cost O(k) memory like
+  * every bounded aggregator in this repo). Rounds are fixed and small
+  * (2–6 for diameter probes); each round localCheckpoints to cut
+  * lineage, the iterative-driver discipline. Vertices touching no
+  * non-loop edge are excluded (their neighborhood is trivially {v}).
+  *
+  * Estimate: exact when the sketch saw fewer than k distinct hashes,
+  * else (k−1)·(M+1) div (h_k + 1) — KmvDistinct's estimator verbatim,
+  * including integer `div`. */
+object Anf {
+
+  /** (v, est_reach): estimated |N(v, rounds)| per vertex, self
+    * included. */
+  def neighborhoodEstimate(edges: DataFrame, rounds: Int = 2,
+      k: Int = 32, seed: Long = 7L): DataFrame = {
+    import graft.operators.KmvDistinct
+    require(rounds >= 1, "need at least one expansion round")
+    require(k >= 2, "a 1-value sketch cannot estimate")
+    val sym = edges.where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val kmv = udaf(new KmvDistinct.KmvSketchAggregator(k), Encoders.scalaLong)
+    var sk: DataFrame = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), KmvDistinct.hashed(col("v"), seed).as("h"))
+    var skArr: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val contrib = sym.join(sk.withColumnRenamed("v", "dst"), "dst")
+        .select(col("src").as("v"), col("h"))
+      skArr = sk.unionByName(contrib)
+        .groupBy(col("v")).agg(kmv(col("h")).as("hs"))
+        .localCheckpoint()
+      sk = skArr.select(col("v"), explode(col("hs")).as("h"))
+    }
+    skArr.select(col("v"),
+      when(size(col("hs")) < k, size(col("hs")).cast("long"))
+        .otherwise(expr(
+          s"(${k - 1}L * ${KmvDistinct.M + 1}L) div (element_at(hs, $k) + 1L)"))
+        .as("est_reach"))
+  }
+}

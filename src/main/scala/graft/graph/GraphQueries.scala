@@ -576,6 +576,35 @@ object GraphQueries {
                 (46, 1), (47, 5), (48, 2), (57, 1), (81, 1), (83, 1),
                 (84, 1), (85, 2), (87, 2), (90, 1), (100, 1), (103, 1),
                 (188, 1))
-                t(degree, n_vertices)"""))
+                t(degree, n_vertices)""")),
+
+    // approximate neighborhood function (ANF/HyperBall class): per-vertex
+    // |N(v, 2)| estimated with a bounded KMV sketch — the oracle computes
+    // the EXACT 2-hop closure, hashes it with the same portable mixer,
+    // and applies the identical k-th-smallest estimator, so the
+    // approximation itself is replayed bit for bit
+    Q("q_anf_reach",
+      (s, d) => Anf.neighborhoodEstimate(
+        GraphOps.sparseEdgesFromLineitem(s, d), rounds = 2, k = 32),
+      Some(s"""WITH $se, $su,
+               adj AS (SELECT src AS v, dst AS nbr FROM u
+                       UNION ALL SELECT dst, src FROM u),
+               r1 AS (SELECT v, v AS w FROM (SELECT DISTINCT v FROM adj)
+                      UNION
+                      SELECT v, nbr AS w FROM adj),
+               r2 AS (SELECT DISTINCT a.v, b.w
+                      FROM r1 a JOIN r1 b ON a.w = b.v),
+               h AS (SELECT DISTINCT v,
+                       ((w % 1000000007) * 2654435761 + 283521)
+                         % 1000000007 AS hv
+                     FROM r2),
+               rk AS (SELECT v, hv,
+                        row_number() OVER (PARTITION BY v ORDER BY hv) AS rn,
+                        count(*) OVER (PARTITION BY v) AS nd
+                      FROM h)
+               SELECT v, CAST(CASE WHEN nd < 32 THEN nd
+                                   ELSE (31 * 1000000008) // (hv + 1)
+                              END AS BIGINT) AS est_reach
+               FROM rk WHERE rn = least(nd, 32)"""))
   )
 }

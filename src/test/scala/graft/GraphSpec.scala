@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.graph.{GraphOps, Iterative, Triangles}
+import graft.graph.{Anf, GraphOps, Iterative, Triangles}
 import graft.gen.RMat
 
 /** Golden-graph tests: the reference's own e2e pipelines (in.cc, in.tri,
@@ -252,5 +252,20 @@ class GraphSpec extends AnyFunSuite {
     val stats = RMat.degreeStats(RMat.generate(spark, p, numTasks = 16))
     val mass = stats.agg(sum(col("degree") * col("n_vertices"))).head().getLong(0)
     assert(mass == 8L * (1L << 10))
+  }
+
+  test("ANF with an ample sketch returns exact r-hop reach sizes") {
+    // path 1-2-3-4 plus isolated edge 10-11; below k the KMV sketch
+    // degenerates to the exact distinct count, so every vertex must
+    // report its true |N(v, r)| (self included)
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    def reach(r: Int) = Anf.neighborhoodEstimate(g, rounds = r, k = 32)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(reach(1) == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 2L,
+      10L -> 2L, 11L -> 2L))
+    assert(reach(2) == Map(1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 3L,
+      10L -> 2L, 11L -> 2L))
+    assert(reach(3) == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L,
+      10L -> 2L, 11L -> 2L))
   }
 }
