@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.functions.{col, round}
+import org.apache.spark.sql.functions.{col, lit, round, sum}
 
 import graft.Q
 import graft.gen.RMat
@@ -593,18 +593,59 @@ object GraphQueries {
                       UNION
                       SELECT v, nbr AS w FROM adj),
                r2 AS (SELECT DISTINCT a.v, b.w
+                      FROM r1 a JOIN r1 b ON a.w = b.v)
+               ${anfEstimateSql("r2")}""")),
+
+    // the neighborhood function itself — total estimated reach per
+    // radius r = 1..3, the curve whose saturation point is the
+    // effective diameter (ANF's headline use case); each radius reuses
+    // the same sketch machinery, the oracle replays each radius's exact
+    // closure through the identical estimator
+    Q("q_anf_profile",
+      (s, d) => {
+        val g = GraphOps.sparseEdgesFromLineitem(s, d)
+        (1 to 3).map { r =>
+          Anf.neighborhoodEstimate(g, rounds = r, k = 32)
+            .agg(sum(col("est_reach")).as("total_reach"))
+            .select(lit(r.toLong).as("r"), col("total_reach"))
+        }.reduce(_ unionByName _)
+      },
+      Some(s"""WITH $se, $su,
+               adj AS (SELECT src AS v, dst AS nbr FROM u
+                       UNION ALL SELECT dst, src FROM u),
+               r1 AS (SELECT v, v AS w FROM (SELECT DISTINCT v FROM adj)
+                      UNION
+                      SELECT v, nbr AS w FROM adj),
+               r2 AS (SELECT DISTINCT a.v, b.w
                       FROM r1 a JOIN r1 b ON a.w = b.v),
-               h AS (SELECT DISTINCT v,
-                       ((w % 1000000007) * 2654435761 + 283521)
-                         % 1000000007 AS hv
-                     FROM r2),
-               rk AS (SELECT v, hv,
-                        row_number() OVER (PARTITION BY v ORDER BY hv) AS rn,
-                        count(*) OVER (PARTITION BY v) AS nd
-                      FROM h)
-               SELECT v, CAST(CASE WHEN nd < 32 THEN nd
-                                   ELSE (31 * 1000000008) // (hv + 1)
-                              END AS BIGINT) AS est_reach
-               FROM rk WHERE rn = least(nd, 32)"""))
+               r3 AS (SELECT DISTINCT a.v, b.w
+                      FROM r2 a JOIN r1 b ON a.w = b.v),
+               est1 AS (${anfEstimateSql("r1")}),
+               est2 AS (${anfEstimateSql("r2")}),
+               est3 AS (${anfEstimateSql("r3")})
+               SELECT CAST(1 AS BIGINT) AS r,
+                      CAST(sum(est_reach) AS BIGINT) AS total_reach FROM est1
+               UNION ALL
+               SELECT CAST(2 AS BIGINT),
+                      CAST(sum(est_reach) AS BIGINT) FROM est2
+               UNION ALL
+               SELECT CAST(3 AS BIGINT),
+                      CAST(sum(est_reach) AS BIGINT) FROM est3"""))
   )
+
+  /** DuckDB replay of the per-vertex KMV reach estimate over an exact
+    * closure CTE `src` (columns v, w): mixer hash, k-th smallest,
+    * [[graft.operators.KmvDistinct]]'s estimator at k = 32. */
+  private def anfEstimateSql(src: String): String =
+    s"""SELECT v, CAST(CASE WHEN nd < 32 THEN nd
+                            ELSE (31 * 1000000008) // (hv + 1)
+                       END AS BIGINT) AS est_reach
+        FROM (SELECT v, hv,
+                row_number() OVER (PARTITION BY v ORDER BY hv) AS rn,
+                count(*) OVER (PARTITION BY v) AS nd
+              FROM (SELECT DISTINCT v,
+                      ((w % 1000000007) * 2654435761 + 283521)
+                        % 1000000007 AS hv
+                    FROM $src))
+        WHERE rn = least(nd, 32)"""
 }
