@@ -36,10 +36,19 @@ import org.apache.spark.sql.functions._
   * including integer `div`. */
 object Anf {
 
-  /** (v, est_reach): estimated |N(v, rounds)| per vertex, self
-    * included. */
-  def neighborhoodEstimate(edges: DataFrame, rounds: Int = 2,
-      k: Int = 32, seed: Long = 7L): DataFrame = {
+  /** KmvDistinct's estimator over a sorted sketch column `hs`. */
+  private def estimate(k: Int): org.apache.spark.sql.Column = {
+    import graft.operators.KmvDistinct
+    when(size(col("hs")) < k, size(col("hs")).cast("long"))
+      .otherwise(expr(
+        s"(${k - 1}L * ${KmvDistinct.M + 1}L) div (element_at(hs, $k) + 1L)"))
+  }
+
+  /** The per-round sketch frames (v, hs) for r = 1..rounds, computed
+    * INCREMENTALLY — round r's sketches build on r−1's, so the whole
+    * curve costs `rounds` expansion joins, not rounds·(rounds+1)/2. */
+  private def sketchRounds(edges: DataFrame, rounds: Int, k: Int,
+      seed: Long): Seq[DataFrame] = {
     import graft.operators.KmvDistinct
     require(rounds >= 1, "need at least one expansion round")
     require(k >= 2, "a 1-value sketch cannot estimate")
@@ -52,19 +61,33 @@ object Anf {
     val kmv = udaf(new KmvDistinct.KmvSketchAggregator(k), Encoders.scalaLong)
     var sk: DataFrame = sym.select(col("src").as("v")).distinct()
       .select(col("v"), KmvDistinct.hashed(col("v"), seed).as("h"))
-    var skArr: DataFrame = null
-    for (_ <- 1 to rounds) {
+    (1 to rounds).map { _ =>
       val contrib = sym.join(sk.withColumnRenamed("v", "dst"), "dst")
         .select(col("src").as("v"), col("h"))
-      skArr = sk.unionByName(contrib)
+      val skArr = sk.unionByName(contrib)
         .groupBy(col("v")).agg(kmv(col("h")).as("hs"))
         .localCheckpoint()
       sk = skArr.select(col("v"), explode(col("hs")).as("h"))
+      skArr
     }
-    skArr.select(col("v"),
-      when(size(col("hs")) < k, size(col("hs")).cast("long"))
-        .otherwise(expr(
-          s"(${k - 1}L * ${KmvDistinct.M + 1}L) div (element_at(hs, $k) + 1L)"))
-        .as("est_reach"))
   }
+
+  /** (v, est_reach): estimated |N(v, rounds)| per vertex, self
+    * included. */
+  def neighborhoodEstimate(edges: DataFrame, rounds: Int = 2,
+      k: Int = 32, seed: Long = 7L): DataFrame =
+    sketchRounds(edges, rounds, k, seed).last
+      .select(col("v"), estimate(k).as("est_reach"))
+
+  /** (r, total_reach) for r = 1..rounds — the neighborhood function
+    * N(r) = Σ_v |N(v, r)| whose saturation point is the effective
+    * diameter. One incremental sketch pass serves every radius. */
+  def neighborhoodProfile(edges: DataFrame, rounds: Int = 3,
+      k: Int = 32, seed: Long = 7L): DataFrame =
+    sketchRounds(edges, rounds, k, seed).zipWithIndex.map {
+      case (skArr, i) =>
+        skArr.select(estimate(k).as("est_reach"))
+          .agg(sum(col("est_reach")).as("total_reach"))
+          .select(lit((i + 1).toLong).as("r"), col("total_reach"))
+    }.reduce(_ unionByName _)
 }

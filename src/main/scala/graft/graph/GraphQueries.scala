@@ -602,14 +602,8 @@ object GraphQueries {
     // the same sketch machinery, the oracle replays each radius's exact
     // closure through the identical estimator
     Q("q_anf_profile",
-      (s, d) => {
-        val g = GraphOps.sparseEdgesFromLineitem(s, d)
-        (1 to 3).map { r =>
-          Anf.neighborhoodEstimate(g, rounds = r, k = 32)
-            .agg(sum(col("est_reach")).as("total_reach"))
-            .select(lit(r.toLong).as("r"), col("total_reach"))
-        }.reduce(_ unionByName _)
-      },
+      (s, d) => Anf.neighborhoodProfile(
+        GraphOps.sparseEdgesFromLineitem(s, d), rounds = 3, k = 32),
       Some(s"""WITH $se, $su,
                adj AS (SELECT src AS v, dst AS nbr FROM u
                        UNION ALL SELECT dst, src FROM u),
