@@ -66,8 +66,13 @@ object TextOps {
   def tfIdfTopK(docs: DataFrame, textCol: String, docCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tf feeds both the scoring join and the df aggregate; without a
+    // checkpoint the tokenize+explode subtree executes once per reference
+    // (no ReusedExchange across the broadcast boundary — the r9 kmeans
+    // lesson, core/Checkpoints).
     val tf = words(docs, textCol, docCol)
       .groupBy(col(docCol), col("word")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nd = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfc, "word").crossJoin(broadcast(nd))
@@ -102,7 +107,14 @@ object TextOps {
       b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = words(docs, textCol, docCol)
+    // tf is referenced FOUR times (scoring join, dl, dfc→qdf, tot→dl) and
+    // Spark does not reuse the exchange across the broadcast subtrees, so
+    // without a checkpoint the tokenize+explode+aggregate pipeline — the
+    // dominant cost — runs four times (r9 bench: 2.1 s vs 0.27 s for one
+    // wordfreq pass over the same corpus). Checkpoint once; the harness
+    // releases the blocks via core/Checkpoints after consumption.
     val tf = w.groupBy(col(docCol), col("word")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = tf.groupBy(col(docCol)).agg(sum(col("tf")).as("dl"))
     val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))

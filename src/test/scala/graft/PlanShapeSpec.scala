@@ -396,6 +396,14 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("bm25 broadcasts the (query, df) side; top-k rides a window group limit") {
     val p = plan("q_bm25_topk")
+    // r10 regression fix: tf is checkpointed once, so the final plan reads
+    // the materialized RDD — a Generate here means the tokenize+explode
+    // pipeline is re-executing per reference (4x: scoring join, dl, qdf,
+    // tot), the r9 2.2x bench regression.
+    assert(!p.contains("Generate"),
+      s"tokenize must run once into the tf checkpoint, not per reference:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"scoring must read the checkpointed tf:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the query-term x df table must broadcast into the tf scan:\n$p")
     assert(p.contains("partial_sum"),
