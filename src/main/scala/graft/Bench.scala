@@ -68,9 +68,9 @@ object Bench {
     "q_pseudonymize", "q_k_anonymity", "q_containment_pairs",
     "q_pmi_pairs", "q_bm25_topk",
     // round-9 additions
-    "q_dsir_weights", "q_semantic_dedup", "q_blocklist", "q_linear_score",
-    "q_curation_pipeline", "q_range_join", "q_interval_overlap",
-    "q_anf_reach", "q_anf_profile")
+    "q_dsir_weights", "q_dsir_sample", "q_semantic_dedup", "q_blocklist",
+    "q_linear_score", "q_curation_pipeline", "q_range_join",
+    "q_interval_overlap", "q_anf_reach", "q_anf_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

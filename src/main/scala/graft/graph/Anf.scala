@@ -61,7 +61,7 @@ object Anf {
     val kmv = udaf(new KmvDistinct.KmvSketchAggregator(k), Encoders.scalaLong)
     var sk: DataFrame = sym.select(col("src").as("v")).distinct()
       .select(col("v"), KmvDistinct.hashed(col("v"), seed).as("h"))
-    (1 to rounds).map { _ =>
+    val rs = (1 to rounds).map { _ =>
       val contrib = sym.join(sk.withColumnRenamed("v", "dst"), "dst")
         .select(col("src").as("v"), col("h"))
       val skArr = sk.unionByName(contrib)
@@ -70,14 +70,26 @@ object Anf {
       sk = skArr.select(col("v"), explode(col("hs")).as("h"))
       skArr
     }
+    // Every round above checkpointed EAGERLY, so the symmetric edge list
+    // is dead here — but it is not in any returned frame's lineage, so
+    // the harness's terminal Checkpoints.release can never find it and
+    // its blocks outlive the query. Across repeated bench samples the
+    // leaked edge lists accumulated into the GC pressure behind r9's
+    // 39.8 s q_anf_profile outlier; release it at the source instead.
+    graft.core.Checkpoints.release(sym)
+    rs
   }
 
   /** (v, est_reach): estimated |N(v, rounds)| per vertex, self
     * included. */
   def neighborhoodEstimate(edges: DataFrame, rounds: Int = 2,
-      k: Int = 32, seed: Long = 7L): DataFrame =
-    sketchRounds(edges, rounds, k, seed).last
-      .select(col("v"), estimate(k).as("est_reach"))
+      k: Int = 32, seed: Long = 7L): DataFrame = {
+    val rs = sketchRounds(edges, rounds, k, seed)
+    // only the final round's sketches reach the result; earlier rounds'
+    // checkpoint blocks are dead and invisible to the terminal release
+    graft.core.Checkpoints.release(rs.init: _*)
+    rs.last.select(col("v"), estimate(k).as("est_reach"))
+  }
 
   /** (r, total_reach) for r = 1..rounds — the neighborhood function
     * N(r) = Σ_v |N(v, r)| whose saturation point is the effective

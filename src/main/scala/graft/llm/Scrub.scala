@@ -102,8 +102,11 @@ object Scrub {
     * matches the document's word-L-shingle stream — no substring false
     * positives: "ass" never hits "class"). Returns every doc as
     * (doc_id, n_hits, terms, clean): total match occurrences, the
-    * sorted distinct phrases found, and the `clean` gate the filter
-    * keys on.
+    * sorted distinct phrases found (newline-joined — a separator no
+    * phrase can contain, since tokens are whitespace-split and shingles
+    * re-join with single spaces; a comma join would be ambiguous the
+    * moment a phrase token carries a comma, r9 ADVICE), and the `clean`
+    * gate the filter keys on.
     *
     * 100 TB shape: the blocklist (config-sized — even a 100 k-phrase
     * list is a few MB) BROADCASTS into the doc shingle stream — one
@@ -129,12 +132,43 @@ object Scrub {
     }.reduce(_ unionByName _)
     val agg = hitStream.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"),
-        array_join(sort_array(collect_set(col("term"))), ",").as("terms"))
+        array_join(sort_array(collect_set(col("term"))), "\n").as("terms"))
     docs.select(col(idCol).as("doc_id"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         coalesce(col("terms"), lit("")).as("terms"),
         (coalesce(col("n_hits"), lit(0L)) === 0L).as("clean"))
+  }
+
+  /** [[blocklistHits]] as a STATELESS projection — the ingest-time gate
+    * shape. Same output contract row for row ((doc_id, n_hits, terms,
+    * clean), occurrences counted, distinct sorted newline-joined terms),
+    * but the per-doc tally is computed inside one row's expression tree
+    * (array `filter` over the same [[graft.functions.ShingleArray]]
+    * shingles, phrases as an in-plan literal) instead of
+    * explode → broadcast-join → groupBy. No shuffle, no state: a
+    * streaming micro-batch scores row-for-row what a batch backfill
+    * scores, which is what makes it legal in an Append-mode stream.
+    *
+    * The literal-array membership scan is O(|phrases|) per shingle, so
+    * this shape is for config-sized gate lists (the production ingest
+    * gate); a 100 k-phrase audit belongs to [[blocklistHits]]'s
+    * broadcast-join, whose cost is hash-bounded. */
+  def blocklistGate(docs: DataFrame, textCol: String, idCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must be non-empty")
+    val toks = split(col(textCol), "\\s+")
+    val matchedPerLen = phrases.distinct.groupBy(_.split("\\s+").length)
+      .toSeq.sortBy(_._1)
+      .map { case (len, ps) =>
+        filter(graft.functions.ShingleArray.shinglesAll(toks, len),
+          x => array_contains(typedlit(ps.sorted), x))
+      }
+    val hits = flatten(array(matchedPerLen: _*))
+    docs.select(col(idCol).as("doc_id"),
+      size(hits).cast("long").as("n_hits"),
+      array_join(array_sort(array_distinct(hits)), "\n").as("terms"),
+      (size(hits) === 0).as("clean"))
   }
 }

@@ -245,7 +245,7 @@ object ScrubSamplingQueries {
                        FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
                        WHERE term IN ('slow', 'big table', 'fast merge')),
               agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
-                        array_to_string(list_sort(list(DISTINCT term)), ',')
+                        array_to_string(list_sort(list(DISTINCT term)), chr(10))
                           AS terms
                       FROM hits GROUP BY 1)
               SELECT d.doc_id,

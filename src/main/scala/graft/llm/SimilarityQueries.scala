@@ -48,17 +48,21 @@ object SimilarityQueries {
     Q("q_kmeans",
       (s, d) => Similarity.kmeans(Tables.embeddings(s, d), "vec_id",
         "embedding", dim = 64, k = 16, iters = 2),
-      Some(kmeansSql + """
+      Some(kmeansSql("16") + """
             SELECT vec_id, cid AS cluster FROM a2""")),
 
     // SemDeDup-style semantic dedup: the shared kmeans replay (a2) +
     // within-cluster cosine pairs + the keep-first drop rule; the
     // clustering bounds the quadratic term by cell occupancy exactly
-    // like the IVF layout
+    // like the IVF layout. r10: k is DERIVED as max(2, ceil(N/128)) on
+    // both sides (Spark auto-k, DuckDB subquery LIMIT) — the scale-safe
+    // k ∝ corpus discipline is the default, and the replay tracks any
+    // driver testdata resize instead of resting on a hardcoded 16
     Q("q_semantic_dedup",
       (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
-        "embedding", dim = 64, k = 16, iters = 2, tau = 0.45),
-      Some(kmeansSql + s""",
+        "embedding", dim = 64, iters = 2, tau = 0.45),
+      Some(kmeansSql(
+        "(SELECT greatest(2, CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM v)") + s""",
             av AS (SELECT v.vec_id, v.e, a2.cid FROM v
                    JOIN a2 USING (vec_id)),
             drp AS (SELECT DISTINCT b.vec_id FROM av a JOIN av b
@@ -552,8 +556,10 @@ object SimilarityQueries {
     * seed 445533): init by portable mixer key, two assignment rounds at
     * 6dp with cid tiebreak, centroid means rounded per component — ends
     * with CTE `a2` (vec_id, cid). Shared by q_kmeans and
-    * q_semantic_dedup so the two replays cannot drift. */
-  private def kmeansSql: String = {
+    * q_semantic_dedup so the two replays cannot drift. `kLimit` is the
+    * centroid-count LIMIT expression — a literal ("16") for q_kmeans,
+    * an adaptive count subquery for q_semantic_dedup's auto-k. */
+  private def kmeansSql(kLimit: String): String = {
     def sq(a: String, b: String): String =
       s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
            - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
@@ -565,7 +571,7 @@ object SimilarityQueries {
         c0 AS (SELECT vec_id AS cid, e AS cv FROM v
                ORDER BY ((vec_id % 1000000007) * 2654435761 + 445533) % 9973,
                         vec_id
-               LIMIT 16),
+               LIMIT $kLimit),
         a1 AS (SELECT vec_id, e, cid FROM (
                  SELECT v.vec_id, v.e, c.cid,
                         row_number() OVER (PARTITION BY v.vec_id

@@ -246,6 +246,94 @@ object Multimodal {
       }.toDF()
   }
 
+  case class DHashRow(media_id: Long, h_lo: Long, h_hi: Long)
+
+  /** Perceptual difference-hash (dHash) over the DECODED raster — the
+    * image analog of the text side's SimHash fingerprint, extending the
+    * dedup family to the multimodal columns (r9 VERDICT gap #2). Per
+    * image: grayscale each pixel ((r+g+b) div 3, integer), downsample to
+    * an 8×8 grid by nearest-neighbor sampling (x = 2·gx on the fixed
+    * 16-px-wide raster; y = gy·H div 8 — sampling, not averaging, so no
+    * grid cell is ever empty at any raster height), then bit k (= 8·gy
+    * + gx) compares horizontally adjacent grid cells: g[(gx+1) mod 8,
+    * gy] > g[gx, gy] (mod-8 wraparound instead of the classic 9-column
+    * grid keeps the sample grid square). The 64 bits ship as TWO 32-bit
+    * halves (h_lo = bits 0..31, h_hi = 32..63) — always non-negative,
+    * so band arithmetic (div/mod) stays portable and the DuckDB oracle
+    * replays the hash from the zero-padded payload bytes without codec
+    * or signed-overflow games.
+    *
+    * Decode per row via the shared codec call site (same contract as
+    * [[decodeFeatures]]): the hash is computed from what the codec
+    * DECODED, so a codec bug breaks the replay — load-bearing, like the
+    * feature queries. */
+  def imageDHash(media: DataFrame,
+      decode: Array[Byte] => Array[Byte] = decodePngBytes): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = decode(r.content)
+          val h = math.max(1, d.length / RowBytes)
+          def gray(x: Int, y: Int): Int = {
+            val p = 3 * (y * ImgWidth + x)
+            ((d(p) & 0xff) + (d(p + 1) & 0xff) + (d(p + 2) & 0xff)) / 3
+          }
+          def g(gx: Int, gy: Int): Int = gray(2 * gx, gy * h / 8)
+          var lo = 0L
+          var hi = 0L
+          var k = 0
+          while (k < 64) {
+            val gx = k % 8
+            val gy = k / 8
+            if (g((gx + 1) % 8, gy) > g(gx, gy)) {
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          DHashRow(r.media_id, lo, hi)
+        }
+      }.toDF()
+  }
+
+  /** Image near-dup pairs from [[imageDHash]] fingerprints via the
+    * SimHash band discipline (`llm/Dedup.simHashPairs`): 4×16-bit bands
+    * of the 64-bit hash — a ≤`maxDist` pair (maxDist < 16) shares at
+    * least one band only probabilistically, but with ≤3 distance the
+    * pigeonhole guarantees a shared band; at the default 6 the bands
+    * are the standard recall/cost dial. Candidates are an EQUI-join on
+    * (band index, band value); verification re-joins the fingerprints
+    * and filters on exact Hamming distance (bit_count of xor per half).
+    * Zero cross-products — the 100 TB shape is the text SimHash one:
+    * band buckets bound candidate volume, fingerprints (16 bytes) ride
+    * the shuffles, payloads never do. */
+  def imageDedupPairs(media: DataFrame, maxDist: Int = 6,
+      decode: Array[Byte] => Array[Byte] = decodePngBytes): DataFrame = {
+    // referenced by the band explode and both verification sides
+    val fp = imageDHash(media, decode).localCheckpoint()
+    val bands = fp.select(col("media_id"), explode(array(
+      struct(lit(0).as("bi"), expr("h_lo % 65536L").as("bv")),
+      struct(lit(1).as("bi"), expr("h_lo div 65536L").as("bv")),
+      struct(lit(2).as("bi"), expr("h_hi % 65536L").as("bv")),
+      struct(lit(3).as("bi"), expr("h_hi div 65536L").as("bv")))).as("b"))
+      .select(col("media_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val cand = bands.select(col("media_id").as("da"), col("bi"), col("bv"))
+      .join(bands.select(col("media_id").as("db"), col("bi"), col("bv")),
+        Seq("bi", "bv"))
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    cand
+      .join(fp.select(col("media_id").as("da"), col("h_lo").as("la"),
+        col("h_hi").as("ha")), "da")
+      .join(fp.select(col("media_id").as("db"), col("h_lo").as("lb"),
+        col("h_hi").as("hb")), "db")
+      .select(col("da"), col("db"),
+        (expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
+          .cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** CODEC ERROR POLICY: the fault-tolerant twin of [[decodeFeatures]].
     * At 100 TB some payloads WILL be corrupt (truncated uploads, codec
     * mismatches, bit rot), and one bad row must not kill a task that has

@@ -127,7 +127,81 @@ object MultimodalQueries {
       (s, d) => Multimodal.decodeFeaturesSafe(Multimodal.imageTable(s, d))
         .withColumn("histogram",
           array_join(transform(col("histogram"), _.cast("string")), ",")),
-      Some(pngFeaturesSql(",\n                     CAST(NULL AS VARCHAR) AS error")))
+      Some(pngFeaturesSql(",\n                     CAST(NULL AS VARCHAR) AS error")),
+    ),
+
+    // image near-dup pairs via perceptual dHash over the DECODED raster
+    // (r10): grayscale → nearest-neighbor 8×8 grid → horizontal-gradient
+    // bits → 4×16-bit band candidates → exact Hamming verify. The oracle
+    // replays the hash from the zero-padded payload bytes (the
+    // q_decode_features byte-math pattern) and the pair stage with an
+    // OR-of-bands join — candidate discipline AND the estimate itself
+    // are both replayed, so a codec, packing, or banding bug mismatches.
+    Q("q_image_dedup",
+      (s, d) => Multimodal.imageDedupPairs(Multimodal.imageTable(s, d),
+        maxDist = 6),
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n_bytes
+                FROM documents),
+              dims AS (
+                SELECT media_id,
+                       greatest(1, CAST(ceil(n_bytes / 48.0) AS BIGINT)) AS hh
+                FROM m),
+              pos AS (
+                SELECT media_id, h, unnest(range(1, n_bytes + 1)) AS i
+                FROM m),
+              by AS (
+                SELECT media_id, i,
+                       16 * (strpos('0123456789ABCDEF',
+                               substring(h, CAST(2 * i - 1 AS BIGINT), 1)) - 1)
+                         + (strpos('0123456789ABCDEF',
+                               substring(h, CAST(2 * i AS BIGINT), 1)) - 1) AS byte
+                FROM pos),
+              bs AS (SELECT media_id, list(byte ORDER BY i) AS b
+                     FROM by GROUP BY 1),
+              -- gray value of grid cell (gx, gy): pixel x = 2*gx,
+              -- y = gy*hh // 8; bytes beyond the payload are the raster's
+              -- zero padding
+              cells AS (
+                SELECT d.media_id, gx.gx, gy.gy,
+                       ((coalesce(bs.b[CAST(3 * (((gy.gy * d.hh) // 8) * 16
+                                               + 2 * gx.gx) + 1 AS BIGINT)], 0)
+                       + coalesce(bs.b[CAST(3 * (((gy.gy * d.hh) // 8) * 16
+                                               + 2 * gx.gx) + 2 AS BIGINT)], 0)
+                       + coalesce(bs.b[CAST(3 * (((gy.gy * d.hh) // 8) * 16
+                                               + 2 * gx.gx) + 3 AS BIGINT)], 0))
+                        // 3) AS g
+                FROM dims d
+                LEFT JOIN bs ON d.media_id = bs.media_id
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS gx) gx
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) gy),
+              bits AS (
+                SELECT a.media_id, 8 * a.gy + a.gx AS k,
+                       CASE WHEN n.g > a.g THEN 1 ELSE 0 END AS bit
+                FROM cells a
+                JOIN cells n ON a.media_id = n.media_id AND a.gy = n.gy
+                            AND n.gx = (a.gx + 1) % 8),
+              fp AS (
+                SELECT media_id,
+                       CAST(sum(CASE WHEN k < 32
+                         THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT))
+                         ELSE 0 END) AS BIGINT) AS lo,
+                       CAST(sum(CASE WHEN k >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+                         ELSE 0 END) AS BIGINT) AS hi
+                FROM bits GROUP BY 1)
+              SELECT a.media_id AS da, b.media_id AS db,
+                     CAST(bit_count(xor(a.lo, b.lo))
+                        + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS dist
+              FROM fp a JOIN fp b
+                ON a.media_id < b.media_id
+               AND (a.lo % 65536 = b.lo % 65536
+                 OR a.lo // 65536 = b.lo // 65536
+                 OR a.hi % 65536 = b.hi % 65536
+                 OR a.hi // 65536 = b.hi // 65536)
+              WHERE bit_count(xor(a.lo, b.lo))
+                  + bit_count(xor(a.hi, b.hi)) <= 6"""))
   )
 
   /** The PNG decode-features replay (hex-derived byte math over the

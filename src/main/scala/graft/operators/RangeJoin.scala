@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scalable point-in-interval (range) join.
@@ -26,21 +26,33 @@ import org.apache.spark.sql.functions._
   * cells: turn a quadratic predicate into hash-partitionable work.
   *
   * Bounds are INCLUSIVE on both ends ([lo, hi]); callers needing
-  * half-open semantics filter `t =!= hi` on the result. Columns `ptCol`,
+  * half-open semantics filter `t =!= hiCol` on the result. Degenerate
+  * intervals (lo > hi) match nothing under BETWEEN, so both operators
+  * drop them BEFORE the explode — without that guard Spark's `sequence`
+  * steps −1 from a start above its stop and a malformed row fans out
+  * into a descending junk bin list (r9 ADVICE). Columns `ptCol`,
   * `loCol`, `hiCol` must be integral (epoch seconds for time ranges —
-  * cast before calling); `_bin` is reserved. */
+  * cast before calling); bins are computed with INTEGER floor division
+  * (pmod-adjusted `div`, exact over the full int64 range — `floor(x/b)`
+  * through DOUBLE is only exact below 2^53, which epoch micros exceed
+  * within engineering horizons); `_bin` is reserved. */
 object RangeJoin {
+
+  /** floor(x / binSize) in pure long arithmetic: pmod brings x to the
+    * floor multiple (correct for negative x where `div` truncates toward
+    * zero), then the division is exact. */
+  private def binOf(c: String, binSize: Long): Column =
+    expr(s"(`$c` - pmod(`$c`, ${binSize}L)) div ${binSize}L")
 
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       ptCol: String, loCol: String, hiCol: String,
       binSize: Long): DataFrame = {
     require(binSize > 0, "binSize must be positive")
-    val b = lit(binSize)
-    val ivb = intervals.withColumn("_bin",
-      explode(sequence(floor(col(loCol) / b).cast("long"),
-        floor(col(hiCol) / b).cast("long"))))
-    val ptb = points.withColumn("_bin",
-      floor(col(ptCol) / b).cast("long"))
+    val ivb = intervals
+      .where(col(loCol) <= col(hiCol)) // degenerate: matches nothing
+      .withColumn("_bin",
+        explode(sequence(binOf(loCol, binSize), binOf(hiCol, binSize))))
+    val ptb = points.withColumn("_bin", binOf(ptCol, binSize))
     ptb.join(ivb, Seq("_bin"))
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("_bin")
@@ -61,14 +73,13 @@ object RangeJoin {
       loA: String, hiA: String, loB: String, hiB: String,
       binSize: Long): DataFrame = {
     require(binSize > 0, "binSize must be positive")
-    val bs = lit(binSize)
     def binned(df: DataFrame, lo: String, hi: String) =
-      df.withColumn("_bin", explode(sequence(
-        floor(col(lo) / bs).cast("long"), floor(col(hi) / bs).cast("long"))))
+      df.where(col(lo) <= col(hi)) // degenerate: intersects nothing
+        .withColumn("_bin",
+          explode(sequence(binOf(lo, binSize), binOf(hi, binSize))))
     binned(a, loA, hiA).join(binned(b, loB, hiB), Seq("_bin"))
       .where(col(loA) <= col(hiB) && col(loB) <= col(hiA) &&
-        col("_bin") === greatest(floor(col(loA) / bs).cast("long"),
-          floor(col(loB) / bs).cast("long")))
+        col("_bin") === greatest(binOf(loA, binSize), binOf(loB, binSize)))
       .drop("_bin")
   }
 }

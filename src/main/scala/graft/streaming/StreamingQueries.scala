@@ -137,6 +137,34 @@ object StreamingQueries {
                       round(0.0 + CASE WHEN n_words > 0
                                        THEN s / n_words
                                        ELSE 0.0 END, 6) AS score
-               FROM pw"""))
+               FROM pw""")),
+
+    // blocklist gating ON the crawl stream (r10): the stateless
+    // blocklist projection per micro-batch ≡ the batch audit over the
+    // same corpus — q_blocklist's oracle, verbatim (same phrase list)
+    Q("q_stream_blocklist",
+      (s, d) => Streams.streamBlocklist(s, d,
+        Seq("slow", "big table", "fast merge")),
+      Some("""WITH w AS (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                       x -> length(x) > 0) AS ws
+                   FROM documents),
+              g1 AS (SELECT doc_id, unnest(ws) AS term FROM w),
+              g2 AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws)),
+                         i -> ws[i] || ' ' || ws[i+1])) AS term
+                     FROM w WHERE len(ws) >= 2),
+              hits AS (SELECT doc_id, term
+                       FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+                       WHERE term IN ('slow', 'big table', 'fast merge')),
+              agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                        array_to_string(list_sort(list(DISTINCT term)), chr(10))
+                          AS terms
+                      FROM hits GROUP BY 1)
+              SELECT d.doc_id,
+                     CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+                     coalesce(terms, '') AS terms,
+                     coalesce(n_hits, 0) = 0 AS clean
+              FROM documents d LEFT JOIN agg USING (doc_id)"""))
   )
 }

@@ -208,6 +208,20 @@ object Streams {
     drain(scored, OutputMode.Append(), "stream_linear_score")
   }
 
+  /** Blocklist gating ON the crawl stream: [[graft.llm.Scrub
+    * .blocklistGate]]'s stateless projection per micro-batch — the
+    * content-filter stage of the curation pipeline moved to ingest
+    * time, so a blocked document is tagged before it ever lands in the
+    * corpus. Stateless (the phrase list is a literal in every batch's
+    * plan): Append mode, row-for-row equal to the batch audit. */
+  def streamBlocklist(spark: SparkSession, sfDir: String,
+      phrases: Seq[String]): DataFrame = {
+    val s = tuned(spark)
+    val gated = graft.llm.Scrub.blocklistGate(
+      documentsStream(s, sfDir), "text", "doc_id", phrases)
+    drain(gated, OutputMode.Append(), "stream_blocklist")
+  }
+
   // not private: Catalyst's codegen'd encoders can't reach private members
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserState(n: Long, first: java.sql.Timestamp, total: Double)

@@ -29,6 +29,19 @@ object Rehearse100 {
   val Factor = 100
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    // r10 addition, guarded separately so pre-r10 rehearsal dirs (whose
+    // _done predates lineitem) self-heal: coprime key offsets per replica
+    // (the Rehearse 10× trick) so the mod-10000 derived graphs get ~100×
+    // DISTINCT edges — verbatim replication would collapse to the base
+    // graph under the edge distinct.
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
+      val li = Tables.lineitem(spark, sfDir)
+      (0 until Factor).map { r =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(r * 31L))
+          .withColumn("l_partkey", col("l_partkey") + lit(r * 37L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
     val done = new java.io.File(s"$outDir/_done")
     if (done.exists()) return
     val docs = Tables.documents(spark, sfDir)

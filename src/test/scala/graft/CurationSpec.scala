@@ -75,6 +75,32 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1) == (0L, "", true), s"substring must not match: ${out(1)}")
     assert(out(2) == (1L, "big table", false))
     assert(out(3) == (0L, "", true), s"phrase must match exactly: ${out(3)}")
-    assert(out(4) == (3L, "ass,big table", false), s"occurrences count: ${out(4)}")
+    assert(out(4) == (3L, "ass\nbig table", false), s"occurrences count: ${out(4)}")
+  }
+
+  test("blocklistGate (stateless projection) equals blocklistHits row for row") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the class is big"),
+      (2L, "a big table stands"),
+      (3L, "big tables everywhere"),
+      (4L, "ass big table ass"),
+      (5L, ""),
+      (6L, "big")
+    ).toDF("doc_id", "text")
+    val phrases = Seq("ass", "big table", "fast merge")
+    val hits = graft.llm.Scrub.blocklistHits(docs, "text", "doc_id", phrases)
+    val gate = graft.llm.Scrub.blocklistGate(docs, "text", "doc_id", phrases)
+    // names + types must match (nullability may differ: expression-tree
+    // columns are nullable where the audit's coalesce/count are not)
+    assert(gate.schema.map(f => (f.name, f.dataType)) ==
+      hits.schema.map(f => (f.name, f.dataType)),
+      s"gate must keep the audit's contract: ${gate.schema} vs ${hits.schema}")
+    val d = gate.exceptAll(hits).count() + hits.exceptAll(gate).count()
+    assert(d == 0, s"projection and audit must agree row for row (diff=$d)")
+    // and it must really be a projection: no exchange in the plan
+    val p = gate.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"the gate must not shuffle:\n$p")
   }
 }
