@@ -70,7 +70,10 @@ object Bench {
     // round-9 additions
     "q_dsir_weights", "q_dsir_sample", "q_semantic_dedup", "q_blocklist",
     "q_linear_score", "q_curation_pipeline", "q_range_join",
-    "q_interval_overlap", "q_anf_reach", "q_anf_profile")
+    "q_interval_overlap", "q_anf_reach", "q_anf_profile",
+    // round-10 additions
+    "q_anf_centrality", "q_image_dedup", "q_audio_dedup",
+    "q_stream_blocklist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -102,4 +102,33 @@ object Anf {
           .agg(sum(col("est_reach")).as("total_reach"))
           .select(lit((i + 1).toLong).as("r"), col("total_reach"))
     }.reduce(_ unionByName _)
+
+  /** (v, harmonic): truncated HARMONIC centrality H_R(v) =
+    * Σ_{r=1..R} (|N(v,r)| − |N(v,r−1)|) / r — Boldi–Vigna's
+    * "Axioms for centrality" estimator computed from the SAME
+    * incremental sketch pass as [[neighborhoodProfile]] (HyperBall's
+    * headline application: the per-radius reach increments are exactly
+    * the count of vertices at distance r, each weighted 1/r;
+    * |N(v,0)| = 1, the vertex itself). Estimates are monotone in r
+    * (the sketch at r is a superset merge of r−1's, so the k-th
+    * smallest hash can only fall), so every increment is ≥ 0.
+    *
+    * One expansion join per radius, then an R-way equi-join of the
+    * checkpointed per-round sketch frames on v — R is 2..6, each side
+    * one row per vertex. The oracle replays each radius's exact closure
+    * through the identical KMV estimator and takes the same weighted
+    * sum, so the approximation is checked bit for bit (6dp-rounded,
+    * the repo's double-parity discipline). */
+  def harmonicCentrality(edges: DataFrame, rounds: Int = 3,
+      k: Int = 32, seed: Long = 7L): DataFrame = {
+    val ests = sketchRounds(edges, rounds, k, seed).zipWithIndex.map {
+      case (skArr, i) => skArr.select(col("v"), estimate(k).as(s"est${i + 1}"))
+    }
+    val joined = ests.reduce((a, b) => a.join(b, "v"))
+    val h = (1 to rounds).map { r =>
+      val prev = if (r == 1) lit(1L) else col(s"est${r - 1}")
+      (col(s"est$r") - prev) / lit(r.toDouble)
+    }.reduce(_ + _)
+    joined.select(col("v"), round(h, 6).as("harmonic"))
+  }
 }

@@ -624,7 +624,39 @@ object GraphQueries {
                       CAST(sum(est_reach) AS BIGINT) FROM est2
                UNION ALL
                SELECT CAST(3 AS BIGINT),
-                      CAST(sum(est_reach) AS BIGINT) FROM est3"""))
+                      CAST(sum(est_reach) AS BIGINT) FROM est3""")),
+
+    // truncated harmonic centrality (Boldi–Vigna) from the SAME
+    // incremental sketch pass: the per-radius reach increments are the
+    // vertex counts at exactly distance r, weighted 1/r — HyperBall's
+    // headline application, one more oracle-replayable query from the
+    // pass that already serves q_anf_reach/q_anf_profile. The oracle
+    // computes each radius's exact closure through the identical KMV
+    // estimator, then the same double weighted sum (6dp parity)
+    Q("q_anf_centrality",
+      (s, d) => Anf.harmonicCentrality(
+        GraphOps.sparseEdgesFromLineitem(s, d), rounds = 3, k = 32),
+      Some(s"""WITH $se, $su,
+               adj AS (SELECT src AS v, dst AS nbr FROM u
+                       UNION ALL SELECT dst, src FROM u),
+               r1 AS (SELECT v, v AS w FROM (SELECT DISTINCT v FROM adj)
+                      UNION
+                      SELECT v, nbr AS w FROM adj),
+               r2 AS (SELECT DISTINCT a.v, b.w
+                      FROM r1 a JOIN r1 b ON a.w = b.v),
+               r3 AS (SELECT DISTINCT a.v, b.w
+                      FROM r2 a JOIN r1 b ON a.w = b.v),
+               est1 AS (${anfEstimateSql("r1")}),
+               est2 AS (${anfEstimateSql("r2")}),
+               est3 AS (${anfEstimateSql("r3")})
+               SELECT e1.v,
+                      round((e1.est_reach - 1) / CAST(1 AS DOUBLE)
+                          + (e2.est_reach - e1.est_reach) / CAST(2 AS DOUBLE)
+                          + (e3.est_reach - e2.est_reach) / CAST(3 AS DOUBLE),
+                        6) AS harmonic
+               FROM est1 e1
+               JOIN est2 e2 ON e1.v = e2.v
+               JOIN est3 e3 ON e1.v = e3.v"""))
   )
 
   /** DuckDB replay of the per-vertex KMV reach estimate over an exact

@@ -256,23 +256,27 @@ object DedupQueries {
     // both deterministic dials, tuned for the synthetic corpus's
     // 31-word vocabulary where shingle df is artificially dense) make
     // the candidate set an exact function of the corpus: the oracle
-    // replays it term for term, no banding recall to adjudicate
+    // replays it term for term, no banding recall to adjudicate.
+    // Every stage keys on md5(shingle) digests (r10: the SCALE.md
+    // digest-keying headroom, banked) and the oracle computes the SAME
+    // digests, so a hash collision reproduces identically on both sides
     Q("q_containment_pairs",
       (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "text",
         "doc_id", k = 3, tau = 0.8, maxDf = 20L, minShared = 5L),
       Some(s"""WITH $shingleCte,
-               df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-               rare AS (SELECT sh.doc_id, sh.shingle
-                        FROM sh JOIN df USING (shingle) WHERE df <= 20),
+               shd AS (SELECT doc_id, md5(shingle) AS shingle FROM sh),
+               df AS (SELECT shingle, count(*) AS df FROM shd GROUP BY shingle),
+               rare AS (SELECT shd.doc_id, shd.shingle
+                        FROM shd JOIN df USING (shingle) WHERE df <= 20),
                cand AS (SELECT a.doc_id AS da, b.doc_id AS db
                         FROM rare a JOIN rare b
                           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                         GROUP BY 1, 2 HAVING count(*) >= 5),
-               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
                inter AS (SELECT c.da, c.db, count(*) AS c
                          FROM cand c
-                         JOIN sh a ON a.doc_id = c.da
-                         JOIN sh b ON b.doc_id = c.db AND b.shingle = a.shingle
+                         JOIN shd a ON a.doc_id = c.da
+                         JOIN shd b ON b.doc_id = c.db AND b.shingle = a.shingle
                          GROUP BY 1, 2)
                SELECT da, db,
                       round(c * 1.0 / sa.n, 4) AS cont_a,

