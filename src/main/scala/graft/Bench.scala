@@ -73,7 +73,7 @@ object Bench {
     "q_interval_overlap", "q_anf_reach", "q_anf_profile",
     // round-10 additions
     "q_anf_centrality", "q_image_dedup", "q_audio_dedup",
-    "q_stream_blocklist")
+    "q_semantic_dedup_routed", "q_stream_blocklist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

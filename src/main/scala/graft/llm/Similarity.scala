@@ -98,22 +98,33 @@ object Similarity {
     * a fixed k lets cell occupancy, and with it the quadratic pair term,
     * grow linearly with the corpus). The count is one 1-row aggregate
     * job, amortized by the multi-job kmeans that follows. With k ∝ N the
-    * pair stage does N·occupancy work (linear, flat per cell) while
-    * Lloyd assignment does N·k — at extreme N, assignment becomes the
-    * dominant term and the production refinement is hierarchical
-    * routing (coarse-quantize into √k super-cells, assign within); the
-    * engine keeps flat assignment because it is exactly replayable, and
-    * the crossover is recorded in SCALE.md. */
+    * pair stage does N·occupancy work (linear, flat per cell), and FLAT
+    * Lloyd assignment would do N·k — the r10 ×100 rehearsal measured
+    * that crossover at ratio 77× — so once kk exceeds `routeAbove`,
+    * assignment goes through [[kmeansRouted]]'s two-level routing (a
+    * static ⌈√kk⌉-cell coarse grid routes each point; the argmin runs
+    * over that cell's fine centroids: ~N·2√kk candidate rows instead of
+    * N·kk), every level of which the oracle replays. Below the
+    * threshold the flat crossJoin stays cheaper — N·kk is small and
+    * routing's extra per-round jobs dominate (measured at sf0.1,
+    * kk=16: flat 0.78 s vs routed 2.0 s; at ×100, kk=1563: flat 60.3 s
+    * vs routed 8.0 s) — so small corpora keep the flat path and the
+    * crossover is a dial, not a cliff. Both paths are registered with
+    * full replays (q_semantic_dedup flat, q_semantic_dedup_routed
+    * forced via routeAbove = 0). */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int = 0, iters: Int = 2, tau: Double = 0.45,
-      targetOccupancy: Int = 128): DataFrame = {
+      targetOccupancy: Int = 128, routeAbove: Int = 64): DataFrame = {
     val kk =
       if (k > 0) k
       else math.max(2L, (emb.count() + targetOccupancy - 1) / targetOccupancy).toInt
+    val coarse = math.max(2, math.ceil(math.sqrt(kk.toDouble)).toInt)
     // checkpointed: referenced by both pair sides AND the final frame —
     // without it the whole kmeans subtree re-executes per reference
     // (caught by the PlanShapeSpec nested-loop-join budget)
-    val assign = kmeans(emb, idCol, vecCol, dim, kk, iters).localCheckpoint()
+    val assign = (if (kk <= routeAbove) kmeans(emb, idCol, vecCol, dim, kk, iters)
+                  else kmeansRouted(emb, idCol, vecCol, dim, kk, iters, coarse))
+      .localCheckpoint()
     def side(id: String, v: String, n: String, c: String) =
       emb.select(col(idCol).as(id), col(vecCol).as(v))
         .withColumn(n, sqrt(dot(col(v), col(v))))
@@ -339,6 +350,81 @@ object Similarity {
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
       assigned = pts.crossJoin(cents)
+        .select(col("vid"), col("pv"), col("cid"),
+          round(sq(col("pv"), col("cv")), 6).as("d"))
+        .groupBy(col("vid"))
+        .agg(min(struct(col("d"), col("cid"), col("pv"))).as("s"))
+        .select(col("vid"), col("s.pv").as("pv"), col("s.cid").as("cid"))
+      if (i < iters)
+        cents = broadcast(assigned.groupBy(col("cid"))
+          .agg(graft.functions.VectorMeanAggregator.vecMean(dim)(col("pv"))
+            .as("cm"))
+          .select(col("cid"), transform(col("cm"), x => round(x, 6)).as("cv")))
+    }
+    assigned.select(col("vid").as(idCol), col("cid").as("cluster"))
+  }
+
+  /** Two-level ROUTED Lloyd assignment — [[kmeans]] with the N·k
+    * flat-assignment term replaced by coarse→fine routing (the r9→r10
+    * SemDeDup crossover fix, measured in SCALE.md: with k ∝ corpus the
+    * flat crossJoin generates N·k candidate rows and becomes the
+    * dominant cost — ratio 77× at the ×100 rehearsal — while the pair
+    * stage it feeds stays flat).
+    *
+    * A STATIC routing grid of `coarse` mixer-picked corpus vectors (the
+    * first `coarse` of the SAME ordering that seeds the fine init —
+    * nested sampling, one ordering to replay) partitions the space
+    * once; per Lloyd round, (1) each fine centroid maps to its nearest
+    * coarse cell (k·coarse rows — driver-scale, broadcast), (2) each
+    * point routes to its nearest ACTIVE coarse cell (one owning ≥ 1
+    * fine centroid — a point routed to an empty cell would otherwise
+    * have no candidates), (3) the argmin runs over only the fine
+    * centroids in that cell. Candidate rows per round: N·(coarse +
+    * k/coarse avg) versus flat's N·k — at coarse ≈ √k the quadratic
+    * assignment term drops to N·2√k. Same determinism discipline as
+    * [[kmeans]] (6dp distance pins, id tiebreaks, 6dp centroid
+    * components), and every level is replayed in the oracle.
+    *
+    * The routed argmin is an APPROXIMATION of the global argmin (a
+    * point near a coarse boundary can miss a fine centroid parked in
+    * the neighboring cell — the IVF nProbe=1 recall contract); SemDeDup
+    * is itself a cell-bounded approximation, so the contract
+    * composes. */
+  def kmeansRouted(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int, coarse: Int): DataFrame = {
+    require(iters >= 1, "kmeans needs at least one assignment round")
+    require(coarse >= 1, "need at least one routing cell")
+    def sq(a: Column, b: Column): Column =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    val pts = emb.select(col(idCol).as("vid"), col(vecCol).as("pv"))
+    val mixerKey = pmod(pmod(col("cid"), lit(1000000007L)) * lit(2654435761L)
+      + lit(445533L), lit(9973L))
+    val ordered = pts.select(col("vid").as("cid"), col("pv").as("cv"))
+      .orderBy(mixerKey.asc, col("cid").asc)
+    val coarseTab = broadcast(ordered.limit(coarse)
+      .select(col("cid").as("ccid"), col("cv").as("ccv")))
+    var cents = broadcast(ordered.limit(k))
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      // fine centroid → nearest coarse cell (k·coarse rows, broadcast)
+      val f2c = broadcast(cents.crossJoin(coarseTab)
+        .select(col("cid"), col("cv"), col("ccid"),
+          round(sq(col("cv"), col("ccv")), 6).as("d"))
+        .groupBy(col("cid"))
+        .agg(min(struct(col("d"), col("ccid"), col("cv"))).as("s"))
+        .select(col("s.ccid").as("ccid"), col("cid"), col("s.cv").as("cv")))
+      // coarse cells owning at least one fine centroid
+      val active = broadcast(f2c.select(col("ccid")).distinct()
+        .join(coarseTab, "ccid"))
+      // point → nearest active coarse cell (N·coarse candidate rows)
+      val p2c = pts.crossJoin(active)
+        .select(col("vid"), col("pv"), col("ccid"),
+          round(sq(col("pv"), col("ccv")), 6).as("d"))
+        .groupBy(col("vid"))
+        .agg(min(struct(col("d"), col("ccid"), col("pv"))).as("s"))
+        .select(col("vid"), col("s.pv").as("pv"), col("s.ccid").as("ccid"))
+      // point → nearest fine centroid WITHIN the cell (N·occupancy rows)
+      assigned = p2c.join(broadcast(f2c), "ccid")
         .select(col("vid"), col("pv"), col("cid"),
           round(sq(col("pv"), col("cv")), 6).as("d"))
         .groupBy(col("vid"))

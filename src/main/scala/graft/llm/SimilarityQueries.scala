@@ -51,26 +51,39 @@ object SimilarityQueries {
       Some(kmeansSql("16") + """
             SELECT vec_id, cid AS cluster FROM a2""")),
 
-    // SemDeDup-style semantic dedup: the shared kmeans replay (a2) +
+    // SemDeDup-style semantic dedup: the ROUTED kmeans replay (a2) +
     // within-cluster cosine pairs + the keep-first drop rule; the
     // clustering bounds the quadratic term by cell occupancy exactly
     // like the IVF layout. r10: k is DERIVED as max(2, ceil(N/128)) on
     // both sides (Spark auto-k, DuckDB subquery LIMIT) — the scale-safe
     // k ∝ corpus discipline is the default, and the replay tracks any
-    // driver testdata resize instead of resting on a hardcoded 16
+    // driver testdata resize instead of resting on a hardcoded 16.
+    // At fixture scale (kk = 16 ≤ routeAbove) assignment stays the flat
+    // k-row crossJoin this oracle replays; the large-k routed path has
+    // its own forced registration just below
     Q("q_semantic_dedup",
       (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
         "embedding", dim = 64, iters = 2, tau = 0.45),
       Some(kmeansSql(
-        "(SELECT greatest(2, CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM v)") + s""",
-            av AS (SELECT v.vec_id, v.e, a2.cid FROM v
-                   JOIN a2 USING (vec_id)),
-            drp AS (SELECT DISTINCT b.vec_id FROM av a JOIN av b
-                      ON a.cid = b.cid AND a.vec_id < b.vec_id
-                    WHERE ${duckCos("a.e", "b.e")} >= 0.45)
-            SELECT a2.vec_id, a2.cid AS cluster,
-                   a2.vec_id NOT IN (SELECT vec_id FROM drp) AS kept
-            FROM a2""")),
+        "(SELECT greatest(2, CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM v)") +
+        semanticDedupTailSql)),
+
+    // the SAME semantic dedup with the two-level ROUTED assignment
+    // FORCED (routeAbove = 0) — the path the auto-threshold takes once
+    // kk > 64, i.e. the 100 TB path (the ×100 rehearsal measured flat
+    // N·k assignment at ratio 77×; routed lands at 4.0×). The oracle
+    // replays BOTH levels per Lloyd round — fine→coarse map,
+    // point→active-coarse routing, in-cell argmin — so the routing
+    // approximation itself is checked term for term, not just the
+    // fixture's small-k shortcut
+    Q("q_semantic_dedup_routed",
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, iters = 2, tau = 0.45, routeAbove = 0),
+      Some(kmeansRoutedSql(
+        "(SELECT greatest(2, CAST(ceil(count(*) / 128.0) AS BIGINT)) FROM v)",
+        """(SELECT greatest(2, CAST(ceil(sqrt(greatest(2,
+             ceil(count(*) / 128.0)))) AS BIGINT)) FROM v)""") +
+        semanticDedupTailSql)),
 
     // brute-force cosine top-5 for query vectors vec_id < 10
     Q("q_embed_knn",
@@ -588,6 +601,75 @@ object SimilarityQueries {
                           ORDER BY round(${sq("v.e", "c.cv")}, 6), c.cid)
                           AS rn
                  FROM v, c1 c) WHERE rn = 1)"""
+  }
+
+  /** The shared pair + keep-first tail of both semantic-dedup replays,
+    * appended to a kmeans CTE chain ending in `a2` (vec_id, cid). */
+  private def semanticDedupTailSql: String =
+    s""",
+            av AS (SELECT v.vec_id, v.e, a2.cid FROM v
+                   JOIN a2 USING (vec_id)),
+            drp AS (SELECT DISTINCT b.vec_id FROM av a JOIN av b
+                      ON a.cid = b.cid AND a.vec_id < b.vec_id
+                    WHERE ${duckCos("a.e", "b.e")} >= 0.45)
+            SELECT a2.vec_id, a2.cid AS cluster,
+                   a2.vec_id NOT IN (SELECT vec_id FROM drp) AS kept
+            FROM a2"""
+
+  /** DuckDB replay of [[Similarity.kmeansRouted]] — the two-level
+    * (coarse→fine) routed Lloyd assignment q_semantic_dedup runs: a
+    * static `coarseLimit`-row mixer-picked routing grid (`co`, the
+    * first rows of the SAME ordering that seeds the fine init), and per
+    * round (1) fine→nearest-coarse map, (2) point→nearest ACTIVE
+    * coarse cell, (3) in-cell fine argmin — each with the 6dp distance
+    * pin and id tiebreak of [[kmeansSql]]. Ends with CTE `a2`
+    * (vec_id, cid), the same interface. */
+  private def kmeansRoutedSql(kLimit: String, coarseLimit: String): String = {
+    def sq(a: String, b: String): String =
+      s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
+           - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+           + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))"""
+    def round1(cents: String, f2c: String, act: String, p2c: String,
+        a: String): String =
+      s"""$f2c AS (SELECT ccid, cid, cv FROM (
+                 SELECT co.ccid, c.cid, c.cv,
+                        row_number() OVER (PARTITION BY c.cid
+                          ORDER BY round(${sq("c.cv", "co.ccv")}, 6), co.ccid)
+                          AS rn
+                 FROM $cents c, co) WHERE rn = 1),
+        $act AS (SELECT ccid, ccv FROM co
+                 WHERE ccid IN (SELECT ccid FROM $f2c)),
+        $p2c AS (SELECT vec_id, e, ccid FROM (
+                 SELECT v.vec_id, v.e, a.ccid,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY round(${sq("v.e", "a.ccv")}, 6), a.ccid)
+                          AS rn
+                 FROM v, $act a) WHERE rn = 1),
+        $a AS (SELECT vec_id, e, cid FROM (
+                 SELECT p.vec_id, p.e, f.cid,
+                        row_number() OVER (PARTITION BY p.vec_id
+                          ORDER BY round(${sq("p.e", "f.cv")}, 6), f.cid)
+                          AS rn
+                 FROM $p2c p JOIN $f2c f USING (ccid)) WHERE rn = 1)"""
+    s"""WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        co AS (SELECT vec_id AS ccid, e AS ccv FROM v
+               ORDER BY ((vec_id % 1000000007) * 2654435761 + 445533) % 9973,
+                        vec_id
+               LIMIT $coarseLimit),
+        c0 AS (SELECT vec_id AS cid, e AS cv FROM v
+               ORDER BY ((vec_id % 1000000007) * 2654435761 + 445533) % 9973,
+                        vec_id
+               LIMIT $kLimit),
+        ${round1("c0", "f2c1", "act1", "p2c1", "a1")},
+        c1 AS (SELECT cid, list(mm ORDER BY dim) AS cv FROM (
+                 SELECT cid, t.i AS dim, round(avg(e[t.i]), 6) AS mm
+                 FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2)
+               GROUP BY cid),
+        ${round1("c1", "f2c2", "act2", "p2c2", "a2x")},
+        a2 AS (SELECT vec_id, cid FROM a2x)"""
   }
 
   private def q_embed_decontaminate_entry: Q =

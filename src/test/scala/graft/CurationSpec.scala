@@ -45,6 +45,46 @@ class CurationSpec extends AnyFunSuite {
       s"keep-first must drop exactly the later duplicate id: $out")
   }
 
+  test("kmeansRouted with a single coarse cell IS flat kmeans") {
+    val s = spark
+    import s.implicits._
+    // coarse = 1: every point routes to the one cell, which owns every
+    // fine centroid, so the in-cell argmin is the global argmin — the
+    // routed path must reproduce the flat assignment exactly
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(4)(j => ((i * 31 + j * 17) % 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    val flat = graft.llm.Similarity
+      .kmeans(emb, "vec_id", "embedding", dim = 4, k = 5, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val routed = graft.llm.Similarity
+      .kmeansRouted(emb, "vec_id", "embedding", dim = 4, k = 5, iters = 2,
+        coarse = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(routed === flat)
+  }
+
+  test("semanticDedup routed and flat agree on a well-separated fixture") {
+    val s = spark
+    import s.implicits._
+    // two tight, far-apart groups: routing cannot flip any assignment
+    // that matters, so kept/cluster structure must agree across paths
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.01f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def kept(routeAbove: Int) = graft.llm.Similarity
+      .semanticDedup(emb, "vec_id", "embedding", dim = 4, k = 2, iters = 2,
+        tau = 0.9, routeAbove = routeAbove)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val flat = kept(routeAbove = 64)
+    val routed = kept(routeAbove = 0)
+    assert(flat === routed)
+    assert(flat === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
+
   test("hashedLinearScore is the mean bucket weight; empty docs score the bias") {
     val s = spark
     import s.implicits._

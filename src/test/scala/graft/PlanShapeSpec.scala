@@ -85,6 +85,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_tfidf",  // 1-row corpus-size aggregate broadcast into the scorer
       "q_kmeans", // k-row centroid table broadcast into assignment
       "q_semantic_dedup", // kmeans' centroid broadcast inside the clustering stage
+      "q_semantic_dedup_routed", // routed kmeans' coarse-grid + fine-map broadcasts
       "q_embed_ivfpq_knn", // IVF coarse assignment (same centroid crossJoin as ivf_knn)
       "q_embed_ivfpq_res_knn", // same coarse assignment, residual codebooks
       "q_pmi_pairs", // two 1-row corpus totals broadcast into the pair scorer
