@@ -72,7 +72,7 @@ object Bench {
     "q_linear_score", "q_curation_pipeline", "q_range_join",
     "q_interval_overlap", "q_anf_reach", "q_anf_profile",
     // round-10 additions
-    "q_anf_centrality", "q_image_dedup", "q_audio_dedup",
+    "q_anf_centrality", "q_anf_diameter", "q_image_dedup", "q_audio_dedup",
     "q_semantic_dedup_routed", "q_stream_blocklist")
 
   def main(args: Array[String]): Unit = {

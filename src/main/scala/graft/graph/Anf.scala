@@ -103,6 +103,29 @@ object Anf {
           .select(lit((i + 1).toLong).as("r"), col("total_reach"))
     }.reduce(_ unionByName _)
 
+  /** One-row (r_eff, coverage): the EFFECTIVE DIAMETER read off the
+    * neighborhood function — the smallest probed radius whose total
+    * reach covers ≥ `alpha` of the largest probed radius's (ANF's
+    * headline question, "how far apart is this graph, really"; alpha =
+    * 0.9 is the standard effective-diameter convention). Composes
+    * [[neighborhoodProfile]] with a 1-row broadcast of the terminal
+    * total and a 3-row TakeOrdered — the curve costs the profile, the
+    * readout costs nothing. Exactly replayed: the oracle computes the
+    * same per-radius estimates and the same double threshold. */
+  def effectiveDiameter(edges: DataFrame, rounds: Int = 3, k: Int = 32,
+      seed: Long = 7L, alpha: Double = 0.9): DataFrame = {
+    val prof = neighborhoodProfile(edges, rounds, k, seed)
+    val last = prof.where(col("r") === rounds)
+      .select(col("total_reach").as("total_r"))
+    prof.crossJoin(broadcast(last))
+      .where(col("total_reach") >= lit(alpha) * col("total_r"))
+      .orderBy(col("r"))
+      .limit(1)
+      .select(col("r").as("r_eff"),
+        round(col("total_reach").cast("double") / col("total_r"), 6)
+          .as("coverage"))
+  }
+
   /** (v, harmonic): truncated HARMONIC centrality H_R(v) =
     * Σ_{r=1..R} (|N(v,r)| − |N(v,r−1)|) / r — Boldi–Vigna's
     * "Axioms for centrality" estimator computed from the SAME

@@ -626,6 +626,43 @@ object GraphQueries {
                SELECT CAST(3 AS BIGINT),
                       CAST(sum(est_reach) AS BIGINT) FROM est3""")),
 
+    // effective diameter read off the neighborhood function: smallest
+    // probed radius covering >= 0.9 of the terminal radius's total
+    // reach — the profile's headline readout, replayed through the
+    // identical estimates and the same double threshold
+    Q("q_anf_diameter",
+      (s, d) => Anf.effectiveDiameter(
+        GraphOps.sparseEdgesFromLineitem(s, d), rounds = 3, k = 32),
+      Some(s"""WITH $se, $su,
+               adj AS (SELECT src AS v, dst AS nbr FROM u
+                       UNION ALL SELECT dst, src FROM u),
+               r1 AS (SELECT v, v AS w FROM (SELECT DISTINCT v FROM adj)
+                      UNION
+                      SELECT v, nbr AS w FROM adj),
+               r2 AS (SELECT DISTINCT a.v, b.w
+                      FROM r1 a JOIN r1 b ON a.w = b.v),
+               r3 AS (SELECT DISTINCT a.v, b.w
+                      FROM r2 a JOIN r1 b ON a.w = b.v),
+               est1 AS (${anfEstimateSql("r1")}),
+               est2 AS (${anfEstimateSql("r2")}),
+               est3 AS (${anfEstimateSql("r3")}),
+               prof AS (
+                 SELECT CAST(1 AS BIGINT) AS r,
+                        CAST(sum(est_reach) AS BIGINT) AS total_reach FROM est1
+                 UNION ALL
+                 SELECT CAST(2 AS BIGINT),
+                        CAST(sum(est_reach) AS BIGINT) FROM est2
+                 UNION ALL
+                 SELECT CAST(3 AS BIGINT),
+                        CAST(sum(est_reach) AS BIGINT) FROM est3),
+               tot AS (SELECT total_reach AS total_r FROM prof WHERE r = 3)
+               SELECT r AS r_eff,
+                      round(CAST(total_reach AS DOUBLE) / total_r, 6)
+                        AS coverage
+               FROM prof, tot
+               WHERE total_reach >= CAST(0.9 AS DOUBLE) * total_r
+               ORDER BY r LIMIT 1""")),
+
     // truncated harmonic centrality (Boldi–Vigna) from the SAME
     // incremental sketch pass: the per-radius reach increments are the
     // vertex counts at exactly distance r, weighted 1/r — HyperBall's

@@ -86,6 +86,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_kmeans", // k-row centroid table broadcast into assignment
       "q_semantic_dedup", // kmeans' centroid broadcast inside the clustering stage
       "q_semantic_dedup_routed", // routed kmeans' coarse-grid + fine-map broadcasts
+      "q_anf_diameter", // 1-row terminal-total broadcast into the 3-row curve
       "q_embed_ivfpq_knn", // IVF coarse assignment (same centroid crossJoin as ivf_knn)
       "q_embed_ivfpq_res_knn", // same coarse assignment, residual codebooks
       "q_pmi_pairs", // two 1-row corpus totals broadcast into the pair scorer
@@ -470,6 +471,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the pair self-join must key on the cluster columns:\n$p")
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
       s"nested-loop joins must be kmeans' centroid broadcasts only:\n$p")
+  }
+
+  test("perceptual dedup candidates ride (band, value) equi-joins") {
+    // the multimodal near-dup discipline: dHash band buckets bound the
+    // candidate volume exactly like SimHash's — an all-pairs raster or
+    // PCM comparison would be the 100 TB cliff
+    for (name <- Seq("q_image_dedup", "q_audio_dedup")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name candidates must ride the band equi-join:\n$p")
+    }
+  }
+
+  test("anf centrality joins the checkpointed per-round sketch frames on v") {
+    // the R-way radius join must stay an equi-join over the checkpoint
+    // scans — re-deriving a radius per reference would re-run the whole
+    // sketch pass (the q_semantic_dedup re-execution class)
+    val p = plan("q_anf_centrality")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"radius frames must equi-join on v:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"per-round frames must come from their checkpoints:\n$p")
   }
 
   test("range join lowers to an equi-join on bin, never a nested loop") {
