@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Ordered-step funnel analysis over an at-rest event log: for each key,
+  * how far through a fixed step sequence (e.g. view → click → purchase)
+  * did its events progress, with each transition required to happen
+  * STRICTLY after the previous step's match (and, optionally, within
+  * `maxStepGapSec` of it)?
+  *
+  * Matching is greedy-earliest: step 1 binds to the key's earliest
+  * step-1 event, step i+1 to the earliest step-i+1 event after step i's
+  * match. Greedy-earliest is optimal for reachability — binding any
+  * later event can only shrink the remaining window — so `stage_reached`
+  * equals the chained-min SQL formulation the oracle replays
+  * (`WITH s1 AS (min ts), s2 AS (min ts > s1.t), …`).
+  *
+  * Scale: events are filtered to the step types at the scan (predicate
+  * pushdown), then ONE hash shuffle on the key feeds
+  * `flatMapSortedGroups`, which streams each key's events in timestamp
+  * order through a constant-space cursor — no per-key collection, no
+  * window-function sort-spill, parallel in the number of keys. The
+  * alternative S-way chained self-join shape (what the oracle runs)
+  * would shuffle the event table once per step; this is one pass.
+  */
+object Funnel {
+
+  /** Per-key funnel outcome: one row per key with ≥1 step-1 event —
+    * (key, stage_reached, t_first, t_last): 1-based deepest stage, epoch
+    * seconds of the step-1 and deepest-stage matches. */
+  def funnelStages(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      maxStepGapSec: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps must be non-empty and distinct")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val gap = maxStepGapSec.map(_.toDouble).getOrElse(Double.PositiveInfinity)
+    val slim = events
+      .where(col(typeCol).isin(steps: _*))
+      .select(col(keyCol).cast("string").as("k"),
+        col(tsCol).cast("double").as("t"),
+        col(typeCol).as("s"))
+      .as[(String, Double, String)]
+    slim.groupByKey(_._1)
+      .flatMapSortedGroups($"t".asc, $"s".asc) { (k, it) =>
+        var stage = 0
+        var tPrev = 0.0d
+        var tFirst = 0.0d
+        for ((_, t, s) <- it if stage < steps.size) {
+          if (stepIdx(s) == stage &&
+              (stage == 0 || (t > tPrev && t - tPrev <= gap))) {
+            if (stage == 0) tFirst = t
+            tPrev = t
+            stage += 1
+          }
+        }
+        if (stage == 0) Iterator.empty
+        else Iterator.single((k, stage.toLong, tFirst, tPrev))
+      }
+      .toDF("key", "stage_reached", "t_first", "t_last")
+  }
+
+  /** Funnel conversion table: (stage, step, users) where `users` counts
+    * keys whose `stage_reached` is ≥ that stage. The cumulative readout
+    * is an explode of each key's 1..stage_reached range — a tiny extra
+    * shuffle of ≤ S rows per key, never a driver-side loop. */
+  def funnelCounts(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      maxStepGapSec: Option[Long] = None): DataFrame = {
+    val spark = events.sparkSession
+    val stepName = map(steps.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(i + 1L), lit(s))
+    }: _*)
+    funnelStages(events, keyCol, tsCol, typeCol, steps, maxStepGapSec)
+      .select(explode(sequence(lit(1L), col("stage_reached"))).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("users"))
+      .select(col("stage"), element_at(stepName, col("stage")).as("step"),
+        col("users"))
+  }
+}

@@ -512,6 +512,73 @@ object RelationalQueries {
                     FROM spans WHERE user_id % 50 = 0)
               SELECT ua, ub, lo_a, lo_b
               FROM a JOIN b
-                ON lo_a <= hi_b AND lo_b <= hi_a AND ua <> ub"""))
+                ON lo_a <= hi_b AND lo_b <= hi_a AND ua <> ub""")),
+
+    // --- ordered-step funnel (operators.Funnel): view → click → purchase
+    // conversion, greedy-earliest transitions, one shuffle + a streamed
+    // per-key cursor; the oracle runs the equivalent chained-min CTEs ------
+    Q("q_funnel",
+      (s, d) => graft.operators.Funnel.funnelCounts(ev(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+      Some("""WITH s1 AS (SELECT user_id, min(epoch(CAST(ts AS TIMESTAMP))) AS t
+                          FROM events WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(epoch(CAST(e.ts AS TIMESTAMP))) AS t
+                     FROM events e JOIN s1 ON e.user_id = s1.user_id
+                       AND epoch(CAST(e.ts AS TIMESTAMP)) > s1.t
+                     WHERE e.event_type = 'click' GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(epoch(CAST(e.ts AS TIMESTAMP))) AS t
+                     FROM events e JOIN s2 ON e.user_id = s2.user_id
+                       AND epoch(CAST(e.ts AS TIMESTAMP)) > s2.t
+                     WHERE e.event_type = 'purchase' GROUP BY 1)
+              SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+                     count(*) AS users FROM s1
+              UNION ALL SELECT 2, 'click', count(*) FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*) FROM s3""")),
+
+    // same funnel under a per-step SLA: each transition within 24 h of the
+    // previous match — the time-bounded conversion readout ------------------
+    Q("q_funnel_sla",
+      (s, d) => graft.operators.Funnel.funnelCounts(ev(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        maxStepGapSec = Some(86400L)),
+      Some("""WITH s1 AS (SELECT user_id, min(epoch(CAST(ts AS TIMESTAMP))) AS t
+                          FROM events WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(epoch(CAST(e.ts AS TIMESTAMP))) AS t
+                     FROM events e JOIN s1 ON e.user_id = s1.user_id
+                       AND epoch(CAST(e.ts AS TIMESTAMP)) > s1.t
+                       AND epoch(CAST(e.ts AS TIMESTAMP)) <= s1.t + 86400
+                     WHERE e.event_type = 'click' GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(epoch(CAST(e.ts AS TIMESTAMP))) AS t
+                     FROM events e JOIN s2 ON e.user_id = s2.user_id
+                       AND epoch(CAST(e.ts AS TIMESTAMP)) > s2.t
+                       AND epoch(CAST(e.ts AS TIMESTAMP)) <= s2.t + 86400
+                     WHERE e.event_type = 'purchase' GROUP BY 1)
+              SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+                     count(*) AS users FROM s1
+              UNION ALL SELECT 2, 'click', count(*) FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*) FROM s3""")),
+
+    // --- cohort retention (operators.Retention): epoch-week cohorts by
+    // first activity, distinct-active counts per offset week ----------------
+    Q("q_retention",
+      (s, d) => graft.operators.Retention.cohortRetention(ev(s, d),
+        "user_id", "ts"),
+      Some("""WITH f AS (SELECT user_id,
+                     CAST(floor(epoch(min(CAST(ts AS TIMESTAMP))) / 604800)
+                       AS BIGINT) AS cohort
+                     FROM events GROUP BY 1),
+              a AS (SELECT DISTINCT user_id,
+                     CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800)
+                       AS BIGINT) AS wk
+                    FROM events),
+              c AS (SELECT f.cohort, a.wk - f.cohort AS week_offset,
+                           count(DISTINCT f.user_id) AS active_users
+                    FROM f JOIN a ON f.user_id = a.user_id
+                    GROUP BY 1, 2)
+              SELECT cohort, week_offset, active_users,
+                     round(active_users * 1.0 /
+                       max(CASE WHEN week_offset = 0 THEN active_users END)
+                         OVER (PARTITION BY cohort), 4) AS retention_pct
+              FROM c"""))
   )
 }
