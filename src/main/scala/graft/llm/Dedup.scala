@@ -554,6 +554,41 @@ object Dedup {
     mergedSpans(dupPositions(docs, textCol, idCol, spanLen, minDocs,
       keepOne = false), spanLen)
 
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * token L-grams that appear in no other document — the inverse signal
+    * of substring dedup (a low score means the doc is mostly assembled
+    * from corpus-shared passages; a training-data mixer upweights high
+    * novelty). Returns (doc_id, n_grams, novel_ratio) for every doc with
+    * ≥ L tokens.
+    *
+    * Scale shape (same economics as [[repeatedSpans]]): grams ride as
+    * 24-byte (doc, h1, h2) double-hash rows — never materialized as
+    * strings — through a per-doc distinct, a gram-keyed doc-frequency
+    * aggregate (map-side partials absorb hot grams), one gram-keyed
+    * equi-join back, and a per-doc count. All hash-partitioned; nothing
+    * is quadratic in docs or grams. The oracle replays string grams —
+    * equality of the (h1, h2) pair stands in for gram equality at a
+    * 2^-128 collision bar, the substring-dedup family's contract. */
+  def noveltyScore(docs: DataFrame, textCol: String, idCol: String,
+      gramLen: Int = 8): DataFrame = {
+    val toks = split(col(textCol), "\\s+")
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(arrays_zip(
+          graft.functions.TokenGramHashes.gramHashes(toks, gramLen, 1L),
+          graft.functions.TokenGramHashes.gramHashes(toks, gramLen, 2L))))
+      .select(col("doc_id"), col("col.0").as("h1"), col("col.1").as("h2"))
+      .distinct()
+    val df = grams.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("nd")) // rows are (doc, gram)-distinct already
+    grams.join(df, Seq("h1", "h2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") === 1L, lit(1L)).otherwise(lit(0L))).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6)
+          .as("novel_ratio"))
+  }
+
   /** Positions (doc_id, p) covered-at-start by a cross-document
     * duplicated L-gram. With `keepOne`, positions in the gram's OWNER
     * (min doc id among the docs containing it) are exempt — the

@@ -452,6 +452,29 @@ object DedupQueries {
                         row_number() OVER (PARTITION BY c.cluster
                           ORDER BY q.quality DESC, c.doc_id) AS rn
                  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
-               WHERE rn = 1"""))
+               WHERE rn = 1""")),
+
+    // n-gram novelty: fraction of each doc's distinct 8-grams unique to
+    // it corpus-wide — substring dedup's inverse readout. Spark rides
+    // (h1, h2) double hashes; the oracle replays string grams (the
+    // family's 2^-128 collision contract).
+    Q("q_novelty",
+      (s, d) => Dedup.noveltyScore(Tables.documents(s, d), "text", "doc_id",
+        gramLen = 8),
+      Some("""WITH ws AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\s+'),
+                        x -> length(x) > 0) AS w
+                    FROM documents),
+              gr0 AS (SELECT doc_id,
+                        unnest(list_transform(range(1, len(w) - 6),
+                          i -> array_to_string(list_slice(w, i, i + 7), ' ')))
+                          AS gram
+                      FROM ws WHERE len(w) >= 8),
+              gr AS (SELECT DISTINCT doc_id, gram FROM gr0),
+              df AS (SELECT gram, count(*) AS nd FROM gr GROUP BY 1)
+              SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                     round(CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END)
+                         AS DOUBLE) / count(*), 6) AS novel_ratio
+              FROM gr JOIN df USING (gram) GROUP BY 1"""))
   )
 }

@@ -22,6 +22,41 @@ object TextAnalysis {
   private def stats(text: Column): Column =
     graft.functions.TextStats.textStats(text, stopwords)
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, §A1.1
+    * adapted to the counters this corpus exercises): five named boolean
+    * rules as 0/1 flags plus the failure count and the all-rules pass
+    * bit. Zero-shuffle — one [[graft.functions.TextStats]] scan and one
+    * [[graft.functions.RepetitionStats]] scan per row feed plain column
+    * comparisons, all inside whole-stage codegen; every ratio is a
+    * single IEEE division of two exact integer counts, so the
+    * threshold comparisons are bit-identical on both engines.
+    *
+    * Rules: word count in [20, 100000]; mean word length in [3, 10];
+    * stopword ratio ≥ 0.05; punctuation-to-character ratio ≤ 0.2;
+    * top-word fraction ≤ 0.2 (the repetition/boilerplate screen). */
+  def gopherRules(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val st = stats(col(textCol))
+    val rep = graft.functions.RepetitionStats.repetitionStats(col(textCol))
+    val nWords = element_at(st, 1)
+    val nw = nWords.cast("double")
+    def flag(c: Column): Column = when(c, lit(1L)).otherwise(lit(0L))
+    val rWords = flag(nWords >= 20L && nWords <= 100000L)
+    val rWordLen = flag(nWords > 0L &&
+      element_at(st, 4).cast("double") / nw >= 3.0 &&
+      element_at(st, 4).cast("double") / nw <= 10.0)
+    val rStop = flag(nWords > 0L &&
+      element_at(st, 5).cast("double") / nw >= 0.05)
+    val rSym = flag(element_at(st, 3) > 0L &&
+      element_at(st, 6).cast("double") / element_at(st, 3) <= 0.2)
+    val rRep = flag(nWords > 0L &&
+      element_at(rep, 3).cast("double") / nw <= 0.2)
+    docs.select(col(idCol), rWords.as("r_words"), rWordLen.as("r_word_len"),
+        rStop.as("r_stopwords"), rSym.as("r_symbols"), rRep.as("r_repetition"))
+      .withColumn("n_failed", lit(5L) - col("r_words") - col("r_word_len") -
+        col("r_stopwords") - col("r_symbols") - col("r_repetition"))
+      .withColumn("pass", when(col("n_failed") === 0L, lit(1L)).otherwise(lit(0L)))
+  }
+
   /** Token statistics: whitespace tokens, BPE-ish tokens (word pieces +
     * standalone punctuation), characters. */
   def tokenStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {

@@ -572,7 +572,66 @@ object TextAnalysisQueries {
                       coalesce(weight, 0.0) AS weight
                FROM surv d LEFT JOIN sc USING (doc_id)
                ORDER BY weight DESC, d.doc_id ASC
-               LIMIT 50"""))
+               LIMIT 50""")),
+
+    // Gopher-style rule gate: five named 0/1 rules + failure count +
+    // all-pass bit, zero-shuffle (one TextStats + one RepetitionStats
+    // scan per row; each ratio is one IEEE division of exact counts)
+    Q("q_gopher_rules",
+      (s, d) => TextAnalysis.gopherRules(Tables.documents(s, d),
+        "text", "doc_id"),
+      Some(s"""WITH t AS (
+                 SELECT doc_id, text,
+                        list_filter(string_split_regex(text, '\\s+'),
+                          w -> length(w) > 0) AS w
+                 FROM documents),
+               tw AS (SELECT doc_id, unnest(w) AS word FROM t),
+               topw AS (SELECT doc_id, max(c) AS topc FROM (
+                          SELECT doc_id, word, count(*) AS c
+                          FROM tw GROUP BY 1, 2)
+                        GROUP BY 1),
+               m AS (
+                 SELECT t.doc_id,
+                        len(w) AS nw,
+                        list_sum(list_transform(w, x -> length(x)))
+                          AS sum_wlen,
+                        len(list_filter(w, x -> list_contains(
+                          ${TextAnalysis.stopwords.mkString("['", "','", "']")},
+                          x))) AS n_stop,
+                        len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                        length(text) AS n_chars,
+                        coalesce(topc, 0) AS topc
+                 FROM t LEFT JOIN topw ON t.doc_id = topw.doc_id),
+               r AS (
+                 SELECT doc_id,
+                        CASE WHEN nw BETWEEN 20 AND 100000 THEN 1 ELSE 0 END
+                          AS r_words,
+                        CASE WHEN nw > 0
+                              AND CAST(sum_wlen AS DOUBLE) / nw >= 3.0
+                              AND CAST(sum_wlen AS DOUBLE) / nw <= 10.0
+                          THEN 1 ELSE 0 END AS r_word_len,
+                        CASE WHEN nw > 0
+                              AND CAST(n_stop AS DOUBLE) / nw >= 0.05
+                          THEN 1 ELSE 0 END AS r_stopwords,
+                        CASE WHEN n_chars > 0
+                              AND CAST(n_punct AS DOUBLE) / n_chars <= 0.2
+                          THEN 1 ELSE 0 END AS r_symbols,
+                        CASE WHEN nw > 0
+                              AND CAST(topc AS DOUBLE) / nw <= 0.2
+                          THEN 1 ELSE 0 END AS r_repetition
+                 FROM m)
+               SELECT doc_id,
+                      CAST(r_words AS BIGINT) AS r_words,
+                      CAST(r_word_len AS BIGINT) AS r_word_len,
+                      CAST(r_stopwords AS BIGINT) AS r_stopwords,
+                      CAST(r_symbols AS BIGINT) AS r_symbols,
+                      CAST(r_repetition AS BIGINT) AS r_repetition,
+                      CAST(5 - r_words - r_word_len - r_stopwords - r_symbols
+                           - r_repetition AS BIGINT) AS n_failed,
+                      CAST(CASE WHEN r_words + r_word_len + r_stopwords
+                                     + r_symbols + r_repetition = 5
+                                THEN 1 ELSE 0 END AS BIGINT) AS pass
+               FROM r"""))
   )
 
   /** Shared DuckDB replay of [[TextAnalysis.dsirWeights]] (target =
