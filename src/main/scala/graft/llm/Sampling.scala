@@ -160,4 +160,44 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Token-budget mixture: fill a GLOBAL token budget across sources in
+    * proportion to `weights` (the "sample a 1T-token training mix at
+    * 40/20/… domain weights" step). Each source gets quota
+    * ⌊budget · w / Σw⌋ tokens and fills it greedily over its documents
+    * in hash-shuffled order ([[bucket]], so the pick is deterministic,
+    * replayable, and composes: a bigger budget's pick is a superset).
+    * A document is kept while the source's running token total stays
+    * within quota; token counts come from the one-scan native
+    * [[graft.functions.TextStats]].
+    *
+    * Scale: one hash shuffle on the source key + a per-source
+    * (bucket, id)-ordered running sum — parallel across sources. A
+    * corpus whose single source outweighs executor memory would
+    * range-partition on (source, bucket) instead; the window spec is
+    * the semantic contract either way. Unlisted sources are dropped at
+    * the scan (pushdown-friendly IN filter). */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, budget: Long, weights: Map[String, Double],
+      seed: Long = 7L): DataFrame = {
+    require(budget > 0 && weights.nonEmpty && weights.values.forall(_ > 0),
+      "budget and weights must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val totalW = weights.values.sum
+    val quota = weights.tail.foldLeft(
+      when(col("source") === weights.head._1,
+        lit((budget * weights.head._2 / totalW).toLong))) {
+      case (acc, (g, w)) => acc.when(col("source") === g,
+        lit((budget * w / totalW).toLong))
+    }
+    val win = Window.partitionBy(col("source"))
+      .orderBy(bucket(col("doc_id"), seed).asc, col("doc_id").asc)
+    docs
+      .where(col(groupCol).isInCollection(weights.keys))
+      .select(col(groupCol).as("source"), col(idCol).as("doc_id"),
+        element_at(graft.functions.TextStats.textStats(col(textCol),
+          TextAnalysis.stopwords), 1).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .where(col("cum_tokens") <= quota)
+  }
 }

@@ -252,6 +252,33 @@ object ScrubSamplingQueries {
                      CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
                      coalesce(terms, '') AS terms,
                      coalesce(n_hits, 0) = 0 AS clean
-              FROM documents d LEFT JOIN agg USING (doc_id)"""))
+              FROM documents d LEFT JOIN agg USING (doc_id)""")),
+
+    // token-budget mixture: fill a 4000-token budget at 4/2/1/1 source
+    // weights (quotas 2000/1000/500/500), docs in hash-shuffled order,
+    // kept while the source's running token total fits the quota
+    Q("q_token_budget_mix",
+      (s, d) => Sampling.tokenBudgetMix(Tables.documents(s, d), "doc_id",
+        "source", "text", budget = 4000L,
+        weights = Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0,
+          "src3" -> 1.0)),
+      Some("""WITH t AS (
+                SELECT source, doc_id,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                         x -> length(x) > 0)) AS n_tokens,
+                       ((doc_id % 1000000007) * 2654435761 + 283521) % 9973
+                         AS b
+                FROM documents
+                WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+              c AS (
+                SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       CAST(sum(n_tokens) OVER (PARTITION BY source
+                         ORDER BY b, doc_id ROWS UNBOUNDED PRECEDING)
+                         AS BIGINT) AS cum_tokens
+                FROM t)
+              SELECT source, doc_id, n_tokens, cum_tokens FROM c
+              WHERE cum_tokens <= CASE source
+                WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000
+                WHEN 'src2' THEN 500 ELSE 500 END"""))
   )
 }

@@ -139,4 +139,29 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(other != rows.toSet)
   }
+
+  test("token-budget mix fills per-source quotas greedily and nests") {
+    val s = spark
+    import s.implicits._
+    // 20 docs of 10 tokens each per source: quota 55 keeps exactly 5
+    // docs (50 tokens; the 6th would overflow), weights 3:1 split quotas
+    val docs = (for (src <- Seq("a", "b"); i <- 0 until 20)
+      yield (src.hashCode.toLong * 100 + i, src,
+        Seq.fill(10)("tok").mkString(" "))).toDF("doc_id", "source", "text")
+    val out = Sampling.tokenBudgetMix(docs, "doc_id", "source", "text",
+      budget = 220L, weights = Map("a" -> 3.0, "b" -> 1.0))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // quotas: a=165 -> 16 docs (160 tokens), b=55 -> 5 docs
+    val bySrc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 16, "b" -> 5))
+    assert(out.forall(_._3 == 10L))
+    assert(out.filter(_._1 == "b").map(_._4).sorted.toSeq ==
+      Seq(10L, 20L, 30L, 40L, 50L))
+    // a bigger budget picks a superset (same hash order, longer prefix)
+    val bigger = Sampling.tokenBudgetMix(docs, "doc_id", "source", "text",
+      budget = 440L, weights = Map("a" -> 3.0, "b" -> 1.0))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out.map(t => (t._1, t._2)).toSet.subsetOf(bigger))
+  }
 }
