@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Hybrid lexical + semantic retrieval with reciprocal-rank fusion
+  * (Cormack et al., SIGIR 2009) — the RAG-serving readout over the two
+  * ranking paths the engine already has: Okapi BM25 over the token
+  * index and cosine over the embedding column.
+  *
+  * Each query carries a word string (BM25 side) and a probe-vector id
+  * (semantic side; the probe is looked up in the embedding table and
+  * excluded from its own result list). Both sides rank their top
+  * `kEach` with the engine's deterministic tiebreaks (rounded score
+  * desc, id asc); fusion scores every doc present in either list as
+  * Σ 1/(rrfC + rank) and keeps the top `kOut`.
+  *
+  * Scale shape: BM25 is the existing scan-bound one-pass aggregation
+  * chain (query side broadcast); the semantic side broadcasts the
+  * ≤ |queries| probe vectors against the corpus scan; both rank with a
+  * per-qid window over ≤ corpus rows and the fusion join keys on
+  * (qid, doc) over ≤ 2·kEach rows per query — nothing quadratic in the
+  * corpus, and the two sides' plans stay exactly the plans their
+  * standalone queries pin. */
+object Retrieval {
+
+  def hybridRrf(docs: DataFrame, emb: DataFrame, textCol: String,
+      docCol: String, embIdCol: String, vecCol: String,
+      queries: Seq[(String, String, Long)], kEach: Int = 20, kOut: Int = 10,
+      rrfC: Int = 60): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val lex = TextOps.bm25TopK(docs, textCol, docCol,
+        queries.map(q => (q._1, q._2)), k = kEach)
+      .select(col("qid"), col(docCol).as("doc"), col("rn").as("rank_lex"))
+
+    val probeIds = queries.map(q => (q._1, q._3)).toDF("qid", "probe_id")
+    val probes = broadcast(probeIds
+      .join(emb.select(col(embIdCol).as("probe_id"), col(vecCol).as("qv")),
+        "probe_id"))
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("doc").asc)
+    val sem = probes
+      .crossJoin(emb.select(col(embIdCol).as("doc"), col(vecCol).as("nv")))
+      .where(col("doc") =!= col("probe_id"))
+      .select(col("qid"), col("doc"),
+        round(Similarity.cosine(col("qv"), col("nv")), 6).as("cos"))
+      .withColumn("rank_sem", row_number().over(byQ).cast("long"))
+      .where(col("rank_sem") <= kEach)
+      .select(col("qid"), col("doc"), col("rank_sem"))
+
+    val fused = lex.join(sem, Seq("qid", "doc"), "full_outer")
+      .select(col("qid"), col("doc"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_sem"), lit(0L)).as("rank_sem"),
+        round(
+          when(col("rank_lex").isNotNull,
+            lit(1.0) / (lit(rrfC.toDouble) + col("rank_lex"))).otherwise(lit(0.0)) +
+          when(col("rank_sem").isNotNull,
+            lit(1.0) / (lit(rrfC.toDouble) + col("rank_sem"))).otherwise(lit(0.0)),
+          6).as("rrf"))
+    val byRrf = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc").asc)
+    fused.withColumn("rn", row_number().over(byRrf).cast("long"))
+      .where(col("rn") <= kOut)
+      .withColumnRenamed("doc", "doc_id")
+  }
+}

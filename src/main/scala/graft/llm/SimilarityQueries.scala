@@ -562,7 +562,10 @@ object SimilarityQueries {
     // (eval x train, never train x train), the tiny multi-probed eval
     // side broadcasts, the training corpus never shuffles
     // (PlanShapeSpec-pinned); oracle replays the bucketing exactly
-    q_embed_decontaminate_entry
+    q_embed_decontaminate_entry,
+
+    // hybrid BM25 ∪ cosine retrieval with reciprocal-rank fusion
+    q_hybrid_rrf_entry
   )
 
   /** DuckDB replay of [[Similarity.kmeans]] (dim 64, k 16, iters 2,
@@ -702,4 +705,81 @@ object SimilarityQueries {
                       CAST(count(*) AS BIGINT) AS n_hits,
                       max(cos) AS max_cos
                FROM pairs GROUP BY tid"""))
+
+  /** Hybrid retrieval: BM25 top-20 ∪ cosine top-20 fused by reciprocal
+    * rank (RRF, c = 60), top-10 out — both sides' deterministic ranks
+    * replayed, the fusion sum a pure function of the two rank integers. */
+  private def q_hybrid_rrf_entry: Q =
+    Q("q_hybrid_rrf",
+      (s, d) => Retrieval.hybridRrf(Tables.documents(s, d),
+        Tables.embeddings(s, d), "text", "doc_id", "vec_id", "embedding",
+        Seq(("q1", "spark hash join", 0L), ("q2", "table scan filter", 1L),
+          ("q3", "sort merge batch", 2L)), kEach = 20, kOut = 10),
+      Some(s"""WITH w AS (SELECT doc_id,
+                     unnest(string_split_regex(text, '\\s+')) AS word
+                   FROM documents),
+              ww AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+              tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                     FROM ww GROUP BY 1, 2),
+              dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+                     FROM tf GROUP BY 1),
+              dfc AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+                      FROM tf GROUP BY 1),
+              tot AS (SELECT count(*) AS n_docs,
+                             CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+              q(qid, word) AS (VALUES
+                ('q1', 'spark'), ('q1', 'hash'), ('q1', 'join'),
+                ('q2', 'table'), ('q2', 'scan'), ('q2', 'filter'),
+                ('q3', 'sort'), ('q3', 'merge'), ('q3', 'batch')),
+              sc AS (SELECT q.qid, tf.doc_id,
+                       round(sum(
+                         ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5)
+                                  / (df + 0.5)) *
+                         (tf * (1.2 + 1.0)) /
+                         (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                            (CAST(sum_dl AS DOUBLE) / n_docs)))), 6) AS score
+                     FROM tf
+                     JOIN q USING (word)
+                     JOIN dfc USING (word)
+                     JOIN dl USING (doc_id)
+                     CROSS JOIN tot
+                     GROUP BY 1, 2),
+              lex AS (SELECT qid, doc_id AS doc,
+                             CAST(rn AS BIGINT) AS rank_lex FROM (
+                        SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY score DESC, doc_id) AS rn FROM sc)
+                      WHERE rn <= 20),
+              p(qid, probe_id) AS (VALUES ('q1', 0), ('q2', 1), ('q3', 2)),
+              pv AS (SELECT qid, probe_id,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE))
+                              AS qv
+                     FROM p JOIN embeddings ON vec_id = probe_id),
+              corp AS (SELECT vec_id AS doc,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE))
+                                AS nv
+                       FROM embeddings),
+              scored AS (SELECT qid, doc, ${duckCos("qv", "nv")} AS cos
+                         FROM pv, corp WHERE doc <> probe_id),
+              sem AS (SELECT qid, doc,
+                             CAST(rn AS BIGINT) AS rank_sem FROM (
+                        SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, doc) AS rn FROM scored)
+                      WHERE rn <= 20),
+              fused AS (SELECT coalesce(l.qid, s.qid) AS qid,
+                               coalesce(l.doc, s.doc) AS doc,
+                               coalesce(l.rank_lex, 0) AS rank_lex,
+                               coalesce(s.rank_sem, 0) AS rank_sem,
+                               round(
+                                 CASE WHEN l.rank_lex IS NOT NULL
+                                   THEN 1.0 / (60 + l.rank_lex)
+                                   ELSE 0.0 END +
+                                 CASE WHEN s.rank_sem IS NOT NULL
+                                   THEN 1.0 / (60 + s.rank_sem)
+                                   ELSE 0.0 END, 6) AS rrf
+                        FROM lex l FULL JOIN sem s
+                          ON l.qid = s.qid AND l.doc = s.doc)
+              SELECT qid, doc AS doc_id, rank_lex, rank_sem, rrf, rn FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY rrf DESC, doc) AS BIGINT) AS rn FROM fused)
+              WHERE rn <= 10"""))
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Retrieval
+
+/** RRF fusion semantics on a hand-built corpus. */
+class RetrievalSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("doc ranked by both sides outranks single-side docs; ranks carried") {
+    val s = spark
+    import s.implicits._
+    // doc 1: lexical hit only; doc 2: lexical + semantic; doc 3:
+    // semantic only; doc 4: neither. Probe vector (id 0) points at
+    // doc 2's direction, then doc 3's.
+    val docs = Seq(
+      (1L, "apple apple apple banana fig"),
+      (2L, "apple cherry plum"),
+      (3L, "kiwi lime melon"),
+      (4L, "pear quince date")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.8f, 0.6f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Retrieval.hybridRrf(docs, emb, "text", "doc_id", "vec_id",
+      "embedding", Seq(("q1", "apple", 0L)), kEach = 2, kOut = 4)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(5)))
+      .toMap
+    // lexical top-2: doc 1 (tf=3) then doc 2; semantic top-2 vs (1,0):
+    // doc 2 (cos≈0.994) then doc 3 (cos=0.8)
+    assert(out(2L) == ((2L, 1L, 1L))) // both lists → fused rank 1
+    assert(out(1L)._1 == 1L && out(1L)._2 == 0L) // lex-only carried
+    assert(out(3L)._1 == 0L && out(3L)._2 == 2L) // sem-only carried
+    assert(!out.contains(4L))
+    // 1/(60+1) > 1/(60+2): the lex-1 doc beats the sem-2 doc
+    assert(out(1L)._3 == 2L && out(3L)._3 == 3L)
+  }
+}
