@@ -85,6 +85,44 @@ object GraphOps {
   def outDegree(edges: DataFrame): DataFrame =
     edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("degree"))
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the undirected edge list (each canonical
+    * edge contributing both orientations, so the marginals are
+    * symmetric). One row out: (n_endpoint_pairs, assortativity).
+    *
+    * Scale: degree is one shuffle; attaching endpoint degrees is two
+    * hash equi-joins on the vertex id; the six moments reduce in a
+    * single map-side-partial aggregate. All sums stay exact in int64
+    * (degrees ≤ V, products ≤ V², testdata far below overflow); the
+    * Pearson ratio is the only floating step, and at ~1e-16 relative
+    * error the shared 6dp rounding is engine-identical. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val u = edgeUpper(edges)
+    val deg = degree(u)
+    val pairs = u
+      .join(deg.select(col("v").as("src"), col("degree").as("x")), "src")
+      .join(deg.select(col("v").as("dst"), col("degree").as("y")), "dst")
+    val both = pairs.select(col("x"), col("y"))
+      .union(pairs.select(col("y").as("x"), col("x").as("y")))
+    both.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_endpoint_pairs"),
+        // a REGULAR graph has zero degree variance: assortativity is
+        // undefined (0/0) — surface null, not NaN
+        when(col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx") > 0.0,
+          round((col("n") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy")) /
+            (sqrt(col("n") * col("sxx").cast("double") -
+               col("sx").cast("double") * col("sx")) *
+             sqrt(col("n") * col("syy").cast("double") -
+               col("sy").cast("double") * col("sy"))), 6))
+          .as("assortativity"))
+  }
+
   /** degree_stats (`oink/degree_stats.cpp:45-60`): degree histogram. */
   def degreeStats(edges: DataFrame): DataFrame =
     degree(edges)

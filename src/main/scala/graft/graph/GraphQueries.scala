@@ -693,7 +693,70 @@ object GraphQueries {
                         6) AS harmonic
                FROM est1 e1
                JOIN est2 e2 ON e1.v = e2.v
-               JOIN est3 e3 ON e1.v = e3.v"""))
+               JOIN est3 e3 ON e1.v = e3.v""")),
+
+    // local clustering coefficient: closed-wedge fraction per vertex on
+    // the neigh_tri counts (same oriented triangle enumeration; the
+    // ratio is one exact IEEE division of the two integer counts)
+    Q("q_clustering_coeff",
+      (s, d) => Triangles.clusteringCoefficient(
+        GraphOps.scaledEdgesFromLineitem(s, d)),
+      Some("""WITH mm AS (SELECT greatest(count(*) // 60, 1) AS m FROM lineitem),
+              e AS (SELECT l_orderkey % m AS src, l_partkey % m AS dst
+                    FROM lineitem, mm),
+              u AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+                    FROM e WHERE src <> dst),
+              tri AS (SELECT t1.src AS a, t1.dst AS b, t2.dst AS c
+                      FROM u t1
+                      JOIN u t2 ON t1.dst = t2.src
+                      JOIN u t3 ON t1.src = t3.src AND t2.dst = t3.dst),
+              tv AS (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri),
+              tc AS (SELECT v, count(*) AS n_triangles FROM tv GROUP BY v),
+              deg AS (SELECT v, count(*) AS n_nbrs FROM (
+                        SELECT src AS v FROM u UNION ALL SELECT dst AS v FROM u)
+                      GROUP BY v)
+              SELECT deg.v, n_nbrs,
+                     coalesce(n_triangles, 0) AS n_triangles,
+                     CASE WHEN n_nbrs >= 2
+                       THEN round(2.0 * coalesce(n_triangles, 0)
+                              / (n_nbrs * (n_nbrs - 1)), 6)
+                       ELSE 0.0 END AS clustering
+              FROM deg LEFT JOIN tc ON deg.v = tc.v""")),
+
+    // degree assortativity: Pearson correlation of endpoint degrees over
+    // both orientations of the canonical edge set — one scalar row, six
+    // exact integer moments, one floating ratio at shared 6dp
+    Q("q_assortativity",
+      (s, d) => GraphOps.degreeAssortativity(
+        GraphOps.scaledEdgesFromLineitem(s, d)),
+      Some("""WITH mm AS (SELECT greatest(count(*) // 60, 1) AS m FROM lineitem),
+              e AS (SELECT l_orderkey % m AS src, l_partkey % m AS dst
+                    FROM lineitem, mm),
+              u AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+                    FROM e WHERE src <> dst),
+              deg AS (SELECT v, count(*) AS d FROM (
+                        SELECT src AS v FROM u UNION ALL SELECT dst AS v FROM u)
+                      GROUP BY v),
+              p0 AS (SELECT d1.d AS x, d2.d AS y
+                     FROM u JOIN deg d1 ON u.src = d1.v
+                            JOIN deg d2 ON u.dst = d2.v),
+              p AS (SELECT x, y FROM p0 UNION ALL SELECT y AS x, x AS y FROM p0),
+              s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(y) AS BIGINT) AS sy,
+                           CAST(sum(x * y) AS BIGINT) AS sxy,
+                           CAST(sum(x * x) AS BIGINT) AS sxx,
+                           CAST(sum(y * y) AS BIGINT) AS syy
+                    FROM p)
+              SELECT n AS n_endpoint_pairs,
+                     round((n * CAST(sxy AS DOUBLE) -
+                            CAST(sx AS DOUBLE) * sy) /
+                       (sqrt(n * CAST(sxx AS DOUBLE) -
+                          CAST(sx AS DOUBLE) * sx) *
+                        sqrt(n * CAST(syy AS DOUBLE) -
+                          CAST(sy AS DOUBLE) * sy)), 6) AS assortativity
+              FROM s"""))
   )
 
   /** DuckDB replay of the per-vertex KMV reach estimate over an exact

@@ -82,6 +82,19 @@ object Triangles {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per vertex: 2·tri(v) / (deg·(deg−1)),
+    * 0.0 for degree-<2 vertices — the closed-wedge fraction, the
+    * standard per-vertex community-density readout on top of
+    * [[neighTri]]'s counts (same low-degree-oriented triangle
+    * enumeration, same shuffles; the ratio is one exact IEEE division
+    * of integer counts, 6dp-rounded on both engines). */
+  def clusteringCoefficient(edges: DataFrame): DataFrame =
+    neighTri(edges).select(col("v"), col("n_nbrs"), col("n_triangles"),
+      when(col("n_nbrs") >= 2L,
+        round(lit(2.0) * col("n_triangles") /
+          (col("n_nbrs") * (col("n_nbrs") - 1L)), 6))
+        .otherwise(lit(0.0)).as("clustering"))
+
   /** neigh_tri full-fidelity output (`oink/neigh_tri.cpp:124-160`): per
     * vertex Vi, the reference prints its first-neighbor edges (Vi Vj) and,
     * for each triangle (Vi,Vj,Vk), the edge between the other two vertices

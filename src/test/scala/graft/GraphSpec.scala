@@ -268,4 +268,23 @@ class GraphSpec extends AnyFunSuite {
     assert(reach(3) == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L,
       10L -> 2L, 11L -> 2L))
   }
+
+  test("clustering coefficient: triangle corners 1.0, wedge center binds") {
+    // triangle 1-2-3 plus pendant 4 on vertex 1: cc(1) = 2·1/(3·2) = 1/3,
+    // cc(2) = cc(3) = 1.0, cc(4) = 0 (degree 1)
+    val e = edges((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val got = graft.graph.Triangles.clusteringCoefficient(e)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got == Map(1L -> (3L, 0.333333), 2L -> (2L, 1.0),
+      3L -> (2L, 1.0), 4L -> (1L, 0.0)))
+  }
+
+  test("assortativity: star is -1, regular graph is null") {
+    val star = edges((0L, 1L), (0L, 2L), (0L, 3L))
+    val r = graft.graph.GraphOps.degreeAssortativity(star).collect()(0)
+    assert(r.getLong(0) == 6L && r.getDouble(1) == -1.0)
+    // triangle: every vertex degree 2 -> zero variance -> undefined
+    val tri = edges((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(graft.graph.GraphOps.degreeAssortativity(tri).collect()(0).isNullAt(1))
+  }
 }
