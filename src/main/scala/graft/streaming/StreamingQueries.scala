@@ -165,6 +165,26 @@ object StreamingQueries {
                      CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
                      coalesce(terms, '') AS terms,
                      coalesce(n_hits, 0) = 0 AS clean
-              FROM documents d LEFT JOIN agg USING (doc_id)"""))
+              FROM documents d LEFT JOIN agg USING (doc_id)""")),
+
+    // streaming ordered-step funnel: per-key three-long state cursor in
+    // mapGroupsWithState; exact vs the batch funnel's chained-min oracle
+    // (same SQL as q_funnel) when arrival is event-time-monotone per key
+    Q("q_stream_funnel",
+      (s, d) => Streams.streamFunnel(s, d, Seq("view", "click", "purchase")),
+      Some("""WITH s1 AS (SELECT user_id, min(epoch(CAST(ts AS TIMESTAMP))) AS t
+                          FROM events WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(epoch(CAST(e.ts AS TIMESTAMP))) AS t
+                     FROM events e JOIN s1 ON e.user_id = s1.user_id
+                       AND epoch(CAST(e.ts AS TIMESTAMP)) > s1.t
+                     WHERE e.event_type = 'click' GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(epoch(CAST(e.ts AS TIMESTAMP))) AS t
+                     FROM events e JOIN s2 ON e.user_id = s2.user_id
+                       AND epoch(CAST(e.ts AS TIMESTAMP)) > s2.t
+                     WHERE e.event_type = 'purchase' GROUP BY 1)
+              SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+                     count(*) AS users FROM s1
+              UNION ALL SELECT 2, 'click', count(*) FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*) FROM s3"""))
   )
 }

@@ -321,4 +321,67 @@ object Streams {
     val admitted = admittedDirect.unionByName(weeded).dropDuplicates("fp")
     drain(admitted, OutputMode.Append(), "stream_inc_dedup")
   }
+
+  // not private: Catalyst's codegen'd encoders can't reach private members
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  case class FunnelState(stage: Long, tPrev: Long, tFirst: Long)
+
+  /** Streaming twin of the batch ordered-step funnel
+    * ([[graft.operators.Funnel]]): per-key greedy-earliest stage cursor
+    * in `mapGroupsWithState` — state is three longs per key regardless
+    * of stream length. Within a micro-batch events are sorted by
+    * (event time, type) before the cursor walks them, so the result is
+    * EXACT equal to the batch funnel whenever arrival order is
+    * event-time-monotone per key ACROSS batches (the live-ingest
+    * discipline; the StreamSmoke harness's time-range chunks satisfy
+    * it). Timestamps compare as exact epoch micros — the same order the
+    * batch side's double cast induces. Update-mode snapshots are
+    * reduced to the last (= max, stages are monotone) per key before
+    * the conversion-count readout, so multi-batch equals single-batch
+    * without reconciliation. */
+  def streamFunnel(spark: SparkSession, sfDir: String,
+      steps: Seq[String]): DataFrame = {
+    val s = tuned(spark)
+    import s.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val ds = eventsStream(s, sfDir)
+      .where(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("ts"), col("event_type")).as[FunnelEvent]
+    val snaps = ds.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, (Long, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, events, state: GroupState[FunnelState]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+          val prev = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          var stage = prev.stage.toInt
+          var tPrev = prev.tPrev
+          var tFirst = prev.tFirst
+          val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_type))
+          for (e <- sorted if stage < steps.size) {
+            val t = micros(e.ts)
+            if (stepIdx(e.event_type) == stage && (stage == 0 || t > tPrev)) {
+              if (stage == 0) tFirst = t
+              tPrev = t
+              stage += 1
+            }
+          }
+          state.update(FunnelState(stage.toLong, tPrev, tFirst))
+          (uid, stage.toLong)
+      }
+      .toDF("user_id", "stage_reached")
+    val snap = drain(snaps, OutputMode.Update(), "stream_funnel")
+    val stepName = map(steps.zipWithIndex.flatMap { case (st, i) =>
+      Seq(lit(i + 1L), lit(st))
+    }: _*)
+    snap.groupBy(col("user_id"))
+      .agg(max(col("stage_reached")).as("stage_reached"))
+      .where(col("stage_reached") >= 1L)
+      .select(explode(sequence(lit(1L), col("stage_reached"))).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("users"))
+      .select(col("stage"), element_at(stepName, col("stage")).as("step"),
+        col("users"))
+  }
 }
