@@ -73,7 +73,12 @@ object Bench {
     "q_interval_overlap", "q_anf_reach", "q_anf_profile",
     // round-10 additions
     "q_anf_centrality", "q_anf_diameter", "q_image_dedup", "q_audio_dedup",
-    "q_semantic_dedup_routed", "q_stream_blocklist")
+    "q_semantic_dedup_routed", "q_stream_blocklist",
+    // round-10 second tranche: events analytics, curation gates,
+    // retrieval fusion, graph readouts
+    "q_funnel", "q_retention", "q_gopher_rules", "q_novelty",
+    "q_token_budget_mix", "q_hybrid_rrf", "q_clustering_coeff",
+    "q_stream_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

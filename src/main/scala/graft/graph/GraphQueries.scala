@@ -100,6 +100,47 @@ object GraphQueries {
         SELECT v, round("rank", 6) AS "rank" FROM r$iters"""
   }
 
+  /** DuckDB replay of [[Iterative.personalizedPagerank]] on the mod-1000
+    * lineitem graph: same unrolled chain as [[pagerankLineitemSql]], but
+    * teleport + dangling mass return to the source set only. The CASE
+    * mirrors the Spark expression term for term, so the doubles agree
+    * bitwise before the shared 6dp rounding (the dangling subtraction
+    * identity is the one ~1e-15 exception, same as q_pagerank). */
+  private def pprLineitemSql(iters: Int, sources: Seq[Long]): String = {
+    val sList = sources.mkString(", ")
+    val sN = s"CAST(${sources.size}.0 AS DOUBLE)"
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         SELECT verts.v,
+                CASE WHEN verts.v IN ($sList)
+                  THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / $sN
+                       + CAST(0.85 AS DOUBLE) * d.m / $sN
+                  ELSE CAST(0.0 AS DOUBLE) END
+                + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0.0 AS DOUBLE))
+                  AS "rank"
+         FROM verts
+         LEFT JOIN (SELECT w.dst AS v, sum(r."rank" * w.w) AS s
+                    FROM r${k - 1} r JOIN w ON w.src = r.v GROUP BY w.dst) c
+           ON c.v = verts.v
+         CROSS JOIN (SELECT coalesce(sum("rank"), CAST(0.0 AS DOUBLE)) AS m
+                     FROM r${k - 1}
+                     WHERE v NOT IN (SELECT src FROM g)) d)"""
+    }.mkString(",\n")
+    s"""WITH $e,
+        g AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        verts AS MATERIALIZED (SELECT DISTINCT v FROM
+          (SELECT src AS v FROM g UNION ALL SELECT dst FROM g)),
+        w AS MATERIALIZED (SELECT src, dst,
+                     CAST(1.0 AS DOUBLE) / count(*) OVER (PARTITION BY src) AS w
+              FROM g),
+        r0 AS MATERIALIZED (SELECT v,
+               CASE WHEN v IN ($sList) THEN CAST(1.0 AS DOUBLE) / $sN
+                    ELSE CAST(0.0 AS DOUBLE) END AS "rank"
+               FROM verts),
+        $steps
+        SELECT v, round("rank", 6) AS "rank" FROM r$iters"""
+  }
+
   /** Shared CTE prefix: directed edges + canonical undirected edges. */
   private val e =
     "e AS (SELECT l_orderkey % 1000 AS src, l_partkey % 1000 AS dst FROM lineitem)"
@@ -694,6 +735,16 @@ object GraphQueries {
                FROM est1 e1
                JOIN est2 e2 ON e1.v = e2.v
                JOIN est3 e3 ON e1.v = e3.v""")),
+
+    // personalized pagerank: teleport + dangling mass return to the seed
+    // set {0, 7, 42}; 5 fixed rounds, the oracle unrolls the same chain
+    // with the CASE mirroring the Spark rank expression term for term
+    Q("q_ppr",
+      (s, d) => Iterative.personalizedPagerank(
+        GraphOps.edgesFromLineitem(s, d), Seq(0L, 7L, 42L),
+        alpha = 0.85, iters = 5)
+        .select(col("v"), round(col("rank"), 6).as("rank")),
+      Some(pprLineitemSql(5, Seq(0L, 7L, 42L)))),
 
     // local clustering coefficient: closed-wedge fraction per vertex on
     // the neigh_tri counts (same oriented triangle enumeration; the

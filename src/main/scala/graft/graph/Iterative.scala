@@ -454,6 +454,59 @@ object Iterative {
     * FP note: the subtraction matches a direct sum over the dangling set
     * to ~1e-15 (exact on dyadic golden graphs), far inside the oracle's
     * 1e-9 rounding. */
+  /** Personalized PageRank: teleport (and dangling) mass returns to the
+    * SOURCE set only — rank(v) = 1[v∈S]·((1−α)/|S| + α·dangling/|S|)
+    * + α·contrib(v) — the "importance relative to these seeds" readout
+    * (recommendation, local community scoring). Fixed `iters` rounds so
+    * the DuckDB oracle unrolls the identical chain; same one-shuffle
+    * round economics as [[pagerank]] (ONE contrib aggregate feeds both
+    * the rank join and the 1-row dangling sum via exchange reuse; the
+    * dangling mass is 1 − Σcontrib, valid because PPR conserves total
+    * mass when every source exists in the graph — asserted here, one
+    * bounded count at build time). */
+  def personalizedPagerank(edges: DataFrame, sources: Seq[Long],
+      alpha: Double = 0.85, iters: Int = 5): DataFrame = {
+    require(sources.nonEmpty && sources.distinct.size == sources.size,
+      "sources must be non-empty and distinct")
+    val directed = edges.where(col("src") =!= col("dst")).distinct()
+    val vertices = GraphOps.vertexExtract(directed)
+      .repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val present = vertices.where(col("v").isInCollection(sources)).count()
+    require(present == sources.size,
+      s"every source must be a graph vertex ($present of ${sources.size} found)")
+    val sN = sources.size.toDouble
+    val outDeg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val w = directed.join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inS = col("v").isInCollection(sources)
+    var ranks = vertices
+      .withColumn("rank", when(inS, lit(1.0 / sN)).otherwise(lit(0.0)))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val contrib = ranks.join(w, ranks("v") === w("src"))
+        .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("contrib"))
+      val dangling = contrib
+        .agg((lit(1.0) - coalesce(sum(col("contrib")), lit(0.0)))
+          .as("danglingMass"))
+      val next = vertices
+        .join(contrib.withColumnRenamed("dst", "v"), Seq("v"), "left")
+        .crossJoin(dangling)
+        .select(col("v"),
+          (when(inS, lit((1 - alpha) / sN) +
+              lit(alpha) * col("danglingMass") / sN)
+            .otherwise(lit(0.0)) +
+           lit(alpha) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+      graft.core.Checkpoints.release(ranks)
+      ranks = next
+    }
+    w.unpersist(); vertices.unpersist()
+    ranks
+  }
+
   private[graft] def pagerankStep(ranks: DataFrame, w: DataFrame,
       vertices: DataFrame, n: Double, alpha: Double): DataFrame = {
     val contrib = ranks.join(w, ranks("v") === w("src"))

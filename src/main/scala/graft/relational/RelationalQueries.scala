@@ -558,6 +558,39 @@ object RelationalQueries {
               UNION ALL SELECT 2, 'click', count(*) FROM s2
               UNION ALL SELECT 3, 'purchase', count(*) FROM s3""")),
 
+    // --- bucketed-count anomaly detection (operators.Anomaly): hourly
+    // per-type volumes z-scored against the type's own distribution ------
+    Q("q_event_anomaly",
+      (s, d) => graft.operators.Anomaly.countAnomalies(ev(s, d),
+          "event_type", "ts", bucket = "hour", threshold = 3.0)
+        .withColumnRenamed("key", "event_type"),
+      Some("""WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                     CAST(count(*) AS BIGINT) AS n
+                     FROM events GROUP BY 1, 2),
+              st AS (SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS nb,
+                       CAST(sum(n) AS BIGINT) AS s,
+                       CAST(sum(n * n) AS BIGINT) AS ss
+                     FROM c GROUP BY 1)
+              SELECT c.event_type, c.h, c.n,
+                     CASE WHEN CAST(ss AS DOUBLE) / nb
+                               - (CAST(s AS DOUBLE) / nb)
+                               * (CAST(s AS DOUBLE) / nb) > 0
+                       THEN round((c.n - CAST(s AS DOUBLE) / nb)
+                              / sqrt(CAST(ss AS DOUBLE) / nb
+                                - (CAST(s AS DOUBLE) / nb)
+                                * (CAST(s AS DOUBLE) / nb)), 4)
+                     END AS z,
+                     CAST(CASE WHEN CAST(ss AS DOUBLE) / nb
+                                    - (CAST(s AS DOUBLE) / nb)
+                                    * (CAST(s AS DOUBLE) / nb) > 0
+                                AND abs((c.n - CAST(s AS DOUBLE) / nb)
+                                  / sqrt(CAST(ss AS DOUBLE) / nb
+                                    - (CAST(s AS DOUBLE) / nb)
+                                    * (CAST(s AS DOUBLE) / nb))) > 3.0
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+              FROM c JOIN st USING (event_type)""")),
+
     // --- cohort retention (operators.Retention): epoch-week cohorts by
     // first activity, distinct-active counts per offset week ----------------
     Q("q_retention",

@@ -42,6 +42,18 @@ object Rehearse100 {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     }
+    // r10 second tranche, self-healing guard like lineitem: 100× the
+    // USER population (shifted ids), per-user history unchanged — the
+    // "more users, same behavior" scaling funnel/retention see in
+    // production. Event ids shift too so they stay unique.
+    if (!new java.io.File(s"$outDir/events.parquet").exists()) {
+      val ev = Tables.events(spark, sfDir)
+      (0 until Factor).map { r =>
+        ev.withColumn("user_id", col("user_id") + lit(r * 1000000L))
+          .withColumn("event_id", col("event_id") + lit(r * 100000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
     val done = new java.io.File(s"$outDir/_done")
     if (done.exists()) return
     val docs = Tables.documents(spark, sfDir)

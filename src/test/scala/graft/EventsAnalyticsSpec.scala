@@ -79,6 +79,29 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("count anomalies: spike flags, constant series yields null z") {
+    val s = spark
+    import s.implicits._
+    val h = 3600.0
+    // key "a": hourly counts 1,1,1,5 — the 5 is a spike; key "b":
+    // constant 2,2 — zero variance, z must be null and not anomalous
+    val rows =
+      Seq.tabulate(1)(i => ("a", 0.5 * h)) ++ Seq(("a", 1.5 * h)) ++
+        Seq(("a", 2.5 * h)) ++ Seq.fill(5)(("a", 3.5 * h)) ++
+        Seq(("b", 0.5 * h), ("b", 0.6 * h), ("b", 1.5 * h), ("b", 1.6 * h))
+    val df = rows.toDF("k", "t")
+      .select(col("k"), col("t").cast("timestamp").as("ts"))
+    val out = graft.operators.Anomaly.countAnomalies(df, "k", "ts",
+      threshold = 1.5)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4)))
+      .toMap
+    // a: counts 1,1,1,5 → mean 2, var 3, sd √3: z(5) = 3/√3 = √3 ≈ 1.7321
+    assert(out(("a", 5L)) == ((Some(1.7321), 1L)))
+    assert(out(("a", 1L))._2 == 0L)
+    assert(out(("b", 2L)) == ((None, 0L)))
+  }
+
   test("retention cohorts: offset-0 row is the cohort size, pct scales") {
     val s = spark
     import s.implicits._

@@ -279,6 +279,30 @@ class GraphSpec extends AnyFunSuite {
       3L -> (2L, 1.0), 4L -> (1L, 0.0)))
   }
 
+  test("personalized pagerank: golden path graph; S=V degenerates to pagerank") {
+    import graft.graph.Iterative
+    // A(1)→B(2), S={A}, α=0.5: after iter1 (0.5, 0.5); iter2: B's mass
+    // is dangling and returns to A → A = 0.5 + 0.5·0.5 = 0.75, B = 0.25
+    val e = edges((1L, 2L))
+    val got = Iterative.personalizedPagerank(e, Seq(1L), alpha = 0.5,
+      iters = 2).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.75, 2L -> 0.25))
+    // with S = every vertex the PPR formula IS pagerank (associativity
+    // differs, so compare at 1e-12, not bitwise)
+    val g = twoComponents
+    val ppr = Iterative.personalizedPagerank(g,
+      Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L), alpha = 0.85, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pr = Iterative.pagerank(g, alpha = 0.85, tol = 0.0, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppr.keySet == pr.keySet)
+    ppr.foreach { case (v, r) => assert(math.abs(r - pr(v)) < 1e-12) }
+    // a source that is not a vertex must be rejected, not silently leak mass
+    intercept[IllegalArgumentException] {
+      Iterative.personalizedPagerank(e, Seq(99L))
+    }
+  }
+
   test("assortativity: star is -1, regular graph is null") {
     val star = edges((0L, 1L), (0L, 2L), (0L, 3L))
     val r = graft.graph.GraphOps.degreeAssortativity(star).collect()(0)

@@ -93,7 +93,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_bm25_topk", // 1-row (N, sum_dl) totals broadcast into the scorer
       "q_dsir_weights", // 1-row (nt, nr, v) totals broadcast into the scorer
       "q_dsir_sample",  // same totals broadcast; selection is a TakeOrdered
-      "q_curation_pipeline") // the dsir stage's totals broadcast, composed
+      "q_curation_pipeline", // the dsir stage's totals broadcast, composed
+      "q_hybrid_rrf") // bm25's 1-row totals + the ≤|Q|-row probe-vector
+                      // broadcast into the corpus scan (the knn shape)
     val offenders = Registry.byName.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream"))
       .flatMap { name =>
@@ -537,6 +539,52 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the |Q|*shortlistK shortlist must broadcast into the corpus scan:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"no re-rank join may shuffle raw vectors:\n$p")
+  }
+
+  test("funnel is one data shuffle; the conversion readout adds a tiny agg") {
+    withoutAqe {
+      val ev = Tables.events(spark, sf0001)
+      val stages = graft.operators.Funnel.funnelStages(ev, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      // one hash exchange on the key feeds the sorted-group cursor
+      assert(shuffleCount(stages) == 1,
+        s"funnel stages must shuffle exactly once:\n${stages.queryExecution.executedPlan}")
+      val p = stages.queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters"),
+        s"the step-type IN filter must push to the scan:\n$p")
+    }
+  }
+
+  test("retention joins hash on the key; moments partial-aggregate") {
+    val p = plan("q_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"retention must stay equi-join shaped:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"first-seen/active aggregates must partial map-side:\n$p")
+  }
+
+  test("gopher rules are a zero-shuffle projection") {
+    val docs = Tables.documents(spark, sf0001)
+    val df = graft.llm.TextAnalysis.gopherRules(docs, "text", "doc_id")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "the rule gate must not shuffle")
+  }
+
+  test("hybrid RRF broadcasts both query sides; fusion never widens") {
+    val p = plan("q_hybrid_rrf")
+    // bm25's qdf/tot broadcasts + the probe-vector broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"query-side joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the broadcast probe crossJoin may appear, never a cartesian:\n$p")
+  }
+
+  test("novelty rides gram hashes, never gram strings, through the joins") {
+    val p = plan("q_novelty")
+    assert(p.contains("token_gram_hashes"),
+      s"grams must be the native double-hash rows:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"df join must be the (h1,h2) equi-join:\n$p")
   }
 
   test("whole-stage codegen covers the signature projections") {
