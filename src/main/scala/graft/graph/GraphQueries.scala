@@ -100,6 +100,45 @@ object GraphQueries {
         SELECT v, round("rank", 6) AS "rank" FROM r$iters"""
   }
 
+  /** DuckDB replay of [[Triangles.kTruss]] on the mid-density graph:
+    * `rounds` synchronous peel rounds unrolled (each recomputes triangle
+    * support on the surviving canonical edges and keeps support ≥ k−2),
+    * then the final support on the converged set. Peeling is monotone,
+    * so any `rounds` ≥ the convergence depth lands on the identical
+    * fixpoint — the q_kcore oracle discipline (probed: 2 rounds at
+    * sf0.01/sf0.001 for k=3; 4 gives margin). On canonical src < dst
+    * edges each triangle (a<b<c) enumerates exactly once as
+    * (t1=(a,b), t2=(b,c), t3=(a,c)). */
+  private def kTrussSql(k: Int, rounds: Int): String = {
+    def triSup(i: Int): String =
+      s"""tri$i AS MATERIALIZED (
+            SELECT t1.src AS a, t1.dst AS b, t2.dst AS c
+            FROM u${i - 1} t1
+            JOIN u${i - 1} t2 ON t1.dst = t2.src
+            JOIN u${i - 1} t3 ON t1.src = t3.src AND t2.dst = t3.dst),
+          sup$i AS MATERIALIZED (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS s FROM (
+              SELECT a AS src, b AS dst FROM tri$i
+              UNION ALL SELECT b, c FROM tri$i
+              UNION ALL SELECT a, c FROM tri$i)
+            GROUP BY 1, 2)"""
+    val steps = (1 to rounds).map { i =>
+      s"""${triSup(i)},
+          u$i AS MATERIALIZED (
+            SELECT u.src, u.dst FROM u${i - 1} u
+            JOIN sup$i s ON u.src = s.src AND u.dst = s.dst
+              AND s.s >= ${k - 2})"""
+    }.mkString(",\n")
+    s"""WITH $me,
+        $su,
+        u0 AS MATERIALIZED (SELECT src, dst FROM u),
+        $steps,
+        ${triSup(rounds + 1)}
+        SELECT u.src, u.dst, coalesce(s.s, CAST(0 AS BIGINT)) AS support
+        FROM u$rounds u
+        LEFT JOIN sup${rounds + 1} s ON u.src = s.src AND u.dst = s.dst"""
+  }
+
   /** DuckDB replay of [[Iterative.personalizedPagerank]] on the mod-1000
     * lineitem graph: same unrolled chain as [[pagerankLineitemSql]], but
     * teleport + dangling mass return to the source set only. The CASE
@@ -735,6 +774,13 @@ object GraphQueries {
                FROM est1 e1
                JOIN est2 e2 ON e1.v = e2.v
                JOIN est3 e3 ON e1.v = e3.v""")),
+
+    // k-truss: cohesive-community cleaning one notch above k-core —
+    // synchronous support peeling to a fixpoint on the mid graph; the
+    // oracle unrolls 4 rounds (monotone, fixpoint identical)
+    Q("q_ktruss",
+      (s, d) => Triangles.kTruss(GraphOps.midEdgesFromLineitem(s, d), k = 3),
+      Some(kTrussSql(3, 4))),
 
     // personalized pagerank: teleport + dangling mass return to the seed
     // set {0, 7, 42}; 5 fixed rounds, the oracle unrolls the same chain

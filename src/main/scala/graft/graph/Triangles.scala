@@ -69,6 +69,59 @@ object Triangles {
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
   }
 
+  /** Per-edge triangle support over a canonical (src < dst) edge set:
+    * each triangle credits its three edges. Same low-degree-oriented
+    * enumeration as [[triangles]] — the wedge join can't explode on
+    * skew — and the explode emits all three edge rows from ONE pass. */
+  private def edgeSupport(u: DataFrame): DataFrame =
+    triangles(u)
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("src"),
+          greatest(col("a"), col("b")).as("dst")),
+        struct(least(col("b"), col("c")).as("src"),
+          greatest(col("b"), col("c")).as("dst")),
+        struct(least(col("a"), col("c")).as("src"),
+          greatest(col("a"), col("c")).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("support"))
+
+  /** k-truss: the maximal subgraph whose every edge sits in ≥ k−2
+    * triangles OF THE SUBGRAPH — the standard cohesive-community
+    * cleaning step one notch stronger than k-core (every k-truss edge
+    * is in the (k−1)-core). Synchronous peeling to a fixpoint: each
+    * round recomputes support on the surviving edges and drops the
+    * under-supported ones; peeling is monotone, so a DuckDB replay
+    * that unrolls AT LEAST as many rounds lands on the identical
+    * fixpoint (the q_kcore oracle discipline). Returns the surviving
+    * canonical edges with their in-truss support.
+    *
+    * Scale: per round, one oriented wedge self-join (O(m^1.5) work,
+    * skew-safe) + one left-semi equi-join; the edge frame shrinks
+    * monotonically and is checkpointed per round (lazy — the
+    * convergence count materializes it). */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    var u = GraphOps.edgeUpper(edges).localCheckpoint()
+    var m = u.count()
+    var changed = m > 0
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val keep = edgeSupport(u)
+        .where(col("support") >= (k - 2).toLong)
+        .select(col("src"), col("dst"))
+      val u2 = u.join(keep, Seq("src", "dst"), "left_semi")
+        .localCheckpoint(eager = false) // the count below materializes
+      val m2 = u2.count()
+      changed = m2 != m
+      graft.core.Checkpoints.release(u)
+      u = u2; m = m2
+      iter += 1
+    }
+    u.join(edgeSupport(u), Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** neigh_tri (`oink/neigh_tri.cpp:52+`): per-vertex neighbor count +
     * triangle-participation count. */
   def neighTri(edges: DataFrame): DataFrame = {

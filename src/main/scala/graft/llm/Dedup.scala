@@ -476,6 +476,49 @@ object Dedup {
       .select(col("v").as("doc_id"), col("label").as("cluster"))
   }
 
+  /** Near-dup clusters extended to EVERY document: docs in no near-dup
+    * pair cluster as themselves. The frame every cluster-level policy
+    * (split integrity, loss weighting) builds on — one left join of the
+    * corpus id scan against the (small) clustered-docs frame. */
+  private def clustersWithSingletons(docs: DataFrame, textCol: String,
+      idCol: String, k: Int, numHashes: Int, bands: Int,
+      tau: Double): DataFrame = {
+    val clusters = dedupClusters(
+      minHashLshPairsExact(docs, textCol, idCol, k, numHashes, bands, tau))
+    docs.select(col(idCol).as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
+  /** Leakage-safe split assignment: near-dup CLUSTERS, not documents,
+    * are the split unit — the mixer gates on the cluster id, so a
+    * near-duplicate pair can never straddle train/eval/test
+    * (decontamination by construction; the standard fix for the
+    * dedup-then-split leakage bug). Deterministic and stable: adding
+    * unrelated documents never moves an existing cluster's split. */
+  def clusterSplit(docs: DataFrame, textCol: String, idCol: String,
+      parts: Seq[(String, Double)], seed: Long = 7L, k: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, tau: Double = 0.8): DataFrame =
+    Sampling.splits(
+      clustersWithSingletons(docs, textCol, idCol, k, numHashes, bands, tau),
+      "cluster", parts, seed)
+
+  /** Duplicate-count loss weights: weight = 1/|cluster| per document —
+    * the keep-everything alternative to survivor selection (training
+    * sees every copy, the loss sees each CONTENT once). Singletons
+    * weigh 1.0; weights of a cluster sum to 1 by construction. */
+  def dupWeights(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tau: Double = 0.8): DataFrame = {
+    val all = clustersWithSingletons(docs, textCol, idCol, k, numHashes,
+      bands, tau)
+    val sizes = all.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    all.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("csize"),
+        round(lit(1.0) / col("csize"), 6).as("weight"))
+  }
+
   /** Survivor selection by QUALITY: per near-dup cluster keep the
     * highest-quality member (tie → smallest id) instead of the smallest
     * id — the survivor-policy knob a real curation pipeline wants (keep

@@ -475,6 +475,62 @@ object DedupQueries {
               SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
                      round(CAST(sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END)
                          AS DOUBLE) / count(*), 6) AS novel_ratio
-              FROM gr JOIN df USING (gram) GROUP BY 1"""))
+              FROM gr JOIN df USING (gram) GROUP BY 1""")),
+
+    // leakage-safe split: near-dup clusters are the split unit (mixer
+    // gates on the CLUSTER id; singletons cluster as themselves), so a
+    // near-duplicate pair can never straddle train/eval/test
+    Q("q_cluster_split",
+      (s, d) => Dedup.clusterSplit(Tables.documents(s, d), "text", "doc_id",
+        Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1)),
+      Some(s"""WITH RECURSIVE $shingleCte,
+               $clusterCtes,
+               $allDocsCte
+               SELECT doc_id, cluster,
+                      CASE WHEN ((cluster % 1000000007) * 2654435761
+                                 + 283521) % 9973 < 7978 THEN 'train'
+                           WHEN ((cluster % 1000000007) * 2654435761
+                                 + 283521) % 9973 < 8975 THEN 'eval'
+                           ELSE 'test' END AS split
+               FROM alld""")),
+
+    // duplicate-count loss weights: 1/|cluster| per doc — training sees
+    // every copy, the loss sees each content once; singletons weigh 1.0
+    Q("q_dup_weights",
+      (s, d) => Dedup.dupWeights(Tables.documents(s, d), "text", "doc_id"),
+      Some(s"""WITH RECURSIVE $shingleCte,
+               $clusterCtes,
+               $allDocsCte,
+               csz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csize
+                       FROM alld GROUP BY 1)
+               SELECT doc_id, alld.cluster, csize,
+                      round(1.0 / csize, 6) AS weight
+               FROM alld JOIN csz ON alld.cluster = csz.cluster"""))
   )
+
+  /** Shared near-dup cluster chain (the q_dedup_clusters CTEs): 3-shingle
+    * Jaccard ≥ 0.8 pairs → connected components by min-reachable id. */
+  private def clusterCtes: String =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       shared AS (
+         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT da, db FROM shared
+         JOIN sizes sa ON da = sa.doc_id
+         JOIN sizes sb ON db = sb.doc_id
+         WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+       adj AS (SELECT da AS v, db AS nbr FROM pairs
+               UNION ALL SELECT db, da FROM pairs),
+       reach(v, r) AS (
+         SELECT v, v FROM (SELECT DISTINCT v FROM adj)
+         UNION
+         SELECT adj.v, reach.r FROM adj JOIN reach ON adj.nbr = reach.v),
+       cl AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v)"""
+
+  /** Every document with its cluster (singletons = own id). */
+  private def allDocsCte: String =
+    """alld AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+               FROM documents d LEFT JOIN cl USING (doc_id))"""
 }

@@ -63,6 +63,29 @@ object Funnel {
       .toDF("key", "stage_reached", "t_first", "t_last")
   }
 
+  /** First-order Markov transition matrix over each key's event
+    * sequence: counts and row-normalized probabilities of (type →
+    * next type) — the path-analysis readout next to the funnel's fixed
+    * steps. One key-partitioned sort window for the lead, one hash
+    * aggregate over the (from, to) pairs, and a probability window over
+    * the tiny |types|² frame. Deterministic: equal timestamps order by
+    * the tie column. */
+  def transitionCounts(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val byFrom = Window.partitionBy(col("from_type"))
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(byFrom), 6))
+  }
+
   /** Funnel conversion table: (stage, step, users) where `users` counts
     * keys whose `stage_reached` is ≥ that stage. The cumulative readout
     * is an explode of each key's 1..stage_reached range — a tiny extra

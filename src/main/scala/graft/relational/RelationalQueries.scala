@@ -558,6 +558,25 @@ object RelationalQueries {
               UNION ALL SELECT 2, 'click', count(*) FROM s2
               UNION ALL SELECT 3, 'purchase', count(*) FROM s3""")),
 
+    // --- event-type transition matrix (operators.Funnel): first-order
+    // Markov counts + row-normalized probabilities over per-user paths --
+    Q("q_event_transitions",
+      (s, d) => graft.operators.Funnel.transitionCounts(ev(s, d),
+        "user_id", "ts", "event_type", "event_id"),
+      Some("""WITH t AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS to_type
+                FROM events),
+              c AS (SELECT from_type, to_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+              SELECT from_type, to_type, n,
+                     round(CAST(n AS DOUBLE) /
+                       CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE),
+                       6) AS p
+              FROM c""")),
+
     // --- bucketed-count anomaly detection (operators.Anomaly): hourly
     // per-type volumes z-scored against the type's own distribution ------
     Q("q_event_anomaly",

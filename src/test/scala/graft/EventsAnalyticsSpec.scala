@@ -102,6 +102,24 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert(out(("b", 2L)) == ((None, 0L)))
   }
 
+  test("transition matrix: counts and row-normalized probabilities") {
+    val s = spark
+    import s.implicits._
+    // per-user ordered paths: u1 a→b→a, u2 a→b, u3 a→c
+    val df = Seq(
+      (1L, 1.0, "a", 1L), (1L, 2.0, "b", 2L), (1L, 3.0, "a", 3L),
+      (2L, 1.0, "a", 4L), (2L, 2.0, "b", 5L),
+      (3L, 1.0, "a", 6L), (3L, 2.0, "c", 7L))
+      .toDF("u", "t", "e", "id")
+    val got = Funnel.transitionCounts(df, "u", "t", "e", "id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == Map(
+      ("a", "b") -> (2L, 0.666667), ("a", "c") -> (1L, 0.333333),
+      ("b", "a") -> (1L, 1.0)))
+  }
+
   test("retention cohorts: offset-0 row is the cohort size, pct scales") {
     val s = spark
     import s.implicits._

@@ -279,6 +279,22 @@ class GraphSpec extends AnyFunSuite {
       3L -> (2L, 1.0), 4L -> (1L, 0.0)))
   }
 
+  test("k-truss peels under-supported edges; K4 survives k=4") {
+    import graft.graph.Triangles
+    // triangle 1-2-3 + pendant edge 3-4 + dangling path 4-5
+    val g = edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val t3 = Triangles.kTruss(g, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3 == Map((1L, 2L) -> 1L, (2L, 3L) -> 1L, (1L, 3L) -> 1L))
+    // K4: every edge in 2 triangles -> the whole graph IS a 4-truss;
+    // bolting on triangle {4,5,6} (support 1 each) peels it back off
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val t4 = Triangles.kTruss(edges(k4 ++ Seq((4L, 5L), (5L, 6L), (4L, 6L)): _*),
+      k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4 == k4.map(_ -> 2L).toMap)
+  }
+
   test("personalized pagerank: golden path graph; S=V degenerates to pagerank") {
     import graft.graph.Iterative
     // A(1)→B(2), S={A}, α=0.5: after iter1 (0.5, 0.5); iter2: B's mass

@@ -32,6 +32,22 @@ class QualityNoveltySpec extends AnyFunSuite {
     assert(out(4L)._3 == 0L && out(4L)._7 == 0L)            // no stopwords
   }
 
+  test("cluster split keeps near-dups together; dup weights sum to 1") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs((1L, dup), (2L, dup),
+      (3L, "one two three four five six seven eight nine ten"))
+    val split = Dedup.clusterSplit(d, "text", "doc_id",
+      Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the identical pair shares a cluster (min id) and thus a split
+    assert(split(1L)._1 == 1L && split(2L)._1 == 1L)
+    assert(split(1L)._2 == split(2L)._2)
+    assert(split(3L)._1 == 3L)
+    val w = Dedup.dupWeights(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(w(1L) == ((2L, 0.5)) && w(2L) == ((2L, 0.5)) && w(3L) == ((1L, 1.0)))
+  }
+
   test("novelty: shared 8-gram spans lower the ratio; short docs drop") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"  // 8 tokens
     val a = shared + " aone atwo athree afour bfive"              // 13 tokens
