@@ -85,6 +85,43 @@ object GraphOps {
   def outDegree(edges: DataFrame): DataFrame =
     edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("degree"))
 
+  /** Adamic–Adar link prediction: for every non-adjacent vertex pair at
+    * distance 2, score = Σ_z 1/ln(deg(z)) over their common neighbors z
+    * (well-defined: a wedge center has degree ≥ 2). Returns the global
+    * top `topK` by (rounded score desc, pair) — deterministic, lowered
+    * to TakeOrderedAndProject.
+    *
+    * Scale: the wedge self-join is Σ deg(z)² rows — the inherent
+    * Adamic–Adar cost. `maxDegree` caps it: centers above the cap are
+    * skipped (the standard hub-exclusion contract — hubs contribute
+    * ~1/ln(huge) ≈ nothing per pair but quadratic candidate mass; the
+    * cap is a documented recall dial, not silent truncation). Existing
+    * edges are removed with one left-anti equi-join on the canonical
+    * pair. */
+  def linkPrediction(edges: DataFrame, topK: Int = 100,
+      maxDegree: Option[Long] = None): DataFrame = {
+    val u = edgeUpper(edges)
+    val deg = degree(u)
+    val adj = u.select(col("src").as("z"), col("dst").as("n"))
+      .union(u.select(col("dst").as("z"), col("src").as("n")))
+    val centers = maxDegree match {
+      case Some(cap) => adj.join(
+        deg.where(col("degree") <= cap).select(col("v").as("z")), "z")
+      case None => adj
+    }
+    val wedges = centers.select(col("z"), col("n").as("a"))
+      .join(centers.select(col("z"), col("n").as("b")), "z")
+      .where(col("a") < col("b"))
+    val cand = wedges.join(u.select(col("src").as("a"), col("dst").as("b")),
+      Seq("a", "b"), "left_anti")
+    cand.join(deg.select(col("v").as("z"), col("degree")), "z")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(lit(1.0) / log(col("degree"))), 6).as("score"))
+      .orderBy(col("score").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the undirected edge list (each canonical
     * edge contributing both orientations, so the marginals are

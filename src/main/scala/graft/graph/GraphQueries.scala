@@ -775,6 +775,28 @@ object GraphQueries {
                JOIN est2 e2 ON e1.v = e2.v
                JOIN est3 e3 ON e1.v = e3.v""")),
 
+    // Adamic–Adar link prediction: top-100 distance-2 pairs by summed
+    // 1/ln(deg) over common neighbors; existing edges anti-joined away
+    Q("q_link_prediction",
+      (s, d) => GraphOps.linkPrediction(
+        GraphOps.sparseEdgesFromLineitem(s, d), topK = 100),
+      Some(s"""WITH $se, $su,
+              adj AS (SELECT src AS z, dst AS n FROM u
+                      UNION ALL SELECT dst, src FROM u),
+              deg AS (SELECT z AS v, CAST(count(*) AS BIGINT) AS degree
+                      FROM adj GROUP BY 1),
+              w AS (SELECT a1.z, a1.n AS a, a2.n AS b
+                    FROM adj a1 JOIN adj a2 ON a1.z = a2.z
+                    WHERE a1.n < a2.n),
+              cand AS (SELECT z, a, b FROM w
+                       WHERE NOT EXISTS (SELECT 1 FROM u
+                         WHERE u.src = w.a AND u.dst = w.b)),
+              sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+                            round(sum(1.0 / ln(degree)), 6) AS score
+                     FROM cand JOIN deg ON cand.z = deg.v GROUP BY 1, 2)
+              SELECT a, b, n_common, score FROM sc
+              ORDER BY score DESC, a, b LIMIT 100""")),
+
     // k-truss: cohesive-community cleaning one notch above k-core —
     // synchronous support peeling to a fixpoint on the mid graph; the
     // oracle unrolls 4 rounds (monotone, fixpoint identical)

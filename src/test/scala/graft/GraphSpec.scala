@@ -279,6 +279,26 @@ class GraphSpec extends AnyFunSuite {
       3L -> (2L, 1.0), 4L -> (1L, 0.0)))
   }
 
+  test("link prediction: 1/ln(deg) over common neighbors, hub cap drops") {
+    import graft.graph.GraphOps
+    // path 1-2-3 (+ star 10-{11,12,13}): (1,3) scores 1/ln(2); the star
+    // leaves pair via its deg-3 center at 1/ln(3); existing edges absent
+    val g = edges((1L, 2L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L))
+    val got = GraphOps.linkPrediction(g, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      (1L, 3L) -> (1L, 1.442695),
+      (11L, 12L) -> (1L, 0.910239),
+      (11L, 13L) -> (1L, 0.910239),
+      (12L, 13L) -> (1L, 0.910239)))
+    // capping centers at degree 2 removes the star's candidates
+    val capped = GraphOps.linkPrediction(g, topK = 10, maxDegree = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 3L)))
+  }
+
   test("k-truss peels under-supported edges; K4 survives k=4") {
     import graft.graph.Triangles
     // triangle 1-2-3 + pendant edge 3-4 + dangling path 4-5
