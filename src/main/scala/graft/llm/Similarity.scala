@@ -143,6 +143,58 @@ object Similarity {
         coalesce(!col("_drop"), lit(true)).as("kept"))
   }
 
+  /** Incremental SemDeDup for crawl batches (the embedding-space twin of
+    * [[Dedup.incrementalDedup]]'s cross-only discipline): the CORPUS is
+    * clustered once, each fresh vector routes to the refreshed centroid
+    * (the 6 dp mean of its final cell — the kmeans update rule applied
+    * one more time), and fresh×corpus cosine runs within the cell only.
+    * The corpus never self-joins and is never re-deduped; per fresh
+    * vector the compare set is one cell's occupancy, not the corpus.
+    * Returns (id, cell, admitted) for every fresh vector.
+    *
+    * Scale: centroids are k broadcast rows; routing is a broadcast
+    * argmin over the fresh scan; the pair join is a hash equi-join on
+    * the cell id. Nothing quadratic, corpus shuffled once (cell
+    * assignment), fresh shuffled once (the cell join). */
+  def semanticIncremental(fresh: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int = 16, iters: Int = 2,
+      tau: Double = 0.45): DataFrame = {
+    def sq(a: Column, b: Column): Column =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    val assign = kmeans(corpus, idCol, vecCol, dim, k, iters).localCheckpoint()
+    val pts = corpus.select(col(idCol).as("vid"), col(vecCol).as("pv"))
+    val cents = broadcast(assign.select(col(idCol).as("vid"), col("cluster"))
+      .join(pts, "vid")
+      .groupBy(col("cluster"))
+      .agg(graft.functions.VectorMeanAggregator.vecMean(dim)(col("pv"))
+        .as("cm"))
+      .select(col("cluster").as("cid"),
+        transform(col("cm"), x => round(x, 6)).as("cv")))
+    val fa = fresh.select(col(idCol).as("fid"), col(vecCol).as("fv"))
+      .crossJoin(cents)
+      .select(col("fid"), col("fv"), col("cid"),
+        round(sq(col("fv"), col("cv")), 6).as("d"))
+      .groupBy(col("fid"))
+      .agg(min(struct(col("d"), col("cid"), col("fv"))).as("s"))
+      .select(col("fid"), col("s.fv").as("fv"), col("s.cid").as("cell"))
+    val corpusSide = corpus.select(col(idCol).as("cpid"), col(vecCol).as("cpv"))
+      .withColumn("nc", sqrt(dot(col("cpv"), col("cpv"))))
+      .join(assign.select(col(idCol).as("cpid"), col("cluster").as("cell")),
+        "cpid")
+    val dup = fa.withColumn("nf", sqrt(dot(col("fv"), col("fv"))))
+      .join(corpusSide, "cell")
+      .select(col("fid"),
+        round(dot(col("fv"), col("cpv")) / (col("nf") * col("nc")), 6)
+          .as("cos"))
+      .where(col("cos") >= tau)
+      .select(col("fid")).distinct()
+    fa.select(col("fid").as(idCol), col("cell"))
+      .join(dup.withColumnRenamed("fid", idCol).withColumn("_dup", lit(true)),
+        Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(!col("_dup"), lit(true)).as("admitted"))
+  }
+
   /** The IVF coarse quantizer: `numCentroids` corpus vectors picked by
     * portable mixer key (seed offset 7·40503) — constant-size, broadcast. */
   private def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,

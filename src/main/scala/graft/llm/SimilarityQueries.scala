@@ -565,7 +565,11 @@ object SimilarityQueries {
     q_embed_decontaminate_entry,
 
     // hybrid BM25 ∪ cosine retrieval with reciprocal-rank fusion
-    q_hybrid_rrf_entry
+    q_hybrid_rrf_entry,
+
+    // incremental SemDeDup: corpus clustered once, fresh vectors route
+    // to refreshed centroids, fresh×corpus cosine within the cell only
+    q_semantic_incremental_entry
   )
 
   /** DuckDB replay of [[Similarity.kmeans]] (dim 64, k 16, iters 2,
@@ -782,4 +786,72 @@ object SimilarityQueries {
                 SELECT *, CAST(row_number() OVER (PARTITION BY qid
                   ORDER BY rrf DESC, doc) AS BIGINT) AS rn FROM fused)
               WHERE rn <= 10"""))
+
+  /** Incremental SemDeDup replay: kmeans trained on the CORPUS slice
+    * (the q_incremental_dedup mixer split), a third centroid refresh
+    * (the 6 dp mean rule applied to the final cells), fresh routing,
+    * and cross-only within-cell cosine. */
+  private def q_semantic_incremental_entry: Q = {
+    def sq(a: String, b: String): String =
+      s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
+           - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+           + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))"""
+    val gate = "((vec_id % 1000000007) * 2654435761 + 283521) % 9973 < 1994"
+    Q("q_semantic_incremental",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val fresh = Sampling.hashSample(emb, "vec_id", 0.2)
+        val corpus = emb.join(fresh.select(col("vec_id")), Seq("vec_id"),
+          "left_anti")
+        Similarity.semanticIncremental(fresh, corpus, "vec_id", "embedding",
+          dim = 64, k = 16, iters = 2, tau = 0.45)
+      },
+      Some(s"""WITH v AS (
+                 SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings),
+               fr AS MATERIALIZED (SELECT * FROM v WHERE $gate),
+               cp AS MATERIALIZED (SELECT * FROM v WHERE NOT ($gate)),
+               c0 AS (SELECT vec_id AS cid, e AS cv FROM cp
+                      ORDER BY ((vec_id % 1000000007) * 2654435761 + 445533)
+                               % 9973, vec_id
+                      LIMIT 16),
+               a1 AS (SELECT vec_id, e, cid FROM (
+                        SELECT cp.vec_id, cp.e, c.cid,
+                               row_number() OVER (PARTITION BY cp.vec_id
+                                 ORDER BY round(${sq("cp.e", "c.cv")}, 6),
+                                          c.cid) AS rn
+                        FROM cp, c0 c) WHERE rn = 1),
+               c1 AS (SELECT cid, list(mm ORDER BY dim) AS cv FROM (
+                        SELECT cid, t.i AS dim, round(avg(e[t.i]), 6) AS mm
+                        FROM a1, UNNEST(range(1, 65)) AS t(i) GROUP BY 1, 2)
+                      GROUP BY cid),
+               a2 AS MATERIALIZED (SELECT vec_id, cid FROM (
+                        SELECT cp.vec_id, c.cid,
+                               row_number() OVER (PARTITION BY cp.vec_id
+                                 ORDER BY round(${sq("cp.e", "c.cv")}, 6),
+                                          c.cid) AS rn
+                        FROM cp, c1 c) WHERE rn = 1),
+               c2 AS (SELECT cid, list(mm ORDER BY dim) AS cv FROM (
+                        SELECT a2.cid, t.i AS dim,
+                               round(avg(cp.e[t.i]), 6) AS mm
+                        FROM a2 JOIN cp USING (vec_id),
+                             UNNEST(range(1, 65)) AS t(i)
+                        GROUP BY 1, 2)
+                      GROUP BY cid),
+               fa AS MATERIALIZED (SELECT vec_id, e, cid AS cell FROM (
+                        SELECT fr.vec_id, fr.e, c.cid,
+                               row_number() OVER (PARTITION BY fr.vec_id
+                                 ORDER BY round(${sq("fr.e", "c.cv")}, 6),
+                                          c.cid) AS rn
+                        FROM fr, c2 c) WHERE rn = 1),
+               cpc AS (SELECT cp.vec_id, cp.e, a2.cid AS cell
+                       FROM cp JOIN a2 USING (vec_id)),
+               dup AS (SELECT DISTINCT fa.vec_id
+                       FROM fa JOIN cpc ON fa.cell = cpc.cell
+                       WHERE ${duckCos("fa.e", "cpc.e")} >= 0.45)
+               SELECT vec_id, cell,
+                      vec_id NOT IN (SELECT vec_id FROM dup) AS admitted
+               FROM fa"""))
+  }
 }

@@ -143,4 +143,29 @@ class CurationSpec extends AnyFunSuite {
     val p = gate.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"the gate must not shuffle:\n$p")
   }
+
+  test("semanticIncremental rejects fresh near-dups of the corpus only") {
+    val s = spark
+    import s.implicits._
+    // corpus: two separated directions; fresh: a near-copy of corpus
+    // vector 10 (reject), an orthogonal newcomer (admit), and a pair of
+    // identical fresh vectors (BOTH admitted — cross-only: fresh never
+    // compares against fresh)
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (20L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (21L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (22L, Array(0.0f, 0.0f, 0.9f, 0.1f)),
+      (23L, Array(0.0f, 0.0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity
+      .semanticIncremental(fresh, corpus, "vec_id", "embedding", dim = 4,
+        k = 2, iters = 1, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(20L -> false, 21L -> true, 22L -> true, 23L -> true),
+      s"only the corpus near-copy may be rejected: $out")
+  }
 }
