@@ -185,6 +185,25 @@ object StreamingQueries {
               SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
                      count(*) AS users FROM s1
               UNION ALL SELECT 2, 'click', count(*) FROM s2
-              UNION ALL SELECT 3, 'purchase', count(*) FROM s3"""))
+              UNION ALL SELECT 3, 'purchase', count(*) FROM s3""")),
+
+    // streaming transition matrix: last-(time,type) state per key emits
+    // append-mode (from,to) rows; counts + probabilities close after the
+    // drain — same oracle as the batch q_event_transitions
+    Q("q_stream_transitions",
+      (s, d) => Streams.streamTransitions(s, d),
+      Some("""WITH t AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS to_type
+                FROM events),
+              c AS (SELECT from_type, to_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+              SELECT from_type, to_type, n,
+                     round(CAST(n AS DOUBLE) /
+                       CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE),
+                       6) AS p
+              FROM c"""))
   )
 }

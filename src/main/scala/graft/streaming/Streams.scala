@@ -322,6 +322,49 @@ object Streams {
     drain(admitted, OutputMode.Append(), "stream_inc_dedup")
   }
 
+  case class TransState(lastMicros: Long, lastType: String)
+
+  /** Streaming twin of [[graft.operators.Funnel.transitionCounts]]: per
+    * key the state is the LAST (event time, type) pair; each micro-batch
+    * sorts its events by (time, tie) and appends one (from, to) row per
+    * observed transition — exact vs the batch lead-window formulation
+    * under event-time-monotone arrival per key (the live-ingest
+    * discipline the StreamSmoke chunks satisfy). The append-mode
+    * transition stream reduces to counts + row-normalized probabilities
+    * AFTER the drain, batch-land — so multi-batch equals single-batch
+    * with no reconciliation. */
+  def streamTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = tuned(spark)
+    import s.implicits._
+    val ds = eventsStream(s, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, String, Long)]
+    val pairs = ds.groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, (String, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (_, events, state: GroupState[TransState]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+          val sorted = events.toSeq.sortBy(e => (micros(e._2), e._4))
+          var last = state.getOption.orNull
+          val out = Seq.newBuilder[(String, String)]
+          sorted.foreach { e =>
+            if (last != null) out += ((last.lastType, e._3))
+            last = TransState(micros(e._2), e._3)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+      .toDF("from_type", "to_type")
+    val snap = drain(pairs, OutputMode.Append(), "stream_transitions")
+    val byFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    snap.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(byFrom), 6))
+  }
+
   // not private: Catalyst's codegen'd encoders can't reach private members
   case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
       event_type: String)

@@ -94,8 +94,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_dsir_weights", // 1-row (nt, nr, v) totals broadcast into the scorer
       "q_dsir_sample",  // same totals broadcast; selection is a TakeOrdered
       "q_curation_pipeline", // the dsir stage's totals broadcast, composed
-      "q_hybrid_rrf") // bm25's 1-row totals + the ≤|Q|-row probe-vector
+      "q_hybrid_rrf", // bm25's 1-row totals + the ≤|Q|-row probe-vector
                       // broadcast into the corpus scan (the knn shape)
+      "q_semantic_incremental") // k-row refreshed-centroid broadcast into
+                                // the fresh routing scan (the kmeans shape)
     val offenders = Registry.byName.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream"))
       .flatMap { name =>
