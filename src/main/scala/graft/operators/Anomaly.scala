@@ -21,10 +21,16 @@ import org.apache.spark.sql.functions._
 object Anomaly {
 
   def countAnomalies(events: DataFrame, keyCol: String, tsCol: String,
-      bucket: String = "hour", threshold: Double = 3.0): DataFrame = {
-    val counts = events
+      bucket: String = "hour", threshold: Double = 3.0): DataFrame =
+    zScores(events
       .groupBy(col(keyCol).as("key"), date_trunc(bucket, col(tsCol)).as("h"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")), threshold)
+
+  /** The scoring half over a prepared (key, h, n) counts frame — shared
+    * with the streaming twin, whose counts come from a drained
+    * complete-mode windowed aggregation (counts are exact either way,
+    * so the twins agree bit for bit). */
+  def zScores(counts: DataFrame, threshold: Double = 3.0): DataFrame = {
     val stats = counts.groupBy(col("key"))
       .agg(count(lit(1)).as("nb"), sum(col("n")).as("s"),
         sum(col("n") * col("n")).as("ss"))

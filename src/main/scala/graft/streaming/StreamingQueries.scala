@@ -204,6 +204,39 @@ object StreamingQueries {
                      round(CAST(n AS DOUBLE) /
                        CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE),
                        6) AS p
-              FROM c"""))
+              FROM c""")),
+
+    // streaming anomaly twin: watermarked complete-mode hourly counts;
+    // the z-score half closes over the drained final counts — exact,
+    // same oracle as the batch q_event_anomaly
+    Q("q_stream_anomaly",
+      (s, d) => Streams.streamAnomaly(s, d)
+        .withColumnRenamed("key", "event_type"),
+      Some("""WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                     CAST(count(*) AS BIGINT) AS n
+                     FROM events GROUP BY 1, 2),
+              st AS (SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS nb,
+                       CAST(sum(n) AS BIGINT) AS s,
+                       CAST(sum(n * n) AS BIGINT) AS ss
+                     FROM c GROUP BY 1)
+              SELECT c.event_type, c.h, c.n,
+                     CASE WHEN CAST(ss AS DOUBLE) / nb
+                               - (CAST(s AS DOUBLE) / nb)
+                               * (CAST(s AS DOUBLE) / nb) > 0
+                       THEN round((c.n - CAST(s AS DOUBLE) / nb)
+                              / sqrt(CAST(ss AS DOUBLE) / nb
+                                - (CAST(s AS DOUBLE) / nb)
+                                * (CAST(s AS DOUBLE) / nb)), 4)
+                     END AS z,
+                     CAST(CASE WHEN CAST(ss AS DOUBLE) / nb
+                                    - (CAST(s AS DOUBLE) / nb)
+                                    * (CAST(s AS DOUBLE) / nb) > 0
+                                AND abs((c.n - CAST(s AS DOUBLE) / nb)
+                                  / sqrt(CAST(ss AS DOUBLE) / nb
+                                    - (CAST(s AS DOUBLE) / nb)
+                                    * (CAST(s AS DOUBLE) / nb))) > 3.0
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+              FROM c JOIN st USING (event_type)"""))
   )
 }

@@ -322,6 +322,31 @@ object Streams {
     drain(admitted, OutputMode.Append(), "stream_inc_dedup")
   }
 
+  /** Streaming twin of [[graft.operators.Anomaly.countAnomalies]]: the
+    * per-(type, hour) volume counts run as a watermarked complete-mode
+    * streaming aggregation; the z-score half
+    * ([[graft.operators.Anomaly.zScores]]) closes over the drained
+    * final counts — counts are exact in both worlds, so the twins agree
+    * bit for bit. */
+  def streamAnomaly(spark: SparkSession, sfDir: String,
+      threshold: Double = 3.0): DataFrame = {
+    val s = tuned(spark)
+    val counts = eventsStream(s, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("event_type").as("key"),
+        window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("key"), col("window.start").as("h"), col("n"))
+    // re-wrap as a LogicalRDD: zScores self-joins its counts frame, and
+    // a memory sink's MemoryPlan carries ONE attribute set — the
+    // self-join hits "conflicting references" unless the frame is
+    // re-based first (a checkpoint would also work, but stays
+    // re-evaluable after the harness releases checkpoint blocks)
+    val drained = drain(counts, OutputMode.Complete(), "stream_anomaly")
+    graft.operators.Anomaly.zScores(
+      s.createDataFrame(drained.rdd, drained.schema), threshold)
+  }
+
   case class TransState(lastMicros: Long, lastType: String)
 
   /** Streaming twin of [[graft.operators.Funnel.transitionCounts]]: per

@@ -190,4 +190,43 @@ object EngineProperties extends Properties("graft") {
         .head().getLong(0)
       b >= 0L && b < graft.llm.Sampling.Buckets
     }
+
+  private val eventGen: Gen[List[(Long, Double, String)]] =
+    Gen.listOfN(60, Gen.zip(Gen.chooseNum(0L, 7L),
+      Gen.chooseNum(0, 50).map(_.toDouble), Gen.oneOf("a", "b", "c")))
+
+  property("funnel stage equals the sequential greedy replay") =
+    forAll(eventGen) { rows =>
+      val s = spark
+      import s.implicits._
+      val steps = Seq("a", "b", "c")
+      val got = graft.operators.Funnel
+        .funnelStages(rows.toDF("u", "t", "e"), "u", "t", "e", steps)
+        .collect().map(r => r.getString(0).toLong -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+        var stage = 0
+        var tPrev = Double.NegativeInfinity
+        for ((_, t, e) <- es.sortBy(x => (x._2, x._3)) if stage < 3)
+          if (e == steps(stage) && (stage == 0 || t > tPrev)) {
+            tPrev = t; stage += 1
+          }
+        if (stage == 0) None else Some(u -> stage.toLong)
+      }
+      got == want
+    }
+
+  property("token-budget mix nests: a bigger budget picks a superset") =
+    forAll(Gen.chooseNum(50L, 400L), Gen.chooseNum(1, 3)) { (budget, mult) =>
+      val s = spark
+      import s.implicits._
+      val docs = (0L until 40L)
+        .map(i => (i, if (i % 2 == 0) "x" else "y",
+          Seq.fill(3 + (i % 5).toInt)("tok").mkString(" ")))
+        .toDF("doc_id", "source", "text")
+      def pick(b: Long) = graft.llm.Sampling
+        .tokenBudgetMix(docs, "doc_id", "source", "text", b,
+          Map("x" -> 2.0, "y" -> 1.0))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      pick(budget).subsetOf(pick(budget * mult))
+    }
 }
