@@ -1,19 +1,32 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-import graft.Registry
+import graft.{Registry, Tables}
+import graft.llm.Similarity
 
 /** Dev probe (SCALE.md "ANN recall, measured"): recall@5 of every
-  * approximate-ANN registered query against the brute-force
-  * q_embed_knn ground truth — all variants share the same probe set
-  * (vec_id < 10) and k = 5, so the (qid, nid) pair sets compare
-  * directly. Turns the family's recall CONTRACTS (nProbe, multi-probe
-  * flips, shortlist width) into measured numbers per corpus.
+  * approximate-ANN registered query against the exact brute force OF
+  * ITS OWN METRIC — cosine truth for the cosine rankers (IVF, LSH), L2
+  * truth for the PQ family (ADC scores quantized SQUARED DISTANCE; on
+  * unnormalized vectors the two exact rankings differ, so grading PQ
+  * against cosine truth would measure the metric gap, not the
+  * quantization loss). Also sweeps the IVF nProbe dial so the
+  * recall/cost contract is a measured curve, not an argument.
+  * All variants share the probe set (vec_id < 10) and k = 5.
   * Usage: runMain graft.tools.RecallProbe <sfDir>
   */
 object RecallProbe {
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long)] = {
+    val out = df.select(col("qid").cast("long"), col("nid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.Checkpoints.release(df)
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -23,22 +36,55 @@ object RecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def pairs(name: String): Set[(Long, Long)] = {
-      val df = Registry.byName(name).run(spark, sfDir)
-      val out = df.select(col("qid").cast("long"), col("nid").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      graft.core.Checkpoints.release(df)
-      out
+    val emb = Tables.embeddings(spark, sfDir)
+
+    val cosTruth = pairsOf(Registry.byName("q_embed_knn").run(spark, sfDir))
+
+    // exact L2 top-5 per probe — the ranking contract of the PQ family
+    // (rounded squared distance asc, nid tiebreak)
+    val sq = Similarity.dot(col("qv"), col("qv")) -
+      lit(2.0) * Similarity.dot(col("qv"), col("nv")) +
+      Similarity.dot(col("nv"), col("nv"))
+    val q = broadcast(emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("nid").asc)
+    val l2Truth = pairsOf(q
+      .crossJoin(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), round(sq, 6).as("d"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5))
+
+    def report(name: String, got: Set[(Long, Long)],
+        truth: Set[(Long, Long)], metric: String): Unit = {
+      val hit = (got & truth).size
+      println(f"RECALL $name%-28s vs $metric%-6s recall@5=" +
+        f"${hit.toDouble / truth.size}%.3f ($hit/${truth.size})")
     }
-    val truth = pairs("q_embed_knn")
-    Seq("q_embed_ivf_knn", "q_embed_lsh_knn", "q_embed_pq_knn",
-      "q_embed_pq_refined", "q_embed_ivfpq_knn", "q_embed_ivfpq_res_knn")
-      .foreach { name =>
-        val got = pairs(name)
-        val hit = (got & truth).size
-        println(f"RECALL $name%-24s recall@5=${hit.toDouble / truth.size}%.3f " +
-          f"($hit/${truth.size}, returned=${got.size})")
-      }
+
+    Seq("q_embed_ivf_knn", "q_embed_lsh_knn").foreach { n =>
+      report(n, pairsOf(Registry.byName(n).run(spark, sfDir)), cosTruth, "cos")
+    }
+    Seq("q_embed_pq_knn", "q_embed_pq_refined", "q_embed_ivfpq_knn",
+      "q_embed_ivfpq_res_knn").foreach { n =>
+      report(n, pairsOf(Registry.byName(n).run(spark, sfDir)), l2Truth, "l2")
+    }
+    // the IVF recall/cost dial, measured
+    Seq(1, 2, 4, 8, 16).foreach { np =>
+      report(s"ivfKnn(nProbe=$np)", pairsOf(Similarity.ivfKnn(emb,
+        "vec_id", "embedding", col("vec_id") < 10, k = 5,
+        numCentroids = 64, nProbe = np)), cosTruth, "cos")
+    }
+    // the PQ fidelity dials: finer codebooks (m, ksub) and a deeper
+    // exact-re-rank shortlist
+    Seq((4, 8, 20), (8, 16, 20), (8, 16, 50), (16, 16, 50)).foreach {
+      case (m, ksub, sl) =>
+        report(s"pqKnnRefined(m=$m,ksub=$ksub,sl=$sl)",
+          pairsOf(Similarity.pqKnnRefined(emb, "vec_id", "embedding",
+            dim = 64, col("vec_id") < 10, m = m, ksub = ksub,
+            shortlistK = sl, k = 5)), l2Truth, "l2")
+    }
     spark.stop()
   }
 }
