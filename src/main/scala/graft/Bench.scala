@@ -80,7 +80,8 @@ object Bench {
     "q_token_budget_mix", "q_hybrid_rrf", "q_clustering_coeff",
     "q_stream_funnel", "q_ppr", "q_event_anomaly", "q_event_transitions",
     "q_ktruss", "q_cluster_split", "q_dup_weights", "q_link_prediction",
-    "q_semantic_incremental", "q_stream_transitions")
+    "q_semantic_incremental", "q_stream_transitions", "q_stream_anomaly",
+    "q_corr_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

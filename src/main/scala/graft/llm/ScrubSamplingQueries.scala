@@ -254,6 +254,40 @@ object ScrubSamplingQueries {
                      coalesce(n_hits, 0) = 0 AS clean
               FROM documents d LEFT JOIN agg USING (doc_id)""")),
 
+    // one-pass Pearson correlation matrix over the lineitem measures —
+    // the feature-redundancy audit next to q_profile_docs; explicit
+    // moments so the expression structure matches the oracle's
+    Q("q_corr_matrix",
+      (s, d) => graft.operators.Profile.correlationMatrix(
+        Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val pairs = for {
+          i <- cols.indices; j <- cols.indices if i < j
+        } yield (cols(i), cols(j))
+        val moments =
+          cols.flatMap(c => Seq(
+            s"sum(CAST($c AS DOUBLE)) AS ${c}__s",
+            s"sum(CAST($c AS DOUBLE) * CAST($c AS DOUBLE)) AS ${c}__ss")) ++
+            pairs.map { case (a, b) =>
+              s"sum(CAST($a AS DOUBLE) * CAST($b AS DOUBLE)) AS ${a}__${b}__sp"
+            }
+        def vt(c: String) = s"(n * ${c}__ss - ${c}__s * ${c}__s)"
+        val rows = pairs.map { case (a, b) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b,
+                CASE WHEN ${vt(a)} > 0 AND ${vt(b)} > 0
+                  THEN round((n * ${a}__${b}__sp - ${a}__s * ${b}__s)
+                         / (sqrt(${vt(a)}) * sqrt(${vt(b)})), 6)
+                END AS corr
+              FROM s"""
+        }.mkString("\nUNION ALL\n")
+        s"""WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+               ${moments.mkString(",\n")}
+             FROM lineitem)
+            $rows"""
+      }),
+
     // token-budget mixture: fill a 4000-token budget at 4/2/1/1 source
     // weights (quotas 2000/1000/500/500), docs in hash-shuffled order,
     // kept while the source's running token total fits the quota

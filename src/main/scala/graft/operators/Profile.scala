@@ -48,4 +48,43 @@ object Profile {
       .select(col("p.col_name"), col("p.n_rows"), col("p.n_nonnull"),
         col("p.n_distinct"), col("p.min_s"), col("p.max_s"))
   }
+
+  /** Pairwise Pearson correlation matrix over numeric columns in ONE
+    * aggregate pass (the profiling step after [[profile]]: "are these
+    * features redundant"): all Σx, Σx², and Σxy moments partial-
+    * aggregate map-side in a single Aggregate; the |cols|²/2 ratio rows
+    * explode from the one result row. Output (col_a, col_b, corr) for
+    * each unordered pair, 6 dp. The explicit-moment formula (not the
+    * engine's corr()) keeps the expression structure identical on both
+    * engines; the ratio is scale-free, so summation-order ulps vanish
+    * under the rounding. Zero-variance columns yield null. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).cast("double").as("__n")) ++
+        cols.flatMap { c =>
+          Seq(sum(col(c).cast("double")).as(s"${c}__s"),
+            sum(col(c).cast("double") * col(c).cast("double"))
+              .as(s"${c}__ss"))
+        } ++
+        pairs.map { case (a, b) =>
+          sum(col(a).cast("double") * col(b).cast("double"))
+            .as(s"${a}__${b}__sp")
+        }
+    val n = col("__n")
+    def varTerm(c: String): Column =
+      n * col(s"${c}__ss") - col(s"${c}__s") * col(s"${c}__s")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          when(varTerm(a) > 0.0 && varTerm(b) > 0.0,
+            round((n * col(s"${a}__${b}__sp") -
+                col(s"${a}__s") * col(s"${b}__s")) /
+              (sqrt(varTerm(a)) * sqrt(varTerm(b))), 6)).as("corr"))
+      }: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.corr"))
+  }
 }

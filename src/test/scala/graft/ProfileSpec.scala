@@ -36,4 +36,21 @@ class ProfileSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"multi-distinct must Expand, not join:\n$p")
     assert(!p.contains("Join"), s"profiling must not join:\n$p")
   }
+
+  test("correlation matrix: ±1 on linear columns, null on constants, one pass") {
+    val s = TestSession.spark
+    import s.implicits._
+    // b = 2a (corr 1), c = -a (corr -1), d constant (undefined)
+    val df = (1 to 20).map(i => (i.toDouble, 2.0 * i, -i.toDouble, 5.0))
+      .toDF("a", "b", "c", "d")
+    val out = Profile.correlationMatrix(df, Seq("a", "b", "c", "d"))
+    val m = out.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(m(("a", "b")) == Some(1.0) && m(("a", "c")) == Some(-1.0) &&
+      m(("b", "c")) == Some(-1.0))
+    assert(m(("a", "d")).isEmpty && m(("b", "d")).isEmpty && m(("c", "d")).isEmpty)
+    // one Aggregate, no joins
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"the matrix must come from one agg pass:\n$p")
+  }
 }
