@@ -32,11 +32,18 @@ object Retention {
     require(bucketSec > 0, "bucket must be positive")
     val bucket = (c: org.apache.spark.sql.Column) =>
       floor(c.cast("double") / bucketSec).cast("long")
-    val first = events.groupBy(col(keyCol).as("k"))
-      .agg(bucket(min(col(tsCol))).as("cohort"))
-    val active = events
+    fromActivity(events
       .select(col(keyCol).as("k"), bucket(col(tsCol)).as("wk"))
-      .distinct()
+      .distinct())
+  }
+
+  /** The scoring half over a distinct (k, wk) activity frame — each
+    * key's cohort is its MIN bucket (= the bucket of its min timestamp;
+    * bucketing is monotone). Shared with the streaming twin, whose
+    * activity pairs come from a drained `dropDuplicates` stream —
+    * distinct sets are exact in both worlds, so the twins agree. */
+  def fromActivity(active: DataFrame): DataFrame = {
+    val first = active.groupBy(col("k")).agg(min(col("wk")).as("cohort"))
     val counts = first.join(active, "k")
       .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
       .agg(count_distinct(col("k")).as("active_users"))

@@ -206,6 +206,29 @@ object StreamingQueries {
                        6) AS p
               FROM c""")),
 
+    // streaming retention twin: exact distinct (user, bucket) activity
+    // via an unwatermarked dropDuplicates stream; the cohort math closes
+    // over the drained pairs — same oracle as the batch q_retention
+    Q("q_stream_retention",
+      (s, d) => Streams.streamRetention(s, d),
+      Some("""WITH f AS (SELECT user_id,
+                     CAST(floor(epoch(min(CAST(ts AS TIMESTAMP))) / 604800)
+                       AS BIGINT) AS cohort
+                     FROM events GROUP BY 1),
+              a AS (SELECT DISTINCT user_id,
+                     CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800)
+                       AS BIGINT) AS wk
+                    FROM events),
+              c AS (SELECT f.cohort, a.wk - f.cohort AS week_offset,
+                           count(DISTINCT f.user_id) AS active_users
+                    FROM f JOIN a ON f.user_id = a.user_id
+                    GROUP BY 1, 2)
+              SELECT cohort, week_offset, active_users,
+                     round(active_users * 1.0 /
+                       max(CASE WHEN week_offset = 0 THEN active_users END)
+                         OVER (PARTITION BY cohort), 4) AS retention_pct
+              FROM c""")),
+
     // streaming anomaly twin: watermarked complete-mode hourly counts;
     // the z-score half closes over the drained final counts — exact,
     // same oracle as the batch q_event_anomaly

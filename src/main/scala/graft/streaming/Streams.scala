@@ -347,6 +347,29 @@ object Streams {
       s.createDataFrame(drained.rdd, drained.schema), threshold)
   }
 
+  /** Streaming twin of [[graft.operators.Retention.cohortRetention]]:
+    * the distinct (key, epoch-bucket) activity pairs run as an
+    * unwatermarked `dropDuplicates` stream (state = the exact distinct
+    * set, the retention contract — cohorts look back arbitrarily far);
+    * the cohort/offset/percentage math
+    * ([[graft.operators.Retention.fromActivity]]) closes over the
+    * drained pairs. Distinct sets are exact in both worlds, so
+    * multi-batch equals single-batch with no reconciliation. */
+  def streamRetention(spark: SparkSession, sfDir: String,
+      bucketSec: Long = 604800L): DataFrame = {
+    val s = tuned(spark)
+    val pairs = eventsStream(s, sfDir)
+      .select(col("user_id").as("k"),
+        floor(col("ts").cast("double") / bucketSec).cast("long").as("wk"))
+      .dropDuplicates("k", "wk")
+    // re-base as a LogicalRDD: fromActivity self-joins the pairs frame
+    // (see streamAnomaly — a memory sink's single attribute set fails
+    // self-join resolution)
+    val drained = drain(pairs, OutputMode.Append(), "stream_retention")
+    graft.operators.Retention.fromActivity(
+      s.createDataFrame(drained.rdd, drained.schema))
+  }
+
   case class TransState(lastMicros: Long, lastType: String)
 
   /** Streaming twin of [[graft.operators.Funnel.transitionCounts]]: per

@@ -87,7 +87,8 @@ object StreamSmoke {
       "q_stream_user_state", "q_stream_cms",
       "q_stream_incremental_dedup", "q_stream_linear_score",
       "q_stream_blocklist", "q_stream_funnel",
-      "q_stream_transitions", "q_stream_anomaly").foreach { name =>
+      "q_stream_transitions", "q_stream_anomaly",
+      "q_stream_retention").foreach { name =>
       val single = run(name, chunked = false)
       val multi = run(name, chunked = true)
       // memory-sink tables are materialized; nothing else to retain, so
