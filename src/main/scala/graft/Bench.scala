@@ -81,7 +81,7 @@ object Bench {
     "q_stream_funnel", "q_ppr", "q_event_anomaly", "q_event_transitions",
     "q_ktruss", "q_cluster_split", "q_dup_weights", "q_link_prediction",
     "q_semantic_incremental", "q_stream_transitions", "q_stream_anomaly",
-    "q_corr_matrix")
+    "q_corr_matrix", "q_matching")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

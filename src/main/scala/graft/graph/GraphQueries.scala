@@ -100,6 +100,46 @@ object GraphQueries {
         SELECT v, round("rank", 6) AS "rank" FROM r$iters"""
   }
 
+  /** DuckDB replay of [[Iterative.maximalMatching]] on the sparse
+    * graph: `rounds` nomination rounds unrolled (per round each vertex's
+    * minimum (prio, src, dst) incident edge via row_number; edges chosen
+    * at BOTH endpoints match; matched endpoints deactivate). Matching
+    * growth is monotone and the globally minimal edge always matches, so
+    * rounds ≥ the convergence depth (probed: 3 at sf0.01; 6 gives
+    * margin) land on the identical set. */
+  private def matchingSql(seed: Long, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""b$i AS MATERIALIZED (
+            SELECT v, src, dst FROM (
+              SELECT v, src, dst,
+                     row_number() OVER (PARTITION BY v
+                       ORDER BY prio, src, dst) AS rn
+              FROM (SELECT src AS v, prio, src, dst FROM a${i - 1}
+                    UNION ALL SELECT dst, prio, src, dst FROM a${i - 1}))
+            WHERE rn = 1),
+          m$i AS MATERIALIZED (
+            SELECT a.src, a.dst FROM a${i - 1} a
+            JOIN b$i bs ON bs.v = a.src AND bs.src = a.src AND bs.dst = a.dst
+            JOIN b$i bd ON bd.v = a.dst AND bd.src = a.src AND bd.dst = a.dst),
+          mv$i AS (SELECT src AS v FROM m$i UNION SELECT dst FROM m$i),
+          a$i AS MATERIALIZED (
+            SELECT src, dst, prio FROM a${i - 1}
+            WHERE src NOT IN (SELECT v FROM mv$i)
+              AND dst NOT IN (SELECT v FROM mv$i))"""
+    }.mkString(",\n")
+    s"""WITH $se,
+        $su,
+        a0 AS MATERIALIZED (
+          SELECT src, dst,
+                 (((src % 1000000007) * 100003 + dst) % 1000000007
+                   * 2654435761 + ${seed * 40503L}) % 1000000007 AS prio
+          FROM u),
+        $steps
+        SELECT src, dst FROM (${
+      (1 to rounds).map(i => s"SELECT src, dst FROM m$i").mkString(
+        " UNION ALL ")})"""
+  }
+
   /** DuckDB replay of [[Triangles.kTruss]] on the mid-density graph:
     * `rounds` synchronous peel rounds unrolled (each recomputes triangle
     * support on the surviving canonical edges and keeps support ≥ k−2),
@@ -774,6 +814,14 @@ object GraphQueries {
                FROM est1 e1
                JOIN est2 e2 ON e1.v = e2.v
                JOIN est3 e3 ON e1.v = e3.v""")),
+
+    // greedy maximal matching: both-endpoint nomination rounds on mixer
+    // edge priorities; the oracle unrolls 6 rounds (monotone, fixpoint
+    // identical — probed at 3 rounds on this graph)
+    Q("q_matching",
+      (s, d) => Iterative.maximalMatching(
+        GraphOps.sparseEdgesFromLineitem(s, d), seed = 7L),
+      Some(matchingSql(seed = 7L, rounds = 6))),
 
     // Adamic–Adar link prediction: top-100 distance-2 pairs by summed
     // 1/ln(deg) over common neighbors; existing edges anti-joined away

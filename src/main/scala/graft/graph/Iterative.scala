@@ -178,6 +178,60 @@ object Iterative {
     pmod(pmod(v, lit(1000000007L)) * lit(2654435761L) + lit(seed * 40503L),
       lit(1000000007L))
 
+  /** Greedy distributed maximal matching (the Israeli–Itai shape,
+    * deterministic): per round every vertex nominates its minimum
+    * (priority, src, dst) incident active edge; an edge nominated by
+    * BOTH endpoints joins the matching and its endpoints deactivate.
+    * Edge priorities come from the replayable [[lubyPriority]] mixer
+    * over a src/dst fold, so rounds unroll identically on the oracle.
+    * The globally minimal active edge always matches, so every round
+    * strictly shrinks the active set (converges, typically in
+    * O(log n) rounds); matching growth is monotone, so an oracle
+    * unrolling ≥ the convergence depth lands on the identical set.
+    * Returns the matched edges (src, dst).
+    *
+    * Scale: per round one explode + min aggregate (map-side partials)
+    * and two vertex-keyed equi-joins; the active edge frame shrinks
+    * monotonically and is checkpointed lazily (the convergence count
+    * materializes it). */
+  def maximalMatching(edges: DataFrame, seed: Long = 7L,
+      maxIter: Int = 50): DataFrame = {
+    val eprio = lubyPriority(
+      pmod(col("src"), lit(1000000007L)) * lit(100003L) + col("dst"), seed)
+    var u = GraphOps.edgeUpper(edges).withColumn("prio", eprio)
+      .localCheckpoint()
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var m = u.count()
+    var iter = 0
+    val empty = u.select(col("src"), col("dst")).limit(0).localCheckpoint()
+    while (m > 0 && iter < maxIter) {
+      val e = struct(col("prio"), col("src"), col("dst"))
+      val best = u
+        .select(explode(array(col("src"), col("dst"))).as("v"), e.as("e"))
+        .groupBy(col("v")).agg(min(col("e")).as("b"))
+      val matched = u
+        .join(best.select(col("v").as("src"), col("b").as("bs")), "src")
+        .join(best.select(col("v").as("dst"), col("b").as("bd")), "dst")
+        .where(e === col("bs") && e === col("bd"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      rounds += matched
+      val mv = matched
+        .select(explode(array(col("src"), col("dst"))).as("v")).distinct()
+      val u2 = u
+        .join(mv.select(col("v").as("src")), Seq("src"), "left_anti")
+        .join(mv.select(col("v").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"), col("prio"))
+        .localCheckpoint(eager = false) // the count below materializes
+      m = u2.count()
+      graft.core.Checkpoints.release(u)
+      u = u2
+      iter += 1
+    }
+    graft.core.Checkpoints.release(u)
+    (empty +: rounds.toSeq).reduce(_ unionByName _)
+  }
+
   /** luby_find (`oink/luby_find.cpp:60-90`): maximal independent set.
     * The reference draws per-vertex random priorities from a seeded RNG
     * (`oink/cc_find.cpp:45-46` pattern); we use the replayable

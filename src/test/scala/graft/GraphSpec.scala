@@ -279,6 +279,25 @@ class GraphSpec extends AnyFunSuite {
       3L -> (2L, 1.0), 4L -> (1L, 0.0)))
   }
 
+  test("maximal matching: a valid matching, maximal, greedy-deterministic") {
+    import graft.graph.{GraphOps, Iterative}
+    val g = twoComponents
+    val matched = Iterative.maximalMatching(g)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val u = GraphOps.edgeUpper(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched.subsetOf(u))
+    // a MATCHING: no vertex appears twice
+    val mv = matched.toSeq.flatMap { case (a, b) => Seq(a, b) }
+    assert(mv.distinct.size == mv.size)
+    // MAXIMAL: every unmatched edge touches a matched vertex
+    val mvSet = mv.toSet
+    assert((u -- matched).forall { case (a, b) => mvSet(a) || mvSet(b) })
+    // the isolated pair must always match; components of 3 contribute 1
+    assert(matched((20L, 21L)))
+    assert(matched.size == 3)
+  }
+
   test("link prediction: 1/ln(deg) over common neighbors, hub cap drops") {
     import graft.graph.GraphOps
     // path 1-2-3 (+ star 10-{11,12,13}): (1,3) scores 1/ln(2); the star
