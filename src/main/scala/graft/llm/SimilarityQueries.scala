@@ -184,61 +184,7 @@ object SimilarityQueries {
     Q("q_embed_pq_knn",
       (s, d) => Similarity.pqKnn(Tables.embeddings(s, d), "vec_id",
         "embedding", dim = 64, col("vec_id") < 10, m = 4, ksub = 8, k = 5),
-      Some({
-        def sq(a: String, b: String): String =
-          s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
-               - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
-               + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))"""
-        s"""WITH v AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-              FROM embeddings),
-            sub AS (
-              SELECT vec_id, t.j,
-                     list_slice(e, t.j * 16 + 1, t.j * 16 + 16) AS sv
-              FROM v, UNNEST([0, 1, 2, 3]) AS t(j)),
-            init AS (SELECT vec_id AS cid FROM v
-                     ORDER BY ((vec_id % 1000000007) * 2654435761 + 526539)
-                              % 9973, vec_id
-                     LIMIT 8),
-            cb0 AS (SELECT s.j, s.vec_id AS cid, s.sv AS cv
-                    FROM sub s JOIN init ON s.vec_id = init.cid),
-            a1 AS (SELECT vec_id, j, cid FROM (
-                     SELECT s.vec_id, s.j, c.cid,
-                            row_number() OVER (PARTITION BY s.vec_id, s.j
-                              ORDER BY round(${sq("s.sv", "c.cv")}, 6), c.cid)
-                              AS rn
-                     FROM sub s JOIN cb0 c ON s.j = c.j) WHERE rn = 1),
-            cb1 AS (SELECT j, cid, list(mm ORDER BY dim) AS cv FROM (
-                     SELECT a1.j, a1.cid, t.i AS dim,
-                            round(avg(s.sv[t.i]), 6) AS mm
-                     FROM a1 JOIN sub s
-                       ON a1.vec_id = s.vec_id AND a1.j = s.j,
-                       UNNEST(range(1, 17)) AS t(i)
-                     GROUP BY 1, 2, 3)
-                   GROUP BY 1, 2),
-            codes AS (SELECT vec_id, j, cid FROM (
-                     SELECT s.vec_id, s.j, c.cid,
-                            row_number() OVER (PARTITION BY s.vec_id, s.j
-                              ORDER BY round(${sq("s.sv", "c.cv")}, 6), c.cid)
-                              AS rn
-                     FROM sub s JOIN cb1 c ON s.j = c.j) WHERE rn = 1),
-            qd AS (SELECT s.vec_id AS qid, c.j, c.cid,
-                          round(${sq("s.sv", "c.cv")}, 6) AS d
-                   FROM sub s JOIN cb1 c ON s.j = c.j
-                   WHERE s.vec_id < 10),
-            sc AS (SELECT qd.qid, codes.vec_id AS nid,
-                          round(sum(qd.d), 6) AS dist
-                   FROM codes JOIN qd
-                     ON codes.j = qd.j AND codes.cid = qd.cid
-                   WHERE codes.vec_id <> qd.qid
-                   GROUP BY 1, 2)
-            SELECT qid, nid, dist, rn FROM (
-              SELECT *, CAST(row_number() OVER (
-                PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rn
-              FROM sc)
-            WHERE rn <= 5"""
-      })),
+      Some(pqKnnSql(m = 4, ksub = 8, k = 5))),
 
     // PQ + refine (the FAISS IndexRefineFlat layout): ADC scores a
     // 20-deep shortlist, exact vectors re-score the shortlist ONLY, top-5
@@ -249,71 +195,25 @@ object SimilarityQueries {
       (s, d) => Similarity.pqKnnRefined(Tables.embeddings(s, d), "vec_id",
         "embedding", dim = 64, col("vec_id") < 10, m = 4, ksub = 8,
         shortlistK = 20, k = 5),
-      Some({
-        def sq(a: String, b: String): String =
-          s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
-               - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
-               + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))"""
-        s"""WITH v AS (
-              SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-              FROM embeddings),
-            sub AS (
-              SELECT vec_id, t.j,
-                     list_slice(e, t.j * 16 + 1, t.j * 16 + 16) AS sv
-              FROM v, UNNEST([0, 1, 2, 3]) AS t(j)),
-            init AS (SELECT vec_id AS cid FROM v
-                     ORDER BY ((vec_id % 1000000007) * 2654435761 + 526539)
-                              % 9973, vec_id
-                     LIMIT 8),
-            cb0 AS (SELECT s.j, s.vec_id AS cid, s.sv AS cv
-                    FROM sub s JOIN init ON s.vec_id = init.cid),
-            a1 AS (SELECT vec_id, j, cid FROM (
-                     SELECT s.vec_id, s.j, c.cid,
-                            row_number() OVER (PARTITION BY s.vec_id, s.j
-                              ORDER BY round(${sq("s.sv", "c.cv")}, 6), c.cid)
-                              AS rn
-                     FROM sub s JOIN cb0 c ON s.j = c.j) WHERE rn = 1),
-            cb1 AS (SELECT j, cid, list(mm ORDER BY dim) AS cv FROM (
-                     SELECT a1.j, a1.cid, t.i AS dim,
-                            round(avg(s.sv[t.i]), 6) AS mm
-                     FROM a1 JOIN sub s
-                       ON a1.vec_id = s.vec_id AND a1.j = s.j,
-                       UNNEST(range(1, 17)) AS t(i)
-                     GROUP BY 1, 2, 3)
-                   GROUP BY 1, 2),
-            codes AS (SELECT vec_id, j, cid FROM (
-                     SELECT s.vec_id, s.j, c.cid,
-                            row_number() OVER (PARTITION BY s.vec_id, s.j
-                              ORDER BY round(${sq("s.sv", "c.cv")}, 6), c.cid)
-                              AS rn
-                     FROM sub s JOIN cb1 c ON s.j = c.j) WHERE rn = 1),
-            qd AS (SELECT s.vec_id AS qid, c.j, c.cid,
-                          round(${sq("s.sv", "c.cv")}, 6) AS d
-                   FROM sub s JOIN cb1 c ON s.j = c.j
-                   WHERE s.vec_id < 10),
-            sc AS (SELECT qd.qid, codes.vec_id AS nid,
-                          round(sum(qd.d), 6) AS dist
-                   FROM codes JOIN qd
-                     ON codes.j = qd.j AND codes.cid = qd.cid
-                   WHERE codes.vec_id <> qd.qid
-                   GROUP BY 1, 2),
-            shortlist AS (SELECT qid, nid FROM (
-              SELECT *, row_number() OVER (
-                PARTITION BY qid ORDER BY dist, nid) AS rn
-              FROM sc) WHERE rn <= 20),
-            rescored AS (
-              SELECT sl.qid, sl.nid,
-                     round(${sq("q.e", "n.e")}, 6) AS dist
-              FROM shortlist sl
-              JOIN v q ON sl.qid = q.vec_id
-              JOIN v n ON sl.nid = n.vec_id)
-            SELECT qid, nid, dist, rn FROM (
-              SELECT *, CAST(row_number() OVER (
-                PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rn
-              FROM rescored)
-            WHERE rn <= 5"""
-      })),
+      Some(pqRefinedSql(m = 4, ksub = 8, shortlistK = 20, k = 5))),
+
+    // the PRODUCTION-DIAL refined-PQ twin (r10 VERDICT #1): the fixture
+    // dial above keeps the cheap (m=4, ksub=8, shortlist=20) codebooks so
+    // the quantization math stays legible in the oracle, but its measured
+    // recall@5 vs exact L2 is ~0.06 on the near-uniform fixture — honest,
+    // and useless as a lift-this-config example. This twin registers the
+    // dial a production deployment would run: m=16 subspaces × 4 dims,
+    // 16-codeword codebooks, 50-deep exact re-rank shortlist — measured
+    // recall@5 = 0.70 on the adversarial near-uniform fixture and 1.00 on
+    // the clustered fixture (tools/RecallProbe; SCALE.md "ANN recall,
+    // measured"). Same plan shape — finer codebooks change the broadcast
+    // table sizes (m·ksub codewords), never the join structure: the
+    // corpus side still carries only m small ints per vector.
+    Q("q_embed_pq_refined_tuned",
+      (s, d) => Similarity.pqKnnRefined(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, col("vec_id") < 10, m = 16, ksub = 16,
+        shortlistK = 50, k = 5),
+      Some(pqRefinedSql(m = 16, ksub = 16, shortlistK = 50, k = 5))),
 
     // IVF-PQ composed: coarse cells bound WHICH vectors a query scores,
     // PQ codes bound WHAT the scoring join carries. Oracle = the IVF
@@ -499,35 +399,23 @@ object SimilarityQueries {
     Q("q_embed_ivf_knn",
       (s, d) => Similarity.ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding",
         col("vec_id") < 10, k = 5, numCentroids = 64, nProbe = 2),
-      Some(s"""WITH v AS (
-                 SELECT vec_id,
-                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-                 FROM embeddings),
-               cents AS (SELECT vec_id AS cid, e AS cv FROM v
-                         ORDER BY ((vec_id % 1000000007) * 2654435761 + 283521) % 9973, vec_id
-                         LIMIT 64),
-               corpus AS (
-                 SELECT nid, nv, cid FROM (
-                   SELECT v.vec_id AS nid, v.e AS nv, c.cid,
-                          row_number() OVER (PARTITION BY v.vec_id
-                            ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.cid) AS crn
-                   FROM v, cents c)
-                 WHERE crn <= 1),
-               queries AS (
-                 SELECT qid, qv, cid FROM (
-                   SELECT v.vec_id AS qid, v.e AS qv, c.cid,
-                          row_number() OVER (PARTITION BY v.vec_id
-                            ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.cid) AS crn
-                   FROM v, cents c WHERE v.vec_id < 10)
-                 WHERE crn <= 2),
-               scored AS (
-                 SELECT DISTINCT qid, nid, ${duckCos("qv", "nv")} AS cos
-                 FROM queries JOIN corpus USING (cid) WHERE qid <> nid)
-               SELECT qid, nid, cos, rn FROM (
-                 SELECT *, CAST(row_number() OVER (
-                   PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
-                 FROM scored)
-               WHERE rn <= 5""")),
+      Some(ivfKnnSql(numCentroids = 64, nProbe = 2, k = 5))),
+
+    // the PRODUCTION-DIAL IVF twin (r10 VERDICT #1): nProbe=2 over 64
+    // cells scans ~3% of the corpus — the right fan-in demo, but its
+    // measured recall@5 is ~0.12 on the near-uniform fixture (cosine to a
+    // random centroid barely orders near-uniform vectors, so the true
+    // neighbors rarely share the probed cells). nProbe=16 is the dial a
+    // deployment would run at this cell count: measured recall@5 = 0.56
+    // on the near-uniform fixture and ≥ 0.8 on the clustered fixture
+    // (tools/RecallProbe; SCALE.md "ANN recall, measured"), still
+    // scanning only nProbe/numCentroids = 25% of the corpus — the
+    // recall/fan-in dial with NO plan change (same broadcast quantizer,
+    // same cell equi-join; only the per-query probe fan-out widens).
+    Q("q_embed_ivf_knn_tuned",
+      (s, d) => Similarity.ivfKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("vec_id") < 10, k = 5, numCentroids = 64, nProbe = 16),
+      Some(ivfKnnSql(numCentroids = 64, nProbe = 16, k = 5))),
 
     // LSH-bucketed ANN — the Rademacher planes come from a portable
     // integer mixer (Similarity.planeSign), so DuckDB replays bucketing,
@@ -571,6 +459,135 @@ object SimilarityQueries {
     // to refreshed centroids, fresh×corpus cosine within the cell only
     q_semantic_incremental_entry
   )
+
+  /** DuckDB squared-L2 fragment (a·a − 2·a·b + b·b over double lists) —
+    * the exact term order of [[Similarity]]'s `sq` composition. */
+  private def sqSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
+         - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+         + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))"""
+
+  /** DuckDB replay of [[Similarity.ivfKnn]] over the dim-64 fixture with
+    * probe set vec_id < 10 — one builder serves the fixture dial
+    * (nProbe=2) and the production dial (nProbe=16) so the replays
+    * cannot drift: mixer-picked centroids, 1-nearest cell assignment,
+    * nProbe-cell query routing, in-cell cosine scoring, top-k. */
+  private def ivfKnnSql(numCentroids: Int, nProbe: Int, k: Int): String =
+    s"""WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        cents AS (SELECT vec_id AS cid, e AS cv FROM v
+                  ORDER BY ((vec_id % 1000000007) * 2654435761 + 283521) % 9973, vec_id
+                  LIMIT $numCentroids),
+        corpus AS (
+          SELECT nid, nv, cid FROM (
+            SELECT v.vec_id AS nid, v.e AS nv, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.cid) AS crn
+            FROM v, cents c)
+          WHERE crn <= 1),
+        queries AS (
+          SELECT qid, qv, cid FROM (
+            SELECT v.vec_id AS qid, v.e AS qv, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.cid) AS crn
+            FROM v, cents c WHERE v.vec_id < 10)
+          WHERE crn <= $nProbe),
+        scored AS (
+          SELECT DISTINCT qid, nid, ${duckCos("qv", "nv")} AS cos
+          FROM queries JOIN corpus USING (cid) WHERE qid <> nid)
+        SELECT qid, nid, cos, rn FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+          FROM scored)
+        WHERE rn <= $k"""
+
+  /** DuckDB replay of the flat-PQ train/encode/ADC chain
+    * ([[Similarity.pqTrainEncode]] + the broadcast query-distance table)
+    * over the dim-64 fixture with probe set vec_id < 10: `m` subvector
+    * slices of width 64/m, `ksub` mixer-seeded codewords per subspace,
+    * one 6dp-pinned Lloyd recompute, encode, ADC sum — ends with CTE
+    * `sc` (qid, nid, dist). One builder serves the fixture and
+    * production dials so the replays cannot drift. */
+  private def pqScoreSql(m: Int, ksub: Int): String = {
+    val sd = 64 / m
+    require(sd * m == 64, "m must divide 64")
+    s"""WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        sub AS (
+          SELECT vec_id, t.j,
+                 list_slice(e, t.j * $sd + 1, t.j * $sd + $sd) AS sv
+          FROM v, UNNEST([${(0 until m).mkString(", ")}]) AS t(j)),
+        init AS (SELECT vec_id AS cid FROM v
+                 ORDER BY ((vec_id % 1000000007) * 2654435761 + 526539)
+                          % 9973, vec_id
+                 LIMIT $ksub),
+        cb0 AS (SELECT s.j, s.vec_id AS cid, s.sv AS cv
+                FROM sub s JOIN init ON s.vec_id = init.cid),
+        a1 AS (SELECT vec_id, j, cid FROM (
+                 SELECT s.vec_id, s.j, c.cid,
+                        row_number() OVER (PARTITION BY s.vec_id, s.j
+                          ORDER BY round(${sqSql("s.sv", "c.cv")}, 6), c.cid)
+                          AS rn
+                 FROM sub s JOIN cb0 c ON s.j = c.j) WHERE rn = 1),
+        cb1 AS (SELECT j, cid, list(mm ORDER BY dim) AS cv FROM (
+                 SELECT a1.j, a1.cid, t.i AS dim,
+                        round(avg(s.sv[t.i]), 6) AS mm
+                 FROM a1 JOIN sub s
+                   ON a1.vec_id = s.vec_id AND a1.j = s.j,
+                   UNNEST(range(1, ${sd + 1})) AS t(i)
+                 GROUP BY 1, 2, 3)
+               GROUP BY 1, 2),
+        codes AS (SELECT vec_id, j, cid FROM (
+                 SELECT s.vec_id, s.j, c.cid,
+                        row_number() OVER (PARTITION BY s.vec_id, s.j
+                          ORDER BY round(${sqSql("s.sv", "c.cv")}, 6), c.cid)
+                          AS rn
+                 FROM sub s JOIN cb1 c ON s.j = c.j) WHERE rn = 1),
+        qd AS (SELECT s.vec_id AS qid, c.j, c.cid,
+                      round(${sqSql("s.sv", "c.cv")}, 6) AS d
+               FROM sub s JOIN cb1 c ON s.j = c.j
+               WHERE s.vec_id < 10),
+        sc AS (SELECT qd.qid, codes.vec_id AS nid,
+                      round(sum(qd.d), 6) AS dist
+               FROM codes JOIN qd
+                 ON codes.j = qd.j AND codes.cid = qd.cid
+               WHERE codes.vec_id <> qd.qid
+               GROUP BY 1, 2)"""
+  }
+
+  /** ADC top-k readout over [[pqScoreSql]]'s `sc`. */
+  private def pqKnnSql(m: Int, ksub: Int, k: Int): String =
+    pqScoreSql(m, ksub) + s"""
+        SELECT qid, nid, dist, rn FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rn
+          FROM sc)
+        WHERE rn <= $k"""
+
+  /** [[pqScoreSql]] + the IndexRefineFlat tail: ADC shortlist cut at
+    * `shortlistK`, exact-vector re-rank of the shortlist only, top-k. */
+  private def pqRefinedSql(m: Int, ksub: Int, shortlistK: Int,
+      k: Int): String =
+    pqScoreSql(m, ksub) + s""",
+        shortlist AS (SELECT qid, nid FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY dist, nid) AS rn
+          FROM sc) WHERE rn <= $shortlistK),
+        rescored AS (
+          SELECT sl.qid, sl.nid,
+                 round(${sqSql("q.e", "n.e")}, 6) AS dist
+          FROM shortlist sl
+          JOIN v q ON sl.qid = q.vec_id
+          JOIN v n ON sl.nid = n.vec_id)
+        SELECT qid, nid, dist, rn FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rn
+          FROM rescored)
+        WHERE rn <= $k"""
 
   /** DuckDB replay of [[Similarity.kmeans]] (dim 64, k 16, iters 2,
     * seed 445533): init by portable mixer key, two assignment rounds at
