@@ -204,9 +204,11 @@ object SimilarityQueries {
     // and useless as a lift-this-config example. This twin registers the
     // dial a production deployment would run: m=16 subspaces × 4 dims,
     // 16-codeword codebooks, 50-deep exact re-rank shortlist — measured
-    // recall@5 = 0.70 on the adversarial near-uniform fixture and 1.00 on
-    // the clustered fixture (tools/RecallProbe; SCALE.md "ANN recall,
-    // measured"). Same plan shape — finer codebooks change the broadcast
+    // recall@5 at sf0.1 = 0.70 on the adversarial near-uniform fixture
+    // and 0.70 on the 2000-row clustered fixture (1.00 on the 500-row
+    // one; tools/RecallProbe, SCALE.md "ANN recall, measured"), vs
+    // 0.00-0.06 for the fixture dial. Same plan shape — finer codebooks
+    // change the broadcast
     // table sizes (m·ksub codewords), never the join structure: the
     // corpus side still carries only m small ints per vector.
     Q("q_embed_pq_refined_tuned",
@@ -406,8 +408,9 @@ object SimilarityQueries {
     // measured recall@5 is ~0.12 on the near-uniform fixture (cosine to a
     // random centroid barely orders near-uniform vectors, so the true
     // neighbors rarely share the probed cells). nProbe=16 is the dial a
-    // deployment would run at this cell count: measured recall@5 = 0.56
-    // on the near-uniform fixture and ≥ 0.8 on the clustered fixture
+    // deployment would run at this cell count: measured recall@5 at
+    // sf0.1 = 0.56 on the near-uniform fixture and 1.00 on the clustered
+    // fixture — where even nProbe=2 reaches 0.84
     // (tools/RecallProbe; SCALE.md "ANN recall, measured"), still
     // scanning only nProbe/numCentroids = 25% of the corpus — the
     // recall/fan-in dial with NO plan change (same broadcast quantizer,

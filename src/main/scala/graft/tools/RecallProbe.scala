@@ -85,6 +85,68 @@ object RecallProbe {
             dim = 64, col("vec_id") < 10, m = m, ksub = ksub,
             shortlistK = sl, k = 5)), l2Truth, "l2")
     }
+
+    // ---- clustered fixture (r10 VERDICT #1) ----------------------------
+    // The driver fixture's embeddings are near-uniform — the ADVERSARIAL
+    // case for cell-routed ANN (cosine to a random centroid barely orders
+    // uniform vectors, so probed cells rarely hold the true neighbors).
+    // Real embedding corpora are the opposite: they cluster (that is the
+    // entire premise of IVF and SemDeDup). This section measures the same
+    // dials on a deterministic mixture-of-Gaussians fixture — 16
+    // well-separated centers in [-1,1]^64, per-dim noise σ=0.3 — so the
+    // recall table shows both regimes: the uniform floor above and the
+    // clustered regime the production configs are tuned for.
+    val clustered = clusteredFixture(spark, n = emb.count().toInt min 4000)
+    println(s"CLUSTERED fixture: ${clustered.count()} rows, 16 centers, sigma=0.3")
+    val cCosTruth = pairsOf(Similarity.bruteForceKnn(clustered, "vec_id",
+      "embedding", col("vec_id") < 10, k = 5))
+    val cq = broadcast(clustered.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val cL2Truth = pairsOf(cq
+      .crossJoin(clustered.select(col("vec_id").as("nid"),
+        col("embedding").as("nv")))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), round(sq, 6).as("d"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5))
+    Seq(1, 2, 4, 8, 16).foreach { np =>
+      report(s"CLUSTERED ivfKnn(nProbe=$np)", pairsOf(Similarity.ivfKnn(
+        clustered, "vec_id", "embedding", col("vec_id") < 10, k = 5,
+        numCentroids = 64, nProbe = np)), cCosTruth, "cos")
+    }
+    report("CLUSTERED lshKnn(nPlanes=4)", pairsOf(Similarity.lshKnn(
+      clustered, "vec_id", "embedding", dim = 64, col("vec_id") < 10,
+      k = 5, nPlanes = 4)), cCosTruth, "cos")
+    Seq((4, 8, 20), (16, 16, 50)).foreach { case (m, ksub, sl) =>
+      report(s"CLUSTERED pqKnnRefined(m=$m,ksub=$ksub,sl=$sl)",
+        pairsOf(Similarity.pqKnnRefined(clustered, "vec_id", "embedding",
+          dim = 64, col("vec_id") < 10, m = m, ksub = ksub,
+          shortlistK = sl, k = 5)), cL2Truth, "l2")
+    }
     spark.stop()
+  }
+
+  /** Deterministic mixture-of-Gaussians embedding table: `n` rows,
+    * 16 centers drawn uniform in [-1,1]^64 from a fixed-seed PRNG,
+    * cluster(vid) = the same portable mixer the engine's hash gates use,
+    * point = center + N(0, 0.3) noise (Box–Muller over the seeded PRNG —
+    * seed a pure function of (vid), so the fixture is bit-identical
+    * across runs and machines). Driver-built (n ≤ 4000 rows — a probe
+    * fixture, not a scale path). */
+  private def clusteredFixture(spark: SparkSession, n: Int): DataFrame = {
+    val centers = {
+      val r = new scala.util.Random(20260814L)
+      Array.fill(16, 64)(r.nextDouble() * 2 - 1)
+    }
+    val rows = (0 until n).map { vid =>
+      val c = (((vid.toLong % 1000000007L) * 2654435761L + 97531L) % 9973L
+        % 16L).toInt
+      val r = new scala.util.Random(1234567L + vid * 31L)
+      val e = Array.tabulate(64)(i =>
+        (centers(c)(i) + r.nextGaussian() * 0.3).toFloat)
+      (vid.toLong, c, e)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "true_cluster", "embedding")
   }
 }
