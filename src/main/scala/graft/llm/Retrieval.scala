@@ -27,10 +27,28 @@ import graft.text.TextOps
   * standalone queries pin. */
 object Retrieval {
 
+  /** The semantic arm's retrieval strategy. [[ExactScan]] scores every
+    * (probe, doc) pair — exact top-k, and the scale-killer at corpus
+    * scale (the one full scan in the retrieval surface, r10 VERDICT #2).
+    * [[IvfRetriever]] / [[LshRetriever]] route the probes through the
+    * engine's own ANN layouts: candidates come from nProbe coarse cells
+    * (resp. multi-probed hash buckets), so the semantic arm's cost per
+    * query drops from |corpus| dot products to the ANN fan-in — with the
+    * ANN recall contract (SCALE.md's measured curves) instead of
+    * exactness. All three produce the identical (qid, doc, rank_sem)
+    * interface with the same deterministic tiebreaks, so fusion — and
+    * the oracle replay discipline — is unchanged. */
+  sealed trait SemanticRetriever
+  case object ExactScan extends SemanticRetriever
+  final case class IvfRetriever(numCentroids: Int = 64, nProbe: Int = 16)
+    extends SemanticRetriever
+  final case class LshRetriever(nPlanes: Int = 8, multiProbe: Boolean = true)
+    extends SemanticRetriever
+
   def hybridRrf(docs: DataFrame, emb: DataFrame, textCol: String,
       docCol: String, embIdCol: String, vecCol: String,
       queries: Seq[(String, String, Long)], kEach: Int = 20, kOut: Int = 10,
-      rrfC: Int = 60): DataFrame = {
+      rrfC: Int = 60, semantic: SemanticRetriever = ExactScan): DataFrame = {
     require(queries.nonEmpty, "need at least one query")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -40,19 +58,41 @@ object Retrieval {
       .select(col("qid"), col(docCol).as("doc"), col("rn").as("rank_lex"))
 
     val probeIds = queries.map(q => (q._1, q._3)).toDF("qid", "probe_id")
-    val probes = broadcast(probeIds
-      .join(emb.select(col(embIdCol).as("probe_id"), col(vecCol).as("qv")),
-        "probe_id"))
-    val byQ = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("doc").asc)
-    val sem = probes
-      .crossJoin(emb.select(col(embIdCol).as("doc"), col(vecCol).as("nv")))
-      .where(col("doc") =!= col("probe_id"))
-      .select(col("qid"), col("doc"),
-        round(Similarity.cosine(col("qv"), col("nv")), 6).as("cos"))
-      .withColumn("rank_sem", row_number().over(byQ).cast("long"))
-      .where(col("rank_sem") <= kEach)
-      .select(col("qid"), col("doc"), col("rank_sem"))
+    // every retriever excludes the probe vector from its own ranking and
+    // ranks by (rounded cos desc, id asc) — the bruteForceKnn contract —
+    // so swapping retrievers changes the candidate SET, never the
+    // ordering rule
+    val sem = semantic match {
+      case ExactScan =>
+        val probes = broadcast(probeIds
+          .join(emb.select(col(embIdCol).as("probe_id"), col(vecCol).as("qv")),
+            "probe_id"))
+        val byQ = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("doc").asc)
+        probes
+          .crossJoin(emb.select(col(embIdCol).as("doc"), col(vecCol).as("nv")))
+          .where(col("doc") =!= col("probe_id"))
+          .select(col("qid"), col("doc"),
+            round(Similarity.cosine(col("qv"), col("nv")), 6).as("cos"))
+          .withColumn("rank_sem", row_number().over(byQ).cast("long"))
+          .where(col("rank_sem") <= kEach)
+          .select(col("qid"), col("doc"), col("rank_sem"))
+      case IvfRetriever(numCentroids, nProbe) =>
+        val pred = col(embIdCol).isin(queries.map(_._3): _*)
+        val knn = Similarity.ivfKnn(emb, embIdCol, vecCol, pred,
+          k = kEach, numCentroids = numCentroids, nProbe = nProbe)
+        broadcast(probeIds)
+          .join(knn.withColumnRenamed("qid", "probe_id"), "probe_id")
+          .select(col("qid"), col("nid").as("doc"), col("rn").as("rank_sem"))
+      case LshRetriever(nPlanes, multiProbe) =>
+        val pred = col(embIdCol).isin(queries.map(_._3): _*)
+        val dim = emb.select(size(col(vecCol))).head().getInt(0)
+        val knn = Similarity.lshKnn(emb, embIdCol, vecCol, dim, pred,
+          k = kEach, nPlanes = nPlanes, multiProbe = multiProbe)
+        broadcast(probeIds)
+          .join(knn.withColumnRenamed("qid", "probe_id"), "probe_id")
+          .select(col("qid"), col("nid").as("doc"), col("rn").as("rank_sem"))
+    }
 
     val fused = lex.join(sem, Seq("qid", "doc"), "full_outer")
       .select(col("qid"), col("doc"),

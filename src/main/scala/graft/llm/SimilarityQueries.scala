@@ -458,6 +458,18 @@ object SimilarityQueries {
     // hybrid BM25 ∪ cosine retrieval with reciprocal-rank fusion
     q_hybrid_rrf_entry,
 
+    // the same fusion with the semantic arm routed through the IVF ANN
+    // layout at the production dial (64 cells, nProbe 16) instead of the
+    // exact full-corpus scan — the r10 VERDICT #2 item: the exact arm is
+    // the one retrieval entry point whose cost is |corpus| dot products
+    // per query; this twin bounds it to the probed-cell fan-in with the
+    // measured recall contract (SCALE.md), and the oracle replays the
+    // cell routing + in-cell scoring stage for stage (the
+    // q_embed_ivf_knn convention), so the approximate candidate set
+    // itself is what's checked. Fusion and tiebreaks are byte-identical
+    // to q_hybrid_rrf — only the semantic candidate SET changes.
+    q_hybrid_rrf_ann_entry,
+
     // incremental SemDeDup: corpus clustered once, fresh vectors route
     // to refreshed centroids, fresh×corpus cosine within the cell only
     q_semantic_incremental_entry
@@ -732,14 +744,88 @@ object SimilarityQueries {
 
   /** Hybrid retrieval: BM25 top-20 ∪ cosine top-20 fused by reciprocal
     * rank (RRF, c = 60), top-10 out — both sides' deterministic ranks
-    * replayed, the fusion sum a pure function of the two rank integers. */
+    * replayed, the fusion sum a pure function of the two rank integers.
+    * The DuckDB replay is a builder over the semantic-arm CTEs so the
+    * exact-scan and ANN-backed registrations share the lex arm and the
+    * fusion tail verbatim. */
+  private val hybridQueries = Seq(
+    ("q1", "spark hash join", 0L), ("q2", "table scan filter", 1L),
+    ("q3", "sort merge batch", 2L))
+
+  /** The exact-scan semantic arm: every (probe, doc) cosine, top-20. */
+  private def exactSemCtes: String =
+    s"""pv AS (SELECT qid, probe_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE))
+                        AS qv
+               FROM p JOIN embeddings ON vec_id = probe_id),
+        corp AS (SELECT vec_id AS doc,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE))
+                          AS nv
+                 FROM embeddings),
+        scored AS (SELECT qid, doc, ${duckCos("qv", "nv")} AS cos
+                   FROM pv, corp WHERE doc <> probe_id),
+        sem AS (SELECT qid, doc,
+                       CAST(rn AS BIGINT) AS rank_sem FROM (
+                  SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, doc) AS rn FROM scored)
+                WHERE rn <= 20)"""
+
+  /** The IVF-routed semantic arm ([[Similarity.ivfKnn]] at the
+    * production dial): mixer-picked cells, 1-nearest corpus assignment,
+    * nProbe-cell probe routing, in-cell scoring — candidates bounded by
+    * the probed cells, replayed stage for stage. */
+  private def ivfSemCtes(numCentroids: Int, nProbe: Int): String =
+    s"""vv AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+        cents AS (SELECT vec_id AS cid, e AS cv FROM vv
+                  ORDER BY ((vec_id % 1000000007) * 2654435761 + 283521)
+                           % 9973, vec_id
+                  LIMIT $numCentroids),
+        corpcell AS (SELECT nid, nv, cid FROM (
+                 SELECT vv.vec_id AS nid, vv.e AS nv, c.cid,
+                        row_number() OVER (PARTITION BY vv.vec_id
+                          ORDER BY ${duckCos("vv.e", "c.cv")} DESC, c.cid)
+                          AS crn
+                 FROM vv, cents c)
+               WHERE crn <= 1),
+        pq AS (SELECT qid, probe_id, qv, cid FROM (
+                 SELECT p.qid, p.probe_id, vv.e AS qv, c.cid,
+                        row_number() OVER (PARTITION BY vv.vec_id
+                          ORDER BY ${duckCos("vv.e", "c.cv")} DESC, c.cid)
+                          AS crn
+                 FROM p JOIN vv ON vv.vec_id = p.probe_id, cents c)
+               WHERE crn <= $nProbe),
+        scored AS (SELECT DISTINCT qid, nid AS doc,
+                          ${duckCos("qv", "nv")} AS cos
+                   FROM pq JOIN corpcell USING (cid)
+                   WHERE nid <> probe_id),
+        sem AS (SELECT qid, doc,
+                       CAST(rn AS BIGINT) AS rank_sem FROM (
+                  SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, doc) AS rn FROM scored)
+                WHERE rn <= 20)"""
+
   private def q_hybrid_rrf_entry: Q =
     Q("q_hybrid_rrf",
       (s, d) => Retrieval.hybridRrf(Tables.documents(s, d),
         Tables.embeddings(s, d), "text", "doc_id", "vec_id", "embedding",
-        Seq(("q1", "spark hash join", 0L), ("q2", "table scan filter", 1L),
-          ("q3", "sort merge batch", 2L)), kEach = 20, kOut = 10),
-      Some(s"""WITH w AS (SELECT doc_id,
+        hybridQueries, kEach = 20, kOut = 10),
+      Some(hybridRrfSql(exactSemCtes)))
+
+  private def q_hybrid_rrf_ann_entry: Q =
+    Q("q_hybrid_rrf_ann",
+      (s, d) => Retrieval.hybridRrf(Tables.documents(s, d),
+        Tables.embeddings(s, d), "text", "doc_id", "vec_id", "embedding",
+        hybridQueries, kEach = 20, kOut = 10,
+        semantic = Retrieval.IvfRetriever(numCentroids = 64, nProbe = 16)),
+      Some(hybridRrfSql(ivfSemCtes(numCentroids = 64, nProbe = 16))))
+
+  /** The shared hybrid-RRF replay: BM25 lex arm + probe mapping `p`,
+    * then the supplied semantic-arm CTE chain (must end in CTE
+    * `sem (qid, doc, rank_sem)`), then the RRF fusion tail. */
+  private def hybridRrfSql(semCtes: String): String =
+    s"""WITH w AS (SELECT doc_id,
                      unnest(string_split_regex(text, '\\s+')) AS word
                    FROM documents),
               ww AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
@@ -774,21 +860,7 @@ object SimilarityQueries {
                           ORDER BY score DESC, doc_id) AS rn FROM sc)
                       WHERE rn <= 20),
               p(qid, probe_id) AS (VALUES ('q1', 0), ('q2', 1), ('q3', 2)),
-              pv AS (SELECT qid, probe_id,
-                            list_transform(embedding, x -> CAST(x AS DOUBLE))
-                              AS qv
-                     FROM p JOIN embeddings ON vec_id = probe_id),
-              corp AS (SELECT vec_id AS doc,
-                              list_transform(embedding, x -> CAST(x AS DOUBLE))
-                                AS nv
-                       FROM embeddings),
-              scored AS (SELECT qid, doc, ${duckCos("qv", "nv")} AS cos
-                         FROM pv, corp WHERE doc <> probe_id),
-              sem AS (SELECT qid, doc,
-                             CAST(rn AS BIGINT) AS rank_sem FROM (
-                        SELECT *, row_number() OVER (PARTITION BY qid
-                          ORDER BY cos DESC, doc) AS rn FROM scored)
-                      WHERE rn <= 20),
+              $semCtes,
               fused AS (SELECT coalesce(l.qid, s.qid) AS qid,
                                coalesce(l.doc, s.doc) AS doc,
                                coalesce(l.rank_lex, 0) AS rank_lex,
@@ -805,7 +877,7 @@ object SimilarityQueries {
               SELECT qid, doc AS doc_id, rank_lex, rank_sem, rrf, rn FROM (
                 SELECT *, CAST(row_number() OVER (PARTITION BY qid
                   ORDER BY rrf DESC, doc) AS BIGINT) AS rn FROM fused)
-              WHERE rn <= 10"""))
+              WHERE rn <= 10"""
 
   /** Incremental SemDeDup replay: kmeans trained on the CORPUS slice
     * (the q_incremental_dedup mixer split), a third centroid refresh

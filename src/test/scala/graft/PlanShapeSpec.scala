@@ -96,6 +96,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_curation_pipeline", // the dsir stage's totals broadcast, composed
       "q_hybrid_rrf", // bm25's 1-row totals + the ≤|Q|-row probe-vector
                       // broadcast into the corpus scan (the knn shape)
+      "q_embed_ivf_knn_tuned", // same centroid crossJoin as q_embed_ivf_knn
+      "q_hybrid_rrf_ann", // the IVF arm's centroid crossJoins (and ONLY
+                          // those — pinned by its own test below)
       "q_semantic_incremental") // k-row refreshed-centroid broadcast into
                                 // the fresh routing scan (the kmeans shape)
     val offenders = Registry.byName.keys.toSeq.sorted
@@ -579,6 +582,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"query-side joins must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"only the broadcast probe crossJoin may appear, never a cartesian:\n$p")
+  }
+
+  test("ANN-backed hybrid RRF: no full-corpus crossJoin in the semantic arm") {
+    // q_hybrid_rrf's exact arm nested-loops the probe vectors against
+    // the WHOLE corpus — exact by contract, and the one full scan in the
+    // retrieval surface. The ANN-backed twin must not: its only
+    // nested-loop joins are the IVF routing crossJoins, whose build side
+    // is the FIXED-SIZE mixer-picked quantizer (a TakeOrderedAndProject
+    // of numCentroids rows — corpus-size-independent); candidates then
+    // flow through the cell equi-join. A per-query corpus-sized
+    // nested-loop side here would mean the exact scan leaked back in.
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    withoutAqe {
+      val exec = Registry.byName("q_hybrid_rrf_ann").run(spark, sf0001)
+        .queryExecution.executedPlan
+      val bnljs = exec.collect { case b: BroadcastNestedLoopJoinExec => b }
+      assert(bnljs.nonEmpty,
+        s"expected the IVF centroid-routing crossJoins:\n$exec")
+      bnljs.foreach { b =>
+        val build =
+          if (b.buildSide == BuildLeft) b.left else b.right
+        val s = build.toString
+        // constant-size build sides only: the numCentroids-row quantizer
+        // sample (TakeOrderedAndProject), bm25's 1-row corpus totals
+        // (keyless global aggregate), or a reuse of an exchange already
+        // validated by one of the other branches (the probe-routing
+        // crossJoin reuses the corpus-assignment quantizer broadcast)
+        assert(s.contains("TakeOrderedAndProject") ||
+            s.contains("HashAggregate(keys=[]") ||
+            s.contains("ReusedExchange"),
+          "every nested-loop join must pair a scan with a fixed-size " +
+            s"side (quantizer sample or 1-row totals), never the corpus:\n$s")
+      }
+      assert(exec.toString.contains("BroadcastHashJoin"),
+        s"the probed-cell candidate join must be a hash equi-join:\n$exec")
+    }
   }
 
   test("novelty rides gram hashes, never gram strings, through the joins") {

@@ -39,4 +39,27 @@ class RetrievalSpec extends AnyFunSuite {
     // 1/(60+1) > 1/(60+2): the lex-1 doc beats the sem-2 doc
     assert(out(1L)._3 == 2L && out(3L)._3 == 3L)
   }
+
+  test("IVF-backed fusion with full probe coverage equals the exact scan") {
+    // nProbe = numCentroids probes every cell, and each corpus vector
+    // lives in exactly one cell, so the IVF candidate set is the whole
+    // corpus and the ANN-backed fusion must reproduce ExactScan row for
+    // row — the retriever swap changes the candidate SET only, never
+    // scoring, tiebreaks, or fusion.
+    val dir = "/root/testdata/sf0.001"
+    val queries = Seq(("q1", "spark hash join", 0L),
+      ("q2", "table scan filter", 1L))
+    def run(sem: Retrieval.SemanticRetriever) =
+      Retrieval.hybridRrf(Tables.documents(spark, dir),
+        Tables.embeddings(spark, dir), "text", "doc_id", "vec_id",
+        "embedding", queries, kEach = 10, kOut = 5, semantic = sem)
+        .collect().map(_.toSeq).toSet
+    val exact = run(Retrieval.ExactScan)
+    val full = run(Retrieval.IvfRetriever(numCentroids = 8, nProbe = 8))
+    assert(exact == full,
+      s"full-coverage IVF must equal the exact scan:\n$exact\nvs\n$full")
+    // and the production dial still returns a full result list per query
+    val tuned = run(Retrieval.IvfRetriever(numCentroids = 8, nProbe = 2))
+    assert(tuned.size == exact.size)
+  }
 }
