@@ -323,16 +323,24 @@ object Streams {
   }
 
   /** Streaming twin of [[graft.operators.Anomaly.countAnomalies]]: the
-    * per-(type, hour) volume counts run as a watermarked complete-mode
-    * streaming aggregation; the z-score half
+    * per-(type, hour) volume counts run as a COMPLETE-mode streaming
+    * aggregation; the z-score half
     * ([[graft.operators.Anomaly.zScores]]) closes over the drained
     * final counts — counts are exact in both worlds, so the twins agree
-    * bit for bit. */
+    * bit for bit.
+    *
+    * State is deliberately NOT horizon-bounded (r10 ADVICE: a watermark
+    * here would be a no-op — Complete mode retains every group
+    * regardless, so claiming watermark-bounded state would be false):
+    * the z-score needs every (type, hour) count, exactness is the
+    * contract, and the state is |types| × |distinct hours| counter rows
+    * — ~9 types × 24·365 rows/year of three longs each, growing with
+    * STREAM LIFETIME, not volume. A deployment that wants bounded state
+    * runs the batch twin over a bounded window instead. */
   def streamAnomaly(spark: SparkSession, sfDir: String,
       threshold: Double = 3.0): DataFrame = {
     val s = tuned(spark)
     val counts = eventsStream(s, sfDir)
-      .withWatermark("ts", "1 hour")
       .groupBy(col("event_type").as("key"),
         window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"))
@@ -348,26 +356,44 @@ object Streams {
   }
 
   /** Streaming twin of [[graft.operators.Retention.cohortRetention]]:
-    * the distinct (key, epoch-bucket) activity pairs run as an
-    * unwatermarked `dropDuplicates` stream (state = the exact distinct
-    * set, the retention contract — cohorts look back arbitrarily far);
-    * the cohort/offset/percentage math
+    * the distinct (key, bucket) activity pairs run as a WATERMARKED
+    * `dropDuplicates` stream keyed on (key, bucket-start timestamp); the
+    * cohort/offset/percentage math
     * ([[graft.operators.Retention.fromActivity]]) closes over the
-    * drained pairs. Distinct sets are exact in both worlds, so
-    * multi-batch equals single-batch with no reconciliation. */
+    * drained pairs.
+    *
+    * State is bounded by design (r10 VERDICT #4 — this was the one
+    * streaming op with an unwatermarked dedup store): the bucket start
+    * rides as an EVENT-TIME column inside the dedup key, so once the
+    * watermark passes bucketStart + `horizon` the state store evicts
+    * that bucket's pairs — live state = distinct (key, bucket) pairs
+    * inside the horizon only, ≈ activeKeys × horizon/bucketSec rows.
+    * The horizon is the cohort lookback contract: activity arriving
+    * for a bucket older than the horizon is dropped as late (on a real
+    * stream such re-activity would also be a re-admission; a retention
+    * readout that must look back further runs the batch twin, or widens
+    * the horizon — state scales linearly with it). The default 90 days
+    * spans the fixtures' 30-day event range with margin, so the 8-batch
+    * StreamSmoke equivalence stays EXACT (no fixture row is ever late).
+    * Distinct sets are arrival-order-free, so multi-batch equals
+    * single-batch with no reconciliation. */
   def streamRetention(spark: SparkSession, sfDir: String,
-      bucketSec: Long = 604800L): DataFrame = {
+      bucketSec: Long = 604800L, horizon: String = "90 days"): DataFrame = {
     val s = tuned(spark)
     val pairs = eventsStream(s, sfDir)
       .select(col("user_id").as("k"),
-        floor(col("ts").cast("double") / bucketSec).cast("long").as("wk"))
-      .dropDuplicates("k", "wk")
+        (floor(col("ts").cast("double") / bucketSec).cast("long") *
+          bucketSec).cast("timestamp").as("wts"))
+      .withWatermark("wts", horizon)
+      .dropDuplicates("k", "wts")
     // re-base as a LogicalRDD: fromActivity self-joins the pairs frame
     // (see streamAnomaly — a memory sink's single attribute set fails
     // self-join resolution)
     val drained = drain(pairs, OutputMode.Append(), "stream_retention")
-    graft.operators.Retention.fromActivity(
-      s.createDataFrame(drained.rdd, drained.schema))
+    val rebased = s.createDataFrame(drained.rdd, drained.schema)
+    graft.operators.Retention.fromActivity(rebased
+      .select(col("k"),
+        floor(col("wts").cast("double") / bucketSec).cast("long").as("wk")))
   }
 
   case class TransState(lastMicros: Long, lastType: String)
