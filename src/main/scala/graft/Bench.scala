@@ -81,7 +81,26 @@ object Bench {
     "q_stream_funnel", "q_ppr", "q_event_anomaly", "q_event_transitions",
     "q_ktruss", "q_cluster_split", "q_dup_weights", "q_link_prediction",
     "q_semantic_incremental", "q_stream_transitions", "q_stream_anomaly",
-    "q_corr_matrix", "q_matching")
+    "q_corr_matrix", "q_matching",
+    // round-11 additions: tuned ANN dials, ANN-backed retrieval, and the
+    // production tol-mode rank entries
+    "q_embed_ivf_knn_tuned", "q_embed_pq_refined_tuned", "q_hybrid_rrf_ann",
+    "b_pagerank_tol", "b_ppr_tol")
+
+  /** BENCH-ONLY entries (r10 VERDICT #5): the production CONVERGENCE
+    * mode of the iterative rank ops. The registered q_pagerank/q_ppr run
+    * 5 fixed unrolled rounds because the oracle replays a fixed chain;
+    * production runs to Σ|Δrank| < tol — a result that depends on a
+    * runtime convergence test, so it has no fixed-unroll oracle and
+    * lives here (timed, recorded in BENCH/bench_out.json) rather than in
+    * the Registry (whose zero rows-only discipline stays intact). */
+  val benchOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "b_pagerank_tol" -> ((s, d) => graft.graph.Iterative.pagerank(
+      graft.graph.GraphOps.edgesFromLineitem(s, d),
+      alpha = 0.85, tol = 1e-6, maxIter = 50)),
+    "b_ppr_tol" -> ((s, d) => graft.graph.Iterative.personalizedPagerank(
+      graft.graph.GraphOps.edgesFromLineitem(s, d), Seq(0L, 7L, 42L),
+      alpha = 0.85, tol = 1e-6, maxIter = 50)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,7 +145,7 @@ object Bench {
       }
     }
 
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = (SparkEntry.queries ++ benchOnly).toSeq.sortBy(_._1)
     // samples(name) accumulates every raw run time, pass 1 first.
     val samples = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> Vector.empty[Double] }: _*)

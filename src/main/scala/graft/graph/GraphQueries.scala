@@ -819,8 +819,18 @@ object GraphQueries {
     // edge priorities; the oracle unrolls 6 rounds (monotone, fixpoint
     // identical — probed at 3 rounds on this graph)
     Q("q_matching",
-      (s, d) => Iterative.maximalMatching(
-        GraphOps.sparseEdgesFromLineitem(s, d), seed = 7L),
+      (s, d) => {
+        // the oracle unrolls 6 nomination rounds; convergence depth is
+        // data-dependent (O(log n)), so fail LOUDLY if the margin is
+        // breached instead of surfacing an opaque hash diff (r10 ADVICE)
+        val (m, rounds) = Iterative.maximalMatchingWithRounds(
+          GraphOps.sparseEdgesFromLineitem(s, d), seed = 7L)
+        require(rounds <= 6,
+          s"maximalMatching converged in $rounds rounds but the oracle " +
+            "unrolls 6 — re-probe (tools/R10MatchProbe) and widen the " +
+            "unroll margin for this data scale")
+        m
+      },
       Some(matchingSql(seed = 7L, rounds = 6))),
 
     // Adamic–Adar link prediction: top-100 distance-2 pairs by summed
@@ -849,7 +859,17 @@ object GraphQueries {
     // synchronous support peeling to a fixpoint on the mid graph; the
     // oracle unrolls 4 rounds (monotone, fixpoint identical)
     Q("q_ktruss",
-      (s, d) => Triangles.kTruss(GraphOps.midEdgesFromLineitem(s, d), k = 3),
+      (s, d) => {
+        // the oracle unrolls 4 peel rounds; same margin discipline as
+        // q_matching — a depth breach fails with a message, not a hash
+        val (t, rounds) = Triangles.kTrussWithRounds(
+          GraphOps.midEdgesFromLineitem(s, d), k = 3)
+        require(rounds <= 4,
+          s"kTruss converged in $rounds peel rounds but the oracle " +
+            "unrolls 4 — re-probe (tools/R10TrussProbe) and widen the " +
+            "unroll margin for this data scale")
+        t
+      },
       Some(kTrussSql(3, 4))),
 
     // personalized pagerank: teleport + dangling mass return to the seed

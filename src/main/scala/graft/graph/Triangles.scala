@@ -99,7 +99,16 @@ object Triangles {
     * skew-safe) + one left-semi equi-join; the edge frame shrinks
     * monotonically and is checkpointed per round (lazy — the
     * convergence count materializes it). */
-  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame =
+    kTrussWithRounds(edges, k, maxIter)._1
+
+  /** [[kTruss]] plus the CONVERGED peel-round count (including the
+    * final no-change round) — the q_ktruss oracle unrolls a fixed peel
+    * depth, so the registered query asserts rounds ≤ that constant for
+    * a clear margin-breach message instead of an opaque hash diff
+    * (r10 ADVICE). */
+  def kTrussWithRounds(edges: DataFrame, k: Int,
+      maxIter: Int = 30): (DataFrame, Int) = {
     require(k >= 2, "k must be >= 2")
     var u = GraphOps.edgeUpper(edges).localCheckpoint()
     var m = u.count()
@@ -117,9 +126,9 @@ object Triangles {
       u = u2; m = m2
       iter += 1
     }
-    u.join(edgeSupport(u), Seq("src", "dst"), "left")
+    (u.join(edgeSupport(u), Seq("src", "dst"), "left")
       .select(col("src"), col("dst"),
-        coalesce(col("support"), lit(0L)).as("support"))
+        coalesce(col("support"), lit(0L)).as("support")), iter)
   }
 
   /** neigh_tri (`oink/neigh_tri.cpp:52+`): per-vertex neighbor count +

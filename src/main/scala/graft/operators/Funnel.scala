@@ -9,12 +9,26 @@ import org.apache.spark.sql.functions._
   * STRICTLY after the previous step's match (and, optionally, within
   * `maxStepGapSec` of it)?
   *
-  * Matching is greedy-earliest: step 1 binds to the key's earliest
-  * step-1 event, step i+1 to the earliest step-i+1 event after step i's
-  * match. Greedy-earliest is optimal for reachability — binding any
-  * later event can only shrink the remaining window — so `stage_reached`
-  * equals the chained-min SQL formulation the oracle replays
+  * Matching is greedy-earliest (first-touch): step 1 binds to the key's
+  * earliest step-1 event, step i+1 to the earliest step-i+1 event after
+  * step i's match — the chained-min SQL formulation the oracle replays
   * (`WITH s1 AS (min ts), s2 AS (min ts > s1.t), …`).
+  *
+  * WITHOUT a gap cap, greedy-earliest is optimal for reachability:
+  * binding any later event can only shrink the remaining suffix, so
+  * `stage_reached` is the maximum any matching achieves. WITH
+  * `maxStepGapSec` set, that optimality does NOT hold — anchoring to the
+  * earliest step-i event can time out a transition that a later anchor
+  * would complete (view@0, view@150, click@200 with gap 100 reports
+  * stage 1, though view@150 → click@200 qualifies). The SLA variant's
+  * CONTRACT is therefore anchored-first semantics — "did the user
+  * convert within the gap OF THEIR FIRST touch?", the attribution
+  * question SLA funnels usually ask — not maximal reach; both engines
+  * implement the same anchored rule, so the oracle agreement is
+  * semantic, not incidental (r10 ADVICE: the previous doc claimed
+  * optimality unconditionally). A maximal-reach variant would need
+  * per-step frontier sets (all viable anchors), not the constant-space
+  * cursor — a different operator, not a bug fix to this one.
   *
   * Scale: events are filtered to the step types at the scan (predicate
   * pushdown), then ONE hash shuffle on the key feeds

@@ -48,6 +48,15 @@ object Rehearse100 {
     // production. Event ids shift too so they stay unique.
     if (!new java.io.File(s"$outDir/events.parquet").exists()) {
       val ev = Tables.events(spark, sfDir)
+      // r10 ADVICE: the shifts are collision-free only while base ids
+      // stay under the strides — a larger driver fixture would silently
+      // merge per-user histories across replicas and corrupt the
+      // funnel/retention measurements. Enforce the implicit contract.
+      val mx = ev.agg(max(col("user_id")), max(col("event_id"))).head()
+      require(mx.getLong(0) < 1000000L && mx.getLong(1) < 100000000L,
+        s"events id space outgrew the replica strides (max user_id=" +
+          s"${mx.getLong(0)}, max event_id=${mx.getLong(1)}) — raise the " +
+          "shifts before synthesizing")
       (0 until Factor).map { r =>
         ev.withColumn("user_id", col("user_id") + lit(r * 1000000L))
           .withColumn("event_id", col("event_id") + lit(r * 100000000L))
@@ -72,6 +81,45 @@ object Rehearse100 {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     done.createNewFile()
   }
+
+  /** 100× GRAPH-OPERATOR rehearsal (r10 VERDICT #3). The registered
+    * graph queries derive vertices MOD a fixed id space, so replicated
+    * lineitem SATURATES them toward near-cliques — r10's rows measured
+    * densification, not data scaling. Here the DERIVED edge table
+    * replicates with per-replica vertex shifts — a disjoint union of
+    * `Factor` copies: ×100 vertices, ×100 distinct edges, per-vertex
+    * degree distribution and local structure IDENTICAL to the base
+    * graph ("more subgraphs, same density" — the scaling a partitioned
+    * web/social graph actually exhibits). Fixpoint depth for the
+    * monotone ops (truss peeling, matching nomination) therefore stays
+    * the base graph's, which is the property the unrolled oracles rely
+    * on. PPR keeps its 3 roots: its rank vector is GLOBAL (every vertex
+    * joins the edge table every round), so data-side cost scales with
+    * the table even though personalization localizes the mass. */
+  private val graphOps: Map[String, (SparkSession, String) =>
+      (DataFrame, Long, DataFrame => DataFrame)] = {
+    import graft.graph.{GraphOps, Iterative, Triangles}
+    Map(
+      "g_ktruss" -> ((s, d) =>
+        (GraphOps.midEdgesFromLineitem(s, d), 2000L,
+          (e: DataFrame) => Triangles.kTruss(e, k = 3))),
+      "g_link_prediction" -> ((s, d) =>
+        (GraphOps.sparseEdgesFromLineitem(s, d), 10000L,
+          (e: DataFrame) => GraphOps.linkPrediction(e, topK = 100))),
+      "g_matching" -> ((s, d) =>
+        (GraphOps.sparseEdgesFromLineitem(s, d), 10000L,
+          (e: DataFrame) => Iterative.maximalMatching(e, seed = 7L))),
+      "g_ppr" -> ((s, d) =>
+        (GraphOps.edgesFromLineitem(s, d), 1000L,
+          (e: DataFrame) => Iterative.personalizedPagerank(
+            e, Seq(0L, 7L, 42L), alpha = 0.85, iters = 5))))
+  }
+
+  private def shifted(base: DataFrame, mod: Long): DataFrame =
+    (0 until Factor).map { r =>
+      base.select((col("src") + lit(r * mod)).as("src"),
+        (col("dst") + lit(r * mod)).as("dst"))
+    }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, queryCsv) = args
@@ -98,13 +146,49 @@ object Rehearse100 {
       once() // warm
       ((1 to 3).map(_ => once()).sorted.apply(1), rows)
     }
+    def timeOp(op: DataFrame => DataFrame, edges: DataFrame): (Double, Long) = {
+      var rows = 0L
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val df = op(edges)
+        rows = df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.Checkpoints.release(df)
+        dt
+      }
+      once() // warm
+      ((1 to 3).map(_ => once()).sorted.apply(1), rows)
+    }
     queryCsv.split(",").foreach { name =>
-      val q = Registry.byName(name)
-      val (base, baseRows) = time(q, sfDir)
-      val (big, bigRows) = time(q, outDir)
-      println(f"REHEARSE100 $name%-24s base=$base%.2f s ($baseRows%d rows)  " +
-        f"x100=$big%.2f s ($bigRows%d rows)  ratio=${big / base}%.1f  " +
-        f"rowratio=${bigRows.toDouble / math.max(1, baseRows)}%.1f")
+      graphOps.get(name) match {
+        case Some(mk) =>
+          val (baseEdges, mod, op) = mk(spark, sfDir)
+          // persist (NOT localCheckpoint): the timed op's result keeps
+          // the input in its lineage, and the harness's terminal
+          // Checkpoints.release(df) unpersists every LogicalRDD it can
+          // reach — a checkpointed input would lose its blocks AND its
+          // lineage after the first timed run. A cached frame stays
+          // recomputable and release() ignores it.
+          import org.apache.spark.storage.StorageLevel
+          val be = baseEdges.persist(StorageLevel.MEMORY_AND_DISK)
+          be.count()
+          val bigE = shifted(be, mod).persist(StorageLevel.MEMORY_AND_DISK)
+          bigE.count()
+          val (base, baseRows) = timeOp(op, be)
+          val (big, bigRows) = timeOp(op, bigE)
+          println(f"REHEARSE100 $name%-24s base=$base%.2f s ($baseRows%d rows)  " +
+            f"x100=$big%.2f s ($bigRows%d rows)  ratio=${big / base}%.1f  " +
+            f"rowratio=${bigRows.toDouble / math.max(1, baseRows)}%.1f  " +
+            "[shifted-vertex graph, no saturation]")
+          be.unpersist(); bigE.unpersist()
+        case None =>
+          val q = Registry.byName(name)
+          val (base, baseRows) = time(q, sfDir)
+          val (big, bigRows) = time(q, outDir)
+          println(f"REHEARSE100 $name%-24s base=$base%.2f s ($baseRows%d rows)  " +
+            f"x100=$big%.2f s ($bigRows%d rows)  ratio=${big / base}%.1f  " +
+            f"rowratio=${bigRows.toDouble / math.max(1, baseRows)}%.1f")
+      }
     }
     spark.stop()
   }
