@@ -85,7 +85,7 @@ object Bench {
     // round-11 additions: tuned ANN dials, ANN-backed retrieval, and the
     // production tol-mode rank entries
     "q_embed_ivf_knn_tuned", "q_embed_pq_refined_tuned", "q_hybrid_rrf_ann",
-    "b_pagerank_tol", "b_ppr_tol")
+    "q_embed_ivf_knn_clustered", "b_pagerank_tol", "b_ppr_tol")
 
   /** BENCH-ONLY entries (r10 VERDICT #5): the production CONVERGENCE
     * mode of the iterative rank ops. The registered q_pagerank/q_ppr run

@@ -195,6 +195,41 @@ object Similarity {
         coalesce(!col("_dup"), lit(true)).as("admitted"))
   }
 
+  /** Deterministic CLUSTERED embedding fixture, derived purely from the
+    * id column — the data geometry IVF/SemDeDup exist for (the driver
+    * fixture's embeddings are near-uniform, the ADVERSARIAL case for
+    * cell-routed ANN; real corpora cluster). Each row lands in one of
+    * `nClusters` mixer-assigned clusters; component i = center(c, i) +
+    * noise(id, i), with the center uniform in [-1, 1] and the noise
+    * uniform in [-0.3, 0.3], both from the engine's portable integer
+    * mixer (products bounded by 1e9·2654435761 < 2^63 — no overflow on
+    * either engine) and the sum 6dp-rounded. Everything is replayable
+    * term for term in SQL, so ANN queries over this fixture are
+    * hash-green with the SAME oracle discipline as the raw-fixture ones
+    * while exercising the clustered regime — and `tools/RecallProbe`
+    * measures recall on the IDENTICAL derivation the registered queries
+    * run. The derivation is a one-time per-row projection (higher-order
+    * transform, CodegenFallback) — off the per-pair scoring hot path.
+    * Returns (idCol, embedding array<double>). */
+  def syntheticClustered(emb: DataFrame, idCol: String,
+      nClusters: Int = 16, dim: Int = 64): DataFrame = {
+    val vid = col(idCol)
+    val c = ((vid % lit(1000000007L)) * lit(2654435761L) + lit(97531L)) %
+      lit(9973L) % lit(nClusters.toLong)
+    emb.select(vid.as(idCol),
+      transform(sequence(lit(0), lit(dim - 1)), i => {
+        val ii = i.cast("long")
+        val center = ((c * lit(dim.toLong) + ii + lit(1L)) *
+          lit(2654435761L) + lit(12345L)) % lit(9973L) / lit(9973.0) *
+          lit(2.0) - lit(1.0)
+        val h = ((vid % lit(1000000007L)) * lit(100003L) +
+          ii * lit(7919L) + lit(1L)) % lit(1000000007L)
+        val noise = (h * lit(2654435761L) + lit(54321L)) % lit(9973L) /
+          lit(9973.0) * lit(0.6) - lit(0.3)
+        round(center + noise, 6)
+      }).as("embedding"))
+  }
+
   /** The IVF coarse quantizer: `numCentroids` corpus vectors picked by
     * portable mixer key (seed offset 7·40503) — constant-size, broadcast. */
   private def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,

@@ -92,12 +92,20 @@ object RecallProbe {
     // uniform vectors, so probed cells rarely hold the true neighbors).
     // Real embedding corpora are the opposite: they cluster (that is the
     // entire premise of IVF and SemDeDup). This section measures the same
-    // dials on a deterministic mixture-of-Gaussians fixture — 16
-    // well-separated centers in [-1,1]^64, per-dim noise σ=0.3 — so the
-    // recall table shows both regimes: the uniform floor above and the
-    // clustered regime the production configs are tuned for.
-    val clustered = clusteredFixture(spark, n = emb.count().toInt min 4000)
-    println(s"CLUSTERED fixture: ${clustered.count()} rows, 16 centers, sigma=0.3")
+    // dials on [[graft.llm.Similarity.syntheticClustered]] — the EXACT
+    // derivation behind the registered q_embed_knn_clustered /
+    // q_embed_ivf_knn_clustered queries (16 mixer-assigned clusters,
+    // uniform ±0.3 noise around uniform [-1,1]^64 centers), so the
+    // recall table describes precisely what is registered: the uniform
+    // floor above and the clustered regime the production configs are
+    // tuned for.
+    // persist, NOT localCheckpoint: pairsOf releases each result's
+    // reachable checkpoints, which would drop a checkpointed input's
+    // blocks after the first query (a cached frame stays recomputable
+    // and release() ignores it)
+    val clustered = Similarity.syntheticClustered(emb, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"CLUSTERED fixture: ${clustered.count()} rows, 16 clusters, noise ±0.3")
     val cCosTruth = pairsOf(Similarity.bruteForceKnn(clustered, "vec_id",
       "embedding", col("vec_id") < 10, k = 5))
     val cq = broadcast(clustered.where(col("vec_id") < 10)
@@ -123,30 +131,7 @@ object RecallProbe {
           dim = 64, col("vec_id") < 10, m = m, ksub = ksub,
           shortlistK = sl, k = 5)), cL2Truth, "l2")
     }
+    clustered.unpersist()
     spark.stop()
-  }
-
-  /** Deterministic mixture-of-Gaussians embedding table: `n` rows,
-    * 16 centers drawn uniform in [-1,1]^64 from a fixed-seed PRNG,
-    * cluster(vid) = the same portable mixer the engine's hash gates use,
-    * point = center + N(0, 0.3) noise (Box–Muller over the seeded PRNG —
-    * seed a pure function of (vid), so the fixture is bit-identical
-    * across runs and machines). Driver-built (n ≤ 4000 rows — a probe
-    * fixture, not a scale path). */
-  private def clusteredFixture(spark: SparkSession, n: Int): DataFrame = {
-    val centers = {
-      val r = new scala.util.Random(20260814L)
-      Array.fill(16, 64)(r.nextDouble() * 2 - 1)
-    }
-    val rows = (0 until n).map { vid =>
-      val c = (((vid.toLong % 1000000007L) * 2654435761L + 97531L) % 9973L
-        % 16L).toInt
-      val r = new scala.util.Random(1234567L + vid * 31L)
-      val e = Array.tabulate(64)(i =>
-        (centers(c)(i) + r.nextGaussian() * 0.3).toFloat)
-      (vid.toLong, c, e)
-    }
-    import spark.implicits._
-    rows.toDF("vec_id", "true_cluster", "embedding")
   }
 }
