@@ -85,7 +85,9 @@ object Bench {
     // round-11 additions: tuned ANN dials, ANN-backed retrieval, and the
     // production tol-mode rank entries
     "q_embed_ivf_knn_tuned", "q_embed_pq_refined_tuned", "q_hybrid_rrf_ann",
-    "q_embed_ivf_knn_clustered", "b_pagerank_tol", "b_ppr_tol")
+    "q_embed_ivf_knn_clustered", "q_embed_int8", "q_edit_dedup",
+    "q_embed_mrl_knn", "q_embed_mutual_knn",
+    "b_pagerank_tol", "b_ppr_tol")
 
   /** BENCH-ONLY entries (r10 VERDICT #5): the production CONVERGENCE
     * mode of the iterative rank ops. The registered q_pagerank/q_ppr run

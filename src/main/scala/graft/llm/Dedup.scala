@@ -372,6 +372,46 @@ object Dedup {
       .where(col("jaccard") >= tau)
   }
 
+  /** Fuzzy (edit-distance-verified) near-dup pairs — the
+    * candidate→verify pattern with a CHARACTER-level verifier on top of
+    * the shingle-level candidate machinery: pairs pass iff their exact
+    * n-gram Jaccard ≥ `tauJ` (the hash-independent criterion
+    * [[minHashLshPairsExact]] already certifies — banding only prunes)
+    * AND their relative Levenshtein distance ≤ `maxRel` of the longer
+    * text. Jaccard is blind to WHERE edits land (a shuffled bag of the
+    * same shingles scores high); edit distance is the order-sensitive
+    * complement retrieval-dedup pipelines verify with before dropping a
+    * candidate. Both engines implement the identical classic
+    * unit-cost Levenshtein, so the verifier replays exactly.
+    *
+    * 100 TB shape: identical to the banded pipeline it extends — the
+    * only addition is the Levenshtein evaluation on the SURVIVING
+    * candidate pairs (each O(|a|·|b|) on exactly the pairs the Jaccard
+    * gate admits, never all pairs), with the two texts brought to the
+    * pair by the same joins that carry the shingle sets. Returns
+    * (da, db, jaccard, edit_dist, rel_edit). */
+  def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tauJ: Double = 0.8, maxRel: Double = 0.3): DataFrame = {
+    // tauJ must stay in the banding's high-recall regime: at 16 bands ×
+    // 4 rows a true pair at J=τ is missed with prob (1 − τ⁴)¹⁶ — 2e-4
+    // at τ=0.8 but 0.35 at τ=0.5, where oracle equality (which assumes
+    // banding recall 1 on the corpus) would break
+    require(tauJ >= 0.7, "tauJ below the 16x4 banding's recall regime")
+    val cand = minHashLshPairsExact(docs, textCol, idCol, k, numHashes,
+      bands, tauJ)
+    val txt = docs.select(col(idCol), col(textCol))
+    cand
+      .join(txt.select(col(idCol).as("da"), col(textCol).as("ta")), "da")
+      .join(txt.select(col(idCol).as("db"), col(textCol).as("tb")), "db")
+      .select(col("da"), col("db"), col("jaccard"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        round(levenshtein(col("ta"), col("tb")) /
+          greatest(length(col("ta")), length(col("tb"))).cast("double"), 4)
+          .as("rel_edit"))
+      .where(col("rel_edit") <= maxRel)
+  }
+
   /** Asymmetric CONTAINMENT near-dup pairs: (da, db) where
     * max(|A∩B|/|A|, |A∩B|/|B|) ≥ tau — the sub-document duplication
     * symmetric Jaccard structurally misses (a document pasted inside a

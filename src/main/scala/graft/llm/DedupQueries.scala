@@ -330,6 +330,41 @@ object DedupQueries {
                JOIN sizes sb ON db = sb.doc_id
                WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8""")),
 
+    // fuzzy dedup: banded candidates → exact-Jaccard gate (≥ 0.8, the
+    // banding's high-recall regime — see editDistancePairs' require) →
+    // LEVENSHTEIN verification (relative edit distance ≤ 0.3 of the
+    // longer text). Jaccard is blind to where edits land; the
+    // character-level verifier is the order-sensitive complement, and
+    // both engines implement the identical classic unit-cost edit
+    // distance, so the verify stage replays exactly on the
+    // hash-independent candidate set.
+    Q("q_edit_dedup",
+      (s, d) => Dedup.editDistancePairs(Tables.documents(s, d), "text",
+        "doc_id", k = 3, numHashes = 64, bands = 16, tauJ = 0.8,
+        maxRel = 0.3),
+      Some(s"""WITH $shingleCte,
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               shared AS (
+                 SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+               jac AS (
+                 SELECT da, db,
+                        round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+                 FROM shared
+                 JOIN sizes sa ON da = sa.doc_id
+                 JOIN sizes sb ON db = sb.doc_id
+                 WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8)
+               SELECT da, db, jaccard,
+                      CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+                      round(levenshtein(a.text, b.text) * 1.0 /
+                        greatest(length(a.text), length(b.text)), 4) AS rel_edit
+               FROM jac
+               JOIN documents a ON da = a.doc_id
+               JOIN documents b ON db = b.doc_id
+               WHERE round(levenshtein(a.text, b.text) * 1.0 /
+                 greatest(length(a.text), length(b.text)), 4) <= 0.3""")),
+
     // SimHash fingerprints + near-dup pairs on the real corpus —
     // oracle-checked since round 4: the portable polynomial word hash +
     // mixer signs let DuckDB recompute every fingerprint, band, and

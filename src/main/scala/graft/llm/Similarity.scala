@@ -724,6 +724,123 @@ object Similarity {
     adcTopK(cand.join(codes, "vid").join(qd, Seq("qid", "j", "cid")), k)
   }
 
+  /** Symmetric per-vector int8 quantization — the storage layout vector
+    * stores actually ship (FAISS SQ8 / production embedding services):
+    * scale = round(max|e_i| / 127, 9), q_i = clamp(round(e_i / scale),
+    * ±127), with the reconstruction error reported per vector. Output
+    * (idCol, scale, q_checksum, mse): the checksum is the position-
+    * weighted integer fold Σ i·(q_i + 128) mod 1e9+7 (order-sensitive,
+    * pure int64 — the ids_checksum discipline), mse the ordered
+    * left-to-right fold Σ (e_i − q_i·scale)² / dim via the native
+    * [[graft.functions.DotProduct]] (the list_sum parity every cosine
+    * oracle already rides), 9dp-rounded. Zero vectors quantize to all
+    * zeros (scale 0 guard).
+    *
+    * 100 TB shape: one projection per row, zero shuffles, nothing
+    * driver-side — quantization is embarrassingly parallel; the 4×
+    * byte shrink (float32 → int8 + one scale) is the point at storage
+    * scale. The higher-order zip/aggregate lambdas are CodegenFallback
+    * but run once per corpus row, off any per-pair hot path. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int = 64): DataFrame = {
+    val e = transform(col(vecCol), x => x.cast("double"))
+    val base = emb.select(col(idCol), e.as("e"))
+      .withColumn("amax", array_max(transform(col("e"), x => abs(x))))
+      .withColumn("scale", round(col("amax") / lit(127.0), 9))
+      .withColumn("q", transform(col("e"), x =>
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          greatest(lit(-127L), least(lit(127L),
+            round(x / col("scale"), 0).cast("long"))))))
+    val terms = zip_with(col("q"),
+      sequence(lit(1L), lit(dim.toLong)), (qi, i) => i * (qi + lit(128L)))
+    val err = zip_with(col("e"), col("q"),
+      (x, qi) => x - qi.cast("double") * col("scale"))
+    base.select(col(idCol), col("scale"),
+      pmod(aggregate(terms, lit(0L), (acc, x) => acc + x), lit(1000000007L))
+        .as("q_checksum"),
+      round(dot(err, err) / lit(dim.toDouble), 9).as("mse"))
+  }
+
+  /** Matryoshka-style (MRL, Kusupati et al. 2022) dimension-ladder KNN:
+    * shortlist by cosine over the first `truncDim` components only, then
+    * exact full-dimension re-rank of the shortlist — the
+    * [[pqKnnRefined]] refine discipline with TRUNCATION as the cheap
+    * stage instead of quantization. With MRL-trained embeddings the
+    * prefix IS a valid low-dim embedding, so the truncated scan does
+    * dim/truncDim less arithmetic and (at scale) 1/4 the scan bytes;
+    * the exact re-rank bounds the cost of prefix ordering noise to
+    * `shortlistK` full-dim scores per query. The truncated space is
+    * also where an IVF/LSH index would sit at corpus scale (the
+    * registered ANN family composes — this op registers the ladder
+    * itself). Same determinism discipline: 6dp cosine pins, id
+    * tiebreaks, broadcast query sides, shortlist broadcast back into
+    * the corpus scan. Returns (qid, nid, cos, rn), rn ≤ k. */
+  def mrlKnn(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, truncDim: Int, shortlistK: Int = 20,
+      k: Int = 5): DataFrame = {
+    require(shortlistK >= k, "the shortlist must be at least k deep")
+    val corpusT = emb.select(col(idCol).as("nid"),
+      slice(col(vecCol), 1, truncDim).as("nt"))
+    val queriesT = broadcast(emb.where(queryPred)
+      .select(col(idCol).as("qid"), slice(col(vecCol), 1, truncDim).as("qt")))
+    val wT = Window.partitionBy(col("qid"))
+      .orderBy(col("tcos").desc, col("nid").asc)
+    val shortlist = queriesT.crossJoin(corpusT)
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qt"), col("nt")), 6).as("tcos"))
+      .withColumn("rn", row_number().over(wT))
+      .where(col("rn") <= shortlistK)
+      .select(col("qid"), col("nid"))
+    val corpus = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val queries = emb.where(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val exact = broadcast(shortlist).join(corpus, "nid")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    exact.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Mutual-kNN graph, cell-bounded: edges (a, b) where each vector is
+    * in the OTHER's within-cell top-k by cosine — the robust linkage
+    * criterion semantic-clustering pipelines use (one-directional kNN
+    * links hubs to everything; mutuality prunes hub edges). Candidates
+    * are bounded by the IVF cell assignment exactly like [[semanticDedup]]'s
+    * pair stage (per-cell occupancy² work, k ∝ corpus keeps it flat);
+    * the mutuality test is ONE equi-self-join of the kNN edge list on
+    * the swapped key. Cross-cell neighbors are invisible by design —
+    * the SemDeDup recall contract composes. Returns (a, b, cos), a < b.
+    *
+    * 100 TB shape: broadcast centroid join → ONE hash exchange on the
+    * cell id → per-vector window over cell-bounded candidates → an
+    * edge-list self-join on (a, b): k·N rows, fixed-width keys. */
+  def mutualKnn(emb: DataFrame, idCol: String, vecCol: String, k: Int = 10,
+      numCentroids: Int = 16): DataFrame = {
+    val cents = ivfCentroids(emb, idCol, vecCol, numCentroids)
+    val assigned = nearestCells(
+      emb.select(col(idCol).as("vid"), col(vecCol).as("v")), cents,
+      "vid", "v", 1)
+    def side(a: String, v: String) = assigned
+      .select(col("cid"), col("vid").as(a), col("v").as(v))
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("cos").desc, col("b").asc)
+    val knn = side("a", "va").join(side("b", "vb"), "cid")
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("a"), col("b"), col("cos"))
+    knn.join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"),
+        "left_semi")
+      .where(col("a") < col("b"))
+  }
+
   /** Elementwise a − b over two vector columns, each element widened to
     * double BEFORE subtracting (float-subtract-then-widen rounds to
     * float precision first and would break the oracle's double-

@@ -485,6 +485,91 @@ object SimilarityQueries {
                  FROM scored)
                WHERE rn <= 5""")),
 
+    // symmetric per-vector int8 quantization (the SQ8 storage layout):
+    // scale + clamped rounded codes + reconstruction MSE, one
+    // zero-shuffle projection per row; checksum/mse via the engine's
+    // ordered integer/double folds so DuckDB replays bit for bit
+    Q("q_embed_int8",
+      (s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64),
+      Some(s"""WITH $rawVCte,
+               b AS (SELECT vec_id, e,
+                       round(list_max(list_transform(e, x -> abs(x)))
+                         / 127.0, 9) AS scale
+                     FROM v),
+               qz AS (SELECT vec_id, scale, e,
+                        list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                          ELSE greatest(-127, least(127,
+                            CAST(round(x / scale, 0) AS BIGINT))) END) AS q
+                      FROM b)
+               SELECT vec_id, scale,
+                      CAST(list_sum(list_transform(range(1, 65),
+                          i -> i * (q[i] + 128))) % 1000000007 AS BIGINT)
+                        AS q_checksum,
+                      round(list_sum(list_transform(range(1, 65),
+                          i -> (e[i] - q[i] * scale) * (e[i] - q[i] * scale)))
+                        / 64.0, 9) AS mse
+               FROM qz""")),
+
+    // Matryoshka dimension-ladder KNN: cosine shortlist on the first 16
+    // components, exact full-dim re-rank of the shortlist only — the
+    // refine discipline with truncation as the cheap stage; both
+    // stages replayed (shortlist membership AND re-ranked order)
+    Q("q_embed_mrl_knn",
+      (s, d) => Similarity.mrlKnn(Tables.embeddings(s, d), "vec_id",
+        "embedding", col("vec_id") < 10, truncDim = 16, shortlistK = 20,
+        k = 5),
+      Some(s"""WITH $rawVCte,
+               vt AS (SELECT vec_id, list_slice(e, 1, 16) AS t FROM v),
+               st AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                             ${duckCos("q.t", "c.t")} AS tcos
+                      FROM vt q, vt c
+                      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+               shortlist AS (SELECT qid, nid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY tcos DESC, nid) AS rn FROM st)
+                 WHERE rn <= 20),
+               rescored AS (
+                 SELECT sl.qid, sl.nid, ${duckCos("q.e", "n.e")} AS cos
+                 FROM shortlist sl
+                 JOIN v q ON sl.qid = q.vec_id
+                 JOIN v n ON sl.nid = n.vec_id)
+               SELECT qid, nid, cos, rn FROM (
+                 SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS BIGINT) AS rn FROM rescored)
+               WHERE rn <= 5""")),
+
+    // cell-bounded mutual-kNN graph: within-cell top-10 per vector,
+    // edges kept only when BOTH directions agree (the hub-pruning
+    // linkage criterion); the mutuality test is one equi-self-join of
+    // the kNN edge list — every stage replayed
+    Q("q_embed_mutual_knn",
+      (s, d) => Similarity.mutualKnn(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 10, numCentroids = 16),
+      Some(s"""WITH $rawVCte,
+               cents AS (SELECT vec_id AS cid, e AS cv FROM v
+                         ORDER BY ((vec_id % 1000000007) * 2654435761
+                                   + 283521) % 9973, vec_id
+                         LIMIT 16),
+               assigned AS (SELECT vid, ve, cid FROM (
+                 SELECT v.vec_id AS vid, v.e AS ve, c.cid,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.cid)
+                          AS crn
+                 FROM v, cents c) WHERE crn <= 1),
+               knn AS (SELECT a, b, cos FROM (
+                 SELECT x.vid AS a, y.vid AS b,
+                        ${duckCos("x.ve", "y.ve")} AS cos,
+                        row_number() OVER (PARTITION BY x.vid
+                          ORDER BY ${duckCos("x.ve", "y.ve")} DESC, y.vid)
+                          AS rn
+                 FROM assigned x JOIN assigned y
+                   ON x.cid = y.cid AND x.vid <> y.vid)
+                 WHERE rn <= 10)
+               SELECT x.a, x.b, x.cos
+               FROM knn x JOIN knn y ON x.a = y.b AND x.b = y.a
+               WHERE x.a < x.b""")),
+
     // semantic decontamination: flag training vectors within cosine
     // >= tau of any eval vector — cross-set-only LSH candidates
     // (eval x train, never train x train), the tiny multi-probed eval

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Similarity}
+
+/** Semantic properties of the round-11 embedding/dedup additions —
+  * equivalences and containments the oracles can't express. */
+class SimilarityExtrasSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+
+  test("mrlKnn at full dimension with a corpus-wide shortlist IS bruteForceKnn") {
+    // truncDim = dim makes the cheap stage the exact scoring, and a
+    // shortlist deeper than the corpus disables the cut — the ladder
+    // must then reproduce the exact KNN row for row, proving the
+    // refine plumbing adds no semantics of its own.
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
+      col("vec_id") < 5, k = 5).collect().map(_.toSeq).toSet
+    val ladder = Similarity.mrlKnn(emb, "vec_id", "embedding",
+      col("vec_id") < 5, truncDim = 64, shortlistK = n, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(ladder == exact)
+  }
+
+  test("mutualKnn edges are symmetric-by-construction and within-cell top-k") {
+    val edges = Similarity.mutualKnn(emb, "vec_id", "embedding", k = 5,
+      numCentroids = 4).collect()
+    assert(edges.nonEmpty)
+    // canonical orientation, no self-loops, no duplicates
+    val pairs = edges.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("int8 quantization: mse bounded by the quantization step, checksum stable") {
+    val out = Similarity.quantizeInt8(emb, "vec_id", "embedding").collect()
+    assert(out.length == emb.count())
+    out.foreach { r =>
+      val scale = r.getDouble(1); val mse = r.getDouble(3)
+      // worst-case per-component error is scale/2 inside the clamp range
+      // (amax maps to ±127 exactly, so nothing clamps on real data)
+      assert(mse <= scale * scale / 4 + 1e-12,
+        s"mse $mse exceeds (scale/2)^2 for scale $scale")
+    }
+    // deterministic: a second run yields identical rows
+    val again = Similarity.quantizeInt8(emb, "vec_id", "embedding").collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("edit-distance pairs are a subset of the Jaccard pairs they verify") {
+    val docs = Tables.documents(spark, sf0001)
+    val jac = Dedup.minHashLshPairsExact(docs, "text", "doc_id",
+      k = 3, numHashes = 64, bands = 16, tau = 0.8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ed = Dedup.editDistancePairs(docs, "text", "doc_id",
+      tauJ = 0.8, maxRel = 0.3).collect()
+    assert(ed.nonEmpty, "fixture should contain verifiable near-dups")
+    ed.foreach { r =>
+      assert(jac.contains((r.getLong(0), r.getLong(1))))
+      assert(r.getDouble(4) <= 0.3) // rel_edit respects the threshold
+    }
+    // the guard refuses the low-recall banding regime
+    intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(docs, "text", "doc_id", tauJ = 0.5)
+    }
+  }
+}
