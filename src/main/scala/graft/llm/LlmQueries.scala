@@ -14,7 +14,7 @@ object LlmQueries {
   /** DuckDB cosine fragment over double-list columns, rounded to 6dp —
     * ordered list_sum matches Spark's aggregate() fold (q_embed_knn
     * established the parity). */
-  private[llm] def duckCos(a: String, b: String): String =
+  private[graft] def duckCos(a: String, b: String): String =
     s"""round(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
          / (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i])))
           * sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))), 6)"""

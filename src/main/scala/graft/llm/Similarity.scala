@@ -232,7 +232,7 @@ object Similarity {
 
   /** The IVF coarse quantizer: `numCentroids` corpus vectors picked by
     * portable mixer key (seed offset 7·40503) — constant-size, broadcast. */
-  private def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+  private[graft] def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int): DataFrame =
     broadcast(emb
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
@@ -242,17 +242,35 @@ object Similarity {
       .limit(numCentroids))
 
   /** Route rows to their `n` nearest coarse cells (cosine, 6dp + cid
-    * tiebreak) — broadcast centroid join, window per row id. */
-  private def nearestCells(df: DataFrame, cents: DataFrame, id: String,
-      v: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid").asc)
-    df.crossJoin(cents)
-      .select(col(id), col(v), col("cid"),
-        round(cosine(col(v), col("cv")), 6).as("csim"))
-      .withColumn("crn", row_number().over(w))
-      .where(col("crn") <= n)
-      .select(col(id), col(v), col("cid"))
-  }
+    * tiebreak) — broadcast centroid join. n = 1 (every corpus
+    * assignment) runs as a map-side min(struct) argmin — the kmeans
+    * assignment shape: the shuffle carries ONE candidate row per
+    * (partition, point) instead of all N·numCentroids scored rows,
+    * which a window would exchange wholesale (measured 45× on the
+    * first auto-scaled mutual-kNN ×100 rehearsal, where N·k hit 3e8
+    * rows). The lexicographic (−csim, cid) struct order replays the
+    * window's (csim desc, cid asc) tiebreak; the point vector rides
+    * through the struct (constant per group). n > 1 (query-side
+    * multi-probe, small by construction) keeps the window. */
+  private[graft] def nearestCells(df: DataFrame, cents: DataFrame, id: String,
+      v: String, n: Int): DataFrame =
+    if (n == 1) {
+      df.crossJoin(cents)
+        .select(col(id), col(v), col("cid"),
+          round(cosine(col(v), col("cv")), 6).as("csim"))
+        .groupBy(col(id))
+        .agg(min(struct((-col("csim")).as("neg"), col("cid").as("cid"),
+          col(v).as("vv"))).as("s"))
+        .select(col(id), col("s.vv").as(v), col("s.cid").as("cid"))
+    } else {
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid").asc)
+      df.crossJoin(cents)
+        .select(col(id), col(v), col("cid"),
+          round(cosine(col(v), col("cv")), 6).as("csim"))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") <= n)
+        .select(col(id), col(v), col("cid"))
+    }
 
   /** IVF (inverted-file) ANN: centroids are a FIXED-SIZE deterministic
     * hash-sample of the corpus (the `numCentroids` rows with the smallest
@@ -811,20 +829,50 @@ object Similarity {
     * criterion semantic-clustering pipelines use (one-directional kNN
     * links hubs to everything; mutuality prunes hub edges). Candidates
     * are bounded by the IVF cell assignment exactly like [[semanticDedup]]'s
-    * pair stage (per-cell occupancy² work, k ∝ corpus keeps it flat);
-    * the mutuality test is ONE equi-self-join of the kNN edge list on
-    * the swapped key. Cross-cell neighbors are invisible by design —
-    * the SemDeDup recall contract composes. Returns (a, b, cos), a < b.
+    * pair stage; the mutuality test is ONE equi-self-join of the kNN
+    * edge list on the swapped key. Cross-cell neighbors are invisible by
+    * design — the SemDeDup recall contract composes. Returns
+    * (a, b, cos), a < b.
+    *
+    * The cell count AUTO-SCALES: numCentroids = max(minCentroids,
+    * ⌈N/targetOccupancy⌉) — a fixed cell count would let occupancy, and
+    * with it the within-cell pair term, grow linearly with the corpus
+    * (the r9 SemDeDup fixed-k trap: the first ×100 rehearsal attempt
+    * with 16 fixed cells implied ~2.5e9 candidate pairs). With k ∝ N
+    * the pair stage does N·occupancy work, flat per cell — but then
+    * FLAT assignment does N·numCentroids cosine evaluations, and the
+    * ×100 rehearsal measured THAT term dominating at ratio 32×
+    * (3.1e8 scored rows), so above `routeAbove` cells the assignment
+    * goes two-level ([[routedAssignCos]] — the q_semantic_dedup_routed
+    * discipline): a static ⌈√k⌉ coarse grid (the first rows of the SAME
+    * mixer ordering — nested sampling) routes each point, the argmin
+    * runs over that cell's fine centroids, ~N·2√k candidates instead
+    * of N·k. Routed assignment approximates the global nearest cell
+    * (the IVF nProbe=1 contract at the coarse level) — candidate
+    * bounding, not scoring, so returned cosines stay exact; both paths
+    * are registered with full replays (q_embed_mutual_knn flat at
+    * fixture scale, q_embed_mutual_knn_routed forced).
     *
     * 100 TB shape: broadcast centroid join → ONE hash exchange on the
     * cell id → per-vector window over cell-bounded candidates → an
     * edge-list self-join on (a, b): k·N rows, fixed-width keys. */
   def mutualKnn(emb: DataFrame, idCol: String, vecCol: String, k: Int = 10,
-      numCentroids: Int = 16): DataFrame = {
+      targetOccupancy: Int = 128, minCentroids: Int = 16,
+      routeAbove: Int = 64): DataFrame = {
+    val numCentroids = math.max(minCentroids.toLong,
+      (emb.count() + targetOccupancy - 1) / targetOccupancy).toInt
     val cents = ivfCentroids(emb, idCol, vecCol, numCentroids)
-    val assigned = nearestCells(
-      emb.select(col(idCol).as("vid"), col(vecCol).as("v")), cents,
-      "vid", "v", 1)
+    val pts = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val assigned =
+      if (numCentroids <= routeAbove) nearestCells(pts, cents, "vid", "v", 1)
+      else {
+        val coarse = math.max(2,
+          math.ceil(math.sqrt(numCentroids.toDouble)).toInt)
+        val coarseTab = broadcast(
+          ivfCentroids(emb, idCol, vecCol, coarse)
+            .select(col("cid").as("ccid"), col("cv").as("ccv")))
+        routedAssignCos(pts, cents, coarseTab, "vid", "v")
+      }
     def side(a: String, v: String) = assigned
       .select(col("cid"), col("vid").as(a), col("v").as(v))
     val w = Window.partitionBy(col("a"))
@@ -839,6 +887,45 @@ object Similarity {
     knn.join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"),
         "left_semi")
       .where(col("a") < col("b"))
+  }
+
+  /** One-shot two-level ROUTED nearest-cell assignment by cosine — the
+    * [[kmeansRouted]] round body as a standalone (static cells instead
+    * of Lloyd updates): (1) each fine cell maps to its nearest coarse
+    * cell (k·coarse rows — driver-scale, broadcast), (2) each point
+    * routes to its nearest ACTIVE coarse cell, (3) the argmin runs over
+    * that cell's fine centroids. Candidates per point: coarse + k/coarse
+    * avg ≈ 2√k at coarse = ⌈√k⌉, versus flat's k. All three argmins are
+    * map-side min(struct) with the (−cos, cid) lexicographic tiebreak
+    * (= cos desc, cid asc). The routed cell is an APPROXIMATION of the
+    * global nearest (a point near a coarse boundary can miss a fine
+    * centroid parked next door — the IVF nProbe=1 contract); every
+    * level replays in the oracle. */
+  private[graft] def routedAssignCos(pts: DataFrame, cents: DataFrame,
+      coarseTab: DataFrame, id: String, v: String): DataFrame = {
+    val f2c = broadcast(cents.crossJoin(coarseTab)
+      .select(col("cid"), col("cv"), col("ccid"),
+        round(cosine(col("cv"), col("ccv")), 6).as("cs"))
+      .groupBy(col("cid"))
+      .agg(min(struct((-col("cs")).as("neg"), col("ccid").as("ccid"),
+        col("cv").as("cv"))).as("s"))
+      .select(col("s.ccid").as("ccid"), col("cid"), col("s.cv").as("cv")))
+    val active = broadcast(f2c.select(col("ccid")).distinct()
+      .join(coarseTab, "ccid"))
+    val p2c = pts.crossJoin(active)
+      .select(col(id), col(v), col("ccid"),
+        round(cosine(col(v), col("ccv")), 6).as("cs"))
+      .groupBy(col(id))
+      .agg(min(struct((-col("cs")).as("neg"), col("ccid").as("ccid"),
+        col(v).as("vv"))).as("s"))
+      .select(col(id), col("s.vv").as(v), col("s.ccid").as("ccid"))
+    p2c.join(f2c, "ccid")
+      .select(col(id), col(v), col("cid"),
+        round(cosine(col(v), col("cv")), 6).as("cs"))
+      .groupBy(col(id))
+      .agg(min(struct((-col("cs")).as("neg"), col("cid").as("cid"),
+        col(v).as("vv"))).as("s"))
+      .select(col(id), col("s.vv").as(v), col("s.cid").as("cid"))
   }
 
   /** Elementwise a − b over two vector columns, each element widened to

@@ -492,24 +492,7 @@ object SimilarityQueries {
     Q("q_embed_int8",
       (s, d) => Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id",
         "embedding", dim = 64),
-      Some(s"""WITH $rawVCte,
-               b AS (SELECT vec_id, e,
-                       round(list_max(list_transform(e, x -> abs(x)))
-                         / 127.0, 9) AS scale
-                     FROM v),
-               qz AS (SELECT vec_id, scale, e,
-                        list_transform(e, x -> CASE WHEN scale = 0 THEN 0
-                          ELSE greatest(-127, least(127,
-                            CAST(round(x / scale, 0) AS BIGINT))) END) AS q
-                      FROM b)
-               SELECT vec_id, scale,
-                      CAST(list_sum(list_transform(range(1, 65),
-                          i -> i * (q[i] + 128))) % 1000000007 AS BIGINT)
-                        AS q_checksum,
-                      round(list_sum(list_transform(range(1, 65),
-                          i -> (e[i] - q[i] * scale) * (e[i] - q[i] * scale)))
-                        / 64.0, 9) AS mse
-               FROM qz""")),
+      Some(int8Sql)),
 
     // Matryoshka dimension-ladder KNN: cosine shortlist on the first 16
     // components, exact full-dim re-rank of the shortlist only — the
@@ -545,18 +528,73 @@ object SimilarityQueries {
     // the kNN edge list — every stage replayed
     Q("q_embed_mutual_knn",
       (s, d) => Similarity.mutualKnn(Tables.embeddings(s, d), "vec_id",
-        "embedding", k = 10, numCentroids = 16),
+        "embedding", k = 10),
       Some(s"""WITH $rawVCte,
                cents AS (SELECT vec_id AS cid, e AS cv FROM v
                          ORDER BY ((vec_id % 1000000007) * 2654435761
                                    + 283521) % 9973, vec_id
-                         LIMIT 16),
+                         LIMIT (SELECT greatest(16, CAST(ceil(count(*)
+                                  / 128.0) AS BIGINT)) FROM v)),
                assigned AS (SELECT vid, ve, cid FROM (
                  SELECT v.vec_id AS vid, v.e AS ve, c.cid,
                         row_number() OVER (PARTITION BY v.vec_id
                           ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.cid)
                           AS crn
                  FROM v, cents c) WHERE crn <= 1),
+               knn AS (SELECT a, b, cos FROM (
+                 SELECT x.vid AS a, y.vid AS b,
+                        ${duckCos("x.ve", "y.ve")} AS cos,
+                        row_number() OVER (PARTITION BY x.vid
+                          ORDER BY ${duckCos("x.ve", "y.ve")} DESC, y.vid)
+                          AS rn
+                 FROM assigned x JOIN assigned y
+                   ON x.cid = y.cid AND x.vid <> y.vid)
+                 WHERE rn <= 10)
+               SELECT x.a, x.b, x.cos
+               FROM knn x JOIN knn y ON x.a = y.b AND x.b = y.a
+               WHERE x.a < x.b""")),
+
+    // the SAME mutual-kNN with the two-level ROUTED assignment FORCED
+    // (routeAbove = 0) — the path the auto-threshold takes once the
+    // auto-scaled cell count exceeds 64, i.e. the 100 TB path (the ×100
+    // rehearsal measured flat N·k assignment at ratio 32×). The oracle
+    // replays BOTH routing levels — fine→coarse map, point→active-
+    // coarse routing, in-cell argmin — plus the kNN window and the
+    // mutuality join, so the routing approximation itself is checked.
+    Q("q_embed_mutual_knn_routed",
+      (s, d) => Similarity.mutualKnn(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 10, routeAbove = 0),
+      Some(s"""WITH $rawVCte,
+               cents AS (SELECT vec_id AS cid, e AS cv FROM v
+                         ORDER BY ((vec_id % 1000000007) * 2654435761
+                                   + 283521) % 9973, vec_id
+                         LIMIT (SELECT greatest(16, CAST(ceil(count(*)
+                                  / 128.0) AS BIGINT)) FROM v)),
+               co AS (SELECT vec_id AS ccid, e AS ccv FROM v
+                      ORDER BY ((vec_id % 1000000007) * 2654435761
+                                + 283521) % 9973, vec_id
+                      LIMIT (SELECT greatest(2, CAST(ceil(sqrt(greatest(16,
+                               ceil(count(*) / 128.0)))) AS BIGINT)) FROM v)),
+               f2c AS (SELECT ccid, cid, cv FROM (
+                 SELECT c.cid, c.cv, o.ccid,
+                        row_number() OVER (PARTITION BY c.cid
+                          ORDER BY ${duckCos("c.cv", "o.ccv")} DESC, o.ccid)
+                          AS rn
+                 FROM cents c, co o) WHERE rn = 1),
+               act AS (SELECT ccid, ccv FROM co
+                       WHERE ccid IN (SELECT ccid FROM f2c)),
+               p2c AS (SELECT vid, ve, ccid FROM (
+                 SELECT v.vec_id AS vid, v.e AS ve, a.ccid,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY ${duckCos("v.e", "a.ccv")} DESC, a.ccid)
+                          AS rn
+                 FROM v, act a) WHERE rn = 1),
+               assigned AS (SELECT vid, ve, cid FROM (
+                 SELECT p.vid, p.ve, f.cid,
+                        row_number() OVER (PARTITION BY p.vid
+                          ORDER BY ${duckCos("p.ve", "f.cv")} DESC, f.cid)
+                          AS rn
+                 FROM p2c p JOIN f2c f USING (ccid)) WHERE rn = 1),
                knn AS (SELECT a, b, cos FROM (
                  SELECT x.vid AS a, y.vid AS b,
                         ${duckCos("x.ve", "y.ve")} AS cos,
@@ -610,6 +648,29 @@ object SimilarityQueries {
           SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
           FROM embeddings)"""
+
+  /** DuckDB replay of [[Similarity.quantizeInt8]] (dim 64) over the raw
+    * fixture — shared by q_embed_int8 and its streaming twin
+    * (q_stream_int8) so the replays cannot drift. */
+  private[graft] def int8Sql: String =
+    s"""WITH $rawVCte,
+        b AS (SELECT vec_id, e,
+                round(list_max(list_transform(e, x -> abs(x)))
+                  / 127.0, 9) AS scale
+              FROM v),
+        qz AS (SELECT vec_id, scale, e,
+                 list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                   ELSE greatest(-127, least(127,
+                     CAST(round(x / scale, 0) AS BIGINT))) END) AS q
+               FROM b)
+        SELECT vec_id, scale,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> i * (q[i] + 128))) % 1000000007 AS BIGINT)
+                 AS q_checksum,
+               round(list_sum(list_transform(range(1, 65),
+                   i -> (e[i] - q[i] * scale) * (e[i] - q[i] * scale)))
+                 / 64.0, 9) AS mse
+        FROM qz"""
 
   /** The CLUSTERED-fixture `v` CTE — the term-for-term replay of
     * [[Similarity.syntheticClustered]] (16 clusters, dim 64): cluster

@@ -142,6 +142,37 @@ object StreamingQueries {
     // blocklist gating ON the crawl stream (r10): the stateless
     // blocklist projection per micro-batch ≡ the batch audit over the
     // same corpus — q_blocklist's oracle, verbatim (same phrase list)
+    // IVF INGEST routing on the embedding stream (r11): each arriving
+    // vector lands in its nearest coarse cell — the ANN layout's write
+    // path at stream time. The batch-trained quantizer's k rows ride as
+    // literals and the argmax is a stateless greatest()-over-structs
+    // projection (windows are illegal on append streams); the oracle
+    // replays the batch cell assignment, whose (cos desc, cid asc)
+    // tiebreak the struct ordering reproduces exactly.
+    Q("q_stream_embed_route",
+      (s, d) => Streams.streamEmbedRoute(s, d, numCentroids = 16),
+      Some(s"""WITH v AS (
+                 SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings),
+               cents AS (SELECT vec_id AS cid, e AS cv FROM v
+                         ORDER BY ((vec_id % 1000000007) * 2654435761
+                                   + 283521) % 9973, vec_id
+                         LIMIT 16)
+               SELECT vec_id, cell FROM (
+                 SELECT v.vec_id, c.cid AS cell,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY ${graft.llm.LlmQueries.duckCos("v.e", "c.cv")}
+                            DESC, c.cid) AS crn
+                 FROM v, cents c) WHERE crn <= 1""")),
+
+    // int8 quantization on the embedding stream (r11): the SQ8 storage
+    // compression of an ingest pipeline as a stateless per-batch
+    // projection — q_embed_int8's oracle, verbatim (shared builder)
+    Q("q_stream_int8",
+      (s, d) => Streams.streamInt8(s, d),
+      Some(graft.llm.SimilarityQueries.int8Sql)),
+
     Q("q_stream_blocklist",
       (s, d) => Streams.streamBlocklist(s, d,
         Seq("slow", "big table", "fast merge")),

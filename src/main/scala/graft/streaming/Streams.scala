@@ -396,6 +396,52 @@ object Streams {
         floor(col("wts").cast("double") / bucketSec).cast("long").as("wk")))
   }
 
+  /** Streaming IVF INGEST routing: each arriving embedding routes to
+    * its nearest coarse cell — the write path of the ANN layout
+    * ([[graft.llm.Similarity.ivfKnn]]'s corpus assignment) moved to
+    * stream time, so a fresh vector lands in its cell before any query
+    * probes it. The quantizer trains batch-side (the mixer-picked
+    * constant-size sample) and its k rows COLLECT to the driver, because
+    * the batch formulation's per-row window/argmin aggregate is illegal
+    * on an append stream — instead the argmax over k cells runs as a
+    * pure PROJECTION: greatest() over k (cos, −cid) structs, which
+    * replays the batch (csim desc, cid asc) tiebreak exactly. Stateless,
+    * Append mode, row-for-row equal to the batch assignment.
+    *
+    * Scale: k literal centroid vectors ride in the plan (k ≤ hundreds —
+    * the IVF quantizer is corpus-size-independent by construction);
+    * per row the projection does k codegen'd dot products. */
+  def streamEmbedRoute(spark: SparkSession, sfDir: String,
+      numCentroids: Int = 16): DataFrame = {
+    import graft.llm.Similarity
+    val s = tuned(spark)
+    val cents = Similarity.ivfCentroids(Tables.embeddings(s, sfDir),
+      "vec_id", "embedding", numCentroids)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val v = col("embedding")
+    val cands = cents.map { case (cid, cv) =>
+      struct(round(Similarity.cosine(v, lit(cv)), 6).as("cos"),
+        lit(-cid).as("negCid"))
+    }
+    val routed = tableStream(s, sfDir, "embeddings")
+      .select(col("vec_id"),
+        (-greatest(cands: _*).getField("negCid"))
+          .cast("long").as("cell"))
+    drain(routed, OutputMode.Append(), "stream_embed_route")
+  }
+
+  /** Streaming int8 quantization: [[graft.llm.Similarity.quantizeInt8]]
+    * applied per micro-batch — the storage-layout compression step of
+    * an embedding ingest pipeline at stream time. Stateless zero-state
+    * projection; Append mode, row-for-row equal to the batch op. */
+  def streamInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = tuned(spark)
+    val q = graft.llm.Similarity.quantizeInt8(
+      tableStream(s, sfDir, "embeddings"), "vec_id", "embedding")
+    drain(q, OutputMode.Append(), "stream_int8")
+  }
+
   case class TransState(lastMicros: Long, lastType: String)
 
   /** Streaming twin of [[graft.operators.Funnel.transitionCounts]]: per

@@ -43,7 +43,7 @@ object StreamSmoke {
     "q_stream_incremental_dedup", "q_stream_linear_score",
     "q_stream_blocklist", "q_stream_funnel",
     "q_stream_transitions", "q_stream_anomaly",
-    "q_stream_retention")
+    "q_stream_retention", "q_stream_embed_route", "q_stream_int8")
 
   final case class Result(name: String, single: Long, multi: Long,
       verdict: String, diff: Long)
@@ -54,6 +54,13 @@ object StreamSmoke {
   /** Write the 8-chunk incremental layout (idempotent via `_done`). */
   def prepareChunks(spark: SparkSession, sfDir: String,
       outDir: String): Unit = {
+    // r11 addition, guarded separately so pre-r11 chunk dirs (whose
+    // _done predates the embeddings chunks) self-heal
+    if (!new java.io.File(s"$outDir/embeddings.parquet").exists()) {
+      Tables.embeddings(spark, sfDir)
+        .repartitionByRange(8, col("vec_id"))
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
     val done = new java.io.File(s"$outDir/_done")
     if (done.exists()) return
     // 8 contiguous ts ranges; part file order = arrival order, so the

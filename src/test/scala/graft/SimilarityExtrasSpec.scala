@@ -28,7 +28,7 @@ class SimilarityExtrasSpec extends AnyFunSuite {
 
   test("mutualKnn edges are symmetric-by-construction and within-cell top-k") {
     val edges = Similarity.mutualKnn(emb, "vec_id", "embedding", k = 5,
-      numCentroids = 4).collect()
+      minCentroids = 4).collect()
     assert(edges.nonEmpty)
     // canonical orientation, no self-loops, no duplicates
     val pairs = edges.map(r => (r.getLong(0), r.getLong(1)))
