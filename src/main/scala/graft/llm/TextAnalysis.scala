@@ -374,6 +374,46 @@ object TextAnalysis {
     (0 until dim).map(i =>
       ((i * 2654435761L + 40503L) % 9973L).toDouble / 9973.0 - 0.5)
 
+  /** Multi-class hashed-linear DOMAIN classifier — the mixture-
+    * bucketing step (CCNet language buckets, DoReMi domain heads) on
+    * top of [[hashedLinearScore]]'s projection: `numDomains` mixer-
+    * seeded weight heads score every document in ONE scan (each word
+    * hashes to its bucket once; head c's weight for bucket h is
+    * computed INLINE from the mixer — ((c·dim + h)·2654435761 + 40503)
+    * mod 9973 / 9973 − 0.5 — so no weight vector is materialized on
+    * either engine), and the document's domain is the argmax score
+    * with (score desc, domain asc) tiebreak, expressed as least() over
+    * (−score, domain) structs. Per-head sums are ordered left-to-right
+    * folds (the list_sum parity). Returns
+    * (doc_id, n_words, domain, score).
+    *
+    * 100 TB shape: a zero-shuffle projection — C·|words| arithmetic
+    * per document, no joins, no aggregation exchange; domain
+    * assignment gates the mixture sampler exactly like the binary
+    * quality score gates filtering. */
+  def domainClassify(docs: DataFrame, textCol: String, idCol: String,
+      numDomains: Int = 4, dim: Int = 64): DataFrame = {
+    require(numDomains >= 2, "need at least two domains")
+    val toks = filter(split(col(textCol), "\\s+"), w => length(w) > lit(0))
+    val hs = transform(toks, w =>
+      pmod(graft.functions.WordHash.wordHash(w), lit(dim.toLong)))
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_words"), hs.as("hs"))
+    def score(c: Int): Column = {
+      val terms = transform(col("hs"), h =>
+        ((lit(c.toLong * dim) + h) * lit(2654435761L) + lit(40503L))
+          % lit(9973L) / lit(9973.0) - lit(0.5))
+      round(when(col("n_words") > 0L,
+        aggregate(terms, lit(0.0), (a, x) => a + x) /
+          col("n_words").cast("double")).otherwise(lit(0.0)), 6)
+    }
+    val best = least((0 until numDomains).map(c =>
+      struct((-score(c)).as("neg"), lit(c.toLong).as("d"))): _*)
+    base.select(col("doc_id"), col("n_words"),
+      best.getField("d").as("domain"),
+      (-best.getField("neg")).as("score"))
+  }
+
   /** Content fingerprint: md5 over case/whitespace-normalized text —
     * the join key for exact dedup across differently-formatted copies.
     * Normalization is the native one-scan NormalizeText expression. */

@@ -488,6 +488,35 @@ object TextAnalysisQueries {
     // mean bucket weight — the fastText/CCNet model-based-filter
     // inference shape as a zero-shuffle projection; the mixer-generated
     // stand-in weights are built by the same formula on both engines
+    // multi-class domain classification for mixture bucketing (r11):
+    // 4 mixer-seeded hashed-linear heads in ONE scan, argmax domain
+    // with (score desc, domain asc) tiebreak — head weights computed
+    // inline from the mixer on both engines, per-head sums ordered
+    // folds, zero shuffles
+    Q("q_domain_classify",
+      (s, d) => TextAnalysis.domainClassify(Tables.documents(s, d),
+        "text", "doc_id", numDomains = 4, dim = 64),
+      Some(s"""WITH w AS (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                       x -> length(x) > 0) AS ws
+                   FROM documents),
+               h AS (SELECT doc_id, len(ws) AS n_words,
+                       list_transform(ws, x ->
+                         CAST(${duckWordHash("x")} % 64 AS BIGINT)) AS hs
+                     FROM w),
+               sc AS (SELECT doc_id, n_words, t.c,
+                        round(CASE WHEN n_words > 0 THEN
+                          list_sum(list_transform(hs, hh ->
+                            CAST(((t.c * 64 + hh) * 2654435761 + 40503)
+                              % 9973 AS DOUBLE) / 9973.0 - 0.5)) / n_words
+                          ELSE 0.0 END, 6) AS score
+                      FROM h, UNNEST([0, 1, 2, 3]) AS t(c))
+               SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                      CAST(c AS BIGINT) AS domain, score FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, c) AS rn FROM sc)
+               WHERE rn = 1""")),
+
     Q("q_linear_score",
       (s, d) => TextAnalysis.hashedLinearScore(Tables.documents(s, d),
         "text", "doc_id", TextAnalysis.mixerWeights(64)),

@@ -573,6 +573,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"first-seen/active aggregates must partial map-side:\n$p")
   }
 
+  test("domain classification is a zero-shuffle projection") {
+    val docs = Tables.documents(spark, sf0001)
+    val df = graft.llm.TextAnalysis.domainClassify(docs, "text", "doc_id")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "the multi-head classifier must not shuffle")
+  }
+
   test("gopher rules are a zero-shuffle projection") {
     val docs = Tables.documents(spark, sf0001)
     val df = graft.llm.TextAnalysis.gopherRules(docs, "text", "doc_id")

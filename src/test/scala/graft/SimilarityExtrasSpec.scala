@@ -51,6 +51,27 @@ class SimilarityExtrasSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("domain classifier: head 0 is the binary scorer; argmax dominates every head") {
+    import graft.llm.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    // head 0's weight formula ((0·64 + h)·mixer) IS mixerWeights(64), so
+    // the classifier's head-0 score must equal hashedLinearScore's — and
+    // the reported argmax score must dominate it for every document
+    val head0 = TextAnalysis.hashedLinearScore(docs, "text", "doc_id",
+      TextAnalysis.mixerWeights(64))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val out = TextAnalysis.domainClassify(docs, "text", "doc_id").collect()
+    assert(out.length == head0.size)
+    out.foreach { r =>
+      val (id, dom, score) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(score >= head0(id) - 1e-9,
+        s"doc $id: argmax $score below head-0 ${head0(id)}")
+      if (dom == 0L) assert(math.abs(score - head0(id)) < 1e-9)
+    }
+    assert(out.map(_.getLong(2)).distinct.length > 1,
+      "fixture should spread across domains")
+  }
+
   test("edit-distance pairs are a subset of the Jaccard pairs they verify") {
     val docs = Tables.documents(spark, sf0001)
     val jac = Dedup.minHashLshPairsExact(docs, "text", "doc_id",
