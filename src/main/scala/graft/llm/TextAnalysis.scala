@@ -414,6 +414,44 @@ object TextAnalysis {
       (-best.getField("neg")).as("score"))
   }
 
+  /** Per-source domain-mixture drift: KL(P(domain|source) ‖ P(domain))
+    * over [[domainClassify]]'s assignments — the monitoring readout a
+    * curation pipeline alarms on when a crawl source's content shifts
+    * relative to the corpus mix. Counts are exact integers (one
+    * map-side-partial aggregate per grouping); the KL terms sum in a
+    * FIXED expression order over pivoted per-domain columns — never a
+    * float groupBy sum, whose partial-merge order is nondeterministic —
+    * so both engines fold identical doubles (ln parity is the
+    * established BM25/DSIR contract). A domain absent from a source
+    * contributes 0 (lim p→0 of p·ln(p/q)); q > 0 whenever p > 0 because
+    * the corpus contains the source. Returns (source, n_docs, kl).
+    *
+    * 100 TB shape: the classifier scan + ONE hash aggregate on source
+    * (|sources| rows) + a 1-row corpus total cross-joined in (the
+    * q_tfidf broadcast shape). */
+  def domainMixKl(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, numDomains: Int = 4, dim: Int = 64): DataFrame = {
+    val dc = domainClassify(docs, textCol, idCol, numDomains, dim)
+      .select(col("doc_id"), col("domain"))
+    val joined = dc.join(
+      docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source")),
+      "doc_id")
+    def domCounts(p: String) = (0 until numDomains).map(d =>
+      sum(when(col("domain") === d.toLong, 1L).otherwise(0L)).as(s"$p$d"))
+    val bySrc = joined.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), domCounts("n"): _*)
+    val corpus = broadcast(joined
+      .agg(count(lit(1)).as("nt"), domCounts("t"): _*))
+    val klTerms = (0 until numDomains).map { d =>
+      val p = col(s"n$d") * lit(1.0) / col("n_docs")
+      val q = col(s"t$d") * lit(1.0) / col("nt")
+      when(col(s"n$d") > 0L, p * log(p / q)).otherwise(lit(0.0))
+    }
+    bySrc.crossJoin(corpus)
+      .select(col("source"), col("n_docs"),
+        round(klTerms.reduce(_ + _), 6).as("kl"))
+  }
+
   /** Content fingerprint: md5 over case/whitespace-normalized text —
     * the join key for exact dedup across differently-formatted copies.
     * Normalization is the native one-scan NormalizeText expression. */

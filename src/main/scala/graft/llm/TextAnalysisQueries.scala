@@ -496,26 +496,40 @@ object TextAnalysisQueries {
     Q("q_domain_classify",
       (s, d) => TextAnalysis.domainClassify(Tables.documents(s, d),
         "text", "doc_id", numDomains = 4, dim = 64),
-      Some(s"""WITH w AS (SELECT doc_id,
-                     list_filter(string_split_regex(text, '\\s+'),
-                       x -> length(x) > 0) AS ws
-                   FROM documents),
-               h AS (SELECT doc_id, len(ws) AS n_words,
-                       list_transform(ws, x ->
-                         CAST(${duckWordHash("x")} % 64 AS BIGINT)) AS hs
-                     FROM w),
-               sc AS (SELECT doc_id, n_words, t.c,
-                        round(CASE WHEN n_words > 0 THEN
-                          list_sum(list_transform(hs, hh ->
-                            CAST(((t.c * 64 + hh) * 2654435761 + 40503)
-                              % 9973 AS DOUBLE) / 9973.0 - 0.5)) / n_words
-                          ELSE 0.0 END, 6) AS score
-                      FROM h, UNNEST([0, 1, 2, 3]) AS t(c))
+      Some(s"""WITH $domainCtes
                SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-                      CAST(c AS BIGINT) AS domain, score FROM (
-                 SELECT *, row_number() OVER (PARTITION BY doc_id
-                   ORDER BY score DESC, c) AS rn FROM sc)
-               WHERE rn = 1""")),
+                      CAST(c AS BIGINT) AS domain, score
+               FROM dm""")),
+
+    // per-source domain-mixture drift (r11): P(domain | source) vs the
+    // corpus distribution as a KL divergence — the mixture-monitoring
+    // readout a curation pipeline alarms on when a crawl source's
+    // content shifts. Counts are exact integers; the 4 KL terms sum in
+    // a FIXED expression order (pivoted columns, not a float groupBy
+    // sum), so both engines fold identical doubles; ln parity is the
+    // established BM25/DSIR contract.
+    Q("q_domain_mix_kl",
+      (s, d) => TextAnalysis.domainMixKl(Tables.documents(s, d),
+        "text", "doc_id", "source", numDomains = 4, dim = 64),
+      Some {
+        def term(d: Int): String =
+          s"""CASE WHEN n$d > 0 THEN (n$d * 1.0 / n_docs) *
+                ln((n$d * 1.0 / n_docs) / (t$d * 1.0 / nt))
+              ELSE 0.0 END"""
+        def sums(p: String): String =
+          (0 until 4).map(d =>
+            s"sum(CASE WHEN domain = $d THEN 1 ELSE 0 END) AS $p$d")
+            .mkString(", ")
+        s"""WITH $domainCtes,
+            j AS (SELECT dm.c AS domain, doc.source
+                  FROM dm JOIN documents doc USING (doc_id)),
+            s AS (SELECT source, count(*) AS n_docs, ${sums("n")}
+                  FROM j GROUP BY 1),
+            t AS (SELECT count(*) AS nt, ${sums("t")} FROM j)
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                   round(${(0 until 4).map(term).mkString(" + ")}, 6) AS kl
+            FROM s CROSS JOIN t"""
+      }),
 
     Q("q_linear_score",
       (s, d) => TextAnalysis.hashedLinearScore(Tables.documents(s, d),
@@ -693,4 +707,30 @@ object TextAnalysisQueries {
               JOIN crr USING (bigram)
               CROSS JOIN tot
               GROUP BY doc_id)"""
+
+  /** DuckDB replay of [[TextAnalysis.domainClassify]] (4 heads, 64
+    * buckets) — shared by q_domain_classify, q_domain_mix_kl, and the
+    * streaming twin so the replays cannot drift. Ends with CTE
+    * `dm (doc_id, n_words, c, score)` — the argmax row per document. */
+  private[graft] def domainCtes: String =
+    s"""w AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+               x -> length(x) > 0) AS ws
+           FROM documents),
+       h AS (SELECT doc_id, len(ws) AS n_words,
+               list_transform(ws, x ->
+                 CAST(${duckWordHash("x")} % 64 AS BIGINT)) AS hs
+             FROM w),
+       sc AS (SELECT doc_id, n_words, t.c,
+                round(CASE WHEN n_words > 0 THEN
+                  list_sum(list_transform(hs, hh ->
+                    CAST(((t.c * 64 + hh) * 2654435761 + 40503)
+                      % 9973 AS DOUBLE) / 9973.0 - 0.5)) / n_words
+                  ELSE 0.0 END, 6) AS score
+              FROM h, UNNEST([0, 1, 2, 3]) AS t(c)),
+       dm AS (SELECT doc_id, n_words, c, score FROM (
+         SELECT *, row_number() OVER (PARTITION BY doc_id
+           ORDER BY score DESC, c) AS rn FROM sc)
+         WHERE rn = 1)"""
+
 }

@@ -173,6 +173,16 @@ object StreamingQueries {
       (s, d) => Streams.streamInt8(s, d),
       Some(graft.llm.SimilarityQueries.int8Sql)),
 
+    // domain classification on the crawl stream (r11): the mixture-
+    // bucketing head at ingest time — stateless projection,
+    // q_domain_classify's oracle via the shared CTE builder
+    Q("q_stream_domain",
+      (s, d) => Streams.streamDomain(s, d),
+      Some(s"""WITH ${graft.llm.TextAnalysisQueries.domainCtes}
+               SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                      CAST(c AS BIGINT) AS domain, score
+               FROM dm""")),
+
     Q("q_stream_blocklist",
       (s, d) => Streams.streamBlocklist(s, d,
         Seq("slow", "big table", "fast merge")),

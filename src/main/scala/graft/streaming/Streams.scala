@@ -431,6 +431,18 @@ object Streams {
     drain(routed, OutputMode.Append(), "stream_embed_route")
   }
 
+  /** Streaming domain classification:
+    * [[graft.llm.TextAnalysis.domainClassify]] per micro-batch — the
+    * mixture-bucketing head applied at ingest, so a document carries
+    * its domain before it lands in the corpus. Stateless zero-state
+    * projection; Append mode, row-for-row equal to the batch op. */
+  def streamDomain(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = tuned(spark)
+    val dc = graft.llm.TextAnalysis.domainClassify(
+      documentsStream(s, sfDir), "text", "doc_id")
+    drain(dc, OutputMode.Append(), "stream_domain")
+  }
+
   /** Streaming int8 quantization: [[graft.llm.Similarity.quantizeInt8]]
     * applied per micro-batch — the storage-layout compression step of
     * an embedding ingest pipeline at stream time. Stateless zero-state

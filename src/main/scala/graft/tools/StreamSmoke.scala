@@ -43,7 +43,8 @@ object StreamSmoke {
     "q_stream_incremental_dedup", "q_stream_linear_score",
     "q_stream_blocklist", "q_stream_funnel",
     "q_stream_transitions", "q_stream_anomaly",
-    "q_stream_retention", "q_stream_embed_route", "q_stream_int8")
+    "q_stream_retention", "q_stream_embed_route", "q_stream_int8",
+    "q_stream_domain")
 
   final case class Result(name: String, single: Long, multi: Long,
       verdict: String, diff: Long)

@@ -102,6 +102,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_embed_mrl_knn", // the truncated-dim shortlist's broadcast query side
       "q_embed_mutual_knn", // the cell-assignment centroid crossJoin
       "q_embed_mutual_knn_routed", // the coarse-grid routing crossJoins
+      "q_domain_mix_kl", // the 1-row corpus-totals broadcast (tfidf shape)
       "q_hybrid_rrf_ann", // the IVF arm's centroid crossJoins (and ONLY
                           // those — pinned by its own test below)
       "q_semantic_incremental") // k-row refreshed-centroid broadcast into
