@@ -87,7 +87,7 @@ object Bench {
     "q_embed_ivf_knn_tuned", "q_embed_pq_refined_tuned", "q_hybrid_rrf_ann",
     "q_embed_ivf_knn_clustered", "q_embed_int8", "q_edit_dedup",
     "q_embed_mrl_knn", "q_embed_mutual_knn", "q_embed_mutual_knn_routed",
-    "q_stream_embed_route", "q_stream_int8", "q_domain_classify",
+    "q_stream_embed_route", "q_stream_int8", "q_domain_classify", "q_l_diversity",
     "b_pagerank_tol", "b_ppr_tol")
 
   /** BENCH-ONLY entries (r10 VERDICT #5): the production CONVERGENCE

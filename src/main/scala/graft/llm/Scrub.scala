@@ -95,6 +95,26 @@ object Scrub {
       .withColumn("violates_k", col("group_n") < k)
   }
 
+  /** l-diversity audit — k-anonymity's standard companion (Machanavajjhala
+    * et al. 2007): a quasi-identifier group can satisfy k (enough rows
+    * share the combination) yet still leak the SENSITIVE attribute if
+    * every row in the group carries the same value — re-identification
+    * isn't needed when the answer is unanimous. Per quasi-identifier
+    * combination: occupancy, the number of DISTINCT sensitive values,
+    * and the violation gate (diversity < l). Same aggregate shape as
+    * [[kAnonymityAudit]] — one map-side-partial count-distinct per
+    * group; the shuffle carries (combination, value) cells, never rows;
+    * the release gate is `violations == 0` and violating groups feed
+    * suppression. */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "audit requires at least one column")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col(sensitiveCol)).as("diversity"))
+      .withColumn("violates_l", col("diversity") < l)
+  }
+
   /** Phrase-blocklist audit — the content-filter step a curation
     * pipeline runs against a banned-term/URL/boilerplate list: every
     * document is scored by its occurrences of any blocklist phrase,

@@ -40,6 +40,22 @@ object ScrubSamplingQueries {
                      count(*) < 10 AS violates_k
               FROM documents GROUP BY lang, source""")),
 
+    // l-diversity (r11): the sensitive-attribute companion audit — a
+    // (lang, source) group can be k-anonymous yet unanimous in its
+    // sensitive column; diversity = distinct sensitive values per
+    // group. Sensitive stand-in: the doc-length decile (a derived
+    // attribute every fixture row carries).
+    Q("q_l_diversity",
+      (s, d) => Scrub.lDiversityAudit(
+        Tables.documents(s, d)
+          .withColumn("len_decile", (col("n_chars") % 10).cast("long")),
+        Seq("lang", "source"), "len_decile", l = 3L),
+      Some("""SELECT lang, source, CAST(count(*) AS BIGINT) AS group_n,
+                     CAST(count(DISTINCT n_chars % 10) AS BIGINT)
+                       AS diversity,
+                     count(DISTINCT n_chars % 10) < 3 AS violates_l
+              FROM documents GROUP BY lang, source""")),
+
     Q("q_pii_scrub",
       (s, d) => {
         val id4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
