@@ -88,7 +88,10 @@ object Bench {
     "q_embed_ivf_knn_clustered", "q_embed_int8", "q_edit_dedup",
     "q_embed_mrl_knn", "q_embed_mutual_knn", "q_embed_mutual_knn_routed",
     "q_stream_embed_route", "q_stream_int8", "q_domain_classify", "q_l_diversity",
-    "b_pagerank_tol", "b_ppr_tol")
+    "b_pagerank_tol", "b_ppr_tol",
+    // round-12 additions: the persisted-index serve/build pair and the
+    // LSH retrieval arm
+    "q_embed_ivf_knn_stored", "b_ivf_build", "q_hybrid_rrf_lsh")
 
   /** BENCH-ONLY entries (r10 VERDICT #5): the production CONVERGENCE
     * mode of the iterative rank ops. The registered q_pagerank/q_ppr run
@@ -103,7 +106,19 @@ object Bench {
       alpha = 0.85, tol = 1e-6, maxIter = 50)),
     "b_ppr_tol" -> ((s, d) => graft.graph.Iterative.personalizedPagerank(
       graft.graph.GraphOps.edgesFromLineitem(s, d), Seq(0L, 7L, 42L),
-      alpha = 0.85, tol = 1e-6, maxIter = 50)))
+      alpha = 0.85, tol = 1e-6, maxIter = 50)),
+    // the IVF index BUILD, forced fresh every run (no memo): the one-time
+    // |corpus|·numCentroids assignment + bucketed write that
+    // q_embed_ivf_knn_stored amortizes — its bench row is the
+    // query-time ≪ assign-time evidence the stored layout exists for.
+    // No fixed-unroll oracle applies (the artifact is a side effect),
+    // so it lives here; the SERVED answer is oracle-checked by
+    // q_embed_ivf_knn_stored.
+    "b_ivf_build" -> ((s, d) => {
+      graft.sources.IvfIndex.build(s, graft.Tables.embeddings(s, d),
+        "vec_id", "embedding", "graft_ivf_benchbuild", numCentroids = 64)
+      s.table("graft_ivf_benchbuild_cells")
+    }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

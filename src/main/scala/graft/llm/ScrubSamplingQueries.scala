@@ -43,13 +43,15 @@ object ScrubSamplingQueries {
     // l-diversity (r11): the sensitive-attribute companion audit — a
     // (lang, source) group can be k-anonymous yet unanimous in its
     // sensitive column; diversity = distinct sensitive values per
-    // group. Sensitive stand-in: the doc-length decile (a derived
-    // attribute every fixture row carries).
+    // group. Sensitive stand-in: the LAST DIGIT of the doc length
+    // (n_chars % 10 — NOT a decile, which would need the length
+    // distribution via ntile; a derived attribute every fixture row
+    // carries, with enough spread to exercise the audit).
     Q("q_l_diversity",
       (s, d) => Scrub.lDiversityAudit(
         Tables.documents(s, d)
-          .withColumn("len_decile", (col("n_chars") % 10).cast("long")),
-        Seq("lang", "source"), "len_decile", l = 3L),
+          .withColumn("len_mod10", (col("n_chars") % 10).cast("long")),
+        Seq("lang", "source"), "len_mod10", l = 3L),
       Some("""SELECT lang, source, CAST(count(*) AS BIGINT) AS group_n,
                      CAST(count(DISTINCT n_chars % 10) AS BIGINT)
                        AS diversity,

@@ -251,13 +251,24 @@ object Similarity {
     * rows). The lexicographic (−csim, cid) struct order replays the
     * window's (csim desc, cid asc) tiebreak; the point vector rides
     * through the struct (constant per group). n > 1 (query-side
-    * multi-probe, small by construction) keeps the window. */
+    * multi-probe, small by construction) keeps the window.
+    *
+    * NaN guard: [[cosine]] has no zero-norm protection, and the two
+    * formulations DISAGREE on NaN — Spark/DuckDB sort NaN greatest, so
+    * `csim DESC` ranks a NaN centroid FIRST while min(−csim) ranks it
+    * LAST. nanvl pins both to a −2.0 sentinel (below any real cosine),
+    * so a zero-norm vector or centroid ranks LAST under either
+    * formulation and the argmin/window paths stay interchangeable on
+    * corrupt data (r11 ADVICE). */
+  private def safeCsim(a: Column, b: Column): Column =
+    nanvl(round(cosine(a, b), 6), lit(-2.0))
+
   private[graft] def nearestCells(df: DataFrame, cents: DataFrame, id: String,
       v: String, n: Int): DataFrame =
     if (n == 1) {
       df.crossJoin(cents)
         .select(col(id), col(v), col("cid"),
-          round(cosine(col(v), col("cv")), 6).as("csim"))
+          safeCsim(col(v), col("cv")).as("csim"))
         .groupBy(col(id))
         .agg(min(struct((-col("csim")).as("neg"), col("cid").as("cid"),
           col(v).as("vv"))).as("s"))
@@ -266,7 +277,7 @@ object Similarity {
       val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid").asc)
       df.crossJoin(cents)
         .select(col(id), col(v), col("cid"),
-          round(cosine(col(v), col("cv")), 6).as("csim"))
+          safeCsim(col(v), col("cv")).as("csim"))
         .withColumn("crn", row_number().over(w))
         .where(col("crn") <= n)
         .select(col(id), col(v), col("cid"))

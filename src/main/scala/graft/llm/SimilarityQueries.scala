@@ -457,6 +457,26 @@ object SimilarityQueries {
       Some(ivfKnnSql(numCentroids = 64, nProbe = 8, k = 5,
         vCte = clusteredVCte))),
 
+    // the STORED-LAYOUT IVF twin (r11 VERDICT #1): the same production
+    // dial as q_embed_ivf_knn_tuned, but served from a PERSISTED bucketed
+    // index (graft.sources.IvfIndex — cells table bucketed by cell id +
+    // the stored quantizer) instead of re-assigning the corpus per run.
+    // Query time routes |Q| probes over the stored 64-row quantizer and
+    // bucket-prunes the cells scan to the probed cells
+    // (SelectedBucketsCount pinned in IvfIndexSpec/PlanShapeSpec); the
+    // |corpus|·numCentroids assignment is paid once at build
+    // (b_ivf_build times it; the memo rebuilds only when the data
+    // fingerprint changes). The answer is byte-identical to the
+    // recompute twin, so the oracle is the SAME full replay.
+    Q("q_embed_ivf_knn_stored",
+      (s, d) => {
+        val name = graft.sources.IvfIndex.ensureBuilt(s, d, numCentroids = 64)
+        val queries = Tables.embeddings(s, d).where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        graft.sources.IvfIndex.serve(s, name, queries, k = 5, nProbe = 16)
+      },
+      Some(ivfKnnSql(numCentroids = 64, nProbe = 16, k = 5))),
+
     // LSH-bucketed ANN — the Rademacher planes come from a portable
     // integer mixer (Similarity.planeSign), so DuckDB replays bucketing,
     // multi-probe, scoring and top-k end-to-end
@@ -527,8 +547,22 @@ object SimilarityQueries {
     // linkage criterion); the mutuality test is one equi-self-join of
     // the kNN edge list — every stage replayed
     Q("q_embed_mutual_knn",
-      (s, d) => Similarity.mutualKnn(Tables.embeddings(s, d), "vec_id",
-        "embedding", k = 10),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        // the oracle below replays the FLAT cell assignment; mutualKnn
+        // auto-scales cells = max(16, ceil(N/128)) and silently switches
+        // to the two-level routed assignment above routeAbove = 64 —
+        // which would go hash-red with an opaque diff. Guard loudly (the
+        // q_matching rounds-margin discipline).
+        val cells = math.max(16L, (emb.count() + 127) / 128)
+        require(cells <= 64,
+          s"q_embed_mutual_knn auto-scaled to $cells cells > routeAbove" +
+            " = 64, so mutualKnn would take the ROUTED assignment the" +
+            " flat oracle cannot replay — this fixture belongs to" +
+            " q_embed_mutual_knn_routed's replay; switch the oracle or" +
+            " shrink the corpus slice")
+        Similarity.mutualKnn(emb, "vec_id", "embedding", k = 10)
+      },
       Some(s"""WITH $rawVCte,
                cents AS (SELECT vec_id AS cid, e AS cv FROM v
                          ORDER BY ((vec_id % 1000000007) * 2654435761
@@ -629,6 +663,12 @@ object SimilarityQueries {
     // itself is what's checked. Fusion and tiebreaks are byte-identical
     // to q_hybrid_rrf — only the semantic candidate SET changes.
     q_hybrid_rrf_ann_entry,
+
+    // the same fusion with the semantic arm routed through the LSH
+    // bucket layout (4 mixer planes, multi-probe) — the retriever's
+    // third arm, registered with the identical replay pattern so every
+    // SemanticRetriever variant has a hard correctness signal
+    q_hybrid_rrf_lsh_entry,
 
     // incremental SemDeDup: corpus clustered once, fresh vectors route
     // to refreshed centroids, fresh×corpus cosine within the cell only
@@ -1012,12 +1052,51 @@ object SimilarityQueries {
                     ORDER BY cos DESC, doc) AS rn FROM scored)
                 WHERE rn <= 20)"""
 
+  /** The LSH-routed semantic arm ([[Similarity.lshKnn]], 4 Rademacher
+    * planes + multi-probe): candidates come from the probe's bucket and
+    * its 4 one-bit-flip neighbors — the q_embed_lsh_knn bucketing
+    * replayed term for term (mixer planes, xor flips, in-bucket scoring,
+    * top-20). Registered so the retriever's LSH arm has a hard signal of
+    * its own (r11 VERDICT #3: dead-until-proven code otherwise). */
+  private def lshSemCtes(nPlanes: Int): String = {
+    val flips = (Seq(0L) ++ (0 until nPlanes).map(j => 1L << j))
+      .map(f => s"($f)").mkString(", ")
+    s"""vv AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+        corp AS (SELECT vec_id AS nid, e AS nv,
+                        ${duckBucket("e", nPlanes)} AS bucket
+                 FROM vv),
+        pb AS (SELECT p.qid, p.probe_id, vv.e AS qv,
+                      ${duckBucket("vv.e", nPlanes)} AS b0
+               FROM p JOIN vv ON vv.vec_id = p.probe_id),
+        probes AS (SELECT qid, probe_id, qv, xor(b0, flip) AS bucket
+                   FROM pb CROSS JOIN (VALUES $flips) f(flip)),
+        scored AS (SELECT DISTINCT qid, nid AS doc,
+                          ${duckCos("qv", "nv")} AS cos
+                   FROM probes JOIN corp USING (bucket)
+                   WHERE nid <> probe_id),
+        sem AS (SELECT qid, doc,
+                       CAST(rn AS BIGINT) AS rank_sem FROM (
+                  SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, doc) AS rn FROM scored)
+                WHERE rn <= 20)"""
+  }
+
   private def q_hybrid_rrf_entry: Q =
     Q("q_hybrid_rrf",
       (s, d) => Retrieval.hybridRrf(Tables.documents(s, d),
         Tables.embeddings(s, d), "text", "doc_id", "vec_id", "embedding",
         hybridQueries, kEach = 20, kOut = 10),
       Some(hybridRrfSql(exactSemCtes)))
+
+  private def q_hybrid_rrf_lsh_entry: Q =
+    Q("q_hybrid_rrf_lsh",
+      (s, d) => Retrieval.hybridRrf(Tables.documents(s, d),
+        Tables.embeddings(s, d), "text", "doc_id", "vec_id", "embedding",
+        hybridQueries, kEach = 20, kOut = 10,
+        semantic = Retrieval.LshRetriever(nPlanes = 4, multiProbe = true)),
+      Some(hybridRrfSql(lshSemCtes(nPlanes = 4))))
 
   private def q_hybrid_rrf_ann_entry: Q =
     Q("q_hybrid_rrf_ann",

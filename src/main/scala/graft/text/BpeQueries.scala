@@ -99,14 +99,28 @@ GROUP BY d.doc_id"""
     * 1.4 s warm vs encode 0.9 s — training was ~60 % of the query. The
     * production discipline is exactly this split ("train once, encode
     * every batch"); q_bpe_train stays UNCACHED because timing the
-    * training loop is its whole purpose. */
+    * training loop is its whole purpose.
+    *
+    * The cache key is (sfDir, data fingerprint), not the path alone:
+    * tools like Rehearse/StreamSmoke rewrite fixture dirs in place, and
+    * a path-keyed memo would silently encode with STALE merges — the
+    * result would no longer be a pure function of the input tables
+    * (r11 ADVICE). The fingerprint is one cheap 1-row aggregate over
+    * the training slice (count + max id + char total), re-checked per
+    * run; a rewrite changes it and forces a retrain. */
   private val trainedForEncode =
     scala.collection.concurrent.TrieMap
-      .empty[String, (Seq[Bpe.Merge], Seq[(String, Long)])]
+      .empty[(String, String), (Seq[Bpe.Merge], Seq[(String, Long)])]
 
   private def encodeArtifacts(s: org.apache.spark.sql.SparkSession,
-      d: String): (Seq[Bpe.Merge], Seq[(String, Long)]) =
-    trainedForEncode.getOrElseUpdate(d, {
+      d: String): (Seq[Bpe.Merge], Seq[(String, Long)]) = {
+    val fp = {
+      import org.apache.spark.sql.functions.{count, lit, max, sum}
+      val r = Tables.documents(s, d).where("doc_id % 2 = 0")
+        .agg(count(lit(1)), max("doc_id"), sum("n_chars")).head()
+      s"${r.get(0)}|${r.get(1)}|${r.get(2)}"
+    }
+    trainedForEncode.getOrElseUpdate((d, fp), {
       val (merges, types) =
         Bpe.train(Tables.documents(s, d).where("doc_id % 2 = 0"), "text",
           Rounds)
@@ -118,6 +132,7 @@ GROUP BY d.doc_id"""
       types.unpersist()
       (merges, sv)
     })
+  }
 
   val all: Seq[Q] = Seq(
     // K fixed merge rounds over the full corpus; output is the learned

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity
+import graft.sources.IvfIndex
+
+/** The persisted IVF index must (1) answer exactly what the
+  * recompute-everything path answers, and (2) actually serve from the
+  * stored layout — probed-bucket pruning, no corpus-wide assignment in
+  * the query plan. The point is the PLAN as much as the result. */
+class IvfIndexSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def queries = Tables.embeddings(spark, sf0001)
+    .where(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  test("stored-layout serve equals the recompute ivfKnn answer") {
+    val name = IvfIndex.ensureBuilt(spark, sf0001, numCentroids = 16)
+    val stored = IvfIndex.serve(spark, name, queries, k = 5, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    val recomputed = Similarity.ivfKnn(Tables.embeddings(spark, sf0001),
+        "vec_id", "embedding", col("vec_id") < 10, k = 5,
+        numCentroids = 16, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(stored == recomputed && stored.nonEmpty,
+      s"stored serve must equal recompute:\n$stored\nvs\n$recomputed")
+  }
+
+  test("serve plan bucket-prunes to the probed cells; no corpus assignment") {
+    val name = IvfIndex.ensureBuilt(spark, sf0001, numCentroids = 16)
+    val df = IvfIndex.serve(spark, name, queries, k = 5, nProbe = 4)
+    val p = df.queryExecution.executedPlan.toString
+    // the cells scan must read ONLY the probed buckets — the literal
+    // cell IN (...) predicate enables Spark's bucket pruning
+    assert(p.contains("SelectedBucketsCount"),
+      s"the cells scan must be bucket-pruned:\n$p")
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(p)
+    assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"expected a strict subset of buckets read:\n$p")
+    // and nothing in the serve plan scans the raw embeddings corpus
+    // except the |Q|-row query side (pushed filter) — the corpus rides
+    // in from the stored table only
+    val rawScans = p.split('\n').count(l =>
+      l.contains("embeddings.parquet") && l.contains("Scan"))
+    assert(rawScans <= 1, s"serve must not rescan the raw corpus:\n$p")
+  }
+
+  test("memo rebuilds when the data fingerprint changes, not per call") {
+    val n1 = IvfIndex.ensureBuilt(spark, sf0001, numCentroids = 16)
+    val n2 = IvfIndex.ensureBuilt(spark, sf0001, numCentroids = 16)
+    assert(n1 == n2, "same data must reuse the built index")
+  }
+}

@@ -105,6 +105,12 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_domain_mix_kl", // the 1-row corpus-totals broadcast (tfidf shape)
       "q_hybrid_rrf_ann", // the IVF arm's centroid crossJoins (and ONLY
                           // those — pinned by its own test below)
+      "q_hybrid_rrf_lsh", // bm25's 1-row totals broadcast (the LSH arm
+                          // itself is a bucket equi-join, no crossJoin)
+      "q_embed_ivf_knn_stored", // the |Q|-row probe routing over the
+                                // STORED 64-row quantizer table; the
+                                // corpus side is the bucket-pruned index
+                                // scan (pinned in IvfIndexSpec)
       "q_semantic_incremental") // k-row refreshed-centroid broadcast into
                                 // the fresh routing scan (the kmeans shape)
     val offenders = Registry.byName.keys.toSeq.sorted

@@ -62,4 +62,26 @@ class RetrievalSpec extends AnyFunSuite {
     val tuned = run(Retrieval.IvfRetriever(numCentroids = 8, nProbe = 2))
     assert(tuned.size == exact.size)
   }
+
+  test("LSH-backed fusion with full bucket coverage equals the exact scan") {
+    // 1 plane + multi-probe = the probe searches its own bucket AND the
+    // one-bit-flip bucket — i.e. BOTH buckets that exist, so the LSH
+    // candidate set is the whole corpus and the fusion must reproduce
+    // ExactScan row for row (the IVF full-coverage argument, LSH arm).
+    val dir = "/root/testdata/sf0.001"
+    val queries = Seq(("q1", "spark hash join", 0L),
+      ("q2", "table scan filter", 1L))
+    def run(sem: Retrieval.SemanticRetriever) =
+      Retrieval.hybridRrf(Tables.documents(spark, dir),
+        Tables.embeddings(spark, dir), "text", "doc_id", "vec_id",
+        "embedding", queries, kEach = 10, kOut = 5, semantic = sem)
+        .collect().map(_.toSeq).toSet
+    val exact = run(Retrieval.ExactScan)
+    val full = run(Retrieval.LshRetriever(nPlanes = 1, multiProbe = true))
+    assert(exact == full,
+      s"full-coverage LSH must equal the exact scan:\n$exact\nvs\n$full")
+    // and the production dial still returns a full result list per query
+    val tuned = run(Retrieval.LshRetriever(nPlanes = 4, multiProbe = true))
+    assert(tuned.size == exact.size)
+  }
 }
