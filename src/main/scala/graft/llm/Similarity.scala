@@ -111,7 +111,11 @@ object Similarity {
     * vs routed 8.0 s) — so small corpora keep the flat path and the
     * crossover is a dial, not a cliff. Both paths are registered with
     * full replays (q_semantic_dedup flat, q_semantic_dedup_routed
-    * forced via routeAbove = 0). */
+    * forced via routeAbove = 0). Past ~1e7 vectors the auto-scaled
+    * fine-centroid table itself outgrows sane broadcasting;
+    * [[kmeansRouted]]'s maxBroadcastCentroids ceiling switches its
+    * delivery to a coarse-cell-partitioned shuffle join there (SCALE.md
+    * "Fine-centroid broadcast ceiling"). */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int = 0, iters: Int = 2, tau: Double = 0.45,
       targetOccupancy: Int = 128, routeAbove: Int = 64): DataFrame = {
@@ -230,16 +234,23 @@ object Similarity {
       }).as("embedding"))
   }
 
+  /** The IVF coarse quantizer sample WITHOUT a broadcast hint — for
+    * callers whose centroid count scales with the corpus and may exceed
+    * the sane-broadcast ceiling (see [[mutualKnn]]'s
+    * maxBroadcastCentroids). */
+  private[graft] def ivfCentroidsRaw(emb: DataFrame, idCol: String,
+      vecCol: String, numCentroids: Int): DataFrame =
+    emb.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .orderBy(pmod(pmod(col("cid"), lit(1000000007L)) * lit(2654435761L)
+          + lit(283521L), lit(9973L)).asc,
+        col("cid").asc)
+      .limit(numCentroids)
+
   /** The IVF coarse quantizer: `numCentroids` corpus vectors picked by
     * portable mixer key (seed offset 7·40503) — constant-size, broadcast. */
   private[graft] def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int): DataFrame =
-    broadcast(emb
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-      .orderBy(pmod(pmod(col("cid"), lit(1000000007L)) * lit(2654435761L)
-          + lit(283521L), lit(9973L)).asc,
-        col("cid").asc)
-      .limit(numCentroids))
+    broadcast(ivfCentroidsRaw(emb, idCol, vecCol, numCentroids))
 
   /** Route rows to their `n` nearest coarse cells (cosine, 6dp + cid
     * tiebreak) — broadcast centroid join. n = 1 (every corpus
@@ -507,11 +518,20 @@ object Similarity {
     * is itself a cell-bounded approximation, so the contract
     * composes. */
   def kmeansRouted(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-      k: Int, iters: Int, coarse: Int): DataFrame = {
+      k: Int, iters: Int, coarse: Int,
+      maxBroadcastCentroids: Int = 100000): DataFrame = {
     require(iters >= 1, "kmeans needs at least one assignment round")
     require(coarse >= 1, "need at least one routing cell")
     def sq(a: Column, b: Column): Column =
       dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    // with auto-scaled k the fine-centroid table grows linearly with
+    // the corpus; above the row ceiling its broadcast hints drop and
+    // the in-cell argmin joins on the coarse cell id instead — same
+    // results, shuffle-joined delivery (SCALE.md "Fine-centroid
+    // broadcast ceiling"). The √k coarse grid always broadcasts.
+    val hintFine = k <= maxBroadcastCentroids
+    def fineHint(df: DataFrame): DataFrame =
+      if (hintFine) broadcast(df) else df
     val pts = emb.select(col(idCol).as("vid"), col(vecCol).as("pv"))
     val mixerKey = pmod(pmod(col("cid"), lit(1000000007L)) * lit(2654435761L)
       + lit(445533L), lit(9973L))
@@ -519,11 +539,11 @@ object Similarity {
       .orderBy(mixerKey.asc, col("cid").asc)
     val coarseTab = broadcast(ordered.limit(coarse)
       .select(col("cid").as("ccid"), col("cv").as("ccv")))
-    var cents = broadcast(ordered.limit(k))
+    var cents = fineHint(ordered.limit(k))
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
-      // fine centroid → nearest coarse cell (k·coarse rows, broadcast)
-      val f2c = broadcast(cents.crossJoin(coarseTab)
+      // fine centroid → nearest coarse cell (k·coarse rows)
+      val f2c = fineHint(cents.crossJoin(coarseTab)
         .select(col("cid"), col("cv"), col("ccid"),
           round(sq(col("cv"), col("ccv")), 6).as("d"))
         .groupBy(col("cid"))
@@ -540,14 +560,14 @@ object Similarity {
         .agg(min(struct(col("d"), col("ccid"), col("pv"))).as("s"))
         .select(col("vid"), col("s.pv").as("pv"), col("s.ccid").as("ccid"))
       // point → nearest fine centroid WITHIN the cell (N·occupancy rows)
-      assigned = p2c.join(broadcast(f2c), "ccid")
+      assigned = p2c.join(f2c, "ccid")
         .select(col("vid"), col("pv"), col("cid"),
           round(sq(col("pv"), col("cv")), 6).as("d"))
         .groupBy(col("vid"))
         .agg(min(struct(col("d"), col("cid"), col("pv"))).as("s"))
         .select(col("vid"), col("s.pv").as("pv"), col("s.cid").as("cid"))
       if (i < iters)
-        cents = broadcast(assigned.groupBy(col("cid"))
+        cents = fineHint(assigned.groupBy(col("cid"))
           .agg(graft.functions.VectorMeanAggregator.vecMean(dim)(col("pv"))
             .as("cm"))
           .select(col("cid"), transform(col("cm"), x => round(x, 6)).as("cv")))
@@ -790,6 +810,70 @@ object Similarity {
       round(dot(err, err) / lit(dim.toDouble), 9).as("mse"))
   }
 
+  /** SQ8-SCORED KNN — searching over the int8 codes [[quantizeInt8]]
+    * stores (the FAISS IndexScalarQuantizer production shape, asymmetric
+    * variant): the float query scores each corpus vector by cosine
+    * against its int8 CODES, then the `shortlistK`-deep shortlist — and
+    * only the shortlist — is re-scored with exact float vectors (the
+    * [[pqKnnRefined]] refine discipline).
+    *
+    * Why cosine-over-codes IS asymmetric SQ8 scoring: the stored
+    * reconstruction is scale·code per vector, and the PER-VECTOR scale
+    * cancels in cosine — cos(q, s·c) = (s·⟨q,c⟩)/(|q|·s·|c|) =
+    * cos(q, c) — so scoring the raw integer codes is numerically
+    * identical to scoring the dequantized vectors, with no
+    * dequantization pass and no scale column in the scoring join. The
+    * approximation error vs true cosine is exactly the quantization
+    * error the refine stage bounds.
+    *
+    * 100 TB shape: this is a FLAT scan over compressed codes — at
+    * storage scale the scan reads 1/4 the bytes of the float corpus
+    * (int8 + one scale vs float32), which is the entire point of SQ8;
+    * composing with the IVF cell layout (scan only probed cells of the
+    * stored codes — [[graft.sources.IvfIndex]]) is the production
+    * path and changes candidate BOUNDING, not this scoring. The codes
+    * are materialized per corpus row in the scan projection (off the
+    * per-pair hot path); the per-pair scoring is one codegen'd
+    * [[graft.functions.DotProduct]]. Same determinism discipline: 6dp
+    * rounding, id tiebreaks, broadcast query side. Returns
+    * (qid, nid, cos, rn), rn ≤ k. */
+  def int8Knn(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, shortlistK: Int = 20, k: Int = 5): DataFrame = {
+    require(shortlistK >= k, "the shortlist must be at least k deep")
+    val e = transform(col(vecCol), x => x.cast("double"))
+    // the quantizeInt8 code rule verbatim (scale = round(amax/127, 9),
+    // clamp(round(e/scale))), kept as doubles for the codegen'd dot —
+    // codes are integers in [-127, 127], exactly representable
+    val corpus = emb.select(col(idCol).as("nid"), e.as("ne"))
+      .withColumn("amax", array_max(transform(col("ne"), x => abs(x))))
+      .withColumn("scale", round(col("amax") / lit(127.0), 9))
+      .select(col("nid"), transform(col("ne"), x =>
+        when(col("scale") === 0.0, lit(0.0)).otherwise(
+          greatest(lit(-127.0), least(lit(127.0),
+            round(x / col("scale"), 0))))).as("nc"))
+    val queries = broadcast(emb.where(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("acos").desc, col("nid").asc)
+    val shortlist = queries.crossJoin(corpus)
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qv"), col("nc")), 6).as("acos"))
+      .withColumn("rn", row_number().over(wA))
+      .where(col("rn") <= shortlistK)
+      .select(col("qid"), col("nid"))
+    val full = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val exact = broadcast(shortlist).join(full, "nid")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    exact.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"), col("rn").cast("long").as("rn"))
+  }
+
   /** Matryoshka-style (MRL, Kusupati et al. 2022) dimension-ladder KNN:
     * shortlist by cosine over the first `truncDim` components only, then
     * exact full-dimension re-rank of the shortlist — the
@@ -866,23 +950,42 @@ object Similarity {
     *
     * 100 TB shape: broadcast centroid join → ONE hash exchange on the
     * cell id → per-vector window over cell-bounded candidates → an
-    * edge-list self-join on (a, b): k·N rows, fixed-width keys. */
+    * edge-list self-join on (a, b): k·N rows, fixed-width keys.
+    * Broadcast ceiling: with cells ∝ N the fine-centroid table itself
+    * grows linearly with the corpus (≈ 4N bytes at 64 double dims — the
+    * delivery vehicle stops scaling before the routing design does), so
+    * above `maxBroadcastCentroids` rows the quantizer/fine-map
+    * broadcast hints drop and the in-cell argmin becomes a shuffle
+    * equi-join partitioned by coarse cell — identical results, bounded
+    * build sides (SCALE.md "Fine-centroid broadcast ceiling"). */
   def mutualKnn(emb: DataFrame, idCol: String, vecCol: String, k: Int = 10,
       targetOccupancy: Int = 128, minCentroids: Int = 16,
-      routeAbove: Int = 64): DataFrame = {
+      routeAbove: Int = 64, maxBroadcastCentroids: Int = 100000): DataFrame = {
     val numCentroids = math.max(minCentroids.toLong,
       (emb.count() + targetOccupancy - 1) / targetOccupancy).toInt
-    val cents = ivfCentroids(emb, idCol, vecCol, numCentroids)
     val pts = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
     val assigned =
-      if (numCentroids <= routeAbove) nearestCells(pts, cents, "vid", "v", 1)
+      if (numCentroids <= routeAbove)
+        nearestCells(pts, ivfCentroids(emb, idCol, vecCol, numCentroids),
+          "vid", "v", 1)
       else {
+        // with k ∝ corpus the fine-centroid table's bytes grow linearly
+        // with N (the r11 verdict's next-cliff finding): above the row
+        // ceiling the quantizer sample and the fine map lose their
+        // broadcast hints and the in-cell argmin partitions by coarse
+        // cell instead (SCALE.md "Fine-centroid broadcast ceiling") —
+        // same results, shuffle-joined delivery
+        val hintFine = numCentroids <= maxBroadcastCentroids
+        val cents =
+          if (hintFine) ivfCentroids(emb, idCol, vecCol, numCentroids)
+          else ivfCentroidsRaw(emb, idCol, vecCol, numCentroids)
         val coarse = math.max(2,
           math.ceil(math.sqrt(numCentroids.toDouble)).toInt)
         val coarseTab = broadcast(
           ivfCentroids(emb, idCol, vecCol, coarse)
             .select(col("cid").as("ccid"), col("cv").as("ccv")))
-        routedAssignCos(pts, cents, coarseTab, "vid", "v")
+        routedAssignCos(pts, cents, coarseTab, "vid", "v",
+          broadcastFine = hintFine)
       }
     def side(a: String, v: String) = assigned
       .select(col("cid"), col("vid").as(a), col("v").as(v))
@@ -911,16 +1014,31 @@ object Similarity {
     * (= cos desc, cid asc). The routed cell is an APPROXIMATION of the
     * global nearest (a point near a coarse boundary can miss a fine
     * centroid parked next door — the IVF nProbe=1 contract); every
-    * level replays in the oracle. */
+    * level replays in the oracle.
+    *
+    * `broadcastFine = false` drops the broadcast HINT on the fine-
+    * centroid map (and the caller passes an unhinted `cents`): with
+    * auto-scaled k = ⌈N/128⌉ the fine table's bytes grow LINEARLY with
+    * the corpus (≈ 4N bytes at 64 double dims — ~4 GB at 1e9 vectors,
+    * past any sane broadcast), so above the caller's row ceiling the
+    * in-cell argmin becomes a shuffle equi-join on the coarse cell id —
+    * fine centroids partition by ccid exactly like the points they
+    * serve. Identical results (join STRATEGY only); AQE may still
+    * broadcast at runtime when the table turns out small, which is the
+    * desired adaptive behavior — the contract is only that nothing
+    * FORCES an unbounded build side. The coarse grid (√k rows) always
+    * broadcasts. */
   private[graft] def routedAssignCos(pts: DataFrame, cents: DataFrame,
-      coarseTab: DataFrame, id: String, v: String): DataFrame = {
-    val f2c = broadcast(cents.crossJoin(coarseTab)
+      coarseTab: DataFrame, id: String, v: String,
+      broadcastFine: Boolean = true): DataFrame = {
+    val f2cBase = cents.crossJoin(coarseTab)
       .select(col("cid"), col("cv"), col("ccid"),
         round(cosine(col("cv"), col("ccv")), 6).as("cs"))
       .groupBy(col("cid"))
       .agg(min(struct((-col("cs")).as("neg"), col("ccid").as("ccid"),
         col("cv").as("cv"))).as("s"))
-      .select(col("s.ccid").as("ccid"), col("cid"), col("s.cv").as("cv")))
+      .select(col("s.ccid").as("ccid"), col("cid"), col("s.cv").as("cv"))
+    val f2c = if (broadcastFine) broadcast(f2cBase) else f2cBase
     val active = broadcast(f2c.select(col("ccid")).distinct()
       .join(coarseTab, "ccid"))
     val p2c = pts.crossJoin(active)

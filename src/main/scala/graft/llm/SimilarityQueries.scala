@@ -514,6 +514,44 @@ object SimilarityQueries {
         "embedding", dim = 64),
       Some(int8Sql)),
 
+    // SQ8-SCORED KNN (r11 VERDICT #2 — q_embed_int8 was storage-only):
+    // the float query scores int8 CODES by cosine (the per-vector scale
+    // cancels, so code-space cosine IS the asymmetric dequantized
+    // score), 20-deep shortlist, exact float re-rank — the FAISS
+    // IndexScalarQuantizer production shape. Codes + scoring + re-rank
+    // all replayed; recall measured on both fixtures (RecallProbe).
+    Q("q_embed_int8_knn",
+      (s, d) => Similarity.int8Knn(Tables.embeddings(s, d), "vec_id",
+        "embedding", col("vec_id") < 10, shortlistK = 20, k = 5),
+      Some(s"""WITH $rawVCte,
+               b AS (SELECT vec_id, e,
+                       round(list_max(list_transform(e, x -> abs(x)))
+                         / 127.0, 9) AS scale
+                     FROM v),
+               codes AS (SELECT vec_id AS nid,
+                           list_transform(e, x -> CASE WHEN scale = 0
+                             THEN 0.0
+                             ELSE greatest(-127.0, least(127.0,
+                               round(x / scale, 0))) END) AS nc
+                         FROM b),
+               st AS (SELECT q.vec_id AS qid, c.nid,
+                             ${duckCos("q.e", "c.nc")} AS acos
+                      FROM v q, codes c
+                      WHERE q.vec_id < 10 AND q.vec_id <> c.nid),
+               shortlist AS (SELECT qid, nid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY acos DESC, nid) AS rn FROM st)
+                 WHERE rn <= 20),
+               rescored AS (
+                 SELECT sl.qid, sl.nid, ${duckCos("q.e", "n.e")} AS cos
+                 FROM shortlist sl
+                 JOIN v q ON sl.qid = q.vec_id
+                 JOIN v n ON sl.nid = n.vec_id)
+               SELECT qid, nid, cos, rn FROM (
+                 SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS BIGINT) AS rn FROM rescored)
+               WHERE rn <= 5""")),
+
     // Matryoshka dimension-ladder KNN: cosine shortlist on the first 16
     // components, exact full-dim re-rank of the shortlist only — the
     // refine discipline with truncation as the cheap stage; both

@@ -85,6 +85,14 @@ object RecallProbe {
             dim = 64, col("vec_id") < 10, m = m, ksub = ksub,
             shortlistK = sl, k = 5)), l2Truth, "l2")
     }
+    // SQ8 asymmetric scoring (r12): cosine over int8 codes + exact
+    // re-rank — per-vector 8-bit quantization should sit far above the
+    // PQ dials (8 bits/dim vs PQ's ~0.5-2 bits/dim)
+    Seq(5, 20).foreach { sl =>
+      report(s"int8Knn(sl=$sl)", pairsOf(Similarity.int8Knn(emb,
+        "vec_id", "embedding", col("vec_id") < 10, shortlistK = sl,
+        k = 5)), cosTruth, "cos")
+    }
 
     // ---- clustered fixture (r10 VERDICT #1) ----------------------------
     // The driver fixture's embeddings are near-uniform — the ADVERSARIAL
@@ -130,6 +138,11 @@ object RecallProbe {
         pairsOf(Similarity.pqKnnRefined(clustered, "vec_id", "embedding",
           dim = 64, col("vec_id") < 10, m = m, ksub = ksub,
           shortlistK = sl, k = 5)), cL2Truth, "l2")
+    }
+    Seq(5, 20).foreach { sl =>
+      report(s"CLUSTERED int8Knn(sl=$sl)", pairsOf(Similarity.int8Knn(
+        clustered, "vec_id", "embedding", col("vec_id") < 10,
+        shortlistK = sl, k = 5)), cCosTruth, "cos")
     }
     clustered.unpersist()
     spark.stop()

@@ -100,6 +100,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_embed_ivf_knn_clustered", // same, over the derived clustered fixture
       "q_embed_knn_clustered", // the clustered exact-truth twin (knn shape)
       "q_embed_mrl_knn", // the truncated-dim shortlist's broadcast query side
+      "q_embed_int8_knn", // the code-space shortlist's broadcast query side
       "q_embed_mutual_knn", // the cell-assignment centroid crossJoin
       "q_embed_mutual_knn_routed", // the coarse-grid routing crossJoins
       "q_domain_mix_kl", // the 1-row corpus-totals broadcast (tfidf shape)

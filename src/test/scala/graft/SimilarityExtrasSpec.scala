@@ -26,6 +26,39 @@ class SimilarityExtrasSpec extends AnyFunSuite {
     assert(ladder == exact)
   }
 
+  test("int8Knn with a corpus-wide shortlist IS bruteForceKnn") {
+    // a shortlist deeper than the corpus disables the code-space cut,
+    // and the exact re-rank then scores every candidate with full
+    // floats — the SQ8 ladder must reproduce exact KNN row for row,
+    // proving the quantized stage only ever prunes, never rescores.
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceKnn(emb, "vec_id", "embedding",
+      col("vec_id") < 5, k = 5).collect().map(_.toSeq).toSet
+    val sq8 = Similarity.int8Knn(emb, "vec_id", "embedding",
+      col("vec_id") < 5, shortlistK = n, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(sq8 == exact)
+  }
+
+  test("shuffle-joined fine-centroid delivery equals the broadcast path") {
+    // maxBroadcastCentroids = 0 forces the no-hint delivery (the path
+    // taken when cells ∝ corpus outgrow sane broadcasting): routing is
+    // a join-STRATEGY change only, so mutual-kNN edges and routed
+    // kmeans assignments must be row-for-row identical.
+    val bcast = Similarity.mutualKnn(emb, "vec_id", "embedding", k = 5,
+      routeAbove = 0).collect().map(_.toSeq).toSet
+    val shuffled = Similarity.mutualKnn(emb, "vec_id", "embedding", k = 5,
+      routeAbove = 0, maxBroadcastCentroids = 0)
+      .collect().map(_.toSeq).toSet
+    assert(bcast == shuffled && bcast.nonEmpty)
+    val kb = Similarity.kmeansRouted(emb, "vec_id", "embedding", dim = 64,
+      k = 8, iters = 2, coarse = 3).collect().map(_.toSeq).toSet
+    val ks = Similarity.kmeansRouted(emb, "vec_id", "embedding", dim = 64,
+      k = 8, iters = 2, coarse = 3, maxBroadcastCentroids = 0)
+      .collect().map(_.toSeq).toSet
+    assert(kb == ks && kb.nonEmpty)
+  }
+
   test("mutualKnn edges are symmetric-by-construction and within-cell top-k") {
     val edges = Similarity.mutualKnn(emb, "vec_id", "embedding", k = 5,
       minCentroids = 4).collect()
