@@ -31,4 +31,54 @@ class StreamSmokeSpec extends AnyFunSuite {
           s"multi=${r.multi}, verdict=${r.verdict}, diff=${r.diff})")
     }
   }
+
+  test("streamRetention drops late activity past the watermark and evicts state") {
+    // The 8-batch equivalence never sends a LATE row, so the 90-day
+    // horizon was asserted, not exercised. Three mod-time-ordered files
+    // force three micro-batches: (1) cohort A establishes the
+    // watermark, (2) a row 200 days OLDER than A arrives — beyond the
+    // 90-day horizon, must be dropped as late — and (3) a batch 200
+    // days NEWER advances the watermark past A's buckets, which must
+    // evict A's dedup state.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_late_sf").toString
+    val evDir = s"$dir/events.parquet"
+    def write(rows: Seq[(Long, java.sql.Timestamp)]): Unit =
+      rows.toDF("user_id", "ts").coalesce(1).write.mode("append")
+        .parquet(evDir)
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    def at(days: Long, h: Int = 0) = new java.sql.Timestamp(
+      base.getTime + days * 86400000L + h * 3600000L)
+    val a = (1L to 5L).map(u => (u, at(0, u.toInt)))
+    val late = Seq((99L, at(-200)))
+    val c = Seq((200L, at(200)), (201L, at(200, 1)))
+    write(a); Thread.sleep(1100); write(late); Thread.sleep(1100); write(c)
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    try {
+      val out = graft.streaming.Streams.streamRetention(spark, dir)
+        .collect().map(_.toSeq).toSet
+      def twin(rows: Seq[(Long, java.sql.Timestamp)]) =
+        graft.operators.Retention.fromActivity(
+          rows.toDF("user_id", "ts")
+            .select(col("user_id").as("k"),
+              floor(col("ts").cast("double") / 604800L).cast("long")
+                .as("wk"))
+            .distinct())
+          .collect().map(_.toSeq).toSet
+      assert(out == twin(a ++ c),
+        "the late row must be dropped from the retention readout")
+      assert(out != twin(a ++ late ++ c),
+        "the late row must be material (otherwise this test proves nothing)")
+      val st = graft.streaming.Streams.lastDrainProgress
+        .flatMap(_.stateOperators)
+      assert(st.map(_.numRowsRemoved).sum > 0,
+        s"expected watermark EVICTION of cohort-A state, got: " +
+          st.map(p => (p.numRowsTotal, p.numRowsRemoved)).mkString(", "))
+      assert(st.last.numRowsTotal < 7,
+        s"state must shrink below the 7 admitted pairs after eviction, " +
+          s"got ${st.last.numRowsTotal}")
+    } finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+  }
 }
