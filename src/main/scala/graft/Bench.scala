@@ -39,8 +39,15 @@ object Bench {
   /** First-pass-run threshold below which a query is re-timed (min of 3). */
   val RerunBelowSec = 3.0
 
-  /** Number of full suite passes; per-query result is min across passes. */
-  val Passes = 2
+  /** Number of full suite passes; per-query result is min across passes.
+    * 3 since round 12 (r11 VERDICT #5): the 2-pass min was still
+    * absorbing whole-pass interference — pass-2 outliers like a 12.2 s
+    * q_pagerank_golden sample and q_semantic_incremental's 1.48×
+    * round-over-round drift (probed: unchanged code + unchanged fixture,
+    * min-of-10 back-to-back warm samples can no longer reproduce the
+    * old number → environment drift, not the binary). A third pass
+    * gives every query one more independent shot at a quiet window. */
+  val Passes = 3
 
   /** Fixed stdout subset: the headline operators the round-over-round
     * comparison tracks — dedup suite, ANN suite, iterative graph, text,
