@@ -96,9 +96,10 @@ object Bench {
     "q_embed_mrl_knn", "q_embed_mutual_knn", "q_embed_mutual_knn_routed",
     "q_stream_embed_route", "q_stream_int8", "q_domain_classify", "q_l_diversity",
     "b_pagerank_tol", "b_ppr_tol",
-    // round-12 additions: the persisted-index serve/build pair and the
-    // LSH retrieval arm
-    "q_embed_ivf_knn_stored", "b_ivf_build", "q_hybrid_rrf_lsh")
+    // round-12 additions: the persisted-index serve/build pair, the
+    // SQ8 search paths, the LSH retrieval arm, the SQL surface
+    "q_embed_ivf_knn_stored", "b_ivf_build", "q_hybrid_rrf_lsh",
+    "q_embed_int8_knn", "q_embed_ivf_sq8_stored", "q_sql_simhash_pairs")
 
   /** BENCH-ONLY entries (r10 VERDICT #5): the production CONVERGENCE
     * mode of the iterative rank ops. The registered q_pagerank/q_ppr run

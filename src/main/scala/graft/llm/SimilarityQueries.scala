@@ -477,6 +477,67 @@ object SimilarityQueries {
       },
       Some(ivfKnnSql(numCentroids = 64, nProbe = 16, k = 5))),
 
+    // IVF-SQ8 from the STORED layout — the composed production serving
+    // path (FAISS IVF + scalar quantizer): probes route over the stored
+    // quantizer, the cells scan bucket-prunes to the probed cells, the
+    // scoring join reads the stored INT8 CODES (cosine over codes — the
+    // per-vector scale cancels, q_embed_int8_knn's argument — so the
+    // scan is ~1/4 the float bytes), and the 20-deep shortlist re-ranks
+    // with the stored exact vectors. Every stage replayed: cell
+    // assignment, probe routing, the SQ8 code rule, code-space
+    // shortlist, exact re-rank.
+    Q("q_embed_ivf_sq8_stored",
+      (s, d) => {
+        val name = graft.sources.IvfIndex.ensureBuilt(s, d, numCentroids = 64)
+        val queries = Tables.embeddings(s, d).where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        graft.sources.IvfIndex.serveInt8(s, name, queries, k = 5,
+          nProbe = 16, shortlistK = 20)
+      },
+      Some(s"""WITH $rawVCte,
+               cents AS (SELECT vec_id AS cid, e AS cv FROM v
+                         ORDER BY ((vec_id % 1000000007) * 2654435761
+                                   + 283521) % 9973, vec_id
+                         LIMIT 64),
+               corpus AS (SELECT nid, nv, cid FROM (
+                 SELECT v.vec_id AS nid, v.e AS nv, c.cid,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.cid)
+                          AS crn
+                 FROM v, cents c) WHERE crn <= 1),
+               queries AS (SELECT qid, qv, cid FROM (
+                 SELECT v.vec_id AS qid, v.e AS qv, c.cid,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.cid)
+                          AS crn
+                 FROM v, cents c WHERE v.vec_id < 10) WHERE crn <= 16),
+               sq8 AS (SELECT nid, nv, cid,
+                         round(list_max(list_transform(nv, x -> abs(x)))
+                           / 127.0, 9) AS scale
+                       FROM corpus),
+               codes AS (SELECT nid, cid,
+                           list_transform(nv, x -> CASE WHEN scale = 0
+                             THEN 0.0
+                             ELSE greatest(-127.0, least(127.0,
+                               round(x / scale, 0))) END) AS nc
+                         FROM sq8),
+               st AS (SELECT qid, nid, ${duckCos("qv", "nc")} AS acos
+                      FROM queries JOIN codes USING (cid)
+                      WHERE qid <> nid),
+               shortlist AS (SELECT qid, nid FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                   ORDER BY acos DESC, nid) AS rn FROM st)
+                 WHERE rn <= 20),
+               rescored AS (
+                 SELECT sl.qid, sl.nid, ${duckCos("q.e", "n.e")} AS cos
+                 FROM shortlist sl
+                 JOIN v q ON sl.qid = q.vec_id
+                 JOIN v n ON sl.nid = n.vec_id)
+               SELECT qid, nid, cos, rn FROM (
+                 SELECT *, CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS BIGINT) AS rn FROM rescored)
+               WHERE rn <= 5""")),
+
     // LSH-bucketed ANN — the Rademacher planes come from a portable
     // integer mixer (Similarity.planeSign), so DuckDB replays bucketing,
     // multi-probe, scoring and top-k end-to-end

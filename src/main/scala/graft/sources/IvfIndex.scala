@@ -48,10 +48,25 @@ object IvfIndex {
       vecCol: String, name: String, numCentroids: Int = 64,
       basePath: String = defaultBase): Unit = {
     val cents = Similarity.ivfCentroids(emb, idCol, vecCol, numCentroids)
+    // the cells table also carries the SQ8 layout ([[Similarity.quantizeInt8]]'s
+    // code rule): int8 codes as a TINYINT array + one scale per vector —
+    // the verdict's "(vec_id, cell, vec[, codes])" posting-list row. A
+    // deployment that serves [[serveInt8]] only can drop `vec` for the
+    // 4× byte shrink; keeping both here lets the exact re-rank read the
+    // same stored table.
+    val e = transform(col("vec"), x => x.cast("double"))
     val cells = Similarity.nearestCells(
         emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec")),
         cents, "vec_id", "vec", 1)
       .select(col("vec_id"), col("cid").as("cell"), col("vec"))
+      .withColumn("scale",
+        round(array_max(transform(e, x => abs(x))) / lit(127.0), 9))
+      .withColumn("codes", transform(e, x =>
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          greatest(lit(-127L), least(lit(127L),
+            round(x / col("scale"), 0).cast("long")))).cast("tinyint")))
+      .select(col("vec_id"), col("cell"), col("vec"), col("codes"),
+        col("scale"))
     cells.write.mode("overwrite")
       .format("parquet")
       .option("path", s"$basePath/${name}_cells")
@@ -97,6 +112,52 @@ object IvfIndex {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cos"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  /** Serve kNN from the stored layout scoring the STORED INT8 CODES
+    * first — the composed FAISS IVF-SQ8 production shape: probes route
+    * over the stored quantizer, the cells scan bucket-prunes to the
+    * probed cells, candidates are scored by cosine against the int8
+    * codes (the per-vector scale cancels — [[Similarity.int8Knn]]'s
+    * argument, so the scoring join needs codes only, never vectors or
+    * scales), and the `shortlistK`-deep shortlist re-ranks with the
+    * stored exact vectors. At storage scale the code-space scan reads
+    * ~1/4 the bytes of [[serve]]'s float scan over the same probed
+    * cells; everything else is identical. */
+  def serveInt8(spark: SparkSession, name: String, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 2, shortlistK: Int = 20): DataFrame = {
+    require(shortlistK >= k, "the shortlist must be at least k deep")
+    val cents = broadcast(spark.table(s"${name}_cents"))
+    val routed = Similarity.nearestCells(
+      queries.select(col("qid"), col("qv")), cents, "qid", "qv", nProbe)
+    val probedCells: Array[Long] = routed.select(col("cid")).distinct()
+      .collect().map(_.getLong(0))
+    val stored = spark.table(s"${name}_cells")
+      .where(col("cell").isin(probedCells.map(Long.box): _*))
+    val codeSide = stored.select(col("vec_id").as("nid"),
+      transform(col("codes"), x => x.cast("double")).as("nc"),
+      col("cell").as("cid"))
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("acos").desc, col("nid").asc)
+    val shortlist = routed.join(codeSide, "cid")
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(Similarity.cosine(col("qv"), col("nc")), 6).as("acos"))
+      .withColumn("rn", row_number().over(wA))
+      .where(col("rn") <= shortlistK)
+      .select(col("qid"), col("nid"))
+    val exact = broadcast(shortlist)
+      .join(stored.select(col("vec_id").as("nid"), col("vec").as("nv")),
+        "nid")
+      .join(broadcast(queries.select(col("qid"), col("qv"))), "qid")
+      .select(col("qid"), col("nid"),
+        round(Similarity.cosine(col("qv"), col("nv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    exact.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col("qid"), col("nid"), col("cos"),
         col("rn").cast("long").as("rn"))

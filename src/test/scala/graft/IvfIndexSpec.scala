@@ -49,6 +49,20 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(rawScans <= 1, s"serve must not rescan the raw corpus:\n$p")
   }
 
+  test("SQ8 serve with a corpus-wide shortlist equals the float serve") {
+    // a shortlist deeper than the corpus disables the code-space cut;
+    // the exact re-rank then scores every probed-cell candidate with
+    // the stored float vectors — exactly what serve() scores — so the
+    // two stored-layout paths must agree row for row.
+    val n = Tables.embeddings(spark, sf0001).count().toInt
+    val name = IvfIndex.ensureBuilt(spark, sf0001, numCentroids = 16)
+    val sq8 = IvfIndex.serveInt8(spark, name, queries, k = 5, nProbe = 4,
+      shortlistK = n).collect().map(_.toSeq).toSet
+    val flt = IvfIndex.serve(spark, name, queries, k = 5, nProbe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(sq8 == flt && sq8.nonEmpty)
+  }
+
   test("memo rebuilds when the data fingerprint changes, not per call") {
     val n1 = IvfIndex.ensureBuilt(spark, sf0001, numCentroids = 16)
     val n2 = IvfIndex.ensureBuilt(spark, sf0001, numCentroids = 16)

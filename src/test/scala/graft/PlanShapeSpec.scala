@@ -112,6 +112,8 @@ class PlanShapeSpec extends AnyFunSuite {
                                 // STORED 64-row quantizer table; the
                                 // corpus side is the bucket-pruned index
                                 // scan (pinned in IvfIndexSpec)
+      "q_embed_ivf_sq8_stored", // same stored-quantizer probe routing;
+                                // scoring reads the stored int8 codes
       "q_semantic_incremental") // k-row refreshed-centroid broadcast into
                                 // the fresh routing scan (the kmeans shape)
     val offenders = Registry.byName.keys.toSeq.sorted
