@@ -21,6 +21,21 @@ object Rehearse {
     (0 until 10).map(r => shift(df)(r)).reduce(_ unionByName _)
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    // dims are copied verbatim; guarded PER TABLE (not by _done) so a
+    // dir synthesized before a table joined the list self-heals —
+    // r12: q_union skipped at 10× because supplier/part were never
+    // copied (only the q_pivot/q_stream_enrich dims were)
+    Seq("customer", "orders", "nation", "region", "supplier", "part")
+      .foreach { t =>
+        if (!new java.io.File(s"$outDir/$t.parquet").exists())
+          try Tables.load(spark, sfDir, t)
+            .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              System.err.println(
+                s"[rehearse] dim $t skipped (missing): ${e.getMessage}")
+          }
+      }
     val done = new java.io.File(s"$outDir/_done")
     if (done.exists()) return
     val docs = Tables.documents(spark, sfDir)
@@ -44,19 +59,6 @@ object Rehearse {
       d.withColumn("l_orderkey", col("l_orderkey") + lit(r * 31L))
         .withColumn("l_partkey", col("l_partkey") + lit(r * 37L)))
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    // small dims copied verbatim (q_pivot/q_stream_enrich deps). Only a
-    // MISSING source table is skippable (logged); any other failure —
-    // including fatal ones — must propagate so the _done marker is never
-    // written over a partial corpus (which would permanently break the
-    // dependent rehearsals: _done short-circuits every later run).
-    Seq("customer", "orders", "nation", "region").foreach { t =>
-      try Tables.load(spark, sfDir, t)
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          System.err.println(s"[rehearse] dim $t skipped (missing): ${e.getMessage}")
-      }
-    }
     done.createNewFile()
   }
 
