@@ -13,20 +13,18 @@ import org.apache.spark.sql.SparkSession
   * while the complete per-query map is written to bench_out.json in the
   * working directory for anything that wants the full detail.
   *
-  * Timing discipline (round 6: TWO full suite passes — r3/r4/r5 each got
-  * adjudicated for phantom regressions because the box swings whole-suite
-  * totals ±25 % across runs and the driver captures exactly one; min-of-N
-  * within a pass bounds per-query spikes but not a uniformly slow pass):
-  * the whole query loop runs `Passes` times and each query reports the MIN
-  * across every sample of every pass, so the recorded number measures the
-  * binary, not which side of the box's coin flip the capture landed on.
-  * Within a pass, scheduler/GC noise only ever ADDS time, so each query
-  * takes the min over its runs — 3 runs below `RerunBelowSec` (cheap,
-  * where ±40 % noise swamps the signal), 2 above it (bounding the wall
-  * cost of the heavy tail). Every raw sample is preserved in
-  * bench_out.json under "samples" (per query, ordered pass 1 then pass 2)
-  * so cross-round variance attribution can be done from the artifacts
-  * instead of by hand. Each timed run releases its terminal checkpoint
+  * Timing discipline (round 6: multiple full suite passes — r3/r4/r5
+  * each got adjudicated for phantom regressions because the box swings
+  * whole-suite totals ±25 % across runs and the driver captures exactly
+  * one; min-of-N within a pass bounds per-query spikes but not a
+  * uniformly slow pass): the whole query loop runs `Passes` times (3
+  * since r12) and each query reports the MIN across every sample of
+  * every pass, so the recorded number measures the binary, not which
+  * side of the box's coin flip the capture landed on. Within a pass,
+  * scheduler/GC noise only ever ADDS time, so each query takes the min
+  * of its 2 runs. Every raw sample is preserved in bench_out.json under
+  * "samples" (per query, ordered by pass) so cross-round variance
+  * attribution can be done from the artifacts instead of by hand. Each timed run releases its terminal checkpoint
   * blocks afterwards — in a `finally`, so a failing query can't leak its
   * partially-built checkpoints into the remaining rows' GC pressure
   * (graft.core.Checkpoints). A run that throws records NO sample; a query
@@ -36,9 +34,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** First-pass-run threshold below which a query is re-timed (min of 3). */
-  val RerunBelowSec = 3.0
-
   /** Number of full suite passes; per-query result is min across passes.
     * 3 since round 12 (r11 VERDICT #5): the 2-pass min was still
     * absorbing whole-pass interference — pass-2 outliers like a 12.2 s
@@ -46,7 +41,10 @@ object Bench {
     * round-over-round drift (probed: unchanged code + unchanged fixture,
     * min-of-10 back-to-back warm samples can no longer reproduce the
     * old number → environment drift, not the binary). A third pass
-    * gives every query one more independent shot at a quiet window. */
+    * gives every query one more independent shot at a quiet window; to
+    * hold the wall budget, cheap queries now run min-of-2 WITHIN a pass
+    * (was 3) — the same 6 total samples as r11's 2×3, redistributed
+    * into three independent windows instead of two. */
   val Passes = 3
 
   /** Fixed stdout subset: the headline operators the round-over-round
@@ -179,8 +177,7 @@ object Bench {
       names.foreach { case (name, fn) =>
         val first = timeOnce(fn)
         val extra = first match {
-          case Some(t1) if t1 >= RerunBelowSec => Seq(timeOnce(fn)) // min of 2
-          case Some(_) => Seq(timeOnce(fn), timeOnce(fn)) // min of 3
+          case Some(_) => Seq(timeOnce(fn)) // min of 2 per pass
           case None => Seq.empty // query is broken; don't burn wall re-proving it
         }
         samples(name) = samples(name) ++ (first.toSeq ++ extra.flatten)

@@ -63,6 +63,38 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(sq8 == flt && sq8.nonEmpty)
   }
 
+  test("append routes fresh vectors over the STORED quantizer into the bucketed layout") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val old = emb.where(col("vec_id") >= 100)
+    val fresh = emb.where(col("vec_id") < 100)
+    IvfIndex.build(spark, old, "vec_id", "embedding",
+      "graft_ivf_apptest", numCentroids = 8)
+    IvfIndex.append(spark, "graft_ivf_apptest", fresh, "vec_id",
+      "embedding")
+    // content: every vector (old + fresh) assigned by the OLD
+    // quantizer's routing rule — appends must not drift cell semantics
+    val stored = spark.table("graft_ivf_apptest_cells")
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = spark.table("graft_ivf_apptest_cents")
+    val expected = graft.llm.Similarity.nearestCells(
+        emb.select(col("vec_id"), col("embedding").as("vec")),
+        org.apache.spark.sql.functions.broadcast(cents),
+        "vec_id", "vec", 1)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == expected && stored.size == emb.count(),
+      "appended postings must follow the stored quantizer exactly")
+    // the appended table still serves with a bucket-pruned plan, and
+    // the appended vectors are searchable (probe ids are all appended)
+    val served = IvfIndex.serve(spark, "graft_ivf_apptest", queries,
+      k = 5, nProbe = 2)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"),
+      s"append must preserve the bucketed layout:\n$p")
+    assert(served.count() > 0)
+  }
+
   test("memo rebuilds when the data fingerprint changes, not per call") {
     val n1 = IvfIndex.ensureBuilt(spark, sf0001, numCentroids = 16)
     val n2 = IvfIndex.ensureBuilt(spark, sf0001, numCentroids = 16)
