@@ -316,11 +316,16 @@ object Similarity {
     val queries = nearestCells(
       emb.where(queryPred).select(col(idCol).as("qid"), col(vecCol).as("qv")),
       cents, "qid", "qv", nProbe)
+    // no distinct: every corpus vector is assigned to exactly ONE cell
+    // (nearestCells n=1), so (qid, nid) pairs are unique by construction
+    // even under multi-probe — a distinct here was a full exchange of
+    // the candidate set (the scale-dominant intermediate: nProbe/cells
+    // of the corpus per query batch) buying nothing. Contrast lshKnn,
+    // whose multi-probed BUCKETS overlap and genuinely need the dedup.
     val scored = queries.join(corpus, "cid")
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(cosine(col("qv"), col("nv")), 6).as("cos"))
-      .distinct()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rn", row_number().over(w))

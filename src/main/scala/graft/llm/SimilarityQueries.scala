@@ -855,7 +855,7 @@ object SimilarityQueries {
             FROM v, cents c WHERE v.vec_id < 10)
           WHERE crn <= $nProbe),
         scored AS (
-          SELECT DISTINCT qid, nid, ${duckCos("qv", "nv")} AS cos
+          SELECT qid, nid, ${duckCos("qv", "nv")} AS cos
           FROM queries JOIN corpus USING (cid) WHERE qid <> nid)
         SELECT qid, nid, cos, rn FROM (
           SELECT *, CAST(row_number() OVER (
@@ -1141,7 +1141,7 @@ object SimilarityQueries {
                           AS crn
                  FROM p JOIN vv ON vv.vec_id = p.probe_id, cents c)
                WHERE crn <= $nProbe),
-        scored AS (SELECT DISTINCT qid, nid AS doc,
+        scored AS (SELECT qid, nid AS doc,
                           ${duckCos("qv", "nv")} AS cos
                    FROM pq JOIN corpcell USING (cid)
                    WHERE nid <> probe_id),

@@ -108,11 +108,12 @@ object IvfIndex {
       .where(col("cell").isin(probedCells.map(Long.box): _*))
       .select(col("vec_id").as("nid"), col("vec").as("nv"),
         col("cell").as("cid"))
+    // no distinct: one cell per stored vector ⇒ (qid, nid) unique (the
+    // ivfKnn argument — a distinct would re-exchange the candidate set)
     val scored = routed.join(corpus, "cid")
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(Similarity.cosine(col("qv"), col("nv")), 6).as("cos"))
-      .distinct()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rn", row_number().over(w))
