@@ -134,7 +134,11 @@ object IvfIndex {
     * a crawl batch becomes searchable the moment its append commits.
     * Cost per batch: one broadcast-quantizer argmin over the fresh
     * rows + one bucketed write of |fresh| rows — nothing touches the
-    * existing corpus. */
+    * existing corpus. The CALLER owns id freshness (the incremental-
+    * dedup admission contract): appending an id that already has a
+    * posting duplicates it — run the engine's dedup/admission gate
+    * first, exactly as [[graft.llm.Dedup.incrementalDedup]] does for
+    * documents. */
   def append(spark: SparkSession, name: String, fresh: DataFrame,
       idCol: String, vecCol: String): Unit = {
     val cents = broadcast(spark.table(s"${name}_cents"))
@@ -202,8 +206,16 @@ object IvfIndex {
   def ensureBuilt(spark: SparkSession, sfDir: String,
       numCentroids: Int = 64): String = {
     val emb = graft.Tables.embeddings(spark, sfDir)
-    val r = emb.agg(count(lit(1)), max(col("vec_id"))).head()
-    val fp = s"${r.get(0)}|${r.get(1)}|$numCentroids"
+    // count + max id + label sum: cheap (column-pruned, no vector
+    // reads) and catches both appends and a regenerated fixture. A
+    // same-shape in-place mutation of the VECTORS alone would evade it
+    // — deliberate: re-fingerprinting content would re-scan the corpus
+    // per query batch, and the production contract is that the index,
+    // not a derivation check, is the source of truth (mutate vectors ⇒
+    // rebuild explicitly, as any vector store requires).
+    val r = emb.agg(count(lit(1)), max(col("vec_id")),
+      sum(col("label"))).head()
+    val fp = s"${r.get(0)}|${r.get(1)}|${r.get(2)}|$numCentroids"
     built.getOrElseUpdate((sfDir, fp), {
       val name = s"graft_ivf_${math.abs((sfDir + "|" + fp).hashCode)}"
       build(spark, emb, "vec_id", "embedding", name, numCentroids)
