@@ -97,7 +97,8 @@ object Bench {
     // round-12 additions: the persisted-index serve/build pair, the
     // SQ8 search paths, the LSH retrieval arm, the SQL surface
     "q_embed_ivf_knn_stored", "b_ivf_build", "q_hybrid_rrf_lsh",
-    "q_embed_int8_knn", "q_embed_ivf_sq8_stored", "q_sql_simhash_pairs")
+    "q_embed_int8_knn", "q_embed_ivf_sq8_stored", "q_sql_simhash_pairs",
+    "q_incremental_dedup_stored")
 
   /** BENCH-ONLY entries (r10 VERDICT #5): the production CONVERGENCE
     * mode of the iterative rank ops. The registered q_pagerank/q_ppr run

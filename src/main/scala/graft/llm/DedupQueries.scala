@@ -88,65 +88,28 @@ object DedupQueries {
             portable = true)
           .select(col("doc_id"))
       },
-      Some(s"""WITH $shingleCte,
-               fresh AS (SELECT doc_id FROM documents
-                         WHERE ((doc_id % 1000000007) * 2654435761 + 283521)
-                               % 9973 < 1994),
-               -- portable MinHash banding replay (MinHashBands): word
-               -- hashes -> shingle folds -> square-mixer minima -> band
-               -- folds; constants B=257, B2=1000003, M=1e9+7
-               wsq AS (SELECT doc_id,
-                         list_filter(string_split_regex(text, '\\s+'),
-                           w -> length(w) > 0) AS w
-                       FROM documents),
-               whl AS (SELECT doc_id,
-                         list_transform(w, x -> ${duckWordHash("x")}) AS hs
-                       FROM wsq WHERE len(w) >= 3),
-               shh AS (SELECT doc_id,
-                         unnest(list_transform(range(1, len(hs) - 1), i ->
-                           (((hs[i] * 1000003 + hs[i+1]) % 1000000007)
-                              * 1000003 + hs[i+2]) % 1000000007)) AS x
-                       FROM whl),
-               hx AS (SELECT doc_id, x, unnest(range(0, 64)) AS h FROM shh),
-               mx AS (SELECT doc_id, h,
-                        ((((x * 2654435761 + 40503 * (h + 1)) % 1000000007)
-                           * ((x * 2654435761 + 40503 * (h + 1)) % 1000000007))
-                          % 1000000007) AS s1
-                      FROM hx),
-               sig AS (SELECT doc_id, h,
-                         min((s1 * s1) % 1000000007) AS s
-                       FROM mx GROUP BY doc_id, h),
-               bnd AS (SELECT doc_id, h // 4 AS band,
-                         list(s ORDER BY h) AS l
-                       FROM sig GROUP BY doc_id, (h // 4)),
-               bh AS (SELECT doc_id, band,
-                        (((((l[1] * 1000003 + l[2]) % 1000000007)
-                            * 1000003 + l[3]) % 1000000007)
-                           * 1000003 + l[4]) % 1000000007 AS bh
-                      FROM bnd),
-               cand AS (SELECT DISTINCT f.doc_id AS fid, c.doc_id AS cid
-                        FROM bh f JOIN bh c
-                          ON f.band = c.band AND f.bh = c.bh
-                        WHERE f.doc_id IN (SELECT doc_id FROM fresh)
-                          AND c.doc_id NOT IN (SELECT doc_id FROM fresh)),
-               fs AS (SELECT sh.doc_id, shingle FROM sh
-                      JOIN fresh USING (doc_id)),
-               cs AS (SELECT sh.doc_id, shingle FROM sh
-                      WHERE sh.doc_id NOT IN (SELECT doc_id FROM fresh)),
-               fsz AS (SELECT doc_id, count(*) AS nf FROM fs GROUP BY 1),
-               csz AS (SELECT doc_id, count(*) AS nc FROM cs GROUP BY 1),
-               inter AS (SELECT cand.fid, cand.cid, count(*) AS c
-                         FROM cand
-                         JOIN fs ON fs.doc_id = cand.fid
-                         JOIN cs ON cs.doc_id = cand.cid
-                                AND cs.shingle = fs.shingle
-                         GROUP BY 1, 2),
-               dup AS (SELECT DISTINCT fid FROM inter
-                       JOIN fsz ON fsz.doc_id = inter.fid
-                       JOIN csz ON csz.doc_id = inter.cid
-                       WHERE round(c * 1.0 / (nf + nc - c), 4) >= 0.8)
-               SELECT doc_id FROM fresh
-               WHERE doc_id NOT IN (SELECT fid FROM dup)""")),
+      Some(incrementalDedupSql)),
+
+    // the SAME incremental dedup answered from the PERSISTED band index
+    // (graft.sources.DedupIndex — corpus band keys + shingles + sizes
+    // stored once as bucketed tables; per batch only the FRESH side is
+    // derived and the candidate probe joins the stored postings on
+    // their bucket key, shuffle-free on the corpus side). Byte-identical
+    // admission semantics to q_incremental_dedup — same split, same
+    // portable hashes — so the oracle is the SAME full replay; the
+    // index changes cost, never answers (DedupIndexSpec pins the
+    // row-for-row equivalence and the no-corpus-shuffle plan).
+    Q("q_incremental_dedup_stored",
+      (s, d) => {
+        val name = graft.sources.DedupIndex.ensureBuilt(s, d)
+        val docs = Tables.documents(s, d)
+        val fresh = Sampling.hashSample(docs, "doc_id", 0.2)
+        graft.sources.DedupIndex.dedupAgainst(s, name, fresh, "text",
+            "doc_id")
+          .select(col("doc_id"))
+      },
+      Some(incrementalDedupSql)),
+
 
     // sequence-level (substring) dedup: maximal cross-document repeated
     // token spans (L=10 fits the fixture's 10-99-token docs; production
@@ -601,4 +564,68 @@ object DedupQueries {
   private def allDocsCte: String =
     """alld AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
                FROM documents d LEFT JOIN cl USING (doc_id))"""
+
+  /** Full portable-replay oracle shared by q_incremental_dedup and its
+    * stored-index twin (identical admission semantics — the index only
+    * changes where the corpus derivation comes from). */
+  private lazy val incrementalDedupSql: String =
+    s"""WITH $shingleCte,
+               fresh AS (SELECT doc_id FROM documents
+                         WHERE ((doc_id % 1000000007) * 2654435761 + 283521)
+                               % 9973 < 1994),
+               -- portable MinHash banding replay (MinHashBands): word
+               -- hashes -> shingle folds -> square-mixer minima -> band
+               -- folds; constants B=257, B2=1000003, M=1e9+7
+               wsq AS (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\\s+'),
+                           w -> length(w) > 0) AS w
+                       FROM documents),
+               whl AS (SELECT doc_id,
+                         list_transform(w, x -> ${duckWordHash("x")}) AS hs
+                       FROM wsq WHERE len(w) >= 3),
+               shh AS (SELECT doc_id,
+                         unnest(list_transform(range(1, len(hs) - 1), i ->
+                           (((hs[i] * 1000003 + hs[i+1]) % 1000000007)
+                              * 1000003 + hs[i+2]) % 1000000007)) AS x
+                       FROM whl),
+               hx AS (SELECT doc_id, x, unnest(range(0, 64)) AS h FROM shh),
+               mx AS (SELECT doc_id, h,
+                        ((((x * 2654435761 + 40503 * (h + 1)) % 1000000007)
+                           * ((x * 2654435761 + 40503 * (h + 1)) % 1000000007))
+                          % 1000000007) AS s1
+                      FROM hx),
+               sig AS (SELECT doc_id, h,
+                         min((s1 * s1) % 1000000007) AS s
+                       FROM mx GROUP BY doc_id, h),
+               bnd AS (SELECT doc_id, h // 4 AS band,
+                         list(s ORDER BY h) AS l
+                       FROM sig GROUP BY doc_id, (h // 4)),
+               bh AS (SELECT doc_id, band,
+                        (((((l[1] * 1000003 + l[2]) % 1000000007)
+                            * 1000003 + l[3]) % 1000000007)
+                           * 1000003 + l[4]) % 1000000007 AS bh
+                      FROM bnd),
+               cand AS (SELECT DISTINCT f.doc_id AS fid, c.doc_id AS cid
+                        FROM bh f JOIN bh c
+                          ON f.band = c.band AND f.bh = c.bh
+                        WHERE f.doc_id IN (SELECT doc_id FROM fresh)
+                          AND c.doc_id NOT IN (SELECT doc_id FROM fresh)),
+               fs AS (SELECT sh.doc_id, shingle FROM sh
+                      JOIN fresh USING (doc_id)),
+               cs AS (SELECT sh.doc_id, shingle FROM sh
+                      WHERE sh.doc_id NOT IN (SELECT doc_id FROM fresh)),
+               fsz AS (SELECT doc_id, count(*) AS nf FROM fs GROUP BY 1),
+               csz AS (SELECT doc_id, count(*) AS nc FROM cs GROUP BY 1),
+               inter AS (SELECT cand.fid, cand.cid, count(*) AS c
+                         FROM cand
+                         JOIN fs ON fs.doc_id = cand.fid
+                         JOIN cs ON cs.doc_id = cand.cid
+                                AND cs.shingle = fs.shingle
+                         GROUP BY 1, 2),
+               dup AS (SELECT DISTINCT fid FROM inter
+                       JOIN fsz ON fsz.doc_id = inter.fid
+                       JOIN csz ON csz.doc_id = inter.cid
+                       WHERE round(c * 1.0 / (nf + nc - c), 4) >= 0.8)
+               SELECT doc_id FROM fresh
+               WHERE doc_id NOT IN (SELECT fid FROM dup)"""
 }
