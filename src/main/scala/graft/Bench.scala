@@ -98,7 +98,7 @@ object Bench {
     // SQ8 search paths, the LSH retrieval arm, the SQL surface
     "q_embed_ivf_knn_stored", "b_ivf_build", "q_hybrid_rrf_lsh",
     "q_embed_int8_knn", "q_embed_ivf_sq8_stored", "q_sql_simhash_pairs",
-    "q_incremental_dedup_stored")
+    "q_incremental_dedup_stored", "q_bm25_stored", "b_text_build")
 
   /** BENCH-ONLY entries (r10 VERDICT #5): the production CONVERGENCE
     * mode of the iterative rank ops. The registered q_pagerank/q_ppr run
@@ -125,6 +125,15 @@ object Bench {
       graft.sources.IvfIndex.build(s, graft.Tables.embeddings(s, d),
         "vec_id", "embedding", "graft_ivf_benchbuild", numCentroids = 64)
       s.table("graft_ivf_benchbuild_cells")
+    }),
+    // the TEXT index BUILD, same contract as b_ivf_build: the one-time
+    // tokenize+aggregate+bucketed-write pass that q_bm25_stored
+    // amortizes (the live q_bm25_topk re-pays the tokenize part of it
+    // on every run). Served answers are oracle-checked by q_bm25_stored.
+    "b_text_build" -> ((s, d) => {
+      graft.sources.TextIndex.build(s, graft.Tables.documents(s, d),
+        "text", "doc_id", "graft_text_benchbuild")
+      s.table("graft_text_benchbuild_postings")
     }))
 
   def main(args: Array[String]): Unit = {

@@ -25,12 +25,19 @@ object Checkpoints {
 
   /** Unpersist the checkpoint blocks reachable from each frame's plan.
     * Safe on non-checkpointed frames (no LogicalRDD → no-op). Async
-    * (non-blocking) — the blocks disappear without stalling the driver. */
-  def release(dfs: DataFrame*): Unit =
+    * (non-blocking) — the blocks disappear without stalling the driver.
+    * Deduped by RDD id: a checkpointed frame consumed by two plan
+    * branches (e.g. an index probe feeding both df and scoring) appears
+    * as two LogicalRDD leaves, and a second RemoveRdd for the same
+    * blocks logs spurious "Block does not exist" executor errors. */
+  def release(dfs: DataFrame*): Unit = {
+    val seen = scala.collection.mutable.Set.empty[Int]
     dfs.foreach { df =>
       df.queryExecution.analyzed.foreach {
-        case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+        case l: LogicalRDD if seen.add(l.rdd.id) =>
+          l.rdd.unpersist(blocking = false)
         case _ => ()
       }
     }
+  }
 }

@@ -1,0 +1,171 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** PERSISTED lexical (BM25) index — the retrieval-family member of the
+  * stored-layout trio ([[IvfIndex]] for ANN, [[DedupIndex]] for
+  * near-dup): the reference's flagship GPU workload is exactly this
+  * artifact, an inverted index whose posting lists are WRITTEN TO DISK
+  * at build time and read back at query time
+  * (`cuda/InvertedIndex.cu:463-513`). The engine's
+  * [[TextOps.bm25TopK]] re-tokenizes and re-aggregates the whole corpus
+  * on every query run — the dominant cost of the lexical arm (r9 bench:
+  * the tf derivation IS the query). This index pays it once:
+  *
+  *   - `<name>_postings` (word, doc_id, tf, dl): one row per (term,
+  *     containing doc), bucketed AND bucket-sorted by `word`. The row
+  *     DENORMALIZES the doc length `dl` so scoring needs no doc-stats
+  *     join at all — the byte cost is one long per posting against a
+  *     serve path that touches exactly one table.
+  *   - `<name>_totals` (n_docs, sum_dl): the corpus constants BM25's idf
+  *     and length normalization need. [[append]] adds delta rows rather
+  *     than rewriting, so the table is a running sum — serving aggregates
+  *     it (rows = 1 + number of appends, driver-trivial).
+  *
+  * Serving ([[serve]]) pushes the query's terms into the postings scan
+  * as a LITERAL `word IN (...)` predicate → Spark reads ONLY the buckets
+  * holding query terms (`SelectedBucketsCount`, pinned in TextIndexSpec)
+  * and row-group-skips inside them via the sorted layout. Document
+  * frequency is derived from the probe itself (df of a term = its
+  * posting-list length — the probe reads every posting of every query
+  * term, so the count is exact and global). One bucket-pruned read
+  * answers the whole query: the corpus text is never tokenized, nothing
+  * corpus-sized is scanned or shuffled.
+  *
+  * Scores are byte-identical to [[TextOps.bm25TopK]] — both sides sum
+  * the SAME factored term expression ([[TextOps.bm25Term]]) with the
+  * same 6dp rounding and (score desc, doc asc) tiebreak — so
+  * q_bm25_stored shares q_bm25_topk's full-replay oracle: the index
+  * changes cost, never answers.
+  *
+  * 100 TB shape: build is the one wordfreq-shaped aggregation pass the
+  * live query used to pay per run, plus a bucketed write; per-query cost
+  * drops from O(corpus tokens) to O(Σ posting lists of the query terms).
+  * [[append]] ingests a crawl batch with |batch| tokenization work and
+  * bucket-aligned inserts — no rebuild, and the totals delta keeps idf
+  * exact as the corpus grows. */
+object TextIndex {
+
+  /** Denormalized posting rows for `docs`: (word, doc_id, tf, dl) with
+    * strtok tokenization — the [[TextOps.bm25TopK]] tf/dl derivation,
+    * joined once at build so serving never needs a doc-stats table. */
+  private def postingAndTotals(docs: DataFrame, textCol: String,
+      docCol: String): (DataFrame, DataFrame) = {
+    // tf feeds both the dl aggregate and the posting join; checkpoint so
+    // the tokenize+explode pass runs once (the bm25TopK discipline)
+    val tf = TextOps.words(docs, textCol, docCol)
+      .groupBy(col(docCol), col("word")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy(col(docCol)).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
+    val postings = tf.join(dl, docCol)
+      .select(col("word"), col(docCol).as("doc_id"), col("tf"), col("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    (postings, totals)
+  }
+
+  def build(spark: SparkSession, docs: DataFrame, textCol: String,
+      docCol: String, name: String, buckets: Int = 64,
+      basePath: String = IvfIndex.defaultBase): Unit = {
+    val (postings, totals) = postingAndTotals(docs, textCol, docCol)
+    postings.write.mode("overwrite").format("parquet")
+      .option("path", s"$basePath/${name}_postings")
+      .bucketBy(buckets, "word").sortBy("word")
+      .saveAsTable(s"${name}_postings")
+    totals.write.mode("overwrite").format("parquet")
+      .option("path", s"$basePath/${name}_totals")
+      .saveAsTable(s"${name}_totals")
+  }
+
+  /** BM25 top-k from the STORED posting lists: identical ranking to
+    * `TextOps.bm25TopK(corpus, ...)` whenever the index is current
+    * (pinned row-for-row in TextIndexSpec). The probe — every posting of
+    * every query term — is the only corpus-derived data the plan
+    * touches; it is checkpointed because df and scoring both read it,
+    * and it is small by construction (Σ df of the query terms). */
+  def serve(spark: SparkSession, name: String,
+      queries: Seq[(String, String)], k: Int = 5, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, qt) =>
+      qt.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }.toDF("qid", "word")
+    val terms = queries.flatMap(_._2.split("\\s+"))
+      .filter(_.nonEmpty).distinct
+    // literal IN, never a join key: only literals prune buckets. The
+    // probe materializes here (eager checkpoint) under a forced bucketed
+    // scan — Spark's DisableUnnecessaryBucketedScan would otherwise drop
+    // the bucketed layout for a standalone filter scan, reading every
+    // bucket instead of the query terms' (TextIndexSpec pins the
+    // SelectedBucketsCount subset).
+    val probe = forceBucketedScan(spark) {
+      spark.table(s"${name}_postings")
+        .where(col("word").isin(terms: _*))
+        .localCheckpoint()
+    }
+    // global df per query term == its posting-list length in the probe
+    val dfc = probe.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val tot = spark.table(s"${name}_totals")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val qdf = broadcast(qterms.join(dfc, "word"))
+    val byQ = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    probe.join(qdf, "word")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(TextOps.bm25Term(k1, b)), 6).as("score"))
+      .withColumn("rn", row_number().over(byQ).cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** Run `body` (which must EXECUTE its scan — e.g. an eager
+    * checkpoint) with auto-bucketed-scan disabled, so the bucketed
+    * layout — and with it the literal-predicate bucket pruning — is
+    * kept even when no downstream operator consumes the bucketing's
+    * partitioning. Restores the previous setting. */
+  private[graft] def forceBucketedScan[T](spark: SparkSession)(
+      body: => T): T = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Ingest a crawl batch: tokenization over |fresh| docs only, posting
+    * rows inserted with the table's bucket spec (bucket-aligned, no
+    * reindex), and one (n_docs, sum_dl) delta row into the running
+    * totals — idf and avgdl stay exact for the grown corpus. The caller
+    * owns id freshness (the [[IvfIndex.append]] / [[DedupIndex.append]]
+    * contract): route admissions through the dedup gate first. */
+  def append(spark: SparkSession, name: String, fresh: DataFrame,
+      textCol: String, docCol: String): Unit = {
+    val (postings, totals) = postingAndTotals(fresh, textCol, docCol)
+    postings.write.mode("append").insertInto(s"${name}_postings")
+    totals.write.mode("append").insertInto(s"${name}_totals")
+  }
+
+  /** Memoized build over the fixture's documents table, keyed by
+    * (sfDir, data fingerprint) — the [[IvfIndex.ensureBuilt]]
+    * discipline: a rewritten fixture changes the fingerprint and forces
+    * a rebuild; the registered stored query never re-pays the build. */
+  private val built = scala.collection.concurrent.TrieMap.empty[
+    (String, String), String]
+
+  def ensureBuilt(spark: SparkSession, sfDir: String): String = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val r = docs.agg(count(lit(1)), max(col("doc_id")),
+      sum(col("n_chars"))).head()
+    val fp = s"${r.get(0)}|${r.get(1)}|${r.get(2)}"
+    built.getOrElseUpdate((sfDir, fp), {
+      val name = s"graft_text_${math.abs((sfDir + "|" + fp).hashCode)}"
+      build(spark, docs, "text", "doc_id", name)
+      name
+    })
+  }
+}

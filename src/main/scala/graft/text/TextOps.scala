@@ -85,6 +85,21 @@ object TextOps {
       .select(col(docCol), col("word"), col("tf"), col("tfidf"))
   }
 
+  /** The Okapi BM25 per-term score over columns (tf, df, dl, n_docs,
+    * sum_dl) — factored so [[bm25TopK]] and the persisted index
+    * ([[graft.sources.TextIndex.serve]]) sum the byte-identical
+    * expression tree: same operand order, so the two paths share one
+    * oracle and the 6dp rounding boundary never diverges. */
+  def bm25Term(k1: Double, b: Double): Column = {
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+  }
+
   /** Okapi BM25 top-k retrieval: score every document against a small
     * keyword-query set — the retrieval counterpart of [[tfIdfTopK]]
     * (scoring the corpus FOR queries rather than summarizing each doc).
@@ -124,13 +139,7 @@ object TextOps {
       qt.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t))
     }.toDF("qid", "word")
     val qdf = broadcast(qterms.join(dfc, "word"))
-    val avgdl = col("sum_dl").cast("double") / col("n_docs")
-    val idf = log(lit(1.0) +
-      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
-        (col("df") + lit(0.5)))
-    val term = idf * (col("tf") * (lit(k1) + lit(1.0))) /
-      (col("tf") + lit(k1) *
-        (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    val term = bm25Term(k1, b)
     val byQ = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col(docCol).asc)
     tf.join(qdf, "word")

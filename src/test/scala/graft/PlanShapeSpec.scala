@@ -91,6 +91,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_embed_ivfpq_res_knn", // same coarse assignment, residual codebooks
       "q_pmi_pairs", // two 1-row corpus totals broadcast into the pair scorer
       "q_bm25_topk", // 1-row (N, sum_dl) totals broadcast into the scorer
+      "q_bm25_stored", // the same 1-row totals broadcast, aggregated from
+                       // the stored running-totals table; the corpus side
+                       // is the bucket-pruned postings probe (pinned in
+                       // TextIndexSpec)
       "q_dsir_weights", // 1-row (nt, nr, v) totals broadcast into the scorer
       "q_dsir_sample",  // same totals broadcast; selection is a TakeOrdered
       "q_curation_pipeline", // the dsir stage's totals broadcast, composed
