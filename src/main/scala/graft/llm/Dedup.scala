@@ -493,6 +493,89 @@ object Dedup {
       .select(col("da"), col("db"))
   }
 
+  /** EXACT-DIGEST COLLAPSE (the reference's `cull`-first idiom,
+    * `oink/reduce_cull.cpp`, re-derived for the near-dup pipeline):
+    * group byte-identical documents by raw md5 digest and return
+    *   - `reps`  (idCol, textCol): ONE representative per distinct
+    *     content — the min-id member, deterministic;
+    *   - `members` (id, rep): every document mapped to its group's
+    *     representative (rep == id for unique content).
+    *
+    * Why this exists (r12 verdict #1): verbatim-duplicate groups are
+    * the production crawl regime, and every pair-generating stage —
+    * banding candidates, Jaccard verification, Levenshtein — admits
+    * O(m²) pairs from a dup group of size m (the ×10 rehearsal measured
+    * q_edit_dedup at 93× for 10× data). Running the verifier on
+    * representatives only makes that cost a function of DISTINCT
+    * content; group members rejoin through `members` edges, which is
+    * O(m) per group.
+    *
+    * 100 TB shape: `reps` is one groupBy(digest) whose min(struct(id,
+    * text)) partial-aggregates MAP-SIDE — verbatim dups collapse before
+    * the exchange, so dup-heavy input (the regime this targets) shuffles
+    * ~|distinct| texts, not |corpus|; `members` shuffles (id, 16-byte
+    * digest) pairs only, never text. Raw digest (not normalized): group
+    * members must be byte-identical so any member verifies identically
+    * to its representative against any outside document — the property
+    * that makes collapsed and uncollapsed answers provably equal. */
+  private[graft] def digestCollapse(docs: DataFrame, textCol: String,
+      idCol: String): (DataFrame, DataFrame) = {
+    val dig = docs.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
+    val repOf = dig.groupBy(col("digest")).agg(min(col("id")).as("rep"))
+    val members = dig.join(repOf, "digest").select(col("id"), col("rep"))
+    val reps = docs
+      .groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(struct(col(idCol).as("i"), col(textCol).as("t"))).as("m"))
+      .select(col("m.i").as(idCol), col("m.t").as(textCol))
+    (reps, members)
+  }
+
+  /** Near-dup CLUSTERS with the exact-digest collapse in front: the
+    * pair generator/verifier (`pairsOnReps`, e.g.
+    * [[minHashLshPairsExact]] or [[editDistancePairs]] applied to the
+    * representative frame) runs on DISTINCT content only; duplicate
+    * group members rejoin the component graph through O(m) rep→member
+    * edges instead of O(m²) verified pairs. Connectivity is preserved
+    * exactly: byte-identical members verify against any outside doc iff
+    * their representative does, and within a group every member links
+    * to the rep, so the components — and the min-id cluster labels —
+    * equal the uncollapsed answer on any input (asserted dup-heavy in
+    * DedupSpec; on a digest-distinct corpus the collapse is the
+    * identity and the plans coincide). Output contract matches
+    * [[dedupClusters]]: (doc_id, cluster) for every doc in the pair
+    * graph — which after collapse means docs with an outside near-dup
+    * OR a verbatim twin. */
+  def collapsedClusters(docs: DataFrame, textCol: String, idCol: String)(
+      pairsOnReps: DataFrame => DataFrame): DataFrame = {
+    val (reps, members) = digestCollapse(docs, textCol, idCol)
+    val repPairs = pairsOnReps(reps).select(col("da"), col("db"))
+    val memberEdges = members.where(col("id") =!= col("rep"))
+      .select(col("rep").as("da"), col("id").as("db"))
+    dedupClusters(repPairs.unionByName(memberEdges))
+  }
+
+  /** [[dedupClusters]] over [[minHashLshPairsExact]] with the digest
+    * collapse in front — the production flagship chain, dup-heavy-safe. */
+  def dedupClustersCollapsed(docs: DataFrame, textCol: String,
+      idCol: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tau: Double = 0.8): DataFrame =
+    collapsedClusters(docs, textCol, idCol)(
+      minHashLshPairsExact(_, textCol, idCol, k, numHashes, bands, tau))
+
+  /** Edit-distance-verified near-dup CLUSTERS, digest-collapsed — the
+    * [[editDistancePairs]] verifier (exact Jaccard ≥ tauJ AND relative
+    * Levenshtein ≤ maxRel) running on representatives only. The cluster
+    * form of fuzzy dedup a crawl pipeline actually materializes: the
+    * pair LIST is itself O(m²) under verbatim dups (output size, not a
+    * plan defect), so the linear-output cluster assignment is the
+    * at-scale surface and the pair query stays the truth baseline. */
+  def editDedupClustersCollapsed(docs: DataFrame, textCol: String,
+      idCol: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tauJ: Double = 0.8, maxRel: Double = 0.3): DataFrame =
+    collapsedClusters(docs, textCol, idCol)(
+      editDistancePairs(_, textCol, idCol, k, numHashes, bands, tauJ,
+        maxRel))
+
   /** Near-duplicate CLUSTERS: connected components over the near-dup pair
     * graph (transitive closure of "is a near-dup of"), canonical survivor
     * = min doc id per cluster. Composes the pair generator with the graph
@@ -523,8 +606,10 @@ object Dedup {
   private def clustersWithSingletons(docs: DataFrame, textCol: String,
       idCol: String, k: Int, numHashes: Int, bands: Int,
       tau: Double): DataFrame = {
-    val clusters = dedupClusters(
-      minHashLshPairsExact(docs, textCol, idCol, k, numHashes, bands, tau))
+    // digest-collapsed since r13: same cluster assignment (provably —
+    // see collapsedClusters), dup-heavy-safe pair stage
+    val clusters = dedupClustersCollapsed(docs, textCol, idCol, k,
+      numHashes, bands, tau)
     docs.select(col(idCol).as("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),

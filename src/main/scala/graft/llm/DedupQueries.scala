@@ -328,6 +328,45 @@ object DedupQueries {
                WHERE round(levenshtein(a.text, b.text) * 1.0 /
                  greatest(length(a.text), length(b.text)), 4) <= 0.3""")),
 
+    // the CLUSTER form of fuzzy dedup with the exact-digest collapse in
+    // front (r12 verdict #1): Jaccard+Levenshtein verification runs on
+    // one representative per distinct content; verbatim twins rejoin
+    // through O(m) rep→member edges, so dup-heavy crawl input costs
+    // ~|distinct|² candidate work instead of O(m²) per dup group — the
+    // production at-scale surface whose ×10 rehearsal row stays
+    // near-linear while the pair LIST query (q_edit_dedup) explodes by
+    // output size. The oracle replays the UNCOLLAPSED truth (recursive
+    // closure over all edit-verified pairs); answers coincide because
+    // byte-identical members verify iff their representative does.
+    Q("q_edit_dedup_clusters",
+      (s, d) => Dedup.editDedupClustersCollapsed(Tables.documents(s, d),
+        "text", "doc_id", k = 3, numHashes = 64, bands = 16, tauJ = 0.8,
+        maxRel = 0.3),
+      Some(s"""WITH RECURSIVE $shingleCte,
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               shared AS (
+                 SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+               jac AS (
+                 SELECT da, db FROM shared
+                 JOIN sizes sa ON da = sa.doc_id
+                 JOIN sizes sb ON db = sb.doc_id
+                 WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+               ep AS (
+                 SELECT da, db FROM jac
+                 JOIN documents a ON da = a.doc_id
+                 JOIN documents b ON db = b.doc_id
+                 WHERE round(levenshtein(a.text, b.text) * 1.0 /
+                   greatest(length(a.text), length(b.text)), 4) <= 0.3),
+               adj AS (SELECT da AS v, db AS nbr FROM ep
+                       UNION ALL SELECT db, da FROM ep),
+               reach(v, r) AS (
+                 SELECT v, v FROM (SELECT DISTINCT v FROM adj)
+                 UNION
+                 SELECT adj.v, reach.r FROM adj JOIN reach ON adj.nbr = reach.v)
+               SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v""")),
+
     // SimHash fingerprints + near-dup pairs on the real corpus —
     // oracle-checked since round 4: the portable polynomial word hash +
     // mixer signs let DuckDB recompute every fingerprint, band, and
@@ -394,16 +433,19 @@ object DedupQueries {
                 t(da, db, hamming)""")),
 
     // near-dup clusters: banded LSH pairs (exact-verified) → connected
-    // components → survivor — the flagship production dedup shape. The
-    // pair set is hash-independent (banding only prunes the pair space;
-    // recall caveat as in q_minhash_lsh_pairs), so DuckDB replays the
-    // closure recursively over the exact all-pairs edges and the answers
+    // components → survivor — the flagship production dedup shape, with
+    // the r13 exact-digest collapse in front (verifiers run on distinct
+    // content; verbatim twins rejoin via O(m) rep edges — kills the
+    // O(m²) dup-group blowup the ×10 rehearsal measured). The pair set
+    // is hash-independent (banding only prunes the pair space; recall
+    // caveat as in q_minhash_lsh_pairs) and the collapse provably
+    // preserves components, so DuckDB replays the closure recursively
+    // over the exact UNCOLLAPSED all-pairs edges and the answers
     // coincide. The quadratic generator survives only in
     // q_ngram_jaccard_pairs, its designated truth-baseline row.
     Q("q_dedup_clusters",
-      (s, d) => Dedup.dedupClusters(
-        Dedup.minHashLshPairsExact(Tables.documents(s, d), "text", "doc_id",
-          k = 3, numHashes = 64, bands = 16, tau = 0.8)),
+      (s, d) => Dedup.dedupClustersCollapsed(Tables.documents(s, d),
+        "text", "doc_id", k = 3, numHashes = 64, bands = 16, tau = 0.8),
       Some(s"""WITH RECURSIVE $shingleCte,
                sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
                shared AS (
@@ -431,9 +473,8 @@ object DedupQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         Dedup.survivorsByQuality(
-          Dedup.dedupClusters(
-            Dedup.minHashLshPairsExact(docs, "text", "doc_id",
-              k = 3, numHashes = 64, bands = 16, tau = 0.8)),
+          Dedup.dedupClustersCollapsed(docs, "text", "doc_id",
+            k = 3, numHashes = 64, bands = 16, tau = 0.8),
           TextAnalysis.qualityScore(docs, "text", "doc_id"))
       },
       Some(s"""WITH RECURSIVE $shingleCte,

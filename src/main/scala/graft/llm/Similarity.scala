@@ -264,15 +264,23 @@ object Similarity {
     * through the struct (constant per group). n > 1 (query-side
     * multi-probe, small by construction) keeps the window.
     *
-    * NaN guard: [[cosine]] has no zero-norm protection, and the two
-    * formulations DISAGREE on NaN — Spark/DuckDB sort NaN greatest, so
-    * `csim DESC` ranks a NaN centroid FIRST while min(−csim) ranks it
-    * LAST. nanvl pins both to a −2.0 sentinel (below any real cosine),
-    * so a zero-norm vector or centroid ranks LAST under either
-    * formulation and the argmin/window paths stay interchangeable on
-    * corrupt data (r11 ADVICE). */
+    * Corrupt-data guard: [[cosine]] has no zero-norm protection, and
+    * the two formulations DISAGREE on NaN — Spark/DuckDB sort NaN
+    * greatest, so `csim DESC` ranks a NaN centroid FIRST while
+    * min(−csim) ranks it LAST. Under ANSI mode (Spark 4 default, never
+    * overridden here) a zero-norm vector makes the plain `/` THROW
+    * DIVIDE_BY_ZERO before any NaN exists (r12 ADVICE), so the
+    * division itself goes through try_divide (→ NULL on zero divisor);
+    * coalesce+nanvl then pin BOTH the NULL (zero-norm) and the NaN
+    * (NaN-element legacy-mode) outcomes to a −2.0 sentinel below any
+    * real cosine. A zero-norm or NaN vector/centroid therefore ranks
+    * LAST under either formulation and the argmin/window paths stay
+    * interchangeable on corrupt data (r11+r12 ADVICE). */
   private def safeCsim(a: Column, b: Column): Column =
-    nanvl(round(cosine(a, b), 6), lit(-2.0))
+    coalesce(
+      nanvl(round(try_divide(dot(a, b),
+        sqrt(dot(a, a)) * sqrt(dot(b, b))), 6), lit(-2.0)),
+      lit(-2.0))
 
   private[graft] def nearestCells(df: DataFrame, cents: DataFrame, id: String,
       v: String, n: Int): DataFrame =

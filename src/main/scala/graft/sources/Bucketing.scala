@@ -25,6 +25,19 @@ object Bucketing {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Collision-safe table-name suffix: unsigned hex of the first 64
+    * bits of SHA-256(key). The previous `math.abs(String.hashCode)` was
+    * both sign-unsafe (abs(Int.MinValue) stays negative → a '-' in the
+    * identifier) and 32-bit (a collision between two live (sfDir, fp)
+    * memo keys would silently serve one dataset's index for the other)
+    * — r12 ADVICE. 64 bits keeps birthday-collision odds negligible at
+    * any plausible number of live indexes; always-lowercase hex keeps
+    * the identifier valid. */
+  def nameSuffix(key: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+
   /** Equi-join two tables bucketed on `key` with equal bucket counts —
     * planner proves co-location from the catalog, no Exchange appears. */
   def bucketedJoin(spark: SparkSession, left: String, right: String,

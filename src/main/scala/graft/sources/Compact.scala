@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Output-file sizing: repartition a frame so the files it writes land
   * near a target size, using Catalyst's own size estimate.
@@ -30,5 +30,104 @@ object Compact {
     if (want < have) df.coalesce(want)
     else if (want > have && allowGrow) df.repartition(want)
     else df
+  }
+
+  /** BUCKET-PRESERVING table compaction — the index-lifecycle op the
+    * r12 verdict named as the appended indexes' missing piece: every
+    * [[IvfIndex.append]]/[[DedupIndex.append]]/[[TextIndex.append]]
+    * batch writes ≥1 new file per touched bucket, so after thousands of
+    * crawl batches each bucket is thousands of small files and the
+    * serve-side scan — still bucket-PRUNED — goes metadata/open-bound.
+    *
+    * This rewrites the table under ITS OWN bucket spec (read from the
+    * catalog) and swaps it in place:
+    *   1. the copy runs under a FORCED bucketed scan
+    *      ([[TextIndex.forceBucketedScan]]): each scan partition is
+    *      then exactly one bucket's file set, so the bucketed writer —
+    *      which computes bucket ids per row — emits ONE file per
+    *      non-empty bucket with ZERO shuffle; the rewrite moves each
+    *      bucket's bytes once, scan → file, nothing crosses tasks.
+    *      (An explicit repartition on the bucket columns would be
+    *      WRONG here, not just wasteful: the planner elides it — the
+    *      catalog already proves hash placement — and then disables
+    *      the "unnecessary" bucketed scan, so the writer inherits
+    *      arbitrary file-split partitioning and re-fragments every
+    *      bucket; measured while building CompactSpec);
+    *   2. the compacted copy is written under the catalog name
+    *      `<table>__compacting` to the alternate of two generation
+    *      paths (…__c0/…__c1, so repeated compactions never grow the
+    *      path) with the identical bucketBy/sortBy — the catalog
+    *      metadata, and with it every pruned serve plan, is unchanged
+    *      by the swap;
+    *   3. the old table is dropped (external: catalog entry only), the
+    *      compacted one renamed over it, and the old files deleted.
+    *
+    * Non-bucketed tables (the quantizer/totals sidecars the indexes
+    * append to) compact through the same entry point via [[forWrite]].
+    *
+    * Crash contract (documented, not transactional — a catalog-level
+    * atomic swap needs a snapshot table format, e.g. Iceberg/Delta):
+    * the compacted copy is FULLY written and fsynced before the first
+    * catalog mutation, so a crash anywhere leaves at least one complete
+    * copy of the data on disk; a crash between drop and rename leaves
+    * it under the `__compacting` name, and the next [[compactTable]] of
+    * any table first sweeps a leftover `__compacting` sibling. Like
+    * [[TextIndex.forceBucketedScan]] this assumes the sequential
+    * maintenance window — don't serve from a table mid-swap.
+    *
+    * Returns (dataFilesBefore, dataFilesAfter). Answers served from the
+    * table are byte-identical before and after (pinned by CompactSpec):
+    * only the file layout moves, never a row, and within-file order is
+    * re-established by the declared sortBy. */
+  def compactTable(spark: SparkSession, table: String,
+      targetBytes: Long = 128L << 20): (Long, Long) = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = catalog.getTableMetadata(ident)
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).count { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.toLong
+    val before = dataFiles(loc)
+    // sweep a leftover from a crashed prior attempt
+    val tmpName = s"${table}__compacting"
+    if (catalog.tableExists(
+        spark.sessionState.sqlParser.parseTableIdentifier(tmpName)))
+      spark.sql(s"DROP TABLE $tmpName")
+    // generations alternate between two sibling paths (…__c0 / …__c1)
+    // so repeated compactions never grow the path
+    val baseName = loc.getName.stripSuffix("__c0").stripSuffix("__c1")
+    val tmpLoc = new org.apache.hadoop.fs.Path(loc.getParent,
+      if (loc.getName == s"${baseName}__c0") s"${baseName}__c1"
+      else s"${baseName}__c0")
+    if (fs.exists(tmpLoc)) fs.delete(tmpLoc, true)
+    meta.bucketSpec match {
+      case Some(spec) =>
+        // the forced-bucketed-scan window must cover the WRITE (the
+        // scan plans when the job runs): one-bucket-per-task in, one
+        // file per bucket out, no exchange anywhere
+        TextIndex.forceBucketedScan(spark) {
+          val w = spark.table(table).write.format("parquet")
+            .option("path", tmpLoc.toString)
+            .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+              spec.bucketColumnNames.tail: _*)
+          (if (spec.sortColumnNames.nonEmpty)
+            w.sortBy(spec.sortColumnNames.head,
+              spec.sortColumnNames.tail: _*)
+          else w).saveAsTable(tmpName) // eager: copy complete after this
+        }
+      case None =>
+        forWrite(spark.table(table), targetBytes).write.format("parquet")
+          .option("path", tmpLoc.toString)
+          .saveAsTable(tmpName)
+    }
+    spark.sql(s"DROP TABLE $table") // external: files stay until deleted
+    spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
+    fs.delete(loc, true)
+    (before, dataFiles(tmpLoc))
   }
 }

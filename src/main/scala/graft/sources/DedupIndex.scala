@@ -127,6 +127,14 @@ object DedupIndex {
       .write.mode("append").insertInto(s"${name}_sizes")
   }
 
+  /** Maintenance: rewrite all three appended tables one-file-per-bucket
+    * under their own bucket specs ([[Compact.compactTable]]; the
+    * [[IvfIndex.compact]] contract — answers and pruned plans
+    * unchanged, run from the maintenance window that owns `append`). */
+  def compact(spark: SparkSession, name: String): Map[String, (Long, Long)] =
+    Seq(s"${name}_bands", s"${name}_shingles", s"${name}_sizes")
+      .map(t => t -> Compact.compactTable(spark, t)).toMap
+
   /** Memoized build over the fixture's standard corpus split (the
     * q_incremental_dedup mixer gate: fresh = hashSample 0.2, corpus =
     * the rest), keyed by (sfDir, data fingerprint) — the
@@ -140,7 +148,7 @@ object DedupIndex {
       sum(col("n_chars"))).head()
     val fp = s"${r.get(0)}|${r.get(1)}|${r.get(2)}"
     built.getOrElseUpdate((sfDir, fp), {
-      val name = s"graft_dedup_${math.abs((sfDir + "|" + fp).hashCode)}"
+      val name = s"graft_dedup_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
       val fresh = graft.llm.Sampling.hashSample(docs, "doc_id", 0.2)
       val corpus = docs.join(fresh.select(col("doc_id")), Seq("doc_id"),
         "left_anti")

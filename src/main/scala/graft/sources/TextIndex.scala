@@ -128,7 +128,16 @@ object TextIndex {
     * checkpoint) with auto-bucketed-scan disabled, so the bucketed
     * layout — and with it the literal-predicate bucket pruning — is
     * kept even when no downstream operator consumes the bucketing's
-    * partitioning. Restores the previous setting. */
+    * partitioning. Restores the previous setting.
+    *
+    * SINGLE-THREADED ASSUMPTION (r12 ADVICE): this flips a
+    * session-global conf for the duration of `body`. A query planned
+    * concurrently on the same SparkSession during that window could
+    * lose bucket pruning, and nested uses would restore a stale
+    * previous value. Safe for the sequential Bench/Verify/test
+    * drivers this repo runs; a concurrent serving deployment should
+    * give each serving thread its own `spark.newSession()` (confs are
+    * session-scoped, so the flip is then invisible to neighbors). */
   private[graft] def forceBucketedScan[T](spark: SparkSession)(
       body: => T): T = {
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
@@ -150,6 +159,16 @@ object TextIndex {
     totals.write.mode("append").insertInto(s"${name}_totals")
   }
 
+  /** Maintenance: rewrite the appended postings one-file-per-bucket and
+    * fold the per-batch totals rows back to one file
+    * ([[Compact.compactTable]] handles both through the catalog's own
+    * bucket spec; the [[IvfIndex.compact]] contract — answers and
+    * pruned plans unchanged, run from the maintenance window that owns
+    * `append`). */
+  def compact(spark: SparkSession, name: String): Map[String, (Long, Long)] =
+    Seq(s"${name}_postings", s"${name}_totals")
+      .map(t => t -> Compact.compactTable(spark, t)).toMap
+
   /** Memoized build over the fixture's documents table, keyed by
     * (sfDir, data fingerprint) — the [[IvfIndex.ensureBuilt]]
     * discipline: a rewritten fixture changes the fingerprint and forces
@@ -163,7 +182,7 @@ object TextIndex {
       sum(col("n_chars"))).head()
     val fp = s"${r.get(0)}|${r.get(1)}|${r.get(2)}"
     built.getOrElseUpdate((sfDir, fp), {
-      val name = s"graft_text_${math.abs((sfDir + "|" + fp).hashCode)}"
+      val name = s"graft_text_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
       build(spark, docs, "text", "doc_id", name)
       name
     })

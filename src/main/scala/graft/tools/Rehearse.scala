@@ -24,10 +24,13 @@ object Rehearse {
     // dims are copied verbatim; guarded PER TABLE (not by _done) so a
     // dir synthesized before a table joined the list self-heals —
     // r12: q_union skipped at 10× because supplier/part were never
-    // copied (only the q_pivot/q_stream_enrich dims were)
+    // copied (only the q_pivot/q_stream_enrich dims were). The guard
+    // checks the _SUCCESS marker INSIDE the directory, not the bare
+    // directory: a crash mid-write leaves a partial <t>.parquet dir
+    // that would otherwise satisfy exists() forever (r12 ADVICE).
     Seq("customer", "orders", "nation", "region", "supplier", "part")
       .foreach { t =>
-        if (!new java.io.File(s"$outDir/$t.parquet").exists())
+        if (!new java.io.File(s"$outDir/$t.parquet/_SUCCESS").exists())
           try Tables.load(spark, sfDir, t)
             .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
           catch {

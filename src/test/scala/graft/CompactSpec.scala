@@ -1,0 +1,158 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Compact, IvfIndex, TextIndex}
+
+/** Bucket-preserving compaction contract (r12 verdict #2): after
+  * thousands of `append` batches a bucketed index is thousands of small
+  * files per bucket — compactTable must fold each bucket back to ONE
+  * file while leaving (a) the catalog bucket spec, (b) every pruned
+  * serve plan, and (c) every served answer byte-identical. */
+class CompactSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def tableFiles(table: String): Seq[String] = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(loc).toSeq.map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+  }
+
+  // bucketed writer names files part-...-_NNNNN.c000...: _NNNNN is the
+  // bucket id — the per-bucket file census the contract is about
+  private def filesPerBucket(table: String): Map[String, Int] = {
+    val bucketId = "_(\\d{5})\\.".r
+    tableFiles(table)
+      .flatMap(n => bucketId.findFirstMatchIn(n).map(_.group(1)))
+      .groupBy(identity).map { case (b, fs) => b -> fs.size }
+  }
+
+  private def queries = Tables.embeddings(spark, sf0001)
+    .where(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  test("IVF compact folds appended buckets to one file; plan and answers unchanged") {
+    val emb = Tables.embeddings(spark, sf0001)
+    IvfIndex.build(spark, emb.where(col("vec_id") >= 200), "vec_id",
+      "embedding", "graft_ivf_cmp", numCentroids = 8)
+    Seq((0L, 100L), (100L, 150L), (150L, 200L)).foreach { case (a, b) =>
+      IvfIndex.append(spark, "graft_ivf_cmp",
+        emb.where(col("vec_id") >= a && col("vec_id") < b),
+        "vec_id", "embedding")
+    }
+    val beforeAnswer = IvfIndex.serve(spark, "graft_ivf_cmp", queries,
+      k = 5, nProbe = 4).collect().map(_.toSeq).toSet
+    val beforeCensus = filesPerBucket("graft_ivf_cmp_cells")
+    assert(beforeCensus.values.max > 1,
+      s"appends must have fragmented at least one bucket: $beforeCensus")
+    val (fb, fa) = IvfIndex.compact(spark, "graft_ivf_cmp")(
+      "graft_ivf_cmp_cells")
+    val afterCensus = filesPerBucket("graft_ivf_cmp_cells")
+    assert(afterCensus.values.forall(_ == 1),
+      s"every bucket must fold to one file: $afterCensus")
+    assert(fa < fb && fa == afterCensus.size.toLong)
+    val served = IvfIndex.serve(spark, "graft_ivf_cmp", queries,
+      k = 5, nProbe = 4)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"),
+      s"compaction must keep the pruned serve plan:\n$p")
+    assert(served.collect().map(_.toSeq).toSet == beforeAnswer,
+      "served answers must be byte-identical across compaction")
+  }
+
+  test("compaction is repeatable: generations alternate, answers stable") {
+    // the previous test left graft_ivf_cmp compacted once (…__c0/__c1
+    // alternation); a second append + compact must still work and land
+    // on the other generation path
+    val emb = Tables.embeddings(spark, sf0001)
+    IvfIndex.build(spark, emb.where(col("vec_id") >= 100), "vec_id",
+      "embedding", "graft_ivf_cmp2", numCentroids = 8)
+    IvfIndex.append(spark, "graft_ivf_cmp2",
+      emb.where(col("vec_id") < 100), "vec_id", "embedding")
+    IvfIndex.compact(spark, "graft_ivf_cmp2")
+    val loc1 = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(
+        "graft_ivf_cmp2_cells")).location.toString
+    IvfIndex.append(spark, "graft_ivf_cmp2",
+      emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
+        .withColumn("vec_id", col("vec_id") + 1000000L),
+      "vec_id", "embedding")
+    // snapshot AFTER the second append: compaction must not move any
+    // answer, including ones that rank freshly appended vectors
+    val a1 = IvfIndex.serve(spark, "graft_ivf_cmp2", queries, k = 5,
+      nProbe = 4).collect().map(_.toSeq).toSet
+    IvfIndex.compact(spark, "graft_ivf_cmp2")
+    val loc2 = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(
+        "graft_ivf_cmp2_cells")).location.toString
+    assert(loc1 != loc2 && loc1.endsWith("__c0") && loc2.endsWith("__c1"),
+      s"generations must alternate: $loc1 vs $loc2")
+    assert(filesPerBucket("graft_ivf_cmp2_cells").values.forall(_ == 1))
+    val a2 = IvfIndex.serve(spark, "graft_ivf_cmp2", queries, k = 5,
+      nProbe = 4).collect().map(_.toSeq).toSet
+    assert(a2 == a1,
+      "answers must be byte-identical across the second compaction")
+  }
+
+  test("text-index compact folds postings AND the non-bucketed totals sidecar") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    TextIndex.build(spark, docs.where(col("doc_id") >= 100), "text",
+      "doc_id", "graft_text_cmp", buckets = 16)
+    Seq((0L, 50L), (50L, 100L)).foreach { case (a, b) =>
+      TextIndex.append(spark, "graft_text_cmp",
+        docs.where(col("doc_id") >= a && col("doc_id") < b),
+        "text", "doc_id")
+    }
+    val q = Seq("q1" -> "the data and of")
+    val before = TextIndex.serve(spark, "graft_text_cmp", q, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(spark.table("graft_text_cmp_totals").count() == 3L,
+      "each append adds one totals delta row")
+    val res = TextIndex.compact(spark, "graft_text_cmp")
+    assert(res("graft_text_cmp_totals")._2 == 1L,
+      s"totals must fold to one file: $res")
+    assert(filesPerBucket("graft_text_cmp_postings").values.forall(_ == 1))
+    // serve checkpoints its probe, so pin pruning on the probe scan
+    // itself (the TextIndexSpec pattern) — it must still read a strict
+    // subset of buckets from the compacted table
+    val terms = q.flatMap(_._2.split("\\s+")).distinct
+    val p = TextIndex.forceBucketedScan(spark) {
+      val probe = spark.table("graft_text_cmp_postings")
+        .where(col("word").isin(terms: _*))
+      probe.count()
+      probe.queryExecution.executedPlan.toString
+    }
+    assert(p.contains("SelectedBucketsCount"),
+      s"postings must stay bucket-pruned after compaction:\n$p")
+    assert(TextIndex.serve(spark, "graft_text_cmp", q, k = 5)
+      .collect().map(_.toSeq).toSet == before)
+    // totals ROWS survive the fold (idf/avgdl inputs intact, 3 → 1 file)
+    assert(spark.table("graft_text_cmp_totals").count() == 3L)
+  }
+
+  test("compact sweeps the leftover of a crashed prior attempt") {
+    val emb = Tables.embeddings(spark, sf0001).where(col("vec_id") < 60)
+    IvfIndex.build(spark, emb, "vec_id", "embedding", "graft_ivf_cmp3",
+      numCentroids = 4)
+    // simulate a crash between copy-write and swap: a fully-written
+    // __compacting table exists alongside the live one
+    val stale = new org.apache.hadoop.fs.Path(
+      IvfIndex.defaultBase + "/stale_leftover")
+    stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(stale, true) // previous suite run's copy
+    spark.table("graft_ivf_cmp3_cells").write.format("parquet")
+      .option("path", stale.toString)
+      .saveAsTable("graft_ivf_cmp3_cells__compacting")
+    val (fb, fa) = IvfIndex.compact(spark, "graft_ivf_cmp3")(
+      "graft_ivf_cmp3_cells")
+    assert(fa <= fb && filesPerBucket("graft_ivf_cmp3_cells")
+      .values.forall(_ == 1))
+    assert(!spark.catalog.tableExists("graft_ivf_cmp3_cells__compacting"))
+  }
+}

@@ -42,6 +42,75 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(wide.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 0L))
   }
 
+  test("digest collapse: collapsed clusters equal uncollapsed on dup-heavy input") {
+    val s = spark
+    import s.implicits._
+    // crawl-shaped corpus: a verbatim-dup group of 4 + a near-dup
+    // variant, a second verbatim pair, and three unique docs
+    val ta = "the quick brown fox jumps over the lazy dog near the river"
+    val taVar = "the quick brown fox jumps over the lazy dog near the shore"
+    val tb = "entirely different content about distributed query engines and shuffles here"
+    val d = docs(
+      1L -> ta, 2L -> ta, 3L -> ta, 4L -> ta, 5L -> taVar,
+      10L -> tb, 11L -> tb,
+      20L -> "unique text one with plenty of words to pass the shingle floor",
+      21L -> "unique text two with plenty of words to pass the shingle floor maybe",
+      22L -> "completely unrelated third document talking about something else entirely today")
+    val uncollapsed = Dedup.dedupClusters(
+      Dedup.minHashLshPairsExact(d, "text", "doc_id", k = 3,
+        numHashes = 64, bands = 16, tau = 0.8)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val collapsed = Dedup.dedupClustersCollapsed(d, "text", "doc_id",
+      k = 3, numHashes = 64, bands = 16, tau = 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(collapsed == uncollapsed)
+    // the dup group + its near-dup variant form one component labeled by
+    // the min id; the verbatim pair another; unique docs are absent
+    assert(collapsed(1L) == 1L && collapsed(4L) == 1L && collapsed(5L) == 1L)
+    assert(collapsed(10L) == 10L && collapsed(11L) == 10L)
+    assert(!collapsed.contains(20L) && !collapsed.contains(22L))
+  }
+
+  test("digest collapse: edit-verified collapsed clusters equal uncollapsed truth") {
+    val s = spark
+    import s.implicits._
+    val ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val taVar = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val d = docs(
+      1L -> ta, 2L -> ta, 3L -> ta, 7L -> taVar,
+      30L -> "some completely different words that share nothing with the greek letters")
+    val truthEdges = Dedup.editDistancePairs(d, "text", "doc_id",
+      k = 3, numHashes = 64, bands = 16, tauJ = 0.8, maxRel = 0.3)
+      .select("da", "db")
+    val truth = Dedup.dedupClusters(truthEdges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val collapsed = Dedup.editDedupClustersCollapsed(d, "text", "doc_id",
+      k = 3, numHashes = 64, bands = 16, tauJ = 0.8, maxRel = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(collapsed == truth)
+    assert(collapsed == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L))
+  }
+
+  test("digest collapse runs the verifier on distinct content only") {
+    val s = spark
+    import s.implicits._
+    // 100 docs, only 4 distinct texts: the rep frame must be 4 rows
+    // (the O(m²) pair work shrinks to O(distinct²)) and every doc must
+    // map to its group's min id
+    val texts = Seq(
+      "first distinct document body with enough words for the shingle stage",
+      "second distinct document body with enough words for the shingle stage",
+      "third distinct document body with enough words for the shingle stage",
+      "fourth distinct document body with enough words for the shingle stage")
+    val d = docs((1L to 100L).map(i => i -> texts(((i - 1) % 4).toInt)): _*)
+    val (reps, members) = Dedup.digestCollapse(d, "text", "doc_id")
+    assert(reps.count() == 4L)
+    val repIds = reps.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repIds == Set(1L, 2L, 3L, 4L))
+    val m = members.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 100 && m(5L) == 1L && m(98L) == 2L && m(4L) == 4L)
+  }
+
   test("union-find fast path and star-contraction cc agree on clusters") {
     val s = spark
     import s.implicits._
