@@ -94,6 +94,14 @@ object Retrieval {
           .select(col("qid"), col("nid").as("doc"), col("rn").as("rank_sem"))
     }
 
+    rrfFuse(lex, sem, rrfC, kOut)
+  }
+
+  /** The RRF fusion tail shared by every hybrid entry point: full-outer
+    * join of the two rank lists on (qid, doc), Σ 1/(rrfC + rank) over
+    * the sides that ranked the doc, top `kOut` by (rrf desc, doc asc). */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame, rrfC: Int,
+      kOut: Int): DataFrame = {
     val fused = lex.join(sem, Seq("qid", "doc"), "full_outer")
       .select(col("qid"), col("doc"),
         coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
@@ -109,5 +117,46 @@ object Retrieval {
     fused.withColumn("rn", row_number().over(byRrf).cast("long"))
       .where(col("rn") <= kOut)
       .withColumnRenamed("doc", "doc_id")
+  }
+
+  /** Hybrid RRF served ENTIRELY from stored indexes (r12 verdict #4):
+    * the lexical arm reads [[graft.sources.TextIndex]]'s bucket-pruned
+    * posting lists (identical ranking to the live BM25 chain —
+    * TextIndexSpec pins it row-for-row) and the semantic arm reads
+    * [[graft.sources.IvfIndex]]'s bucket-pruned cell postings with the
+    * stored quantizer (identical answer to the recompute ivfKnn at the
+    * same dial — IvfIndexSpec). Fusion is [[rrfFuse]], unchanged — so
+    * the whole query replays under q_hybrid_rrf_ann's oracle while
+    * touching NOTHING corpus-sized at query time: per query batch the
+    * engine reads the query terms' posting lists and the probed cells'
+    * vectors, both literal-pruned bucket subsets. This is the
+    * retrieval-service shape: both arms' per-query cost depends on term
+    * selectivity / probe fan-in, not corpus size.
+    *
+    * The probe vectors are looked up from the stored cells table by id
+    * (a |Q|-row pushed-filter point lookup — the one scan here that
+    * bucket pruning cannot help, since cells bucket by cell, not id;
+    * an online deployment passes the query vector directly and skips
+    * even that). */
+  def hybridRrfStored(spark: org.apache.spark.sql.SparkSession,
+      textIndex: String, ivfIndex: String,
+      queries: Seq[(String, String, Long)], kEach: Int = 20,
+      kOut: Int = 10, rrfC: Int = 60, nProbe: Int = 16): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    import spark.implicits._
+    val lex = graft.sources.TextIndex.serve(spark, textIndex,
+        queries.map(q => (q._1, q._2)), k = kEach)
+      .select(col("qid"), col("doc_id").as("doc"),
+        col("rn").as("rank_lex"))
+    val probeIds = queries.map(q => (q._1, q._3)).toDF("qid", "probe_id")
+    val probeVecs = spark.table(s"${ivfIndex}_cells")
+      .where(col("vec_id").isin(queries.map(_._3): _*))
+      .select(col("vec_id").as("qid"), col("vec").as("qv"))
+    val knn = graft.sources.IvfIndex.serve(spark, ivfIndex, probeVecs,
+      k = kEach, nProbe = nProbe)
+    val sem = broadcast(probeIds)
+      .join(knn.withColumnRenamed("qid", "probe_id"), "probe_id")
+      .select(col("qid"), col("nid").as("doc"), col("rn").as("rank_sem"))
+    rrfFuse(lex, sem, rrfC, kOut)
   }
 }

@@ -769,6 +769,15 @@ object SimilarityQueries {
     // SemanticRetriever variant has a hard correctness signal
     q_hybrid_rrf_lsh_entry,
 
+    // the same fusion served ENTIRELY from the persisted indexes (r12
+    // VERDICT #4): TextIndex posting lists for the lexical arm,
+    // IvfIndex cells + stored quantizer for the semantic arm — both
+    // bucket-pruned literal-IN scans, so per-query cost depends on term
+    // selectivity / probe fan-in, never corpus size. Each arm is pinned
+    // answer-identical to its live twin (TextIndexSpec, IvfIndexSpec),
+    // so the oracle is q_hybrid_rrf_ann's replay at the same dial.
+    q_hybrid_rrf_stored_entry,
+
     // incremental SemDeDup: corpus clustered once, fresh vectors route
     // to refreshed centroids, fresh×corpus cosine within the cell only
     q_semantic_incremental_entry
@@ -1196,6 +1205,17 @@ object SimilarityQueries {
         hybridQueries, kEach = 20, kOut = 10,
         semantic = Retrieval.LshRetriever(nPlanes = 4, multiProbe = true)),
       Some(hybridRrfSql(lshSemCtes(nPlanes = 4))))
+
+  private def q_hybrid_rrf_stored_entry: Q =
+    Q("q_hybrid_rrf_stored",
+      (s, d) => {
+        val tname = graft.sources.TextIndex.ensureBuilt(s, d)
+        val iname = graft.sources.IvfIndex.ensureBuilt(s, d,
+          numCentroids = 64)
+        Retrieval.hybridRrfStored(s, tname, iname, hybridQueries,
+          kEach = 20, kOut = 10, nProbe = 16)
+      },
+      Some(hybridRrfSql(ivfSemCtes(numCentroids = 64, nProbe = 16))))
 
   private def q_hybrid_rrf_ann_entry: Q =
     Q("q_hybrid_rrf_ann",

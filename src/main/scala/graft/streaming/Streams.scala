@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -472,6 +472,50 @@ object Streams {
         (-greatest(cands: _*).getField("negCid"))
           .cast("long").as("cell"))
     drain(routed, OutputMode.Append(), "stream_embed_route")
+  }
+
+  /** Streaming IVF INGEST — the closed loop [[streamEmbedRoute]] only
+    * pointed at (r12 verdict #5): the embedding stream's sink is
+    * [[graft.sources.IvfIndex.append]] per micro-batch, so each
+    * arriving batch routes over the STORED quantizer (cell semantics
+    * frozen to the index — not the fresh-centroid routing the
+    * monitoring stream uses) and lands bucket-aligned in the cells
+    * table. A vector is searchable by [[graft.sources.IvfIndex.serve]]
+    * the moment its batch's append commits — the "searchable when the
+    * commit lands" contract, exercised end-to-end in StreamSmokeSpec.
+    * `pred` selects the stream's slice of the table (the caller owns id
+    * freshness, the append contract). Blocks until the AvailableNow
+    * drain completes.
+    *
+    * `checkpoint` is the stream's exactly-once ledger and its lifetime
+    * must match the INDEX's: a production ingest passes a stable path
+    * so a restart resumes where the last commit left off (never
+    * re-appending a batch — the ledger, not the caller, owns batch
+    * freshness across restarts); the default is a FRESH temp dir,
+    * which reprocesses the whole source — correct only when the index
+    * was just (re)built, as in tests. A stable checkpoint pointed at a
+    * REBUILT index would silently skip everything: rebuild ⇒ new
+    * checkpoint, always. */
+  def streamIvfIngest(spark: SparkSession, sfDir: String,
+      indexName: String, pred: Column,
+      checkpoint: Option[String] = None): Unit = {
+    val s = tuned(spark)
+    val fresh = tableStream(s, sfDir, "embeddings").where(pred)
+    val q = fresh.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.sources.IvfIndex.append(batch.sparkSession, indexName,
+          batch, "vec_id", "embedding")
+      }
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_ivf_ingest_ckpt")
+          .toString))
+      .start()
+    q.awaitTermination()
+    // the appends ran on the micro-batch sessions; drop the CALLER
+    // session's cached relation so its next serve lists the new files
+    spark.catalog.refreshTable(s"${indexName}_cells")
   }
 
   /** Streaming domain classification:

@@ -118,6 +118,11 @@ class PlanShapeSpec extends AnyFunSuite {
                                 // scan (pinned in IvfIndexSpec)
       "q_embed_ivf_sq8_stored", // same stored-quantizer probe routing;
                                 // scoring reads the stored int8 codes
+      "q_hybrid_rrf_stored", // bm25's 1-row stored-totals broadcast +
+                             // the |Q|-row probe routing over the
+                             // stored quantizer; both corpus sides are
+                             // bucket-pruned index scans (pinned in
+                             // RetrievalSpec/TextIndexSpec/IvfIndexSpec)
       "q_semantic_incremental") // k-row refreshed-centroid broadcast into
                                 // the fresh routing scan (the kmeans shape)
     val offenders = Registry.byName.keys.toSeq.sorted

@@ -84,4 +84,40 @@ class RetrievalSpec extends AnyFunSuite {
     val tuned = run(Retrieval.LshRetriever(nPlanes = 4, multiProbe = true))
     assert(tuned.size == exact.size)
   }
+
+  test("stored-index fusion equals the live IVF-armed fusion at the same dial") {
+    // both arms from the persisted indexes: TextIndex lex ≡ live BM25
+    // and IvfIndex serve ≡ recompute ivfKnn (each pinned in its own
+    // spec), so the fused output must be row-identical to the live
+    // IvfRetriever fusion at the same (numCentroids, nProbe, kEach)
+    val dir = "/root/testdata/sf0.001"
+    val queries = Seq(("q1", "spark hash join", 0L),
+      ("q2", "table scan filter", 1L), ("q3", "sort merge batch", 2L))
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.TextIndex.build(spark, docs, "text", "doc_id",
+      "graft_text_hyb", buckets = 16)
+    graft.sources.IvfIndex.build(spark, emb, "vec_id", "embedding",
+      "graft_ivf_hyb", numCentroids = 8)
+    val live = Retrieval.hybridRrf(docs, emb, "text", "doc_id",
+        "vec_id", "embedding", queries, kEach = 10, kOut = 5,
+        semantic = Retrieval.IvfRetriever(numCentroids = 8, nProbe = 2))
+      .collect().map(_.toSeq).toSet
+    val storedDf = Retrieval.hybridRrfStored(spark, "graft_text_hyb",
+      "graft_ivf_hyb", queries, kEach = 10, kOut = 5, nProbe = 2)
+    val stored = storedDf.collect().map(_.toSeq).toSet
+    assert(stored == live,
+      s"stored fusion must equal live fusion:\n$stored\nvs\n$live")
+    // the semantic arm's cells scan must be bucket-pruned in the final
+    // plan (the lex arm checkpoints its probe — its pruning is pinned
+    // by TextIndexSpec's forced-scan replication)
+    val p = storedDf.queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"),
+      s"the stored fusion must serve from a pruned cells scan:\n$p")
+    // nothing in the fused plan rescans raw corpus parquet: the only
+    // sources are the index tables and the tiny probe lookup
+    assert(!p.contains("documents.parquet") && !p.contains("embeddings.parquet"),
+      s"stored fusion must not touch the raw corpus:\n$p")
+  }
 }

@@ -81,4 +81,39 @@ class StreamSmokeSpec extends AnyFunSuite {
           s"got ${st.last.numRowsTotal}")
     } finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
   }
+
+  test("stream ingest closes the loop: routed batches append into the stored IVF index and serve finds them") {
+    // r12 verdict #5: streamEmbedRoute materializes cell ids and
+    // IvfIndex.append ingests batches, but nothing demonstrated
+    // stream sink → append → serve end-to-end. Here the stream's sink
+    // IS the append (stored-quantizer routing), and a vector streamed
+    // in must be returned by serve in the next query batch.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    graft.sources.IvfIndex.build(spark,
+      emb.where(col("vec_id") >= 100), "vec_id", "embedding",
+      "graft_ivf_ingest", numCentroids = 8)
+    // the query probe is vector 5's embedding under a fresh qid — an
+    // exact twin of a vector that is NOT yet indexed
+    val probe = emb.where(col("vec_id") === 5)
+      .select(lit(900000L).as("qid"), col("embedding").as("qv"))
+    val before = graft.sources.IvfIndex.serve(spark, "graft_ivf_ingest",
+      probe, k = 3, nProbe = 8).collect()
+    assert(!before.exists(_.getLong(1) == 5L),
+      "vector 5 must be unfindable before its batch is ingested")
+    val cells0 = spark.table("graft_ivf_ingest_cells").count()
+    graft.streaming.Streams.streamIvfIngest(spark,
+      "/root/testdata/sf0.001", "graft_ivf_ingest",
+      col("vec_id") < 100)
+    val cells1 = spark.table("graft_ivf_ingest_cells").count()
+    assert(cells1 > cells0,
+      s"the stream must have appended postings ($cells0 -> $cells1)")
+    val after = graft.sources.IvfIndex.serve(spark, "graft_ivf_ingest",
+      probe, k = 3, nProbe = 8).collect()
+    val top = after.find(_.getLong(3) == 1L).get
+    assert(top.getLong(1) == 5L && top.getDouble(2) == 1.0,
+      s"the streamed-in exact twin must rank first at cos 1.0, got: " +
+        after.map(_.toSeq).mkString(", "))
+  }
 }
