@@ -816,22 +816,24 @@ object GraphQueries {
                JOIN est3 e3 ON e1.v = e3.v""")),
 
     // greedy maximal matching: both-endpoint nomination rounds on mixer
-    // edge priorities; the oracle unrolls 6 rounds (monotone, fixpoint
-    // identical — probed at 3 rounds on this graph)
+    // edge priorities; the oracle unrolls 12 rounds (monotone, fixpoint
+    // identical — probed at 3 rounds on the base graph, 9 on the ×10
+    // densified rehearsal graph, so 12 covers the rehearsal scale with
+    // margin; r12 verdict #7 un-SKIPped the 10× row this way)
     Q("q_matching",
       (s, d) => {
-        // the oracle unrolls 6 nomination rounds; convergence depth is
-        // data-dependent (O(log n)), so fail LOUDLY if the margin is
-        // breached instead of surfacing an opaque hash diff (r10 ADVICE)
+        // convergence depth is data-dependent (O(log n)), so fail
+        // LOUDLY if the margin is breached instead of surfacing an
+        // opaque hash diff (r10 ADVICE)
         val (m, rounds) = Iterative.maximalMatchingWithRounds(
           GraphOps.sparseEdgesFromLineitem(s, d), seed = 7L)
-        require(rounds <= 6,
+        require(rounds <= 12,
           s"maximalMatching converged in $rounds rounds but the oracle " +
-            "unrolls 6 — re-probe (tools/R10MatchProbe) and widen the " +
+            "unrolls 12 — re-probe (tools/R10MatchProbe) and widen the " +
             "unroll margin for this data scale")
         m
       },
-      Some(matchingSql(seed = 7L, rounds = 6))),
+      Some(matchingSql(seed = 7L, rounds = 12))),
 
     // Adamic–Adar link prediction: top-100 distance-2 pairs by summed
     // 1/ln(deg) over common neighbors; existing edges anti-joined away

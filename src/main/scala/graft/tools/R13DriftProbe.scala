@@ -19,12 +19,13 @@ import graft.sources.IvfIndex
   * resulting SCALE.md table is the rebuild policy: the appended
   * fraction at which stale recall leaves the rebuilt band is the
   * operational rebuild threshold.
-  * Usage: runMain graft.tools.R13DriftProbe <sfDir> [numCentroids]
+  * Usage: runMain graft.tools.R13DriftProbe <sfDir> [numCentroids] [nProbe]
   */
 object R13DriftProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val numCentroids = if (args.length > 1) args(1).toInt else 64
+    val nProbe = if (args.length > 2) args(2).toInt else 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,7 +57,7 @@ object R13DriftProbe {
       val queries = grown.where(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val served = IvfIndex.serve(spark, index, queries, k = 5,
-          nProbe = 16).collect()
+          nProbe = nProbe).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val truth = Similarity.bruteForceKnn(grown, "vec_id", "embedding",
           col("vec_id").isin(queryIds: _*), k = 5).collect()
@@ -83,8 +84,21 @@ object R13DriftProbe {
         numCentroids)
       val rr = recallAt5(rebuilt, grown, queryIds)
 
-      println(f"PROBE frac=$frac%.2f appended=$nf/$n " +
-        f"recall_stale=$rs%.3f recall_rebuilt=$rr%.3f")
+      // the OTHER drift cost: appended mass crowding into few stale
+      // cells balloons those posting lists — probe cost is the size of
+      // the probed cells, so max/mean occupancy is the serve-cost skew
+      def occ(index: String): (Long, Double) = {
+        val o = spark.table(s"${index}_cells").groupBy(col("cell"))
+          .agg(count(lit(1)).as("c"))
+          .agg(max(col("c")), avg(col("c"))).head()
+        (o.getLong(0), o.getDouble(1))
+      }
+      val (ms, as_) = occ(stale)
+      val (mr, ar) = occ(rebuilt)
+      println(f"PROBE np=$nProbe frac=$frac%.2f appended=$nf/$n " +
+        f"recall_stale=$rs%.3f recall_rebuilt=$rr%.3f " +
+        f"cellmax_stale=$ms (mean ${as_}%.1f) cellmax_rebuilt=$mr " +
+        f"(mean $ar%.1f)")
       fresh.unpersist()
     }
     spark.stop()
