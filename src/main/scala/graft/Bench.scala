@@ -98,7 +98,12 @@ object Bench {
     // SQ8 search paths, the LSH retrieval arm, the SQL surface
     "q_embed_ivf_knn_stored", "b_ivf_build", "q_hybrid_rrf_lsh",
     "q_embed_int8_knn", "q_embed_ivf_sq8_stored", "q_sql_simhash_pairs",
-    "q_incremental_dedup_stored", "q_bm25_stored", "b_text_build")
+    "q_incremental_dedup_stored", "q_bm25_stored", "b_text_build",
+    // round-13 additions: stored-index fusion, collapsed fuzzy
+    // clusters, the maintenance windows (compact + refresh), the
+    // routed-ingest stored twin
+    "q_hybrid_rrf_stored", "q_edit_dedup_clusters", "b_ivf_compact",
+    "b_ivf_refresh", "q_embed_ivf_knn_routed_stored")
 
   /** BENCH-ONLY entries (r10 VERDICT #5): the production CONVERGENCE
     * mode of the iterative rank ops. The registered q_pagerank/q_ppr run
@@ -134,6 +139,43 @@ object Bench {
       graft.sources.TextIndex.build(s, graft.Tables.documents(s, d),
         "text", "doc_id", "graft_text_benchbuild")
       s.table("graft_text_benchbuild_postings")
+    }),
+    // the maintenance op (r12 VERDICT #2): rebuild-in-place of an
+    // APPENDED index under its own bucket spec — build + 3 appends +
+    // compact, timed together so the row bounds the whole maintenance
+    // window. The artifact is a side effect (no oracle); answer
+    // equivalence across the swap is pinned by CompactSpec.
+    "b_ivf_compact" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = graft.Tables.embeddings(s, d)
+      graft.sources.IvfIndex.build(s, emb.where(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", "graft_ivf_benchcmp", numCentroids = 64)
+      (1L to 3L).foreach(r => graft.sources.IvfIndex.append(s,
+        "graft_ivf_benchcmp", emb.where(col("vec_id") % 4 === r),
+        "vec_id", "embedding"))
+      graft.sources.IvfIndex.compact(s, "graft_ivf_benchcmp")
+      s.table("graft_ivf_benchcmp_cells")
+    }),
+    // the OTHER maintenance op: quantizer refresh after a skew-heavy
+    // append (build half + drifted-append half + Lloyd-refined rebuild
+    // — the detect→decide→act lifecycle timed as one window)
+    "b_ivf_refresh" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      graft.sources.IvfIndex.build(s, emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", "graft_ivf_benchrf", numCentroids = 64)
+      val drifted = emb.where(col("vec_id") % 2 === 1).select(
+        (col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (element_at(col("embedding"), ((i + lit(7)) % lit(dim)) + 1)
+            + lit(2.0)).cast("float")).as("embedding"))
+      graft.sources.IvfIndex.append(s, "graft_ivf_benchrf", drifted,
+        "vec_id", "embedding")
+      if (graft.sources.IvfIndex.needsRefresh(s, "graft_ivf_benchrf"))
+        graft.sources.IvfIndex.refresh(s, "graft_ivf_benchrf")
+      s.table("graft_ivf_benchrf_cells")
     }))
 
   def main(args: Array[String]): Unit = {

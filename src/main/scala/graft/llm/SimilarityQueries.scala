@@ -477,6 +477,29 @@ object SimilarityQueries {
       },
       Some(ivfKnnSql(numCentroids = 64, nProbe = 16, k = 5))),
 
+    // the stored layout built through the two-level ROUTED corpus
+    // assignment FORCED (routeAbove = 0) — the ingest path a deployment
+    // whose cell count scales with the corpus takes (flat build-time
+    // assignment is N·k, the measured 32× rehearsal cliff; routed is
+    // ~N·2√k via the persisted √k coarse grid that [[IvfIndex.append]]
+    // and [[IvfIndex.refresh]] then route through). Serving is
+    // UNCHANGED — same stored-quantizer probe routing, same
+    // bucket-pruned literal-IN scan — but the stored PARTITION
+    // legitimately differs from the flat twin's, so the oracle replays
+    // BOTH routing levels (fine→coarse map, point→active-coarse
+    // routing, in-cell argmin — the q_embed_mutual_knn_routed
+    // convention) before the identical probe/score/top-k stages: the
+    // routing approximation itself is what's checked.
+    Q("q_embed_ivf_knn_routed_stored",
+      (s, d) => {
+        val name = graft.sources.IvfIndex.ensureBuiltRouted(s, d,
+          numCentroids = 64)
+        val queries = Tables.embeddings(s, d).where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        graft.sources.IvfIndex.serve(s, name, queries, k = 5, nProbe = 16)
+      },
+      Some(ivfKnnRoutedSql(numCentroids = 64, nProbe = 16, k = 5))),
+
     // IVF-SQ8 from the STORED layout — the composed production serving
     // path (FAISS IVF + scalar quantizer): probes route over the stored
     // quantizer, the cells scan bucket-prunes to the probed cells, the
@@ -871,6 +894,59 @@ object SimilarityQueries {
             PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
           FROM scored)
         WHERE rn <= $k"""
+
+  /** [[ivfKnnSql]] with the corpus assignment replayed through the
+    * two-level ROUTED argmin ([[Similarity.routedAssignCos]], forced by
+    * `IvfIndex.build(routeAbove = 0)`): the ⌈√k⌉ coarse grid is the
+    * first rows of the SAME mixer ordering as the fine quantizer
+    * (nested sampling), each fine centroid maps to its nearest coarse
+    * cell, each corpus vector routes to its nearest ACTIVE coarse cell
+    * and takes the argmin over that cell's fine centroids. Query-side
+    * probe routing, scoring and top-k are identical to the flat
+    * replay. */
+  private def ivfKnnRoutedSql(numCentroids: Int, nProbe: Int, k: Int,
+      vCte: String = rawVCte): String = {
+    val coarse = math.max(2, math.ceil(math.sqrt(numCentroids.toDouble)).toInt)
+    s"""WITH $vCte,
+        cents AS (SELECT vec_id AS cid, e AS cv FROM v
+                  ORDER BY ((vec_id % 1000000007) * 2654435761 + 283521) % 9973, vec_id
+                  LIMIT $numCentroids),
+        co AS (SELECT vec_id AS ccid, e AS ccv FROM v
+               ORDER BY ((vec_id % 1000000007) * 2654435761 + 283521) % 9973, vec_id
+               LIMIT $coarse),
+        f2c AS (SELECT ccid, cid, cv FROM (
+          SELECT c.cid, c.cv, o.ccid,
+                 row_number() OVER (PARTITION BY c.cid
+                   ORDER BY ${duckCos("c.cv", "o.ccv")} DESC, o.ccid) AS rn
+          FROM cents c, co o) WHERE rn = 1),
+        act AS (SELECT ccid, ccv FROM co
+                WHERE ccid IN (SELECT ccid FROM f2c)),
+        p2c AS (SELECT nid, nv, ccid FROM (
+          SELECT v.vec_id AS nid, v.e AS nv, a.ccid,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY ${duckCos("v.e", "a.ccv")} DESC, a.ccid) AS rn
+          FROM v, act a) WHERE rn = 1),
+        corpus AS (SELECT nid, nv, cid FROM (
+          SELECT p.nid, p.nv, f.cid,
+                 row_number() OVER (PARTITION BY p.nid
+                   ORDER BY ${duckCos("p.nv", "f.cv")} DESC, f.cid) AS rn
+          FROM p2c p JOIN f2c f USING (ccid)) WHERE rn = 1),
+        queries AS (
+          SELECT qid, qv, cid FROM (
+            SELECT v.vec_id AS qid, v.e AS qv, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.cid) AS crn
+            FROM v, cents c WHERE v.vec_id < 10)
+          WHERE crn <= $nProbe),
+        scored AS (
+          SELECT qid, nid, ${duckCos("qv", "nv")} AS cos
+          FROM queries JOIN corpus USING (cid) WHERE qid <> nid)
+        SELECT qid, nid, cos, rn FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, nid) AS BIGINT) AS rn
+          FROM scored)
+        WHERE rn <= $k"""
+  }
 
   /** DuckDB replay of the flat-PQ train/encode/ADC chain
     * ([[Similarity.pqTrainEncode]] + the broadcast query-distance table)

@@ -51,10 +51,9 @@ object IvfIndex {
     * write. A deployment that serves [[serveInt8]] only can drop `vec`
     * for the 4× byte shrink; keeping both lets the exact re-rank read
     * the same stored table. */
-  private def postingRows(vecs: DataFrame, cents: DataFrame): DataFrame = {
+  private def sq8(assigned: DataFrame): DataFrame = {
     val e = transform(col("vec"), x => x.cast("double"))
-    Similarity.nearestCells(vecs, cents, "vec_id", "vec", 1)
-      .select(col("vec_id"), col("cid").as("cell"), col("vec"))
+    assigned
       .withColumn("scale",
         round(array_max(transform(e, x => abs(x))) / lit(127.0), 9))
       .withColumn("codes", transform(e, x =>
@@ -65,12 +64,55 @@ object IvfIndex {
         col("scale"))
   }
 
+  private def postingRows(vecs: DataFrame, cents: DataFrame): DataFrame =
+    sq8(Similarity.nearestCells(vecs, cents, "vec_id", "vec", 1)
+      .select(col("vec_id"), col("cid").as("cell"), col("vec")))
+
+  /** [[postingRows]] through the two-level ROUTED assignment
+    * ([[Similarity.routedAssignCos]] — the q_embed_mutual_knn_routed
+    * discipline): each vector routes to its nearest ACTIVE coarse cell
+    * (the √k grid is the first rows of the SAME mixer ordering as the
+    * fine quantizer — nested sampling), then the argmin runs over that
+    * coarse cell's fine centroids, ~N·2√k candidates instead of flat's
+    * N·k. The routed cell approximates the global argmin (the IVF
+    * nProbe=1 contract at the coarse level) — a partition-quality dial,
+    * not a result surface: [[serve]] at full probe depth is exact over
+    * the stored corpus regardless of which cell a vector landed in
+    * (IvfRoutedSpec pins flat-built ≡ routed-built there). */
+  private def postingRowsRouted(vecs: DataFrame, cents: DataFrame,
+      coarseTab: DataFrame, broadcastFine: Boolean): DataFrame =
+    sq8(Similarity.routedAssignCos(vecs, cents, coarseTab,
+        "vec_id", "vec", broadcastFine)
+      .select(col("vec_id"), col("cid").as("cell"), col("vec")))
+
+  /** Above `routeAbove` cells the build-time corpus assignment goes
+    * two-level routed (N·2√k candidates, not N·k — the recurring
+    * flat-assignment cliff, measured at ratio 32× on the first
+    * auto-scaled ×100 mutual-kNN rehearsal) and the √k coarse grid is
+    * PERSISTED as `<name>_coarse` so [[append]] and [[refresh]] route
+    * later batches through the identical structure. Above
+    * `maxBroadcastCentroids` the fine-centroid broadcast hints drop and
+    * the in-cell argmin shuffle-joins on the coarse cell id (the
+    * SemDeDup "fine-centroid broadcast ceiling" — same results,
+    * bounded build sides). The registered 64-cell indexes stay on the
+    * flat exact argmin their oracles replay. */
   def build(spark: SparkSession, emb: DataFrame, idCol: String,
       vecCol: String, name: String, numCentroids: Int = 64,
-      basePath: String = defaultBase): Unit = {
-    val cents = Similarity.ivfCentroids(emb, idCol, vecCol, numCentroids)
-    val cells = postingRows(
-      emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), cents)
+      basePath: String = defaultBase, routeAbove: Int = 64,
+      maxBroadcastCentroids: Int = 100000): Unit = {
+    val vecs = emb.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val routed = numCentroids > routeAbove
+    val hintFine = numCentroids <= maxBroadcastCentroids
+    val cents =
+      if (hintFine) Similarity.ivfCentroids(emb, idCol, vecCol, numCentroids)
+      else Similarity.ivfCentroidsRaw(emb, idCol, vecCol, numCentroids)
+    val coarseTab = if (!routed) null else broadcast(
+      Similarity.ivfCentroidsRaw(emb, idCol, vecCol,
+          coarseCells(numCentroids))
+        .select(col("cid").as("ccid"), col("cv").as("ccv")))
+    val cells =
+      if (routed) postingRowsRouted(vecs, cents, coarseTab, hintFine)
+      else postingRows(vecs, cents)
     cells.write.mode("overwrite")
       .format("parquet")
       .option("path", s"$basePath/${name}_cells")
@@ -81,7 +123,21 @@ object IvfIndex {
       .format("parquet")
       .option("path", s"$basePath/${name}_cents")
       .saveAsTable(s"${name}_cents")
+    if (routed)
+      coarseTab.write.mode("overwrite")
+        .format("parquet")
+        .option("path", s"$basePath/${name}_coarse")
+        .saveAsTable(s"${name}_coarse")
+    else
+      // a rebuild that switches a routed index back to flat must not
+      // leave a stale coarse grid for append/refresh to route through
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_coarse")
   }
+
+  /** The coarse-grid size for a routed index: ⌈√k⌉, the candidate-count
+    * minimizer of the two-level argmin (coarse + k/coarse ≈ 2√k). */
+  private def coarseCells(numCentroids: Int): Int =
+    math.max(2, math.ceil(math.sqrt(numCentroids.toDouble)).toInt)
 
   def defaultBase: String =
     sys.props("java.io.tmpdir") + "/graft_ivf_index"
@@ -140,11 +196,24 @@ object IvfIndex {
     * first, exactly as [[graft.llm.Dedup.incrementalDedup]] does for
     * documents. */
   def append(spark: SparkSession, name: String, fresh: DataFrame,
-      idCol: String, vecCol: String): Unit = {
-    val cents = broadcast(spark.table(s"${name}_cents"))
-    postingRows(
-        fresh.select(col(idCol).as("vec_id"), col(vecCol).as("vec")), cents)
-      .write.mode("append").insertInto(s"${name}_cells")
+      idCol: String, vecCol: String,
+      maxBroadcastCentroids: Int = 100000): Unit = {
+    val vecs = fresh.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val rows =
+      if (spark.catalog.tableExists(s"${name}_coarse")) {
+        // a routed index: fresh batches route through the STORED coarse
+        // grid + stored quantizer — the same ~|fresh|·2√k assignment the
+        // build paid, and cell semantics provably identical to it
+        val hintFine =
+          spark.table(s"${name}_cents").count() <= maxBroadcastCentroids
+        val cents =
+          if (hintFine) broadcast(spark.table(s"${name}_cents"))
+          else spark.table(s"${name}_cents")
+        postingRowsRouted(vecs, cents,
+          broadcast(spark.table(s"${name}_coarse")), hintFine)
+      } else
+        postingRows(vecs, broadcast(spark.table(s"${name}_cents")))
+    rows.write.mode("append").insertInto(s"${name}_cells")
   }
 
   /** Maintenance: rewrite the appended cells table one-file-per-bucket
@@ -157,6 +226,112 @@ object IvfIndex {
   def compact(spark: SparkSession, name: String): Map[String, (Long, Long)] =
     Map(s"${name}_cells" ->
       Compact.compactTable(spark, s"${name}_cells"))
+
+  /** Occupancy skew (max cell size / mean over occupied cells) of the
+    * stored postings — the MEASURED refresh trigger (R13DriftProbe,
+    * SCALE.md round 13): appended drift CROWDS the few stale cells
+    * nearest the new mass while recall holds (0.98 @ nProbe=16 even at
+    * 100 % drifted append), so recall monitoring never fires; the
+    * observable that moves is this skew (14.5× at 100 % drifted vs
+    * ≤ ~7 balanced), and serve cost is the size of the probed cells.
+    * One column-pruned groupBy over `cell` — no vector bytes read. */
+  def occupancySkew(spark: SparkSession, name: String): Double = {
+    val r = spark.table(s"${name}_cells").groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).cast("double"), avg(col("n"))).head()
+    r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** The rebuild policy as a callable: true when [[occupancySkew]]
+    * crosses `maxOverMean`. The default is the measured number —
+    * R13DriftProbe saw ≤ ~7 at 50 % drifted append and 14.5 at 100 %,
+    * so ~8 sits between the healthy and degenerate regimes. After a
+    * triggered [[refresh]], re-probe recall before narrowing nProbe
+    * (the probe's third finding: redistributing a crowded cell can
+    * split neighborhoods that crowding kept colocated). */
+  def needsRefresh(spark: SparkSession, name: String,
+      maxOverMean: Double = 8.0): Boolean =
+    occupancySkew(spark, name) >= maxOverMean
+
+  /** Maintenance REBUILD from the index's own stored postings — the
+    * act step of the measured lifecycle (detect [[occupancySkew]] →
+    * decide [[needsRefresh]] → act here → verify with RecallProbe
+    * before narrowing nProbe). Retrains the quantizer over the CURRENT
+    * corpus (mixer-sample seeds, then `lloydIters` rounds of
+    * spherical-k-means refinement: assignment is the same 6dp cosine
+    * argmin [[serve]] routes by, and because cosine cancels scale the
+    * plain per-cell mean routes identically to its normalized form —
+    * the refinement moves centroids INTO appended mass the r12 sample
+    * quantizer provably never picked, R13DriftProbe finding #3),
+    * reassigns every stored vector, and overwrites both tables under
+    * their catalog locations. Nothing external is read: the index owns
+    * its vectors, so refresh needs no access to the original corpus.
+    *
+    * Cost: `lloydIters`+1 broadcast-argmin passes over the postings —
+    * the same N·k shape [[build]] pays once; a deployment whose cell
+    * count scales with the corpus should refresh through the routed
+    * assignment ([[Similarity.kmeansRouted]]'s coarse grid) instead.
+    * Serve answers at full probe depth are UNCHANGED by refresh (the
+    * partition is an approximation dial, not a result surface —
+    * IvfLifecycleSpec pins it); tight-probe answers legitimately move
+    * with the partition. Like [[compact]], run from the maintenance
+    * window that owns `append` — not concurrently with serving. */
+  def refresh(spark: SparkSession, name: String, numCentroids: Int = 0,
+      lloydIters: Int = 2, maxBroadcastCentroids: Int = 100000): Unit = {
+    val k = if (numCentroids > 0) numCentroids
+      else spark.table(s"${name}_cents").count().toInt
+    // a routed index refreshes through a REGENERATED √k coarse grid
+    // (first rows of the retrained sample's own mixer ordering — the
+    // build's nested-sampling discipline over the CURRENT corpus), so
+    // every Lloyd round and the final reassignment stay ~N·2√k
+    val routed = spark.catalog.tableExists(s"${name}_coarse")
+    val hintFine = k <= maxBroadcastCentroids
+    def fineHint(df: DataFrame): DataFrame =
+      if (hintFine) broadcast(df) else df
+    // checkpointed: the rewrite overwrites the very files this lineage
+    // would otherwise re-list mid-write
+    val vecs = spark.table(s"${name}_cells")
+      .select(col("vec_id"), col("vec")).localCheckpoint()
+    val dim = vecs.select(size(col("vec"))).head().getInt(0)
+    val coarseTab = if (!routed) null else broadcast(
+      Similarity.ivfCentroidsRaw(vecs, "vec_id", "vec", coarseCells(k))
+        .select(col("cid").as("ccid"), col("cv").as("ccv")))
+    def assign(cs: DataFrame): DataFrame =
+      if (routed) Similarity.routedAssignCos(vecs, cs, coarseTab,
+        "vec_id", "vec", hintFine)
+      else Similarity.nearestCells(vecs, cs, "vec_id", "vec", 1)
+    var cents = fineHint(
+      Similarity.ivfCentroidsRaw(vecs, "vec_id", "vec", k))
+    for (_ <- 1 to lloydIters) {
+      cents = fineHint(assign(cents).groupBy(col("cid"))
+        .agg(graft.functions.VectorMeanAggregator.vecMean(dim)(col("vec"))
+          .as("cm"))
+        .select(col("cid"),
+          transform(col("cm"), x => round(x, 6).cast("float")).as("cv")))
+    }
+    val newCents = cents.localCheckpoint()
+    val newCells = sq8(assign(fineHint(newCents))
+      .select(col("vec_id"), col("cid").as("cell"), col("vec")))
+      .localCheckpoint()
+    def tableLoc(t: String): String =
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(t)).location.toString
+    val (cellsLoc, centsLoc) =
+      (tableLoc(s"${name}_cells"), tableLoc(s"${name}_cents"))
+    newCells.write.mode("overwrite").format("parquet")
+      .option("path", cellsLoc)
+      .bucketBy(k, "cell").sortBy("cell")
+      .saveAsTable(s"${name}_cells")
+    newCents.write.mode("overwrite").format("parquet")
+      .option("path", centsLoc)
+      .saveAsTable(s"${name}_cents")
+    if (routed) {
+      val coarseLoc = tableLoc(s"${name}_coarse")
+      coarseTab.write.mode("overwrite").format("parquet")
+        .option("path", coarseLoc)
+        .saveAsTable(s"${name}_coarse")
+    }
+  }
 
   /** Serve kNN from the stored layout scoring the STORED INT8 CODES
     * first — the composed FAISS IVF-SQ8 production shape: probes route
@@ -230,6 +405,27 @@ object IvfIndex {
     built.getOrElseUpdate((sfDir, fp), {
       val name = s"graft_ivf_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
       build(spark, emb, "vec_id", "embedding", name, numCentroids)
+      name
+    })
+  }
+
+  /** [[ensureBuilt]] with the two-level ROUTED build FORCED
+    * (routeAbove = 0) — the ingest path a deployment whose cell count
+    * scales with the corpus takes (flat assignment is N·k; IVF at
+    * 100 TB runs 4–64k cells, where N·k is the measured 32× rehearsal
+    * cliff). Separate memo key and table prefix: the routed partition
+    * legitimately differs from the flat one, so the two registered
+    * twins must never serve from each other's tables. */
+  def ensureBuiltRouted(spark: SparkSession, sfDir: String,
+      numCentroids: Int = 64): String = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val r = emb.agg(count(lit(1)), max(col("vec_id")),
+      sum(col("label"))).head()
+    val fp = s"${r.get(0)}|${r.get(1)}|${r.get(2)}|$numCentroids|routed"
+    built.getOrElseUpdate((sfDir, fp), {
+      val name = s"graft_ivfr_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark, emb, "vec_id", "embedding", name, numCentroids,
+        routeAbove = 0)
       name
     })
   }

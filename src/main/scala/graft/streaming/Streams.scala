@@ -518,6 +518,83 @@ object Streams {
     spark.catalog.refreshTable(s"${indexName}_cells")
   }
 
+  /** Streaming TEXT ingest — the [[streamIvfIngest]] loop for the
+    * lexical index family: each arriving documents micro-batch pays
+    * |batch| tokenization and lands bucket-aligned posting rows plus
+    * one (n_docs, sum_dl) totals delta via
+    * [[graft.sources.TextIndex.append]], so a crawled page is
+    * BM25-searchable ([[graft.sources.TextIndex.serve]] — idf/avgdl
+    * exact for the grown corpus) the moment its batch's append
+    * commits. Same checkpoint contract as [[streamIvfIngest]]: the
+    * ledger's lifetime must match the index's. */
+  def streamTextIngest(spark: SparkSession, sfDir: String,
+      indexName: String, pred: Column,
+      checkpoint: Option[String] = None): Unit = {
+    val s = tuned(spark)
+    val fresh = documentsStream(s, sfDir).where(pred)
+    val q = fresh.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.sources.TextIndex.append(batch.sparkSession, indexName,
+          batch, "text", "doc_id")
+      }
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_text_ingest_ckpt")
+          .toString))
+      .start()
+    q.awaitTermination()
+    Seq("postings", "totals").foreach(t =>
+      spark.catalog.refreshTable(s"${indexName}_$t"))
+  }
+
+  /** Streaming DEDUP-GATED ingest — the full crawl-admission loop at
+    * stream time: each documents micro-batch is near-dup-checked
+    * against the STORED band/shingle postings
+    * ([[graft.sources.DedupIndex.dedupAgainst]] — |batch| fresh
+    * derivation only, the corpus side read from the index, its text
+    * never touched), and only the admitted survivors are appended back
+    * in — so batch N+1 dedups against corpus ∪ batch N with no rebuild
+    * and no corpus re-derivation, and a rejected near-copy never
+    * pollutes the index. Near-dup pairs WITHIN one micro-batch follow
+    * the batch API's cross-only contract (both admitted; run the
+    * self-dedup chain upstream when intra-batch dups matter — a
+    * production crawl's frontier dedup makes them rare). The
+    * stored-table relations are refreshed per batch because the
+    * PREVIOUS batch's inserts happened on a sibling micro-batch
+    * session — without it the gate would race its own appends. Same
+    * checkpoint contract as [[streamIvfIngest]]. */
+  def streamDedupIngest(spark: SparkSession, sfDir: String,
+      indexName: String, pred: Column, tau: Double = 0.8,
+      checkpoint: Option[String] = None): Unit = {
+    val s = tuned(spark)
+    val fresh = documentsStream(s, sfDir).where(pred)
+    val q = fresh.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val bs = batch.sparkSession
+        Seq("bands", "shingles", "sizes").foreach(t =>
+          bs.catalog.refreshTable(s"${indexName}_$t"))
+        // materialized BEFORE append: the gate's lineage reads the
+        // very tables append inserts into, so a lazy `admitted`
+        // re-evaluated for append's later writes would see the batch's
+        // own first insert and self-reject
+        val admitted = graft.sources.DedupIndex.dedupAgainst(
+          bs, indexName, batch, "text", "doc_id", tau = tau)
+          .localCheckpoint()
+        graft.sources.DedupIndex.append(bs, indexName, admitted,
+          "text", "doc_id")
+      }
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_dedup_ingest_ckpt")
+          .toString))
+      .start()
+    q.awaitTermination()
+    Seq("bands", "shingles", "sizes").foreach(t =>
+      spark.catalog.refreshTable(s"${indexName}_$t"))
+  }
+
   /** Streaming domain classification:
     * [[graft.llm.TextAnalysis.domainClassify]] per micro-batch — the
     * mixture-bucketing head applied at ingest, so a document carries

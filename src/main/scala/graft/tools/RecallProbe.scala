@@ -144,6 +144,31 @@ object RecallProbe {
         clustered, "vec_id", "embedding", col("vec_id") < 10,
         shortlistK = sl, k = 5)), cCosTruth, "cos")
     }
+
+    // ---- routed-build partition quality (r13) --------------------------
+    // The two-level ROUTED corpus assignment (q_embed_ivf_knn_routed_
+    // stored) can park a vector outside its exact-nearest cell (the
+    // coarse nProbe=1 approximation), so the same serve dial can recall
+    // less than the flat-built twin — this measures that cost on both
+    // fixtures so the dial has a number at the registered 64/nProbe
+    // configuration.
+    def storedRecall(frame: DataFrame, tag: String,
+        truth: Set[(Long, Long)]): Unit = {
+      val qs = frame.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Seq(("flat", 64), ("routed", 0)).foreach { case (mode, routeAbove) =>
+        val nm = s"graft_recall_${mode}_$tag"
+        graft.sources.IvfIndex.build(spark, frame, "vec_id", "embedding",
+          nm, numCentroids = 64, routeAbove = routeAbove)
+        Seq(4, 8, 16).foreach { np =>
+          report(s"$tag stored-$mode serve(nProbe=$np)",
+            pairsOf(graft.sources.IvfIndex.serve(spark, nm, qs, k = 5,
+              nProbe = np)), truth, "cos")
+        }
+      }
+    }
+    storedRecall(emb, "uniform", cosTruth)
+    storedRecall(clustered, "clustered", cCosTruth)
     clustered.unpersist()
     spark.stop()
   }

@@ -116,4 +116,66 @@ class StreamSmokeSpec extends AnyFunSuite {
       s"the streamed-in exact twin must rank first at cos 1.0, got: " +
         after.map(_.toSeq).mkString(", "))
   }
+
+  test("stream ingest closes the lexical loop: crawled batches land in the stored text index and BM25 serve answers like a full rebuild") {
+    // the streamIvfIngest contract for the BM25 family: after streaming
+    // in the missing corpus slice, the STORED serve must rank exactly
+    // like the live full-corpus derivation — idf/avgdl fold the
+    // streamed docs in exactly (an absent doc would shift every score).
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    graft.sources.TextIndex.build(spark,
+      docs.where(col("doc_id") >= 100), "text", "doc_id",
+      "graft_text_ingest")
+    val qs = Seq("q1" -> "spark hash join", "q2" -> "table scan filter")
+    graft.streaming.Streams.streamTextIngest(spark, sf0001,
+      "graft_text_ingest", col("doc_id") < 100)
+    val n = spark.table("graft_text_ingest_totals")
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    assert(n == docs.count(),
+      s"totals must count the streamed docs (got $n)")
+    val stored = graft.sources.TextIndex.serve(spark,
+      "graft_text_ingest", qs, k = 5).collect().map(_.toSeq).toSet
+    val live = graft.text.TextOps.bm25TopK(docs, "text", "doc_id", qs,
+      k = 5).collect().map(_.toSeq).toSet
+    assert(stored == live && stored.nonEmpty,
+      "stored serve after stream ingest must equal the live full-corpus BM25")
+  }
+
+  test("stream dedup gate: a later batch's near-copy is rejected against an earlier batch's append") {
+    // the crawl-admission loop end-to-end: batch 1 admits a fresh doc
+    // into the index; batch 2 carries a verbatim twin (new id) that
+    // must be REJECTED against batch 1's append — no rebuild between
+    // batches — while batch 2's genuinely fresh doc is admitted.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_ingest_src").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tFresh = "one two three four five six seven eight"
+    write(Seq((900001L, tA)))
+    Thread.sleep(1100)
+    write(Seq((900002L, tA), (900003L, tFresh)))
+    val corpus = Seq(
+      (1L, "lorem ipsum dolor sit amet consectetur adipiscing"),
+      (2L, "quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    graft.sources.DedupIndex.build(spark, corpus, "text", "doc_id",
+      "graft_dedup_ingest")
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    try graft.streaming.Streams.streamDedupIngest(spark, dir,
+      "graft_dedup_ingest", lit(true))
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val ids = spark.table("graft_dedup_ingest_sizes")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids.contains(900001L), "batch-1 doc must be admitted")
+    assert(ids.contains(900003L),
+      "batch-2's genuinely fresh doc must be admitted")
+    assert(!ids.contains(900002L),
+      s"the verbatim twin must be rejected against batch 1's append, got ids: $ids")
+  }
 }
