@@ -277,8 +277,13 @@ object DedupQueries {
     // legitimately drop a pair with probability (1 - J^4)^16 per pair —
     // a failure here after a DATA change means re-check recall before
     // suspecting the engine.
+    // Since r13 the registered runner is the digest-COLLAPSED pair
+    // computation: signatures/banding/verification run on distinct
+    // content, the O(m²) dup-group pairs are reconstituted as output
+    // rows only (provably the same list — expandThroughDigests). The
+    // oracle is the unchanged uncollapsed truth.
     Q("q_minhash_lsh_pairs",
-      (s, d) => Dedup.minHashLshPairsExact(Tables.documents(s, d), "text",
+      (s, d) => Dedup.minHashLshPairsCollapsed(Tables.documents(s, d), "text",
         "doc_id", k = 3, numHashes = 64, bands = 16, tau = 0.8),
       Some(s"""WITH $shingleCte,
                sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -301,9 +306,16 @@ object DedupQueries {
     // both engines implement the identical classic unit-cost edit
     // distance, so the verify stage replays exactly on the
     // hash-independent candidate set.
+    // Since r13 the registered runner is digest-COLLAPSED (the r12
+    // verdict's remaining tail row: ×10 verbatim dups ran the
+    // Levenshtein O(m²) times per dup group — 67× for 10× data): the
+    // candidate machinery AND the edit-distance evaluations run on
+    // distinct content only; the quadratic dup-group pairs come back as
+    // generated rows at their provable scores (jaccard 1, edit 0). Same
+    // answer, same uncollapsed oracle.
     Q("q_edit_dedup",
-      (s, d) => Dedup.editDistancePairs(Tables.documents(s, d), "text",
-        "doc_id", k = 3, numHashes = 64, bands = 16, tauJ = 0.8,
+      (s, d) => Dedup.editDistancePairsCollapsed(Tables.documents(s, d),
+        "text", "doc_id", k = 3, numHashes = 64, bands = 16, tauJ = 0.8,
         maxRel = 0.3),
       Some(s"""WITH $shingleCte,
                sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

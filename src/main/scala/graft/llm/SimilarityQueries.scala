@@ -500,6 +500,33 @@ object SimilarityQueries {
       },
       Some(ivfKnnRoutedSql(numCentroids = 64, nProbe = 16, k = 5))),
 
+    // the stored index's cell-occupancy census — the exact quantity
+    // IvfIndex.occupancySkew reduces for the measured refresh trigger
+    // (max/mean > ~8, R13DriftProbe), read from the PERSISTED postings
+    // and hash-checked against a full replay of the flat assignment:
+    // the lifecycle's detect step runs on an oracle-verified observable.
+    // One column-pruned groupBy over the bucket column — no vector bytes.
+    Q("q_ivf_cell_census",
+      (s, d) => {
+        val name = graft.sources.IvfIndex.ensureBuilt(s, d, numCentroids = 64)
+        s.table(s"${name}_cells").groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"))
+          .select(col("cell"), col("n_vecs"))
+      },
+      Some(s"""WITH $rawVCte,
+               cents AS (SELECT vec_id AS cid, e AS cv FROM v
+                         ORDER BY ((vec_id % 1000000007) * 2654435761
+                                   + 283521) % 9973, vec_id
+                         LIMIT 64),
+               assigned AS (SELECT nid, cid FROM (
+                 SELECT v.vec_id AS nid, c.cid,
+                        row_number() OVER (PARTITION BY v.vec_id
+                          ORDER BY ${duckCos("v.e", "c.cv")} DESC, c.cid)
+                          AS crn
+                 FROM v, cents c) WHERE crn <= 1)
+               SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n_vecs
+               FROM assigned GROUP BY cid""")),
+
     // IVF-SQ8 from the STORED layout — the composed production serving
     // path (FAISS IVF + scalar quantizer): probes route over the stored
     // quantizer, the cells scan bucket-prunes to the probed cells, the

@@ -403,9 +403,25 @@ object Multimodal {
     * see [[imageDedupPairs]]'s scaladoc for the recall and 100 TB
     * economics. */
   private def dhashPairs(fingerprints: DataFrame, maxDist: Int): DataFrame = {
-    // referenced by the band explode and both verification sides
+    // referenced by the collapse, the band explode and the expansion
     val fp = fingerprints.localCheckpoint()
-    val bands = fp.select(col("media_id"), explode(array(
+    // exact-fingerprint collapse (r13 — the Dedup.digestCollapse idiom
+    // applied to the 128-bit dHash itself): banding, the candidate
+    // self-join and the Hamming verification run once per DISTINCT
+    // fingerprint; identical-fingerprint groups — what verbatim
+    // re-crawl replicas become after decoding — come back as generated
+    // rows: dist 0 within a group (Hamming of equal codes), the rep
+    // pair's dist across groups (dist is a pure function of the two
+    // fingerprints). No eligibility edge here, unlike the text
+    // collapse: EVERY fingerprint emits its 4 bands, so the expansion
+    // self-pairs exactly the groups banding would self-pair.
+    val repOf = fp.groupBy(col("h_lo"), col("h_hi"))
+      .agg(min(col("media_id")).as("rep"))
+    val members = fp.join(repOf, Seq("h_lo", "h_hi"))
+      .select(col("rep"), col("media_id").as("id"))
+    val reps = repOf.select(col("rep").as("media_id"), col("h_lo"),
+      col("h_hi"))
+    val bands = reps.select(col("media_id"), explode(array(
       struct(lit(0).as("bi"), expr("h_lo % 65536L").as("bv")),
       struct(lit(1).as("bi"), expr("h_lo div 65536L").as("bv")),
       struct(lit(2).as("bi"), expr("h_hi % 65536L").as("bv")),
@@ -416,15 +432,25 @@ object Multimodal {
         Seq("bi", "bv"))
       .where(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-    cand
-      .join(fp.select(col("media_id").as("da"), col("h_lo").as("la"),
+    val repPairs = cand
+      .join(reps.select(col("media_id").as("da"), col("h_lo").as("la"),
         col("h_hi").as("ha")), "da")
-      .join(fp.select(col("media_id").as("db"), col("h_lo").as("lb"),
+      .join(reps.select(col("media_id").as("db"), col("h_lo").as("lb"),
         col("h_hi").as("hb")), "db")
       .select(col("da"), col("db"),
         (expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
           .cast("long").as("dist"))
       .where(col("dist") <= maxDist)
+    val cross = repPairs
+      .join(members.select(col("rep").as("da"), col("id").as("ia")), "da")
+      .join(members.select(col("rep").as("db"), col("id").as("ib")), "db")
+      .select(least(col("ia"), col("ib")).as("da"),
+        greatest(col("ia"), col("ib")).as("db"), col("dist"))
+    val intra = members.select(col("rep"), col("id").as("ia"))
+      .join(members.select(col("rep"), col("id").as("ib")), "rep")
+      .where(col("ia") < col("ib"))
+      .select(col("ia").as("da"), col("ib").as("db"), lit(0L).as("dist"))
+    cross.unionByName(intra)
   }
 
   /** CODEC ERROR POLICY: the fault-tolerant twin of [[decodeFeatures]].

@@ -91,6 +91,43 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(collapsed == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L))
   }
 
+  test("collapsed PAIR lists equal the uncollapsed answers, including the shingle-less edge") {
+    val s = spark
+    import s.implicits._
+    // dup-heavy corpus + the structural edge case: docs 40/41 are
+    // byte-identical but too short for a single word 3-shingle, so the
+    // uncollapsed pipeline never bands them and they must NOT be
+    // invented as a pair by the expansion
+    val ta = "the quick brown fox jumps over the lazy dog near the river"
+    val taVar = "the quick brown fox jumps over the lazy dog near the shore"
+    val tb = "entirely different content about distributed query engines and shuffles here"
+    val d = docs(
+      1L -> ta, 2L -> ta, 3L -> ta, 4L -> ta, 5L -> taVar,
+      10L -> tb, 11L -> tb,
+      40L -> "too short", 41L -> "too short",
+      20L -> "unique text one with plenty of words to pass the shingle floor")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val lshFlat = rows(Dedup.minHashLshPairsExact(d, "text", "doc_id",
+      k = 3, numHashes = 64, bands = 16, tau = 0.8))
+    val lshColl = rows(Dedup.minHashLshPairsCollapsed(d, "text", "doc_id",
+      k = 3, numHashes = 64, bands = 16, tau = 0.8))
+    assert(lshColl == lshFlat,
+      s"collapsed LSH pair list must equal uncollapsed: " +
+        s"only-collapsed=${lshColl -- lshFlat} only-flat=${lshFlat -- lshColl}")
+    // the 4-group contributes all 6 internal pairs + 4 pairs to the
+    // variant; the verbatim pair 1; the short twins none
+    assert(lshColl.count(r => r.head.asInstanceOf[Long] <= 5L) == 10)
+    assert(!lshColl.exists(r => r.head == 40L))
+    val edFlat = rows(Dedup.editDistancePairs(d, "text", "doc_id",
+      k = 3, numHashes = 64, bands = 16, tauJ = 0.8, maxRel = 0.3))
+    val edColl = rows(Dedup.editDistancePairsCollapsed(d, "text", "doc_id",
+      k = 3, numHashes = 64, bands = 16, tauJ = 0.8, maxRel = 0.3))
+    assert(edColl == edFlat,
+      s"collapsed edit pair list must equal uncollapsed: " +
+        s"only-collapsed=${edColl -- edFlat} only-flat=${edFlat -- edColl}")
+  }
+
   test("digest collapse runs the verifier on distinct content only") {
     val s = spark
     import s.implicits._

@@ -225,4 +225,51 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq === Seq((1L, 2L, 0L)))
   }
+
+  test("dhash pair collapse: identical-fingerprint groups expand to the exact uncollapsed pair list") {
+    val s = spark
+    import s.implicits._
+    // verbatim replicas (the crawl regime the r13 collapse targets)
+    // plus a near variant: ids 1/4/5 identical, 2 volume-scaled (same
+    // fingerprint), 6 one mutated block (close fingerprint), 7 a
+    // verbatim copy of 6, 3 the inverted envelope (far). The expected
+    // list replays the UNCOLLAPSED contract brute-force from the
+    // fingerprints themselves: a pair is in iff it shares >= 1 of the
+    // four band values AND Hamming distance <= maxDist.
+    val base = ("aaaaaaaa" + "~~~~~~~~") * 32
+    val anti = ("~~~~~~~~" + "aaaaaaaa") * 32
+    val mutated = base.substring(0, 160) + "~~~~~~~~" + base.substring(168)
+    val scaled = base.getBytes("UTF-8").map(b => ((b & 0xff) * 9 / 10).toByte)
+    val rows = Seq(
+      1L -> base.getBytes("UTF-8"), 2L -> scaled,
+      3L -> anti.getBytes("UTF-8"), 4L -> base.getBytes("UTF-8"),
+      5L -> base.getBytes("UTF-8"), 6L -> mutated.getBytes("UTF-8"),
+      7L -> mutated.getBytes("UTF-8")
+    ).map { case (id, c) => Multimodal.MediaRow(id, Multimodal.encodeWav(c)) }
+    val fps = Multimodal.audioDHash(rows.toDF())
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    def bandVals(fp: (Long, Long)): Set[(Int, Long)] = Set(
+      0 -> fp._1 % 65536L, 1 -> fp._1 / 65536L,
+      2 -> fp._2 % 65536L, 3 -> fp._2 / 65536L)
+    def dist(a: (Long, Long), b: (Long, Long)): Long =
+      (java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)).toLong
+    val ids = fps.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if bandVals(fps(a)).intersect(bandVals(fps(b))).nonEmpty
+      d = dist(fps(a), fps(b)) if d <= 6
+    } yield (a, b, d)).toSet
+    // the fixture must exercise BOTH expansion arms: intra (equal
+    // fingerprints) and cross (distinct fingerprints within maxDist)
+    assert(expected.exists { case (a, b, _) => fps(a) == fps(b) })
+    assert(expected.exists { case (a, b, _) => fps(a) != fps(b) },
+      s"mutated block must land within maxDist of base: " +
+        s"dist=${dist(fps(1L), fps(6L))}")
+    val got = Multimodal.audioDedupPairs(rows.toDF(), maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"only-got=${got -- expected} only-expected=${expected -- got}")
+  }
 }

@@ -118,6 +118,9 @@ class PlanShapeSpec extends AnyFunSuite {
                                 // scan (pinned in IvfIndexSpec)
       "q_embed_ivf_sq8_stored", // same stored-quantizer probe routing;
                                 // scoring reads the stored int8 codes
+      "q_embed_ivf_knn_routed_stored", // identical serve shape to
+                                // q_embed_ivf_knn_stored (the routing
+                                // difference is build-time only)
       "q_hybrid_rrf_stored", // bm25's 1-row stored-totals broadcast +
                              // the |Q|-row probe routing over the
                              // stored quantizer; both corpus sides are
