@@ -78,9 +78,21 @@ object Compact {
     * Returns (dataFilesBefore, dataFilesAfter). Answers served from the
     * table are byte-identical before and after (pinned by CompactSpec):
     * only the file layout moves, never a row, and within-file order is
-    * re-established by the declared sortBy. */
+    * re-established by the declared sortBy.
+    *
+    * `transform` (default identity) is applied between the scan and the
+    * bucketed write — the hook row-level DELETION rides through
+    * ([[IvfIndex.remove]]/[[TextIndex.remove]]/[[DedupIndex.remove]]
+    * pass a broadcast anti-join): a narrow per-partition filter keeps
+    * the one-bucket-per-task discipline (a BroadcastHashJoin never
+    * exchanges the scan side), so removal costs exactly one compaction
+    * pass and inherits its crash contract and plan invariance. The
+    * transform must be row-dropping/narrow only — anything that
+    * repartitions would re-fragment the buckets (the repartition
+    * elision trap in the scaladoc above). */
   def compactTable(spark: SparkSession, table: String,
-      targetBytes: Long = 128L << 20): (Long, Long) = {
+      targetBytes: Long = 128L << 20,
+      transform: DataFrame => DataFrame = identity): (Long, Long) = {
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = catalog.getTableMetadata(ident)
@@ -111,7 +123,7 @@ object Compact {
         // scan plans when the job runs): one-bucket-per-task in, one
         // file per bucket out, no exchange anywhere
         TextIndex.forceBucketedScan(spark) {
-          val w = spark.table(table).write.format("parquet")
+          val w = transform(spark.table(table)).write.format("parquet")
             .option("path", tmpLoc.toString)
             .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
               spec.bucketColumnNames.tail: _*)
@@ -121,7 +133,8 @@ object Compact {
           else w).saveAsTable(tmpName) // eager: copy complete after this
         }
       case None =>
-        forWrite(spark.table(table), targetBytes).write.format("parquet")
+        forWrite(transform(spark.table(table)), targetBytes)
+          .write.format("parquet")
           .option("path", tmpLoc.toString)
           .saveAsTable(tmpName)
     }

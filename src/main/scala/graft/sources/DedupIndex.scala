@@ -135,6 +135,30 @@ object DedupIndex {
     Seq(s"${name}_bands", s"${name}_shingles", s"${name}_sizes")
       .map(t => t -> Compact.compactTable(spark, t)).toMap
 
+  /** Maintenance: DELETE documents from the admission index (takedowns,
+    * privacy erasure — and the semantic consequence matters here: a
+    * removed document stops VETOING future near-copies, so a re-crawled
+    * twin of an erased page is admitted again, exactly the erasure
+    * contract). One bucket-preserving rewrite per table with a
+    * broadcast anti-join riding the compaction scan
+    * ([[Compact.compactTable]]'s transform hook) — bands by doc_id,
+    * shingles/sizes by id; serve plans and the dedupAgainst probe shape
+    * untouched (IndexRemoveSpec). Maintenance window only. */
+  def remove(spark: SparkSession, name: String, ids: DataFrame,
+      idCol: String = "doc_id"): Map[String, (Long, Long)] = {
+    val rid = broadcast(ids.select(col(idCol).cast("long").as("__rid"))
+      .distinct().localCheckpoint())
+    def anti(c: String)(df: DataFrame): DataFrame =
+      df.join(rid, df(c) === rid("__rid"), "left_anti")
+    Map(
+      s"${name}_bands" -> Compact.compactTable(spark, s"${name}_bands",
+        transform = anti("doc_id")),
+      s"${name}_shingles" -> Compact.compactTable(spark,
+        s"${name}_shingles", transform = anti("id")),
+      s"${name}_sizes" -> Compact.compactTable(spark, s"${name}_sizes",
+        transform = anti("id")))
+  }
+
   /** Memoized build over the fixture's standard corpus split (the
     * q_incremental_dedup mixer gate: fresh = hashSample 0.2, corpus =
     * the rest), keyed by (sfDir, data fingerprint) — the

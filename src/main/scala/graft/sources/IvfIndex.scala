@@ -227,6 +227,28 @@ object IvfIndex {
     Map(s"${name}_cells" ->
       Compact.compactTable(spark, s"${name}_cells"))
 
+  /** Maintenance: DELETE vectors from the stored postings (takedowns,
+    * re-crawl invalidation, privacy erasure — the lifecycle op between
+    * `append` and `refresh`). One bucket-preserving rewrite of the
+    * cells table with a broadcast anti-join riding the compaction scan
+    * ([[Compact.compactTable]]'s transform hook), so removal costs
+    * exactly one compaction pass, de-fragments as a side effect, and
+    * leaves every serve plan untouched. The quantizer (and coarse grid)
+    * deliberately stay: cells are an approximation structure over
+    * whatever vectors remain, and [[serve]] is exact over the stored
+    * rows at full probe regardless — retrain via [[refresh]] when
+    * [[occupancySkew]] says the partition has degraded. Caller owns id
+    * membership (the `append` contract's mirror): removing an absent id
+    * is a no-op row-wise. Run from the maintenance window. */
+  def remove(spark: SparkSession, name: String, ids: DataFrame,
+      idCol: String = "vec_id"): Map[String, (Long, Long)] = {
+    val rid = broadcast(ids.select(col(idCol).cast("long").as("__rid"))
+      .distinct().localCheckpoint())
+    Map(s"${name}_cells" -> Compact.compactTable(spark, s"${name}_cells",
+      transform = df => df.join(rid, df("vec_id") === rid("__rid"),
+        "left_anti")))
+  }
+
   /** Occupancy skew (max cell size / mean over occupied cells) of the
     * stored postings — the MEASURED refresh trigger (R13DriftProbe,
     * SCALE.md round 13): appended drift CROWDS the few stale cells

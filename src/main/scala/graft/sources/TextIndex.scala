@@ -169,6 +169,39 @@ object TextIndex {
     Seq(s"${name}_postings", s"${name}_totals")
       .map(t => t -> Compact.compactTable(spark, t)).toMap
 
+  /** Maintenance: DELETE documents from the index (takedowns, re-crawl
+    * invalidation, privacy erasure). Two steps, BOTH exact:
+    *   1. a NEGATIVE totals delta — (−n, −Σdl) of the removed docs —
+    *      appends to the running totals table, derived from the stored
+    *      postings themselves (one doc-grouped pass over the removed
+    *      slice): idf's N and avgdl stay exact for the shrunk corpus,
+    *      the same bookkeeping [[append]] does with positive deltas.
+    *      n counts removed docs PRESENT in the postings — build's own
+    *      n_docs convention (a token-less doc never had a dl row).
+    *   2. the postings rewrite with a broadcast anti-join riding the
+    *      compaction scan ([[Compact.compactTable]]'s transform hook) —
+    *      one bucket-preserving pass, de-fragments as a side effect,
+    *      serve plans untouched.
+    * The delta is materialized BEFORE the rewrite (its lineage reads
+    * the files the rewrite replaces). [[serve]] after remove ranks
+    * exactly like a fresh build on the shrunk corpus
+    * (IndexRemoveSpec pins it row-for-row). Maintenance window only. */
+  def remove(spark: SparkSession, name: String, ids: DataFrame,
+      idCol: String = "doc_id"): Map[String, (Long, Long)] = {
+    val rid = broadcast(ids.select(col(idCol).cast("long").as("__rid"))
+      .distinct().localCheckpoint())
+    val delta = spark.table(s"${name}_postings")
+      .join(rid, col("doc_id") === col("__rid"), "left_semi")
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg((-count(lit(1))).as("n_docs"), (-sum(col("dl"))).as("sum_dl"))
+      .localCheckpoint()
+    val res = Compact.compactTable(spark, s"${name}_postings",
+      transform = df => df.join(rid, df("doc_id") === rid("__rid"),
+        "left_anti"))
+    delta.write.mode("append").insertInto(s"${name}_totals")
+    Map(s"${name}_postings" -> res)
+  }
+
   /** Memoized build over the fixture's documents table, keyed by
     * (sfDir, data fingerprint) — the [[IvfIndex.ensureBuilt]]
     * discipline: a rewritten fixture changes the fingerprint and forces
