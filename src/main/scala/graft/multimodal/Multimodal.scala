@@ -189,9 +189,15 @@ object Multimodal {
   /** Image table: each document's payload encoded as an actual PNG
     * binary column + (kind, n_bytes=payload length, origin) metadata —
     * the ingest side of the decode pipeline. */
-  def imageTable(spark: SparkSession, sfDir: String): DataFrame = {
+  def imageTable(spark: SparkSession, sfDir: String): DataFrame =
+    imageTableOf(Tables.documents(spark, sfDir))
+
+  /** [[imageTable]] over an arbitrary documents frame — the seam the
+    * streaming ingest sink encodes a micro-batch through. */
+  def imageTableOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val payloads = Tables.documents(spark, sfDir).select(
+    val payloads = docs.select(
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("content")).as[MediaRow]
     payloads.mapPartitions { rows =>
@@ -402,7 +408,8 @@ object Multimodal {
     * frame: 4×16-bit band equi-join candidates, exact Hamming verify —
     * see [[imageDedupPairs]]'s scaladoc for the recall and 100 TB
     * economics. */
-  private def dhashPairs(fingerprints: DataFrame, maxDist: Int): DataFrame = {
+  private[graft] def dhashPairs(fingerprints: DataFrame,
+      maxDist: Int): DataFrame = {
     // referenced by the collapse, the band explode and the expansion
     val fp = fingerprints.localCheckpoint()
     // exact-fingerprint collapse (r13 — the Dedup.digestCollapse idiom

@@ -8,7 +8,7 @@ import graft.Q
   * math on the same payloads (text bytes ≡ blob). */
 object MultimodalQueries {
 
-  val all: Seq[Q] = Seq(
+  private val live: Seq[Q] = Seq(
 
     // metadata-only projection: binary column pruned from the scan
     Q("q_media_meta",
@@ -283,6 +283,24 @@ object MultimodalQueries {
               WHERE bit_count(xor(a.lo, b.lo))
                   + bit_count(xor(a.hi, b.hi)) <= 6"""))
   )
+
+  /** The live entries + the STORED fingerprint twins (r13 verdict #1):
+    * same answers, served from [[graft.sources.MediaIndex]]'s persisted
+    * (media_id, h_lo, h_hi) table — the decode+dHash pass (33.6 s of
+    * the ×100 row, R13MediaProbe) runs once at build/ingest; the query
+    * scans 16-byte fingerprint rows and never opens a payload. Oracles
+    * are the live queries' full replays VERBATIM (shared by reference,
+    * not copied), because the stored layout changes cost, never
+    * answers — the IvfIndex/TextIndex/DedupIndex discipline. */
+  val all: Seq[Q] = live ++ Seq(
+    Q("q_image_dedup_stored",
+      (s, d) => graft.sources.MediaIndex.pairs(s,
+        graft.sources.MediaIndex.ensureBuiltImage(s, d), maxDist = 6),
+      live.find(_.name == "q_image_dedup").get.oracle),
+    Q("q_audio_dedup_stored",
+      (s, d) => graft.sources.MediaIndex.pairs(s,
+        graft.sources.MediaIndex.ensureBuiltAudio(s, d), maxDist = 6),
+      live.find(_.name == "q_audio_dedup").get.oracle))
 
   /** The PNG decode-features replay (hex-derived byte math over the
     * encoded payload + zero padding to the raster size); `extraCols`

@@ -32,6 +32,39 @@ object Compact {
     else df
   }
 
+  /** Fragmentation observable for the maintenance loop: mean data
+    * files per bucket of a bucketed table (plain file count for an
+    * unbucketed one — "buckets" = 1). Pure metadata — one directory
+    * listing, no data read — so a scheduler can poll it cheaply before
+    * deciding to pay a [[compactTable]] pass. */
+  def filesPerBucket(spark: SparkSession, table: String): Double = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (!fs.exists(loc)) 0L
+      else fs.listStatus(loc).count { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.toLong
+    files.toDouble / meta.bucketSpec.map(_.numBuckets).getOrElse(1).max(1)
+  }
+
+  /** Fragmentation-gated maintenance across an index family's tables:
+    * compact exactly the tables whose [[filesPerBucket]] crosses the
+    * threshold, skip the rest (a healthy table costs one directory
+    * listing). The maintenance entry point for the families with no
+    * quantizer to retrain — [[TextIndex.maintain]] /
+    * [[DedupIndex.maintain]] / [[MediaIndex.maintain]]; the vector
+    * family composes a skew-triggered refresh on top
+    * ([[IvfIndex.maintain]]). Returns per-compacted-table
+    * (filesBefore, filesAfter). */
+  def maintainTables(spark: SparkSession, tables: Seq[String],
+      maxFilesPerBucket: Double = 4.0): Map[String, (Long, Long)] =
+    tables.filter(t => filesPerBucket(spark, t) >= maxFilesPerBucket)
+      .map(t => t -> compactTable(spark, t)).toMap
+
   /** BUCKET-PRESERVING table compaction — the index-lifecycle op the
     * r12 verdict named as the appended indexes' missing piece: every
     * [[IvfIndex.append]]/[[DedupIndex.append]]/[[TextIndex.append]]
@@ -70,8 +103,12 @@ object Compact {
     * the compacted copy is FULLY written and fsynced before the first
     * catalog mutation, so a crash anywhere leaves at least one complete
     * copy of the data on disk; a crash between drop and rename leaves
-    * it under the `__compacting` name, and the next [[compactTable]] of
-    * any table first sweeps a leftover `__compacting` sibling. Like
+    * it under the `__compacting` name ONLY, and the next
+    * [[compactTable]] of the same table detects that state (target
+    * missing + `__compacting` present) and completes the interrupted
+    * swap by renaming the finished copy into place — whereas a crash
+    * BEFORE the drop (partial copy, target intact) is healed by
+    * sweeping the stale `__compacting` sibling. Like
     * [[TextIndex.forceBucketedScan]] this assumes the sequential
     * maintenance window — don't serve from a table mid-swap.
     *
@@ -95,6 +132,17 @@ object Compact {
       transform: DataFrame => DataFrame = identity): (Long, Long) = {
     val catalog = spark.sessionState.catalog
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val tmpName = s"${table}__compacting"
+    val tmpIdent = spark.sessionState.sqlParser.parseTableIdentifier(tmpName)
+    // Crash recovery (r13 ADVICE): a crash inside the drop→rename window
+    // below leaves NO `table` entry and a complete `__compacting` copy —
+    // the only catalog entry that survives. Sweeping it there would
+    // destroy the one servable copy, and getTableMetadata(table) would
+    // throw first anyway. Complete the interrupted swap instead: the
+    // copy was written eagerly (saveAsTable returns only after the job),
+    // so renaming it into place IS the finished compaction.
+    if (!catalog.tableExists(ident) && catalog.tableExists(tmpIdent))
+      spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
     val meta = catalog.getTableMetadata(ident)
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -105,10 +153,9 @@ object Compact {
         s.isFile && !n.startsWith("_") && !n.startsWith(".")
       }.toLong
     val before = dataFiles(loc)
-    // sweep a leftover from a crashed prior attempt
-    val tmpName = s"${table}__compacting"
-    if (catalog.tableExists(
-        spark.sessionState.sqlParser.parseTableIdentifier(tmpName)))
+    // sweep a leftover from a crashed prior attempt (table still exists
+    // here, so the leftover is a stale partial copy, not the live data)
+    if (catalog.tableExists(tmpIdent))
       spark.sql(s"DROP TABLE $tmpName")
     // generations alternate between two sibling paths (…__c0 / …__c1)
     // so repeated compactions never grow the path
@@ -121,9 +168,12 @@ object Compact {
       case Some(spec) =>
         // the forced-bucketed-scan window must cover the WRITE (the
         // scan plans when the job runs): one-bucket-per-task in, one
-        // file per bucket out, no exchange anywhere
-        TextIndex.forceBucketedScan(spark) {
-          val w = transform(spark.table(table)).write.format("parquet")
+        // file per bucket out, no exchange anywhere. The window runs
+        // on an isolated session, so concurrent planning on the
+        // caller's session keeps its pruning (CompactSpec pins it);
+        // the write lands in the SHARED external catalog either way.
+        TextIndex.forceBucketedScan(spark) { iso =>
+          val w = transform(iso.table(table)).write.format("parquet")
             .option("path", tmpLoc.toString)
             .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
               spec.bucketColumnNames.tail: _*)

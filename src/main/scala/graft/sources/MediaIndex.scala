@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** PERSISTED media fingerprint index — the multimodal member of the
+  * stored-index family ([[IvfIndex]] vectors, [[TextIndex]] lexical,
+  * [[DedupIndex]] text near-dup), closing the r13 verdict's one `weak`:
+  * q_image_dedup / q_audio_dedup re-decoded every payload and recomputed
+  * every dHash on every run — the ×100 decomposition (R13MediaProbe) put
+  * that at 33.6 s of the 83.4 s row, honest linear INGEST work being
+  * paid at QUERY time. This index stores the 128-bit perceptual
+  * fingerprint once, at ingest, as one bucketed table:
+  *
+  *   - `<name>_fp` (media_id, h_lo, h_hi): one 16-byte fingerprint row
+  *     per media item ([[Multimodal.imageDHash]] spatial gradients or
+  *     [[Multimodal.audioDHash]] temporal envelope gradients — the
+  *     index is kind-agnostic: the fingerprint CONTRACT is the two
+  *     non-negative 32-bit halves, whatever hashed them), bucketed by
+  *     media_id so [[remove]]'s anti-join and [[Compact.compactTable]]
+  *     ride the standard one-bucket-per-task rewrite.
+  *
+  * Serving ([[pairs]]) runs the exact-fingerprint-collapsed band +
+  * Hamming-verify stage ([[Multimodal.dhashPairs]] — the seam was built
+  * for a fingerprint frame) over the stored rows: payloads are never
+  * read, codecs never run, and the scan is 16-byte rows instead of the
+  * corpus's media bytes. At 100 TB of media that is the difference
+  * between scanning a fingerprint sidecar and re-decoding the corpus —
+  * the same economics the reference gets from persisting its computed
+  * posting-list layout instead of re-deriving it per query
+  * (`cuda/InvertedIndex.cu:463-513`).
+  *
+  * Lifecycle matches the sibling families: [[build]] / [[append]] (a
+  * crawl batch pays |batch| decode+hash, nothing touches the stored
+  * corpus) / [[compact]] / [[remove]] (takedowns stop matching future
+  * re-crawls, the [[DedupIndex.remove]] erasure contract) /
+  * [[graft.streaming.Streams.streamMediaIngest]] (the fingerprint
+  * computed in the micro-batch that crawled the payload). The caller
+  * owns id freshness, exactly the [[IvfIndex.append]] contract. */
+object MediaIndex {
+
+  /** Write the fingerprint table. `fingerprints` is (media_id, h_lo,
+    * h_hi) from [[Multimodal.imageDHash]] / [[Multimodal.audioDHash]] —
+    * the decode+hash pass runs HERE, once, which is the entire point:
+    * build cost is the linear ingest work the live queries were
+    * re-paying per run. */
+  def build(spark: SparkSession, fingerprints: DataFrame, name: String,
+      buckets: Int = 16,
+      basePath: String = IvfIndex.defaultBase): Unit =
+    fingerprints.select(col("media_id"), col("h_lo"), col("h_hi"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$basePath/${name}_fp")
+      .bucketBy(buckets, "media_id").sortBy("media_id")
+      .saveAsTable(s"${name}_fp")
+
+  /** Ingest a fresh batch's fingerprints: |batch| decode+hash upstream,
+    * one bucket-aligned insert here — the stored corpus is not read. */
+  def append(spark: SparkSession, name: String,
+      freshFp: DataFrame): Unit =
+    freshFp.select(col("media_id"), col("h_lo"), col("h_hi"))
+      .write.mode("append").insertInto(s"${name}_fp")
+
+  /** Near-dup pairs from the STORED fingerprints — byte-identical
+    * answers to the live [[Multimodal.imageDedupPairs]] /
+    * [[Multimodal.audioDedupPairs]] over the same corpus (the pair
+    * stage is a pure function of the fingerprint frame; MediaIndexSpec
+    * pins it), with the decode+fingerprint term gone from the query. */
+  def pairs(spark: SparkSession, name: String,
+      maxDist: Int = 6): DataFrame =
+    Multimodal.dhashPairs(spark.table(s"${name}_fp"), maxDist)
+
+  /** Maintenance: one-file-per-bucket rewrite of the appended
+    * fingerprint table ([[Compact.compactTable]] contract). */
+  def compact(spark: SparkSession, name: String): Map[String, (Long, Long)] =
+    Map(s"${name}_fp" -> Compact.compactTable(spark, s"${name}_fp"))
+
+  /** Scheduled maintenance: compact when fragmented, else no-op
+    * ([[Compact.maintainTables]] — the composed-loop entry point,
+    * r13 verdict #3). */
+  def maintain(spark: SparkSession, name: String,
+      maxFilesPerBucket: Double = 4.0): Map[String, (Long, Long)] =
+    Compact.maintainTables(spark, Seq(s"${name}_fp"), maxFilesPerBucket)
+
+  /** Maintenance: DELETE media from the index (takedowns, erasure). A
+    * removed item stops pairing with future re-crawled copies — the
+    * [[DedupIndex.remove]] semantic, one compaction pass, serve plans
+    * untouched. */
+  def remove(spark: SparkSession, name: String, ids: DataFrame,
+      idCol: String = "media_id"): Map[String, (Long, Long)] = {
+    val rid = broadcast(ids.select(col(idCol).cast("long").as("__rid"))
+      .distinct().localCheckpoint())
+    Map(s"${name}_fp" -> Compact.compactTable(spark, s"${name}_fp",
+      transform = df => df.join(rid, df("media_id") === rid("__rid"),
+        "left_anti")))
+  }
+
+  /** Memoized builds over the fixture corpora, keyed by (sfDir, data
+    * fingerprint) — the [[DedupIndex.ensureBuilt]] discipline. Image:
+    * the PNG-encoded media table. Audio: corpus ∪ the 0.9×-amplitude
+    * re-crawl batch, matching q_audio_dedup's live input. */
+  private val built = scala.collection.concurrent.TrieMap.empty[
+    (String, String, String), String]
+
+  private def corpusFp(spark: SparkSession, sfDir: String): String = {
+    val r = graft.Tables.documents(spark, sfDir)
+      .agg(count(lit(1)), max(col("doc_id")), sum(col("n_chars"))).head()
+    s"${r.get(0)}|${r.get(1)}|${r.get(2)}"
+  }
+
+  def ensureBuiltImage(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "image"), {
+      val name = s"graft_media_img_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark,
+        Multimodal.imageDHash(Multimodal.imageTable(spark, sfDir)), name)
+      name
+    })
+  }
+
+  def ensureBuiltAudio(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "audio"), {
+      val name = s"graft_media_aud_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark,
+        Multimodal.audioDHash(
+          Multimodal.audioTable(spark, sfDir)
+            .unionByName(Multimodal.audioScaledTable(spark, sfDir))), name)
+      name
+    })
+  }
+}

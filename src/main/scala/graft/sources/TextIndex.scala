@@ -104,10 +104,14 @@ object TextIndex {
     // the bucketed layout for a standalone filter scan, reading every
     // bucket instead of the query terms' (TextIndexSpec pins the
     // SelectedBucketsCount subset).
-    val probe = forceBucketedScan(spark) {
-      spark.table(s"${name}_postings")
+    // materialized in the isolated window, then re-based into the
+    // caller's session (the checkpointed rows are session-free RDDs;
+    // the re-wrap keeps the downstream plan single-session)
+    val probe = forceBucketedScan(spark) { iso =>
+      val p = iso.table(s"${name}_postings")
         .where(col("word").isin(terms: _*))
         .localCheckpoint()
+      spark.createDataFrame(p.rdd, p.schema)
     }
     // global df per query term == its posting-list length in the probe
     val dfc = probe.groupBy(col("word")).agg(count(lit(1)).as("df"))
@@ -128,22 +132,27 @@ object TextIndex {
     * checkpoint) with auto-bucketed-scan disabled, so the bucketed
     * layout — and with it the literal-predicate bucket pruning — is
     * kept even when no downstream operator consumes the bucketing's
-    * partitioning. Restores the previous setting.
+    * partitioning.
     *
-    * SINGLE-THREADED ASSUMPTION (r12 ADVICE): this flips a
-    * session-global conf for the duration of `body`. A query planned
-    * concurrently on the same SparkSession during that window could
-    * lose bucket pruning, and nested uses would restore a stale
-    * previous value. Safe for the sequential Bench/Verify/test
-    * drivers this repo runs; a concurrent serving deployment should
-    * give each serving thread its own `spark.newSession()` (confs are
-    * session-scoped, so the flip is then invisible to neighbors). */
+    * SESSION-ISOLATED (r13 verdict #6, upgrading the r12-documented
+    * single-threaded assumption into an enforced property): the body
+    * receives a `spark.newSession()` with the conf flipped — same
+    * SparkContext, same shared external catalog (tables written/read
+    * through it are visible to every session), but its OWN SQLConf —
+    * so a query planned CONCURRENTLY on the caller's session keeps
+    * auto-bucketed-scan untouched (CompactSpec pins a concurrent
+    * pruned plan mid-window), nested uses can't restore a stale
+    * value, and nothing needs restoring: the session is discarded.
+    * The body must build its frames FROM the passed session; a frame
+    * that must outlive the window gets re-based into the caller's
+    * session via `createDataFrame(df.rdd, df.schema)` after an eager
+    * materialization (the [[serve]] probe does exactly that). */
   private[graft] def forceBucketedScan[T](spark: SparkSession)(
-      body: => T): T = {
-    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try body finally spark.conf.set(key, prev)
+      body: SparkSession => T): T = {
+    val iso = spark.newSession()
+    iso.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    body(iso)
   }
 
   /** Ingest a crawl batch: tokenization over |fresh| docs only, posting
@@ -168,6 +177,13 @@ object TextIndex {
   def compact(spark: SparkSession, name: String): Map[String, (Long, Long)] =
     Seq(s"${name}_postings", s"${name}_totals")
       .map(t => t -> Compact.compactTable(spark, t)).toMap
+
+  /** Scheduled maintenance: compact exactly the fragmented tables,
+    * else no-op ([[Compact.maintainTables]], r13 verdict #3). */
+  def maintain(spark: SparkSession, name: String,
+      maxFilesPerBucket: Double = 4.0): Map[String, (Long, Long)] =
+    Compact.maintainTables(spark,
+      Seq(s"${name}_postings", s"${name}_totals"), maxFilesPerBucket)
 
   /** Maintenance: DELETE documents from the index (takedowns, re-crawl
     * invalidation, privacy erasure). Two steps, BOTH exact:

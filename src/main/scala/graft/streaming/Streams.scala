@@ -548,6 +548,37 @@ object Streams {
       spark.catalog.refreshTable(s"${indexName}_$t"))
   }
 
+  /** Streaming MEDIA ingest — the [[streamIvfIngest]] loop for the
+    * persisted fingerprint family ([[graft.sources.MediaIndex]]): each
+    * arriving documents micro-batch is encoded into its media payloads
+    * and fingerprinted IN the batch that crawled it (|batch| decode +
+    * dHash — the linear ingest work the stored family exists to keep
+    * off the query path), landing bucket-aligned 16-byte rows via
+    * [[graft.sources.MediaIndex.append]]. A crawled image joins the
+    * near-dup pair surface ([[graft.sources.MediaIndex.pairs]]) the
+    * moment its batch's append commits; the stored corpus is never
+    * re-decoded. Same checkpoint contract as [[streamIvfIngest]]. */
+  def streamMediaIngest(spark: SparkSession, sfDir: String,
+      indexName: String, pred: Column,
+      checkpoint: Option[String] = None): Unit = {
+    val s = tuned(spark)
+    val fresh = documentsStream(s, sfDir).where(pred)
+    val q = fresh.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.sources.MediaIndex.append(batch.sparkSession, indexName,
+          graft.multimodal.Multimodal.imageDHash(
+            graft.multimodal.Multimodal.imageTableOf(batch)))
+      }
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_media_ingest_ckpt")
+          .toString))
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(s"${indexName}_fp")
+  }
+
   /** Streaming DEDUP-GATED ingest — the full crawl-admission loop at
     * stream time: each documents micro-batch is near-dup-checked
     * against the STORED band/shingle postings

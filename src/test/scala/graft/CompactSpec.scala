@@ -122,8 +122,8 @@ class CompactSpec extends AnyFunSuite {
     // itself (the TextIndexSpec pattern) — it must still read a strict
     // subset of buckets from the compacted table
     val terms = q.flatMap(_._2.split("\\s+")).distinct
-    val p = TextIndex.forceBucketedScan(spark) {
-      val probe = spark.table("graft_text_cmp_postings")
+    val p = TextIndex.forceBucketedScan(spark) { iso =>
+      val probe = iso.table("graft_text_cmp_postings")
         .where(col("word").isin(terms: _*))
       probe.count()
       probe.queryExecution.executedPlan.toString
@@ -154,5 +154,73 @@ class CompactSpec extends AnyFunSuite {
     assert(fa <= fb && filesPerBucket("graft_ivf_cmp3_cells")
       .values.forall(_ == 1))
     assert(!spark.catalog.tableExists("graft_ivf_cmp3_cells__compacting"))
+  }
+
+  test("compact completes an interrupted drop->rename swap instead of sweeping it") {
+    // r13 ADVICE: a crash INSIDE the swap window leaves no live table
+    // and the finished copy under the __compacting name — the next
+    // compactTable must rename it back into place (the only surviving
+    // copy), not drop it
+    val emb = Tables.embeddings(spark, sf0001).where(col("vec_id") < 60)
+    IvfIndex.build(spark, emb, "vec_id", "embedding", "graft_ivf_cmp4",
+      numCentroids = 4)
+    val want = spark.table("graft_ivf_cmp4_cells").collect()
+      .map(_.toSeq).toSet
+    spark.sql("ALTER TABLE graft_ivf_cmp4_cells RENAME TO " +
+      "graft_ivf_cmp4_cells__compacting")
+    assert(!spark.catalog.tableExists("graft_ivf_cmp4_cells"))
+    val (fb, fa) = IvfIndex.compact(spark, "graft_ivf_cmp4")(
+      "graft_ivf_cmp4_cells")
+    assert(spark.catalog.tableExists("graft_ivf_cmp4_cells"))
+    assert(!spark.catalog.tableExists("graft_ivf_cmp4_cells__compacting"))
+    assert(fa <= fb && fa > 0)
+    assert(spark.table("graft_ivf_cmp4_cells").collect()
+      .map(_.toSeq).toSet == want,
+      "recovery must serve the completed copy's rows untouched")
+  }
+
+  test("the forced-scan window is invisible to concurrent caller-session planning") {
+    // r13 verdict #6: the window runs on spark.newSession(), so a query
+    // planned on the CALLER's session mid-compaction keeps its conf and
+    // its pruned plan — enforced, not just documented. The transform
+    // hook IS a point inside the window (it plans against the forced
+    // scan), so plan a caller-session pruned probe from inside it.
+    val emb = Tables.embeddings(spark, sf0001).where(col("vec_id") < 80)
+    IvfIndex.build(spark, emb, "vec_id", "embedding", "graft_ivf_cmp5",
+      numCentroids = 4)
+    IvfIndex.append(spark, "graft_ivf_cmp5",
+      Tables.embeddings(spark, sf0001)
+        .where(col("vec_id") >= 80 && col("vec_id") < 120),
+      "vec_id", "embedding")
+    val docs = Tables.documents(spark, sf0001)
+    TextIndex.build(spark, docs, "text", "doc_id", "graft_text_cmp5",
+      buckets = 16)
+    val terms = Seq("the", "data", "and")
+    // the layout-consuming shape that prunes WITHOUT forcing: the
+    // aggregate on the bucket column keeps the bucketed scan alive
+    def prunedProbe(): String = {
+      val df = spark.table("graft_text_cmp5_postings")
+        .where(col("word").isin(terms: _*))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      df.count()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(prunedProbe().contains("SelectedBucketsCount"),
+      "precondition: the probe shape prunes outside any window")
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    var confMidWindow: String = null
+    var planMidWindow: String = null
+    Compact.compactTable(spark, "graft_ivf_cmp5_cells",
+      transform = df => {
+        confMidWindow = spark.conf.get(key)
+        planMidWindow = prunedProbe()
+        df
+      })
+    assert(confMidWindow == "true",
+      "the caller session's conf must be untouched mid-compaction")
+    assert(planMidWindow != null &&
+      planMidWindow.contains("SelectedBucketsCount"),
+      s"concurrent planning must keep bucket pruning:\n$planMidWindow")
+    assert(filesPerBucket("graft_ivf_cmp5_cells").values.forall(_ == 1))
   }
 }

@@ -91,6 +91,40 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(collapsed == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L))
   }
 
+  test("collapsed CLUSTERS equal uncollapsed on shingle-less verbatim twins") {
+    val s = spark
+    import s.implicits._
+    // r13 ADVICE: docs 40/41 are byte-identical but too short for a
+    // single word 3-shingle — the uncollapsed pipeline never bands them,
+    // so they have NO cluster; the collapsed runner must not invent one
+    // via an unguarded rep→member edge
+    val ta = "the quick brown fox jumps over the lazy dog near the river"
+    val d = docs(
+      1L -> ta, 2L -> ta, 3L -> ta,
+      40L -> "too short", 41L -> "too short",
+      20L -> "unique text one with plenty of words to pass the shingle floor")
+    val uncollapsed = Dedup.dedupClusters(
+      Dedup.minHashLshPairsExact(d, "text", "doc_id", k = 3,
+        numHashes = 64, bands = 16, tau = 0.8)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val collapsed = Dedup.dedupClustersCollapsed(d, "text", "doc_id",
+      k = 3, numHashes = 64, bands = 16, tau = 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(collapsed == uncollapsed)
+    assert(!collapsed.contains(40L) && !collapsed.contains(41L))
+    assert(collapsed(1L) == 1L && collapsed(3L) == 1L)
+    // and the edit-verified cluster chain guards the same edge
+    val edTruth = Dedup.dedupClusters(
+      Dedup.editDistancePairs(d, "text", "doc_id", k = 3, numHashes = 64,
+        bands = 16, tauJ = 0.8, maxRel = 0.3).select("da", "db"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edColl = Dedup.editDedupClustersCollapsed(d, "text", "doc_id",
+      k = 3, numHashes = 64, bands = 16, tauJ = 0.8, maxRel = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edColl == edTruth)
+    assert(!edColl.contains(40L))
+  }
+
   test("collapsed PAIR lists equal the uncollapsed answers, including the shingle-less edge") {
     val s = spark
     import s.implicits._
@@ -126,6 +160,38 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(edColl == edFlat,
       s"collapsed edit pair list must equal uncollapsed: " +
         s"only-collapsed=${edColl -- edFlat} only-flat=${edFlat -- edColl}")
+  }
+
+  test("adaptive dispatch: dup-rate probe separates the regimes; answers invariant") {
+    val s = spark
+    import s.implicits._
+    val ta = "the quick brown fox jumps over the lazy dog near the river"
+    val tb = "entirely different content about distributed query engines and shuffles here"
+    val dupHeavy = docs((1L to 12L).map(i => i -> (if (i <= 8) ta else tb)): _*)
+    val distinct = docs(
+      1L -> ta, 2L -> tb,
+      3L -> "unique text one with plenty of words to pass the shingle floor",
+      4L -> "completely unrelated fourth document talking about other things")
+    assert(Dedup.dupRate(dupHeavy, "text") >= Dedup.CollapseDispatchThreshold,
+      "the verbatim-dup corpus must probe above the dispatch threshold")
+    assert(Dedup.dupRate(distinct, "text") < Dedup.CollapseDispatchThreshold,
+      "the fully distinct corpus must probe below it")
+    // whichever path the probe picks, the answer is the direct truth
+    for (d <- Seq(dupHeavy, distinct)) {
+      val adaptive = Dedup.minHashLshPairsAdaptive(d, "text", "doc_id")
+        .collect().map(_.toSeq).toSet
+      val direct = Dedup.minHashLshPairsExact(d, "text", "doc_id",
+        k = 3, numHashes = 64, bands = 16, tau = 0.8)
+        .collect().map(_.toSeq).toSet
+      assert(adaptive == direct)
+      val adClusters = Dedup.dedupClustersAdaptive(d, "text", "doc_id")
+        .collect().map(_.toSeq).toSet
+      val dirClusters = Dedup.dedupClusters(
+        Dedup.minHashLshPairsExact(d, "text", "doc_id", k = 3,
+          numHashes = 64, bands = 16, tau = 0.8))
+        .collect().map(_.toSeq).toSet
+      assert(adClusters == dirClusters)
+    }
   }
 
   test("digest collapse runs the verifier on distinct content only") {

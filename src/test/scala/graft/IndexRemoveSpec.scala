@@ -35,8 +35,8 @@ class IndexRemoveSpec extends AnyFunSuite {
     // (the TextIndexSpec pattern) — replicate that exact scan against
     // the REWRITTEN postings table
     val terms = qs.flatMap(_._2.split("\\s+")).distinct
-    val p = TextIndex.forceBucketedScan(spark) {
-      val probe = spark.table("graft_text_rm_postings")
+    val p = TextIndex.forceBucketedScan(spark) { iso =>
+      val probe = iso.table("graft_text_rm_postings")
         .where(col("word").isin(terms: _*))
       probe.count()
       probe.queryExecution.executedPlan.toString

@@ -76,6 +76,49 @@ class IvfLifecycleSpec extends AnyFunSuite {
       "full-probe serve must be invariant under refresh")
   }
 
+  test("maintain composes the loop: drifted pass refreshes+compacts, healthy pass is a no-op") {
+    // own index (the suite fixture's skew is consumed by the refresh
+    // tests above): base + the same drifted append, then ONE call
+    val mname = "graft_ivf_maintain"
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    IvfIndex.build(spark, emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", mname, numCentroids = 16)
+    val drifted = emb.where(col("vec_id") % 2 === 1).select(
+      (col("vec_id") + lit(10000000L)).as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        (element_at(col("embedding"), ((i + lit(7)) % lit(dim)) + 1)
+          + lit(2.0)).cast("float")).as("embedding"))
+    IvfIndex.append(spark, mname, drifted, "vec_id", "embedding")
+    val corpus = spark.table(s"${mname}_cells")
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val qs = spark.table(s"${mname}_cells").orderBy(col("vec_id")).limit(4)
+      .select((col("vec_id") + lit(900000000L)).as("qid"),
+        col("vec").as("qv")).localCheckpoint()
+    val fullBefore = IvfIndex.serve(spark, mname, qs, k = 5,
+      nProbe = 16).collect().map(_.toSeq).toSet
+    val m1 = IvfIndex.maintain(spark, mname, maxOverMean = 4.0)
+    assert(m1.refreshed && m1.compacted,
+      s"the drifted pass must refresh and compact: $m1")
+    assert(m1.skewAfter * 2.0 <= m1.skewBefore,
+      s"maintain must rebalance the partition: $m1")
+    // refresh's own rewrite may already land ~1 file/bucket at this
+    // fixture size — the contract is the END state, ≤ 1 per bucket
+    val (_, filesAfter) = m1.files(s"${mname}_cells")
+    assert(filesAfter > 0L && filesAfter <= 16L,
+      s"the post-refresh rewrite must land <=1 file per bucket: $m1")
+    assert(spark.table(s"${mname}_cells").select(col("vec_id"))
+      .collect().map(_.getLong(0)).sorted.sameElements(corpus),
+      "maintain must never add or drop a stored vector")
+    assert(IvfIndex.serve(spark, mname, qs, k = 5, nProbe = 16)
+      .collect().map(_.toSeq).toSet == fullBefore,
+      "full-probe serve must be invariant under maintain")
+    val m2 = IvfIndex.maintain(spark, mname, maxOverMean = 4.0)
+    assert(!m2.refreshed && !m2.compacted && m2.files.isEmpty,
+      s"the healthy pass must write nothing: $m2")
+  }
+
   test("serve keeps its bucket-pruned plan after refresh") {
     built
     IvfIndex.refresh(spark, name)

@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.sources.MediaIndex
+
+/** The persisted fingerprint index must answer exactly what the live
+  * decode+dHash pipeline answers — the stored layout changes COST
+  * (payloads decoded once at ingest, never at query time), never
+  * answers — and the append/remove lifecycle must mirror the sibling
+  * index families' contracts. */
+class MediaIndexSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("stored image pairs equal the live decode+dHash pipeline") {
+    val media = Multimodal.imageTable(spark, sf0001)
+    MediaIndex.build(spark, Multimodal.imageDHash(media),
+      "graft_media_spec_img")
+    val stored = rows(MediaIndex.pairs(spark, "graft_media_spec_img",
+      maxDist = 6))
+    val live = rows(Multimodal.imageDedupPairs(media, maxDist = 6))
+    assert(stored == live)
+  }
+
+  test("stored audio pairs equal the live pipeline over corpus + re-crawl") {
+    val media = Multimodal.audioTable(spark, sf0001)
+      .unionByName(Multimodal.audioScaledTable(spark, sf0001))
+    MediaIndex.build(spark, Multimodal.audioDHash(media),
+      "graft_media_spec_aud")
+    val stored = rows(MediaIndex.pairs(spark, "graft_media_spec_aud",
+      maxDist = 6))
+    val live = rows(Multimodal.audioDedupPairs(media, maxDist = 6))
+    assert(stored == live && stored.nonEmpty)
+  }
+
+  test("append folds a crawl batch in: pairs equal a full rebuild") {
+    val media = Multimodal.audioTable(spark, sf0001)
+      .unionByName(Multimodal.audioScaledTable(spark, sf0001))
+    // the re-crawl slice arrives as a later batch: its 0.9×-amplitude
+    // copies must pair with their stored originals with no rebuild
+    val batch = media.where(col("media_id") >= 1000000L)
+    val corpus = media.where(col("media_id") < 1000000L)
+    MediaIndex.build(spark, Multimodal.audioDHash(corpus),
+      "graft_media_spec_app")
+    val before = rows(MediaIndex.pairs(spark, "graft_media_spec_app",
+      maxDist = 6))
+    MediaIndex.append(spark, "graft_media_spec_app",
+      Multimodal.audioDHash(batch))
+    val after = rows(MediaIndex.pairs(spark, "graft_media_spec_app",
+      maxDist = 6))
+    val full = rows(Multimodal.audioDedupPairs(media, maxDist = 6))
+    assert(after == full && (after -- before).nonEmpty)
+  }
+
+  test("remove erases an item's pair surface; a re-crawl re-pairs") {
+    val media = Multimodal.audioTable(spark, sf0001)
+      .unionByName(Multimodal.audioScaledTable(spark, sf0001))
+    MediaIndex.build(spark, Multimodal.audioDHash(media),
+      "graft_media_spec_rm")
+    val all = rows(MediaIndex.pairs(spark, "graft_media_spec_rm",
+      maxDist = 6))
+    val victim = all.head.head.asInstanceOf[Long]
+    val s = spark
+    import s.implicits._
+    MediaIndex.remove(spark, "graft_media_spec_rm",
+      Seq(victim).toDF("media_id"))
+    val post = rows(MediaIndex.pairs(spark, "graft_media_spec_rm",
+      maxDist = 6))
+    assert(!post.exists(r => r.head == victim || r(1) == victim))
+    assert(post == all.filterNot(r => r.head == victim || r(1) == victim),
+      "removal must not disturb any pair not involving the victim")
+    // re-ingesting the erased item's fingerprint restores its pairs
+    MediaIndex.append(spark, "graft_media_spec_rm",
+      Multimodal.audioDHash(media.where(col("media_id") === victim)))
+    assert(rows(MediaIndex.pairs(spark, "graft_media_spec_rm",
+      maxDist = 6)) == all)
+  }
+
+  test("compact leaves one file per bucket and answers byte-identical") {
+    val media = Multimodal.imageTable(spark, sf0001)
+    val fp = Multimodal.imageDHash(media).localCheckpoint()
+    MediaIndex.build(spark, fp.where(col("media_id") % 2 === 0),
+      "graft_media_spec_cmp")
+    MediaIndex.append(spark, "graft_media_spec_cmp",
+      fp.where(col("media_id") % 2 === 1))
+    val before = rows(MediaIndex.pairs(spark, "graft_media_spec_cmp",
+      maxDist = 6))
+    val census = MediaIndex.compact(spark, "graft_media_spec_cmp")
+    val (nBefore, nAfter) = census("graft_media_spec_cmp_fp")
+    assert(nBefore > 16 && nAfter == 16,
+      s"build+append fragments ($nBefore) must compact to 1/bucket ($nAfter)")
+    assert(rows(MediaIndex.pairs(spark, "graft_media_spec_cmp",
+      maxDist = 6)) == before)
+  }
+
+  test("maintain compacts only when fragmented") {
+    val fp = Multimodal.imageDHash(Multimodal.imageTable(spark, sf0001))
+      .localCheckpoint()
+    MediaIndex.build(spark, fp.where(col("media_id") % 4 === 0),
+      "graft_media_spec_mnt")
+    (1 to 3).foreach(m => MediaIndex.append(spark, "graft_media_spec_mnt",
+      fp.where(col("media_id") % 4 === m)))
+    val answers = rows(MediaIndex.pairs(spark, "graft_media_spec_mnt",
+      maxDist = 6))
+    val m1 = MediaIndex.maintain(spark, "graft_media_spec_mnt",
+      maxFilesPerBucket = 2.0)
+    assert(m1.contains("graft_media_spec_mnt_fp") &&
+      m1("graft_media_spec_mnt_fp")._2 == 16L,
+      s"the fragmented pass must compact to 1/bucket: $m1")
+    assert(rows(MediaIndex.pairs(spark, "graft_media_spec_mnt",
+      maxDist = 6)) == answers)
+    assert(MediaIndex.maintain(spark, "graft_media_spec_mnt",
+      maxFilesPerBucket = 2.0).isEmpty,
+      "the just-compacted pass must be a no-op")
+  }
+}

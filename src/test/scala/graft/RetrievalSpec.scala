@@ -120,4 +120,66 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!p.contains("documents.parquet") && !p.contains("embeddings.parquet"),
       s"stored fusion must not touch the raw corpus:\n$p")
   }
+
+  test("direct-vector stored fusion equals the id-lookup entry; no unpruned cells scan") {
+    // the online entry (r13 What's missing #3): same queries, but the
+    // vectors handed in directly with selfIds replaying the id
+    // variant's self-exclusion — row-identical by construction, and
+    // the id-lookup point scan (the one read bucket pruning could not
+    // help) is GONE: exactly one cells scan, literal-pruned
+    val dir = "/root/testdata/sf0.001"
+    val queries = Seq(("q1", "spark hash join", 0L),
+      ("q2", "table scan filter", 1L), ("q3", "sort merge batch", 2L))
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    graft.sources.TextIndex.build(spark, docs, "text", "doc_id",
+      "graft_text_hyb2", buckets = 16)
+    graft.sources.IvfIndex.build(spark, emb, "vec_id", "embedding",
+      "graft_ivf_hyb2", numCentroids = 8)
+    val viaId = Retrieval.hybridRrfStored(spark, "graft_text_hyb2",
+      "graft_ivf_hyb2", queries, kEach = 10, kOut = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val s = spark
+    import s.implicits._
+    val idOf = queries.map(q => (q._1, q._3))
+    val qvecs = idOf.toDF("qid", "probe_id")
+      .join(emb.select(col("vec_id").as("probe_id"),
+        col("embedding").as("qv")), "probe_id")
+      .select(col("qid"), col("qv")).localCheckpoint()
+    val directDf = Retrieval.hybridRrfStoredDirect(spark,
+      "graft_text_hyb2", "graft_ivf_hyb2", queries.map(q => (q._1, q._2)),
+      qvecs, selfIds = idOf.toMap, kEach = 10, kOut = 5, nProbe = 2)
+    assert(directDf.collect().map(_.toSeq).toSet == viaId,
+      "direct-vector entry must be row-identical to the id-lookup entry")
+    // final AQE plan only (toString appends the initial plan too, which
+    // would double-count); one "Scan parquet …_cells" line = one scan
+    val p = directDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val cellScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("graft_ivf_hyb2_cells"))
+    assert(p.contains("SelectedBucketsCount"),
+      s"the direct path's cells scan must be bucket-pruned:\n$p")
+    assert(cellScans == 1,
+      s"the direct path must read the cells table exactly once " +
+        s"(no id-lookup point scan), found $cellScans:\n$p")
+    // and the id-lookup entry's plan, for contrast, carries the extra
+    // point-lookup scan the direct entry exists to remove
+    val pId = Retrieval.hybridRrfStored(spark, "graft_text_hyb2",
+      "graft_ivf_hyb2", queries, kEach = 10, kOut = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(pId.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("graft_ivf_hyb2_cells")) == 2,
+      s"the id-lookup entry scans cells twice (probe lookup + serve):\n$pId")
+    // a genuinely novel query (no selfIds entry) must not lose any
+    // neighbor to the synthetic qid: its own exact twin ranks first
+    val novel = Retrieval.hybridRrfStoredDirect(spark,
+      "graft_text_hyb2", "graft_ivf_hyb2", Seq(("q1", "spark hash join")),
+      qvecs.where(col("qid") === "q1"), kEach = 10, kOut = 5, nProbe = 2)
+      .collect()
+    assert(novel.exists(r => r.getLong(1) == 0L),
+      s"without selfIds the stored twin (vec 0) must be rankable: " +
+        s"${novel.map(_.toSeq).mkString(", ")}")
+  }
 }

@@ -142,6 +142,44 @@ class StreamSmokeSpec extends AnyFunSuite {
       "stored serve after stream ingest must equal the live full-corpus BM25")
   }
 
+  test("stream media ingest: a crawled twin pairs with a prior batch's fingerprint") {
+    // the MediaIndex loop end-to-end: batch 1 lands a payload's
+    // fingerprint; batch 2 carries a byte-identical payload under a new
+    // id — the stored pair surface must show (batch1, batch2, dist 0)
+    // with no rebuild and no re-decode of batch 1.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_media_ingest_src").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    write(Seq((910001L, tA)))
+    Thread.sleep(1100)
+    write(Seq((910002L, tA),
+      (910003L, "one two three four five six seven eight")))
+    val corpus = Seq(
+      (1L, "lorem ipsum dolor sit amet consectetur adipiscing"))
+      .toDF("doc_id", "text")
+    graft.sources.MediaIndex.build(spark,
+      graft.multimodal.Multimodal.imageDHash(
+        graft.multimodal.Multimodal.imageTableOf(corpus)),
+      "graft_media_ingest")
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    try graft.streaming.Streams.streamMediaIngest(spark, dir,
+      "graft_media_ingest", lit(true))
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    assert(spark.table("graft_media_ingest_fp").count() == 4L,
+      "all three streamed payloads + the corpus one must be fingerprinted")
+    val pairs = graft.sources.MediaIndex.pairs(spark,
+      "graft_media_ingest", maxDist = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((910001L, 910002L, 0L)),
+      s"the cross-batch verbatim twin must pair at dist 0, got: $pairs")
+  }
+
   test("stream dedup gate: a later batch's near-copy is rejected against an earlier batch's append") {
     // the crawl-admission loop end-to-end: batch 1 admits a fresh doc
     // into the index; batch 2 carries a verbatim twin (new id) that

@@ -32,8 +32,8 @@ class TextIndexSpec extends AnyFunSuite {
     // the pruning happens in the probe's own (checkpointed) execution
     // under serve's forced bucketed scan; replicate that exact scan
     val terms = qs.flatMap(_._2.split("\\s+")).distinct
-    val p = TextIndex.forceBucketedScan(spark) {
-      val probe = spark.table("graft_text_spec2_postings")
+    val p = TextIndex.forceBucketedScan(spark) { iso =>
+      val probe = iso.table("graft_text_spec2_postings")
         .where(col("word").isin(terms: _*))
       probe.count()
       probe.queryExecution.executedPlan.toString
