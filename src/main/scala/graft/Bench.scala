@@ -107,7 +107,7 @@ object Bench {
     // round-14 additions: the persisted MEDIA fingerprint family, the
     // composed maintenance entry point, the media-index build window
     "q_image_dedup_stored", "q_audio_dedup_stored", "b_ivf_maintain",
-    "b_media_build")
+    "b_media_build", "q_embed_ivf_knn_auto_stored")
 
   /** BENCH-ONLY entries (r10 VERDICT #5): the production CONVERGENCE
     * mode of the iterative rank ops. The registered q_pagerank/q_ppr run

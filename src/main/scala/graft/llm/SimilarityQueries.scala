@@ -500,6 +500,33 @@ object SimilarityQueries {
       },
       Some(ivfKnnRoutedSql(numCentroids = 64, nProbe = 16, k = 5))),
 
+    // the AUTO-SCALED cell dial (r13 verdict stretch #8): numCentroids
+    // = autoCells(N) = ⌈√N⌉ clamped to [64, 65536] — the classic IVF
+    // nlist balance (routing ∝ k vs probed scan ∝ nProbe·N/k), which
+    // is also Spark's sweet spot: a bucketed scan schedules one task
+    // per bucket regardless of pruning, so occupancy-targeted k = N/128
+    // measured SLOWER than the pinned 64 at ×1000 (5.6 s of empty-task
+    // scheduling) while √N serves AT the pinned-64 row's time probing
+    // 2.3 % of the corpus instead of a quarter, recall 1.000 once
+    // nProbe is re-probed to 32 (R14AutoKProbe / SCALE.md — the
+    // R13DriftProbe discipline). At every fixture SF the clamp floors
+    // to k = 64, so the runner SHARES the 64-cell index + memo and the
+    // oracle is the same full replay; the require is the standard
+    // corpus-derived-dial regime guard — at rehearsal scale it trips
+    // loudly (the probe tool, not this entry, measures that regime)
+    // instead of hash-red.
+    Q("q_embed_ivf_knn_auto_stored",
+      (s, d) => {
+        val (name, k) = graft.sources.IvfIndex.ensureBuiltAuto(s, d)
+        require(k == 64,
+          s"auto-k=$k: the oracle replays the 64-cell regime — widen " +
+            "the replay or use R14AutoKProbe for at-scale measurement")
+        val queries = Tables.embeddings(s, d).where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        graft.sources.IvfIndex.serve(s, name, queries, k = 5, nProbe = 16)
+      },
+      Some(ivfKnnSql(numCentroids = 64, nProbe = 16, k = 5))),
+
     // the stored index's cell-occupancy census — the exact quantity
     // IvfIndex.occupancySkew reduces for the measured refresh trigger
     // (max/mean > ~8, R13DriftProbe), read from the PERSISTED postings

@@ -58,17 +58,23 @@ object DedupIndex {
       idCol: String, name: String, k: Int = 3, numHashes: Int = 64,
       bands: Int = 16, buckets: Int = 16,
       basePath: String = IvfIndex.defaultBase): Unit = {
+    // each table hash-partitioned by its bucket column before the
+    // bucketed write: one file per bucket, not tasks × buckets (the
+    // IvfIndex.build recipe)
     bandRows(corpus, textCol, idCol, k, numHashes, bands)
+      .repartition(col("bkh"))
       .write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/${name}_bands")
       .bucketBy(buckets, "bkh").sortBy("bkh")
       .saveAsTable(s"${name}_bands")
     val sh = Dedup.shingles(corpus, textCol, idCol, k)
-    sh.write.mode("overwrite").format("parquet")
+    sh.repartition(col("id"))
+      .write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/${name}_shingles")
       .bucketBy(buckets, "id").sortBy("id")
       .saveAsTable(s"${name}_shingles")
     sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .repartition(col("id"))
       .write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/${name}_sizes")
       .bucketBy(buckets, "id").sortBy("id")

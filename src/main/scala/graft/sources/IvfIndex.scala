@@ -113,7 +113,15 @@ object IvfIndex {
     val cells =
       if (routed) postingRowsRouted(vecs, cents, coarseTab, hintFine)
       else postingRows(vecs, cents)
-    cells.write.mode("overwrite")
+    // hash-partition by the bucket column BEFORE the bucketed write:
+    // every cell lands in exactly one task, so the writer emits ONE
+    // file per bucket instead of (tasks × buckets) fragments — at
+    // auto-scaled k that difference is ~500k tiny files vs 15625, and
+    // the R14AutoKProbe serve row moved 7.4 s → 5.6 s on this change
+    // alone (SCALE.md); the fresh source frame is not a bucketed table, so
+    // the planner's repartition elision (the compactTable trap) does
+    // not apply. Cell occupancy keeps the per-task write balanced.
+    cells.repartition(col("cell")).write.mode("overwrite")
       .format("parquet")
       .option("path", s"$basePath/${name}_cells")
       .bucketBy(numCentroids, "cell")
@@ -398,7 +406,8 @@ object IvfIndex {
         spark.sessionState.sqlParser.parseTableIdentifier(t)).location.toString
     val (cellsLoc, centsLoc) =
       (tableLoc(s"${name}_cells"), tableLoc(s"${name}_cents"))
-    newCells.write.mode("overwrite").format("parquet")
+    newCells.repartition(col("cell")) // 1 file/bucket (the build recipe)
+      .write.mode("overwrite").format("parquet")
       .option("path", cellsLoc)
       .bucketBy(k, "cell").sortBy("cell")
       .saveAsTable(s"${name}_cells")
@@ -487,6 +496,44 @@ object IvfIndex {
       build(spark, emb, "vec_id", "embedding", name, numCentroids)
       name
     })
+  }
+
+  /** Cell count scaled to the corpus: k = ⌈√N⌉ clamped to [minCells,
+    * maxCells] — the classic IVF nlist balance (quantizer-routing work
+    * ∝ k, probed-scan work ∝ nProbe·N/k; √N equalizes them), which is
+    * ALSO the right point for Spark's execution model: a bucketed scan
+    * builds one FilePartition per bucket even for pruned buckets
+    * (empty file lists still schedule tasks), so cells are a per-query
+    * task cost too. MEASURED on the ×1000 synthesis (R14AutoKProbe,
+    * 2M vectors, quiet box): occupancy-targeted k = N/128 = 15625
+    * cells served in 5.6 s — almost all of it empty-task scheduling —
+    * while √N ≈ 1415 serves at the pinned-64 row's time (1.7 s, the
+    * local[32] task floor) probing 2.3 % of the corpus where 64 cells
+    * probe a QUARTER (the r13 ×1000 note) — the reduction that
+    * dominates once the scan is data-bound at cluster scale. Recall
+    * follows the re-probe discipline (R13DriftProbe): 0.900 at the
+    * 64-cell dial's nProbe=16, restored to 1.000 at nProbe=32 at the
+    * SAME measured serve time. minCells = 64 keeps every fixture-scale
+    * build on the flat exact argmin the oracles replay; past
+    * `routeAbove` the build routes two-level automatically ([[build]])
+    * — auto-k without routed ingest would re-open the N·k cliff
+    * (routed build at k=1415 cost the same as the FLAT 64-cell build:
+    * 27.3 vs 25.0 s). */
+  def autoCells(n: Long, minCells: Int = 64,
+      maxCells: Int = 65536): Int =
+    math.min(maxCells.toLong, math.max(minCells.toLong,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** [[ensureBuilt]] at the [[autoCells]] dial: returns (index name,
+    * chosen cell count). Delegates to [[ensureBuilt]], so at fixture
+    * scale (≤ 64² = 4096 vectors → k = 64) it SHARES the 64-cell index
+    * and its memo — the registered auto query costs no second build;
+    * at rehearsal scale the cell count grows with √corpus and the
+    * build goes routed. */
+  def ensureBuiltAuto(spark: SparkSession, sfDir: String): (String, Int) = {
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    val k = autoCells(n)
+    (ensureBuilt(spark, sfDir, k), k)
   }
 
   /** [[ensureBuilt]] with the two-level ROUTED build FORCED

@@ -50,6 +50,7 @@ object MediaIndex {
       buckets: Int = 16,
       basePath: String = IvfIndex.defaultBase): Unit =
     fingerprints.select(col("media_id"), col("h_lo"), col("h_hi"))
+      .repartition(col("media_id")) // 1 file/bucket (IvfIndex recipe)
       .write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/${name}_fp")
       .bucketBy(buckets, "media_id").sortBy("media_id")

@@ -73,7 +73,11 @@ object TextIndex {
       docCol: String, name: String, buckets: Int = 64,
       basePath: String = IvfIndex.defaultBase): Unit = {
     val (postings, totals) = postingAndTotals(docs, textCol, docCol)
-    postings.write.mode("overwrite").format("parquet")
+    // hash-partition by the bucket column before the bucketed write:
+    // one file per bucket instead of tasks × buckets fragments (the
+    // IvfIndex.build recipe — fresh frame, so no repartition elision)
+    postings.repartition(col("word"))
+      .write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/${name}_postings")
       .bucketBy(buckets, "word").sortBy("word")
       .saveAsTable(s"${name}_postings")

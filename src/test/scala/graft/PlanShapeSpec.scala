@@ -121,6 +121,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_embed_ivf_knn_routed_stored", // identical serve shape to
                                 // q_embed_ivf_knn_stored (the routing
                                 // difference is build-time only)
+      "q_embed_ivf_knn_auto_stored", // same serve shape again (the auto
+                                // dial floors to the shared 64-cell
+                                // index at fixture scale)
       "q_hybrid_rrf_stored", // bm25's 1-row stored-totals broadcast +
                              // the |Q|-row probe routing over the
                              // stored quantizer; both corpus sides are
