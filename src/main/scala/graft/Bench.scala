@@ -107,7 +107,7 @@ object Bench {
     // round-14 additions: the persisted MEDIA fingerprint family, the
     // composed maintenance entry point, the media-index build window
     "q_image_dedup_stored", "q_audio_dedup_stored", "b_ivf_maintain",
-    "b_media_build", "q_embed_ivf_knn_auto_stored")
+    "b_media_build", "q_embed_ivf_knn_auto_stored", "b_ivf_reprobe")
 
   /** BENCH-ONLY entries (r10 VERDICT #5): the production CONVERGENCE
     * mode of the iterative rank ops. The registered q_pagerank/q_ppr run
@@ -214,6 +214,21 @@ object Bench {
           graft.multimodal.Multimodal.imageTable(s, d)),
         "graft_media_benchbuild")
       s.table("graft_media_benchbuild_fp")
+    }),
+    // the RE-PROBE window (the step R14AutoKProbe showed is mandatory
+    // after any cell-dial change: recall dropped 1.000 → 0.900 when
+    // cells grew 64 → 1415 at fixed nProbe): label-free recall
+    // frontier from the index's own stored vectors + the dial pick —
+    // the maintenance-window cost a deployment pays after a
+    // refreshed=true maintain pass.
+    "b_ivf_reprobe" -> ((s, d) => {
+      import s.implicits._
+      val name = graft.sources.IvfIndex.ensureBuilt(s, d)
+      val frontier = graft.sources.IvfIndex.reprobeRecall(s, name,
+        nProbes = Seq(4, 8, 16), numQueries = 32, k = 5)
+      val picked = graft.sources.IvfIndex.pickNProbe(frontier, 0.95)
+      frontier.map(p => (p.nProbe, p.recall, picked))
+        .toDF("n_probe", "recall", "picked")
     }))
 
   def main(args: Array[String]): Unit = {

@@ -317,10 +317,11 @@ object IvfIndex {
     *   3. RE-MEASURE: skew after, so the caller's log carries the
     *      before/after pair — and, per R13DriftProbe's third finding
     *      (a rebuild can LOWER tight-probe recall), the caller should
-    *      re-probe recall before narrowing nProbe after any
-    *      `refreshed = true` pass; recall needs labeled queries, which
-    *      a maintenance window doesn't own, so it stays the caller's
-    *      step by design.
+    *      run [[reprobeRecall]] → [[pickNProbe]] after any
+    *      `refreshed = true` pass before narrowing nProbe (label-free:
+    *      the index's own stored vectors are the truth set). Kept out
+    *      of this pass so its cost (|Q|·N brute-force cosines) is an
+    *      explicit choice, not a hidden tax on every no-op window.
     *
     * Run from the window that owns `append` — never concurrently with
     * serving (the [[compact]]/[[refresh]] contract). IvfLifecycleSpec
@@ -339,6 +340,63 @@ object IvfIndex {
       else Map.empty[String, (Long, Long)]
     Maintenance(skew, doRefresh, doCompact,
       occupancySkew(spark, name), files)
+  }
+
+  /** One point on the recall/nProbe frontier: what [[serve]] at this
+    * dial recovers of the exact answer over the stored corpus. */
+  final case class RecallPoint(nProbe: Int, recall: Double)
+
+  /** The RE-PROBE step as a callable (closing the loop [[maintain]]'s
+    * scaladoc leaves to the caller, and the step R14AutoKProbe showed
+    * is MANDATORY whenever the cell dial moves: growing 64 → 1415
+    * cells at fixed nProbe=16 dropped recall 1.000 → 0.900; nProbe=32
+    * restored it at the same measured serve time). No labeled queries
+    * needed: the index's OWN stored vectors are a label-free truth
+    * set — sample `numQueries` of them (hash-ordered, deterministic),
+    * compute the exact top-k by brute force over the stored corpus
+    * (|Q|·N cosines, maintenance-window work, the same scoring and
+    * tiebreaks [[serve]] uses), then measure what [[serve]] recovers
+    * at each dial. Run it after any `refreshed = true` [[maintain]]
+    * pass or cell-count change, BEFORE narrowing nProbe
+    * (R13DriftProbe's third finding: a rebuild can LOWER tight-probe
+    * recall). Self-queries always find themselves in their own cell,
+    * so the measured quantity is the neighbors' recall — [[serve]]'s
+    * qid =!= nid exclusion keeps self-hits out of both sides. */
+  def reprobeRecall(spark: SparkSession, name: String,
+      nProbes: Seq[Int] = Seq(8, 16, 32, 64), numQueries: Int = 32,
+      k: Int = 5): Seq[RecallPoint] = {
+    val stored = spark.table(s"${name}_cells")
+      .select(col("vec_id"), col("vec"))
+    val qids: Array[Long] = stored.select(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(numQueries).collect().map(_.getLong(0))
+    val qlits = qids.map(Long.box)
+    val truth: Set[(Long, Long)] = Similarity.bruteForceKnn(
+        stored, "vec_id", "vec", col("vec_id").isin(qlits: _*), k)
+      .select(col("qid"), col("nid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val queries = stored.where(col("vec_id").isin(qlits: _*))
+      .select(col("vec_id").as("qid"), col("vec").as("qv"))
+      .persist()
+    try {
+      queries.count()
+      nProbes.map { np =>
+        val got = serve(spark, name, queries, k, np)
+          .select(col("qid"), col("nid"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        RecallPoint(np, got.count(truth.contains).toDouble /
+          math.max(1, truth.size))
+      }
+    } finally { queries.unpersist() }
+  }
+
+  /** The dial decision over a [[reprobeRecall]] frontier: the smallest
+    * swept nProbe whose measured recall meets `target`, or the widest
+    * swept dial when none does (serve wider, never silently under). */
+  def pickNProbe(frontier: Seq[RecallPoint], target: Double): Int = {
+    require(frontier.nonEmpty, "empty recall frontier")
+    frontier.sortBy(_.nProbe).find(_.recall >= target)
+      .getOrElse(frontier.maxBy(_.nProbe)).nProbe
   }
 
   /** Maintenance REBUILD from the index's own stored postings — the

@@ -119,6 +119,26 @@ class IvfLifecycleSpec extends AnyFunSuite {
       s"the healthy pass must write nothing: $m2")
   }
 
+  test("reprobeRecall measures the frontier label-free; pickNProbe picks the narrowest sufficient dial") {
+    built
+    val frontier = IvfIndex.reprobeRecall(spark, name,
+      nProbes = Seq(1, 2, 4, 16), numQueries = 24, k = 5)
+    assert(frontier.map(_.nProbe) == Seq(1, 2, 4, 16),
+      s"one point per swept dial, in order: $frontier")
+    assert(frontier.forall(p => p.recall >= 0.0 && p.recall <= 1.0))
+    // probing every cell IS the exact answer (serve and the truth use
+    // identical scoring + tiebreaks), so the full-probe point must
+    // measure exactly 1.0 — the frontier's fixed anchor
+    assert(frontier.last.recall == 1.0,
+      s"full-probe recall must be exact: $frontier")
+    val picked = IvfIndex.pickNProbe(frontier, target = 1.0)
+    assert(frontier.find(_.nProbe == picked).get.recall == 1.0)
+    assert(frontier.filter(_.nProbe < picked).forall(_.recall < 1.0),
+      s"must pick the NARROWEST sufficient dial: picked=$picked $frontier")
+    // unattainable target: serve wider, never silently under
+    assert(IvfIndex.pickNProbe(frontier, target = 2.0) == 16)
+  }
+
   test("serve keeps its bucket-pruned plan after refresh") {
     built
     IvfIndex.refresh(spark, name)
