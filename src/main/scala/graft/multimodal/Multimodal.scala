@@ -210,9 +210,16 @@ object Multimodal {
   /** Audio table: each document's payload encoded as an actual 8-bit PCM
     * WAV — the same ingest shape as [[imageTable]] with only the encode
     * call site swapped. */
-  def audioTable(spark: SparkSession, sfDir: String): DataFrame = {
+  def audioTable(spark: SparkSession, sfDir: String): DataFrame =
+    audioTableOf(Tables.documents(spark, sfDir))
+
+  /** [[audioTable]] over an arbitrary documents frame —
+    * [[imageTableOf]]'s audio twin, the seam streaming ingest and crawl
+    * fixtures encode a batch through. */
+  def audioTableOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val payloads = Tables.documents(spark, sfDir).select(
+    val payloads = docs.select(
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("content")).as[MediaRow]
     payloads.mapPartitions { rows =>

@@ -223,7 +223,54 @@ object MultimodalQueries {
         Multimodal.audioTable(s, d)
           .unionByName(Multimodal.audioScaledTable(s, d)),
         maxDist = 6),
-      Some("""WITH m AS (
+      Some(audioFpCte +
+        """SELECT a.media_id AS da, b.media_id AS db,
+                     CAST(bit_count(xor(a.lo, b.lo))
+                        + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS dist
+              FROM fp a JOIN fp b
+                ON a.media_id < b.media_id
+               AND (a.lo % 65536 = b.lo % 65536
+                 OR a.lo // 65536 = b.lo // 65536
+                 OR a.hi % 65536 = b.hi % 65536
+                 OR a.hi // 65536 = b.hi // 65536)
+              WHERE bit_count(xor(a.lo, b.lo))
+                  + bit_count(xor(a.hi, b.hi)) <= 6""")),
+
+    // the crawl-admission shape for the media family (the
+    // q_incremental_dedup_stored discipline applied to fingerprints):
+    // the 0.9×-amplitude re-crawl batch arrives FRESH and bands against
+    // a corpus-ONLY stored fingerprint index — one broadcast of the
+    // batch's band keys, the corpus fingerprints stream map-side, the
+    // Hamming verify is inline (both codes on the matched row), and the
+    // only shuffle is the final (fid, cid) dedup of multi-band hits,
+    // bounded by the MATCH count, not the corpus. The oracle replays the
+    // same WAV dHash as q_audio_dedup and restricts the banded join to
+    // CROSS pairs (corpus side < 1M, fresh side >= 1M) — banding recall
+    // reproduces identically on both sides, so the green is exact.
+    Q("q_audio_dedup_against",
+      (s, d) => graft.sources.MediaIndex.pairsAgainst(s,
+        graft.sources.MediaIndex.ensureBuiltAudioCorpus(s, d),
+        Multimodal.audioDHash(Multimodal.audioScaledTable(s, d)),
+        maxDist = 6),
+      Some(audioFpCte +
+        """SELECT b.media_id AS fid, a.media_id AS cid,
+                     CAST(bit_count(xor(a.lo, b.lo))
+                        + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS dist
+              FROM fp a JOIN fp b
+                ON a.media_id < 1000000 AND b.media_id >= 1000000
+               AND (a.lo % 65536 = b.lo % 65536
+                 OR a.lo // 65536 = b.lo // 65536
+                 OR a.hi % 65536 = b.hi % 65536
+                 OR a.hi // 65536 = b.hi // 65536)
+              WHERE bit_count(xor(a.lo, b.lo))
+                  + bit_count(xor(a.hi, b.hi)) <= 6"""))
+  )
+
+  /** The WAV dHash replay shared by the audio pair oracles: corpus ∪
+    * the 0.9×-amplitude re-crawl slice (ids +1M), hex-derived byte math,
+    * 64 windows → gradient bits → (lo, hi) fingerprint halves in `fp`.
+    * Callers append the final banded SELECT. */
+  private def audioFpCte: String = """WITH m AS (
                 SELECT doc_id AS media_id, 0 AS scaled,
                        hex(encode(text)) AS h,
                        octet_length(encode(text)) AS n_bytes
@@ -271,18 +318,7 @@ object MultimodalQueries {
                          THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
                          ELSE 0 END) AS BIGINT) AS hi
                 FROM bits GROUP BY 1)
-              SELECT a.media_id AS da, b.media_id AS db,
-                     CAST(bit_count(xor(a.lo, b.lo))
-                        + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS dist
-              FROM fp a JOIN fp b
-                ON a.media_id < b.media_id
-               AND (a.lo % 65536 = b.lo % 65536
-                 OR a.lo // 65536 = b.lo // 65536
-                 OR a.hi % 65536 = b.hi % 65536
-                 OR a.hi // 65536 = b.hi // 65536)
-              WHERE bit_count(xor(a.lo, b.lo))
-                  + bit_count(xor(a.hi, b.hi)) <= 6"""))
-  )
+              """
 
   /** The live entries + the STORED fingerprint twins (r13 verdict #1):
     * same answers, served from [[graft.sources.MediaIndex]]'s persisted

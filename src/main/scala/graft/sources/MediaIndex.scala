@@ -72,6 +72,60 @@ object MediaIndex {
       maxDist: Int = 6): DataFrame =
     Multimodal.dhashPairs(spark.table(s"${name}_fp"), maxDist)
 
+  /** INCREMENTAL near-dup check — the crawl-admission shape
+    * ([[DedupIndex.dedupAgainst]]'s media analog): band a fresh batch's
+    * fingerprints against the STORED corpus only, returning the CROSS
+    * matches (fid, cid, dist). One pass, shaped for 100 TB: the fresh
+    * side (|batch| rows, 4 band keys + the 16-byte code each) rides a
+    * BROADCAST, so the stored fingerprint table streams map-side
+    * through the band equi-join with the Hamming verification inline —
+    * no shuffle of anything corpus-sized, no second corpus join for
+    * verification (both codes are already on the matched row); the one
+    * exchange is the final (fid, cid) dedup of multi-band hits, whose
+    * input the map-side partial agg bounds by the match count, not the
+    * corpus. Recall contract = the banded family's (a shared 16-bit
+    * band is required — [[Multimodal.dhashPairs]]'s own candidate
+    * rule); MediaIndexSpec pins pairsAgainst ≡ dhashPairs over the
+    * union restricted to cross pairs. Intra-batch pairs follow the
+    * cross-only contract ([[DedupIndex.dedupAgainst]] semantics); the
+    * caller owns id freshness, so fid/cid collisions don't occur. */
+  def pairsAgainst(spark: SparkSession, name: String, freshFp: DataFrame,
+      maxDist: Int = 6): DataFrame = {
+    def bandsOf(df: DataFrame, id: String, lo: String, hi: String) =
+      df.select(col("media_id").as(id), col("h_lo").as(lo),
+          col("h_hi").as(hi))
+        .select(col(id), col(lo), col(hi), explode(array(
+          struct(lit(0).as("bi"), (col(lo) % 65536L).as("bv")),
+          struct(lit(1).as("bi"), expr(s"$lo div 65536L").as("bv")),
+          struct(lit(2).as("bi"), (col(hi) % 65536L).as("bv")),
+          struct(lit(3).as("bi"), expr(s"$hi div 65536L").as("bv"))))
+          .as("b"))
+        .select(col(id), col(lo), col(hi), col("b.bi").as("bi"),
+          col("b.bv").as("bv"))
+    val fB = broadcast(
+      bandsOf(freshFp, "fid", "la", "ha").localCheckpoint())
+    val sB = bandsOf(spark.table(s"${name}_fp"), "cid", "lb", "hb")
+    sB.join(fB, Seq("bi", "bv"))
+      .select(col("fid"), col("cid"),
+        (expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
+          .cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+      // a pair can match on up to 4 bands; dist is a pure function of
+      // the two codes, so min() just collapses the duplicates
+      .groupBy(col("fid"), col("cid")).agg(min(col("dist")).as("dist"))
+  }
+
+  /** Admit the fresh fingerprints with NO stored near-dup — the media
+    * crawl-admission gate ([[DedupIndex.dedupAgainst]]'s contract:
+    * cross-only, corpus side never re-derived). Feed the admitted rows
+    * to [[append]] and the next batch gates against corpus ∪ batch. */
+  def dedupAgainst(spark: SparkSession, name: String, freshFp: DataFrame,
+      maxDist: Int = 6): DataFrame =
+    freshFp.join(
+      pairsAgainst(spark, name, freshFp, maxDist)
+        .select(col("fid").as("media_id")).distinct(),
+      Seq("media_id"), "left_anti")
+
   /** Maintenance: one-file-per-bucket rewrite of the appended
     * fingerprint table ([[Compact.compactTable]] contract). */
   def compact(spark: SparkSession, name: String): Map[String, (Long, Long)] =
@@ -128,6 +182,19 @@ object MediaIndex {
         Multimodal.audioDHash(
           Multimodal.audioTable(spark, sfDir)
             .unionByName(Multimodal.audioScaledTable(spark, sfDir))), name)
+      name
+    })
+  }
+
+  /** Corpus-ONLY audio index — the stored side of the crawl-admission
+    * shape ([[pairsAgainst]]/[[dedupAgainst]]): the re-crawl batch stays
+    * fresh, never in the store. */
+  def ensureBuiltAudioCorpus(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "audio_corpus"), {
+      val name = s"graft_media_audc_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark,
+        Multimodal.audioDHash(Multimodal.audioTable(spark, sfDir)), name)
       name
     })
   }

@@ -579,6 +579,42 @@ object Streams {
     spark.catalog.refreshTable(s"${indexName}_fp")
   }
 
+  /** [[streamMediaIngest]]'s DEDUP-GATED twin — the media
+    * crawl-admission loop at stream time ([[streamDedupIngest]]'s
+    * discipline for the fingerprint family): each micro-batch encodes,
+    * fingerprints, gates through [[graft.sources.MediaIndex
+    * .dedupAgainst]] (cross-only against the STORED fingerprints — the
+    * corpus is never re-decoded), and appends ONLY the admitted rows,
+    * so batch N+1 gates against corpus ∪ batch N with no rebuild. The
+    * stored relation refreshes per batch (the prior batch's insert
+    * happened on a sibling micro-batch session) and the admitted frame
+    * materializes BEFORE append (its lineage reads the table append
+    * inserts into — lazy, it would self-reject). */
+  def streamMediaDedupIngest(spark: SparkSession, sfDir: String,
+      indexName: String, pred: Column, maxDist: Int = 6,
+      checkpoint: Option[String] = None): Unit = {
+    val s = tuned(spark)
+    val fresh = documentsStream(s, sfDir).where(pred)
+    val q = fresh.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val bs = batch.sparkSession
+        bs.catalog.refreshTable(s"${indexName}_fp")
+        val fp = graft.multimodal.Multimodal.imageDHash(
+          graft.multimodal.Multimodal.imageTableOf(batch))
+        val admitted = graft.sources.MediaIndex.dedupAgainst(
+          bs, indexName, fp, maxDist).localCheckpoint()
+        graft.sources.MediaIndex.append(bs, indexName, admitted)
+      }
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_mediadedup_ckpt")
+          .toString))
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(s"${indexName}_fp")
+  }
+
   /** Streaming DEDUP-GATED ingest — the full crawl-admission loop at
     * stream time: each documents micro-batch is near-dup-checked
     * against the STORED band/shingle postings

@@ -81,6 +81,46 @@ class MediaIndexSpec extends AnyFunSuite {
       maxDist = 6)) == all)
   }
 
+  test("pairsAgainst matches a fresh batch cross-only; dedupAgainst admits the rest") {
+    val corpus = Multimodal.audioTable(spark, sf0001)
+    // the fresh crawl carries BOTH regimes: the 0.9×-amplitude re-crawl
+    // slice (every copy within Hamming 6 of its stored original — all
+    // must be refused) and a genuinely-novel slice (reversed payloads
+    // under +2M ids — the admitted mass)
+    val novel = graft.Tables.documents(spark, sf0001)
+      .where(pmod(col("doc_id"), lit(4L)) === 2L)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        reverse(col("text")).as("text"))
+    val fresh = Multimodal.audioScaledTable(spark, sf0001)
+      .unionByName(Multimodal.audioTableOf(novel))
+    MediaIndex.build(spark, Multimodal.audioDHash(corpus),
+      "graft_media_spec_agn")
+    val freshFp = Multimodal.audioDHash(fresh).localCheckpoint()
+    val got = MediaIndex.pairsAgainst(spark, "graft_media_spec_agn",
+      freshFp, maxDist = 6).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getLong(2))).toSet
+    // truth: the live banded pipeline over corpus ∪ fresh, restricted
+    // to CROSS pairs (fresh ids sit at +1000000)
+    val truth = rows(Multimodal.audioDedupPairs(
+        corpus.unionByName(fresh), maxDist = 6))
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Long]))
+      .filter(p => (p._1 >= 1000000L) != (p._2 >= 1000000L))
+    assert(got == truth && got.nonEmpty,
+      s"cross restriction of the live pairs, exactly: got=${got.size} " +
+        s"truth=${truth.size}")
+    // every fresh side of a match is refused; everything else admits
+    val matchedFresh = got.flatMap(p => Seq(p._1, p._2))
+      .filter(_ >= 1000000L)
+    val admitted = MediaIndex.dedupAgainst(spark, "graft_media_spec_agn",
+      freshFp, maxDist = 6).select(col("media_id"))
+      .collect().map(_.getLong(0)).toSet
+    val freshIds = freshFp.select(col("media_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == freshIds -- matchedFresh && admitted.nonEmpty)
+  }
+
   test("compact leaves one file per bucket and answers byte-identical") {
     val media = Multimodal.imageTable(spark, sf0001)
     val fp = Multimodal.imageDHash(media).localCheckpoint()

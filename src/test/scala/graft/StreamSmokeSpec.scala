@@ -180,6 +180,45 @@ class StreamSmokeSpec extends AnyFunSuite {
       s"the cross-batch verbatim twin must pair at dist 0, got: $pairs")
   }
 
+  test("stream media dedup gate: a crawled twin is refused against a prior batch's fingerprint") {
+    // the media crawl-admission loop end-to-end: batch 1 admits a
+    // payload's fingerprint; batch 2 carries a byte-identical payload
+    // under a new id — dist 0 against batch 1's STORED fingerprint, so
+    // the gate refuses it (no rebuild, no re-decode of batch 1) while
+    // batch 2's genuinely fresh payload is admitted.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mediadedup_src").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    write(Seq((910011L, tA)))
+    Thread.sleep(1100)
+    write(Seq((910012L, tA),
+      (910013L, "one two three four five six seven eight")))
+    val corpus = Seq(
+      (1L, "lorem ipsum dolor sit amet consectetur adipiscing"))
+      .toDF("doc_id", "text")
+    graft.sources.MediaIndex.build(spark,
+      graft.multimodal.Multimodal.imageDHash(
+        graft.multimodal.Multimodal.imageTableOf(corpus)),
+      "graft_mediadedup_gate")
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    try graft.streaming.Streams.streamMediaDedupIngest(spark, dir,
+      "graft_mediadedup_gate", lit(true))
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val ids = spark.table("graft_mediadedup_gate_fp")
+      .select(col("media_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.contains(910011L), "batch-1 payload must be admitted")
+    assert(ids.contains(910013L),
+      "batch-2's genuinely fresh payload must be admitted")
+    assert(!ids.contains(910012L),
+      s"the verbatim twin must be refused against batch 1's append: $ids")
+  }
+
   test("stream dedup gate: a later batch's near-copy is rejected against an earlier batch's append") {
     // the crawl-admission loop end-to-end: batch 1 admits a fresh doc
     // into the index; batch 2 carries a verbatim twin (new id) that
