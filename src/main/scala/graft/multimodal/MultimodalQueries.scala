@@ -2,7 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.functions._
 
-import graft.Q
+import graft.{Q, Tables}
 
 /** Multimodal plumbing, oracle-checked where DuckDB can replay the byte
   * math on the same payloads (text bytes ≡ blob). */
@@ -140,62 +140,53 @@ object MultimodalQueries {
     Q("q_image_dedup",
       (s, d) => Multimodal.imageDedupPairs(Multimodal.imageTable(s, d),
         maxDist = 6),
-      Some("""WITH m AS (
-                SELECT doc_id AS media_id, hex(encode(text)) AS h,
+      Some(imageFpCte(
+        """SELECT doc_id AS media_id, hex(encode(text)) AS h,
                        octet_length(encode(text)) AS n_bytes
-                FROM documents),
-              dims AS (
-                SELECT media_id,
-                       greatest(1, CAST(ceil(n_bytes / 48.0) AS BIGINT)) AS hh
-                FROM m),
-              pos AS (
-                SELECT media_id, h, unnest(range(1, n_bytes + 1)) AS i
-                FROM m),
-              by AS (
-                SELECT media_id, i,
-                       16 * (strpos('0123456789ABCDEF',
-                               substring(h, CAST(2 * i - 1 AS BIGINT), 1)) - 1)
-                         + (strpos('0123456789ABCDEF',
-                               substring(h, CAST(2 * i AS BIGINT), 1)) - 1) AS byte
-                FROM pos),
-              bs AS (SELECT media_id, list(byte ORDER BY i) AS b
-                     FROM by GROUP BY 1),
-              -- gray value of grid cell (gx, gy): pixel x = 2*gx,
-              -- y = gy*hh // 8; bytes beyond the payload are the raster's
-              -- zero padding
-              cells AS (
-                SELECT d.media_id, gx.gx, gy.gy,
-                       ((coalesce(bs.b[CAST(3 * (((gy.gy * d.hh) // 8) * 16
-                                               + 2 * gx.gx) + 1 AS BIGINT)], 0)
-                       + coalesce(bs.b[CAST(3 * (((gy.gy * d.hh) // 8) * 16
-                                               + 2 * gx.gx) + 2 AS BIGINT)], 0)
-                       + coalesce(bs.b[CAST(3 * (((gy.gy * d.hh) // 8) * 16
-                                               + 2 * gx.gx) + 3 AS BIGINT)], 0))
-                        // 3) AS g
-                FROM dims d
-                LEFT JOIN bs ON d.media_id = bs.media_id
-                CROSS JOIN (SELECT unnest(range(0, 8)) AS gx) gx
-                CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) gy),
-              bits AS (
-                SELECT a.media_id, 8 * a.gy + a.gx AS k,
-                       CASE WHEN n.g > a.g THEN 1 ELSE 0 END AS bit
-                FROM cells a
-                JOIN cells n ON a.media_id = n.media_id AND a.gy = n.gy
-                            AND n.gx = (a.gx + 1) % 8),
-              fp AS (
-                SELECT media_id,
-                       CAST(sum(CASE WHEN k < 32
-                         THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT))
-                         ELSE 0 END) AS BIGINT) AS lo,
-                       CAST(sum(CASE WHEN k >= 32
-                         THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
-                         ELSE 0 END) AS BIGINT) AS hi
-                FROM bits GROUP BY 1)
-              SELECT a.media_id AS da, b.media_id AS db,
+                FROM documents""") +
+        """SELECT a.media_id AS da, b.media_id AS db,
                      CAST(bit_count(xor(a.lo, b.lo))
                         + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS dist
               FROM fp a JOIN fp b
                 ON a.media_id < b.media_id
+               AND (a.lo % 65536 = b.lo % 65536
+                 OR a.lo // 65536 = b.lo // 65536
+                 OR a.hi % 65536 = b.hi % 65536
+                 OR a.hi // 65536 = b.hi // 65536)
+              WHERE bit_count(xor(a.lo, b.lo))
+                  + bit_count(xor(a.hi, b.hi)) <= 6""")),
+
+    // the image leg of the crawl-admission shape (see
+    // q_audio_dedup_against below): a VERBATIM re-fetch of the
+    // doc_id % 4 = 1 slice (PNG has no amplitude dial; byte-identical
+    // re-fetches are the image crawl regime) bands against the
+    // corpus-only stored fingerprint index — identical codes share all
+    // four bands, so every re-fetch matches its original at dist 0.
+    // Same broadcast-batch plan as the audio leg; the oracle replays
+    // the PNG dHash over corpus ∪ the shifted-id twin slice and
+    // restricts the banded join to cross pairs.
+    Q("q_image_dedup_against",
+      (s, d) => graft.sources.MediaIndex.pairsAgainst(s,
+        graft.sources.MediaIndex.ensureBuiltImage(s, d),
+        Multimodal.imageDHash(Multimodal.imageTableOf(
+          Tables.documents(s, d)
+            .where(pmod(col("doc_id"), lit(4L)) === 1L)
+            .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+              col("text")))),
+        maxDist = 6),
+      Some(imageFpCte(
+        """SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n_bytes
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, hex(encode(text)),
+                       octet_length(encode(text))
+                FROM documents WHERE doc_id % 4 = 1""") +
+        """SELECT b.media_id AS fid, a.media_id AS cid,
+                     CAST(bit_count(xor(a.lo, b.lo))
+                        + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS dist
+              FROM fp a JOIN fp b
+                ON a.media_id < 1000000 AND b.media_id >= 1000000
                AND (a.lo % 65536 = b.lo % 65536
                  OR a.lo // 65536 = b.lo // 65536
                  OR a.hi % 65536 = b.hi % 65536
@@ -265,6 +256,63 @@ object MultimodalQueries {
               WHERE bit_count(xor(a.lo, b.lo))
                   + bit_count(xor(a.hi, b.hi)) <= 6"""))
   )
+
+  /** The PNG dHash replay shared by the image pair oracles: callers
+    * supply the `m` payload table (corpus, or corpus ∪ a shifted-id
+    * twin slice) and append the final banded SELECT; everything between
+    * — zero-padded byte math, 8×8 grayscale grid, gradient bits,
+    * (lo, hi) halves in `fp` — is shared by reference. */
+  private def imageFpCte(m: String): String =
+    s"""WITH m AS (
+                $m),
+              dims AS (
+                SELECT media_id,
+                       greatest(1, CAST(ceil(n_bytes / 48.0) AS BIGINT)) AS hh
+                FROM m),
+              pos AS (
+                SELECT media_id, h, unnest(range(1, n_bytes + 1)) AS i
+                FROM m),
+              by AS (
+                SELECT media_id, i,
+                       16 * (strpos('0123456789ABCDEF',
+                               substring(h, CAST(2 * i - 1 AS BIGINT), 1)) - 1)
+                         + (strpos('0123456789ABCDEF',
+                               substring(h, CAST(2 * i AS BIGINT), 1)) - 1) AS byte
+                FROM pos),
+              bs AS (SELECT media_id, list(byte ORDER BY i) AS b
+                     FROM by GROUP BY 1),
+              -- gray value of grid cell (gx, gy): pixel x = 2*gx,
+              -- y = gy*hh // 8; bytes beyond the payload are the raster's
+              -- zero padding
+              cells AS (
+                SELECT d.media_id, gx.gx, gy.gy,
+                       ((coalesce(bs.b[CAST(3 * (((gy.gy * d.hh) // 8) * 16
+                                               + 2 * gx.gx) + 1 AS BIGINT)], 0)
+                       + coalesce(bs.b[CAST(3 * (((gy.gy * d.hh) // 8) * 16
+                                               + 2 * gx.gx) + 2 AS BIGINT)], 0)
+                       + coalesce(bs.b[CAST(3 * (((gy.gy * d.hh) // 8) * 16
+                                               + 2 * gx.gx) + 3 AS BIGINT)], 0))
+                        // 3) AS g
+                FROM dims d
+                LEFT JOIN bs ON d.media_id = bs.media_id
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS gx) gx
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) gy),
+              bits AS (
+                SELECT a.media_id, 8 * a.gy + a.gx AS k,
+                       CASE WHEN n.g > a.g THEN 1 ELSE 0 END AS bit
+                FROM cells a
+                JOIN cells n ON a.media_id = n.media_id AND a.gy = n.gy
+                            AND n.gx = (a.gx + 1) % 8),
+              fp AS (
+                SELECT media_id,
+                       CAST(sum(CASE WHEN k < 32
+                         THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT))
+                         ELSE 0 END) AS BIGINT) AS lo,
+                       CAST(sum(CASE WHEN k >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+                         ELSE 0 END) AS BIGINT) AS hi
+                FROM bits GROUP BY 1)
+              """
 
   /** The WAV dHash replay shared by the audio pair oracles: corpus ∪
     * the 0.9×-amplitude re-crawl slice (ids +1M), hex-derived byte math,

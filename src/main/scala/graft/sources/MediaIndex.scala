@@ -90,6 +90,15 @@ object MediaIndex {
     * cross-only contract ([[DedupIndex.dedupAgainst]] semantics); the
     * caller owns id freshness, so fid/cid collisions don't occur. */
   def pairsAgainst(spark: SparkSession, name: String, freshFp: DataFrame,
+      maxDist: Int = 6): DataFrame =
+    pairsAgainstFp(spark.table(s"${name}_fp"), freshFp, maxDist)
+
+  /** [[pairsAgainst]] over an explicit corpus fingerprint frame — the
+    * seam (the [[Multimodal.dhashPairs]] frame-input discipline) that
+    * lets the recompute twin pay live derivation through the SAME plan,
+    * so stored-vs-live timings differ only in where the corpus
+    * fingerprints come from. */
+  def pairsAgainstFp(storedFp: DataFrame, freshFp: DataFrame,
       maxDist: Int = 6): DataFrame = {
     def bandsOf(df: DataFrame, id: String, lo: String, hi: String) =
       df.select(col("media_id").as(id), col("h_lo").as(lo),
@@ -104,7 +113,7 @@ object MediaIndex {
           col("b.bv").as("bv"))
     val fB = broadcast(
       bandsOf(freshFp, "fid", "la", "ha").localCheckpoint())
-    val sB = bandsOf(spark.table(s"${name}_fp"), "cid", "lb", "hb")
+    val sB = bandsOf(storedFp, "cid", "lb", "hb")
     sB.join(fB, Seq("bi", "bv"))
       .select(col("fid"), col("cid"),
         (expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))

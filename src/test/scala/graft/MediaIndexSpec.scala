@@ -121,6 +121,28 @@ class MediaIndexSpec extends AnyFunSuite {
     assert(admitted == freshIds -- matchedFresh && admitted.nonEmpty)
   }
 
+  test("pairsAgainst plan: fresh batch broadcasts; the stored corpus is never shuffled before the join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val corpus = Multimodal.audioTable(spark, sf0001)
+    MediaIndex.build(spark, Multimodal.audioDHash(corpus),
+      "graft_media_spec_plan")
+    val freshFp = Multimodal.audioDHash(
+      Multimodal.audioScaledTable(spark, sf0001)).localCheckpoint()
+    val df = MediaIndex.pairsAgainst(spark, "graft_media_spec_plan",
+      freshFp, maxDist = 6)
+    df.count()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"the band match must be a broadcast equi-join:\n$plan")
+    val shuffledStored = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.child.toString.contains("graft_media_spec_plan_fp") => e
+    }
+    assert(shuffledStored.isEmpty,
+      s"the stored fingerprints must stream map-side into the band " +
+        s"join without an Exchange:\n$plan")
+  }
+
   test("compact leaves one file per bucket and answers byte-identical") {
     val media = Multimodal.imageTable(spark, sf0001)
     val fp = Multimodal.imageDHash(media).localCheckpoint()
