@@ -342,6 +342,36 @@ object Multimodal {
     * [[imageDHash]]'s verbatim — PCM is sample-per-byte lossless, so the
     * oracle recomputes windows, means and bits from the payload bytes
     * with no codec. */
+  /** The 64-window envelope-gradient bits over `d[from, until)` — the
+    * shared core of [[audioDHash]] (whole decoded stream) and
+    * [[videoFrameDHash]] (one frame slice): window of relative byte j =
+    * j·64 div len, integer mean per window, bit k = mean(k+1 mod 64) >
+    * mean(k); empty windows read as mean 0. */
+  private[graft] def envelopeBits(d: Array[Byte], from: Int,
+      until: Int): (Long, Long) = {
+    val n = until - from
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var j = 0
+    while (j < n) {
+      val k = (j.toLong * 64 / n).toInt
+      sums(k) += d(from + j) & 0xff
+      cnts(k) += 1
+      j += 1
+    }
+    def m(k: Int): Long = if (cnts(k) == 0) 0L else sums(k) / cnts(k)
+    var lo = 0L
+    var hi = 0L
+    var k = 0
+    while (k < 64) {
+      if (m((k + 1) % 64) > m(k)) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (lo, hi)
+  }
+
   def audioDHash(media: DataFrame,
       decode: Array[Byte] => Array[Byte] = decodeWavBytes): DataFrame = {
     val spark = media.sparkSession
@@ -350,26 +380,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val d = decode(r.content)
-          val n = d.length
-          val sums = new Array[Long](64)
-          val cnts = new Array[Long](64)
-          var j = 0
-          while (j < n) {
-            val k = (j.toLong * 64 / n).toInt
-            sums(k) += d(j) & 0xff
-            cnts(k) += 1
-            j += 1
-          }
-          def m(k: Int): Long = if (cnts(k) == 0) 0L else sums(k) / cnts(k)
-          var lo = 0L
-          var hi = 0L
-          var k = 0
-          while (k < 64) {
-            if (m((k + 1) % 64) > m(k)) {
-              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
-            }
-            k += 1
-          }
+          val (lo, hi) = envelopeBits(d, 0, d.length)
           DHashRow(r.media_id, lo, hi)
         }
       }.toDF()
@@ -409,6 +420,94 @@ object Multimodal {
       rows.map(r => MediaRow(r.media_id,
         encodeWav(r.content.map(b => ((b & 0xff) * 9 / 10).toByte))))
     }.toDF()
+  }
+
+  /** Video table: each payload as an OPAQUE byte stream — the contract
+    * the multimodal design states for video (no codec in this
+    * container; the frame SLICING is the parse, [[frameSample]]'s
+    * shape). [[videoTableOf]] is the arbitrary-frame seam, like its
+    * image/audio siblings. */
+  def videoTable(spark: SparkSession, sfDir: String): DataFrame =
+    videoTableOf(Tables.documents(spark, sfDir))
+
+  def videoTableOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("content"))
+
+  /** The video re-crawl fixture, three regimes of the same
+    * doc_id % 4 = 1 slice:
+    *   - VERBATIM re-fetch (+1M ids) — every sampled frame identical;
+    *   - EDITED copy (+3M ids, one frame's bytes overwritten, docs long
+    *     enough to keep ≥ 2 untouched sampled frames) — the partial
+    *     match [[videoDedupPairs]]'s `minFrames` dial exists to catch;
+    *   - RE-CUT (+2M ids, bytes rotated left by one frame) — the same
+    *     material starting one frame later is a DIFFERENT cut, and
+    *     temporal alignment correctly refuses it (the video analog of
+    *     the audio side's "re-ordered clips are a different
+    *     recording").
+    * All pure byte edits on ASCII payloads, so DuckDB replays them as
+    * string surgery (the q_frame_sample precondition). */
+  def videoTwinTable(spark: SparkSession, sfDir: String,
+      frameBytes: Int): DataFrame = {
+    val slice = Tables.documents(spark, sfDir)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+    val verbatim = slice.select(
+      (col("doc_id") + lit(1000000L)).as("media_id"), col("content"))
+    val recut = slice
+      .where(length(col("content")) > frameBytes)
+      .select((col("doc_id") + lit(2000000L)).as("media_id"),
+        concat(expr(s"substring(content, ${frameBytes + 1})"),
+          expr(s"substring(content, 1, $frameBytes)")).as("content"))
+    val edited = slice
+      .where(length(col("content")) > 4 * frameBytes)
+      .select((col("doc_id") + lit(3000000L)).as("media_id"),
+        concat(expr(s"substring(content, 1, ${2 * frameBytes})"),
+          encode(lit("x" * frameBytes), "UTF-8"),
+          expr(s"substring(content, ${3 * frameBytes + 1})")).as("content"))
+    verbatim.unionByName(recut).unionByName(edited)
+  }
+
+  /** Video near-dup pairs via TEMPORALLY-ALIGNED exact frame
+    * fingerprints: every `every`-th `frameBytes` frame gets its md5
+    * ([[frameSample]]'s grid and digest), candidates join on
+    * (frame_idx, frame_md5) — the same frame bytes at the SAME
+    * position — and a video pair needs ≥ `minFrames` matching sampled
+    * frames. Alignment is the semantics (a re-cut is a different
+    * video); `minFrames` is the tolerance dial (an edited copy still
+    * matches on its untouched frames). Byte-exact md5 is the honest
+    * per-frame fingerprint for THIS container's opaque-byte video
+    * contract — with a real codec the per-frame digest becomes the
+    * decoded frame's dHash (the image leg), and nothing downstream of
+    * the fingerprint column changes. (A 64-window envelope hash was
+    * measured first and rejected: over 32-byte text frames each window
+    * holds ≤ 1 byte, the "envelope" degenerates to the byte up/down
+    * pattern, and 750 fixture videos produced 247k "pairs" — no
+    * discriminative power.) 100 TB shape: the sidecar is one 16-byte
+    * digest per sampled frame; the join key (frame_idx, md5) is
+    * self-verifying (no second corpus join, no false positives past
+    * md5), and the only corpus-scale exchange is the final (da, db)
+    * count, bounded by truly-matching frames. Output:
+    * (da, db, matched_frames). */
+  def videoDedupPairs(media: DataFrame, frameBytes: Int = 32,
+      every: Int = 2, minFrames: Int = 2): DataFrame = {
+    val nFrames = ceil(length(col("content")) / lit(frameBytes.toDouble))
+      .cast("int")
+    val frames = media
+      .select(col("media_id"), col("content"),
+        explode(sequence(lit(0), nFrames - 1)).as("frame_idx"))
+      .where(col("frame_idx") % every === 0)
+      .select(col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        md5(expr(s"substring(content, frame_idx * $frameBytes + 1, " +
+          s"$frameBytes)")).as("fm"))
+    frames.select(col("media_id").as("da"), col("frame_idx"), col("fm"))
+      .join(frames.select(col("media_id").as("db"), col("frame_idx"),
+        col("fm")), Seq("frame_idx", "fm"))
+      .where(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .where(col("matched_frames") >= minFrames)
   }
 
   /** Shared banded pair stage over a (media_id, h_lo, h_hi) fingerprint

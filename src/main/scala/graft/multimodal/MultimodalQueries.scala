@@ -254,7 +254,60 @@ object MultimodalQueries {
                  OR a.hi % 65536 = b.hi % 65536
                  OR a.hi // 65536 = b.hi // 65536)
               WHERE bit_count(xor(a.lo, b.lo))
-                  + bit_count(xor(a.hi, b.hi)) <= 6"""))
+                  + bit_count(xor(a.hi, b.hi)) <= 6""")),
+
+    // video near-dup pairs via TEMPORALLY-ALIGNED exact frame
+    // fingerprints (the third modality of the dedup family): payloads
+    // are opaque byte streams (the frameSample contract — no codec in
+    // this container, the slicing IS the parse), every 2nd 32-byte
+    // frame carries its md5, candidates join on (frame_idx, md5), and a
+    // video pair needs >= 2 matching sampled frames. The fixture
+    // carries all three regimes: a verbatim re-fetch (matches on every
+    // sampled frame), an EDITED copy (one frame overwritten — still
+    // caught through its untouched frames, the minFrames tolerance),
+    // and a RE-CUT (bytes rotated by one frame: same material,
+    // different cut — alignment correctly refuses it). Slicing,
+    // sampling, digests, alignment and the threshold are all replayed
+    // in DuckDB as ASCII string surgery (the q_frame_sample
+    // precondition).
+    Q("q_video_dedup",
+      (s, d) => Multimodal.videoDedupPairs(
+        Multimodal.videoTable(s, d)
+          .unionByName(Multimodal.videoTwinTable(s, d, frameBytes = 32)),
+        frameBytes = 32, every = 2, minFrames = 2),
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text
+                FROM documents WHERE doc_id % 4 = 1
+                UNION ALL
+                SELECT doc_id + 2000000,
+                       substring(text, 33) || substring(text, 1, 32)
+                FROM documents
+                WHERE doc_id % 4 = 1 AND octet_length(encode(text)) > 32
+                UNION ALL
+                SELECT doc_id + 3000000,
+                       substring(text, 1, 64) || repeat('x', 32)
+                         || substring(text, 97)
+                FROM documents
+                WHERE doc_id % 4 = 1 AND octet_length(encode(text)) > 128),
+              f AS (
+                SELECT media_id, text,
+                       unnest(range(0,
+                         CAST(ceil(octet_length(encode(text)) / 32.0)
+                           AS BIGINT))) AS frame_idx
+                FROM m),
+              sf AS (
+                SELECT media_id, frame_idx,
+                       md5(substring(text,
+                         CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS fm
+                FROM f WHERE frame_idx % 2 = 0)
+              SELECT a.media_id AS da, b.media_id AS db,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM sf a JOIN sf b
+                ON a.frame_idx = b.frame_idx AND a.fm = b.fm
+               AND a.media_id < b.media_id
+              GROUP BY 1, 2 HAVING count(*) >= 2"""))
   )
 
   /** The PNG dHash replay shared by the image pair oracles: callers

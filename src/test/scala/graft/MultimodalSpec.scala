@@ -272,4 +272,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expected,
       s"only-got=${got -- expected} only-expected=${expected -- got}")
   }
+
+  test("video dedup: verbatim matches all frames, edited copy pays exactly its one edited frame, re-cut refused") {
+    val media = Multimodal.videoTable(spark, sf0001)
+      .unionByName(Multimodal.videoTwinTable(spark, sf0001, frameBytes = 32))
+    val pairs = Multimodal.videoDedupPairs(media, frameBytes = 32,
+      every = 2, minFrames = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // verbatim twins: matched = the doc's full sampled frame count
+    val docs = graft.Tables.documents(spark, sf0001)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    def sampled(n: Int): Long =
+      (0 until math.max(1, math.ceil(n / 32.0).toInt)).count(_ % 2 == 0)
+        .toLong
+    val verbatimable = docs.filter { case (_, n) => sampled(n) >= 2 }
+    assert(verbatimable.nonEmpty)
+    verbatimable.foreach { case (d, n) =>
+      assert(byPair.get((d, d + 1000000L)).contains(sampled(n)),
+        s"doc $d (n=$n): verbatim twin must match all ${sampled(n)} " +
+          s"sampled frames, got ${byPair.get((d, d + 1000000L))}")
+    }
+    // edited twins: exactly one sampled frame (frame 2) was overwritten
+    val editable = docs.filter { case (_, n) => n > 128 }
+    assert(editable.nonEmpty)
+    editable.foreach { case (d, n) =>
+      assert(byPair.get((d, d + 3000000L)).contains(sampled(n) - 1),
+        s"doc $d (n=$n): edited twin must match ${sampled(n) - 1} frames")
+    }
+    // re-cut twins never pair with any UNROTATED copy of the material —
+    // temporal alignment is the contract (recut-vs-recut of duplicate
+    // docs may pair; that is the same material under the same rotation)
+    val recutVsUnrotated = pairs.filter(p =>
+      (p._2 >= 2000000L && p._2 < 3000000L) != // exactly one side recut
+        (p._1 >= 2000000L && p._1 < 3000000L))
+    assert(recutVsUnrotated.isEmpty,
+      s"re-cut copies must not align-match unrotated material: " +
+        s"${recutVsUnrotated.take(5).toSeq}")
+  }
 }
