@@ -491,9 +491,27 @@ object Multimodal {
     * (da, db, matched_frames). */
   def videoDedupPairs(media: DataFrame, frameBytes: Int = 32,
       every: Int = 2, minFrames: Int = 2): DataFrame = {
+    // exact-digest collapse (the r13 Dedup.digestCollapse idiom):
+    // byte-identical videos — what verbatim re-crawl replicas are —
+    // run the frame join ONCE per distinct content; matched_frames is
+    // a pure function of the two contents, so members rejoin by
+    // expansion: cross pairs inherit their reps' count, intra pairs
+    // (identical videos) match on ALL their sampled frames, a provable
+    // score that is generated, never computed. Without this the x10
+    // verbatim rehearsal regime pays the per-dup-group quadratic in
+    // the JOIN (measured 51.8x); with it the quadratic survives only
+    // as the answer's own rows.
+    val m = media.select(col("media_id"), col("content"),
+      md5(col("content")).as("dg")).localCheckpoint()
+    val repOf = m.groupBy(col("dg")).agg(min(col("media_id")).as("rep"))
+    val members = m.join(repOf, Seq("dg"))
+      .select(col("rep"), col("media_id").as("id"))
+    val reps = m.join(repOf, Seq("dg"))
+      .where(col("media_id") === col("rep"))
+      .select(col("media_id"), col("content"))
     val nFrames = ceil(length(col("content")) / lit(frameBytes.toDouble))
       .cast("int")
-    val frames = media
+    val frames = reps
       .select(col("media_id"), col("content"),
         explode(sequence(lit(0), nFrames - 1)).as("frame_idx"))
       .where(col("frame_idx") % every === 0)
@@ -501,13 +519,30 @@ object Multimodal {
         col("frame_idx").cast("long").as("frame_idx"),
         md5(expr(s"substring(content, frame_idx * $frameBytes + 1, " +
           s"$frameBytes)")).as("fm"))
-    frames.select(col("media_id").as("da"), col("frame_idx"), col("fm"))
+      .localCheckpoint()
+    val repPairs = frames
+      .select(col("media_id").as("da"), col("frame_idx"), col("fm"))
       .join(frames.select(col("media_id").as("db"), col("frame_idx"),
         col("fm")), Seq("frame_idx", "fm"))
       .where(col("da") < col("db"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("matched_frames"))
       .where(col("matched_frames") >= minFrames)
+    val cross = repPairs
+      .join(members.select(col("rep").as("da"), col("id").as("ia")), "da")
+      .join(members.select(col("rep").as("db"), col("id").as("ib")), "db")
+      .select(least(col("ia"), col("ib")).as("da"),
+        greatest(col("ia"), col("ib")).as("db"), col("matched_frames"))
+    val sampledCnt = frames.groupBy(col("media_id").as("rep"))
+      .agg(count(lit(1)).as("sc"))
+    val intra = members.select(col("rep"), col("id").as("ia"))
+      .join(members.select(col("rep"), col("id").as("ib")), Seq("rep"))
+      .where(col("ia") < col("ib"))
+      .join(sampledCnt, Seq("rep"))
+      .where(col("sc") >= minFrames)
+      .select(col("ia").as("da"), col("ib").as("db"),
+        col("sc").as("matched_frames"))
+    cross.unionByName(intra)
   }
 
   /** Shared banded pair stage over a (media_id, h_lo, h_hi) fingerprint

@@ -311,5 +311,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(recutVsUnrotated.isEmpty,
       s"re-cut copies must not align-match unrotated material: " +
         s"${recutVsUnrotated.take(5).toSeq}")
+    // dup-heavy expansion (the digest collapse's multi-member groups):
+    // a SECOND verbatim copy (+5M) makes 3-member identical groups —
+    // all three intra pairs must appear, each at the full sampled count
+    val media3 = media.unionByName(
+      Multimodal.videoTable(spark, sf0001)
+        .where(pmod(col("media_id"), lit(4L)) === 1L)
+        .select((col("media_id") + lit(5000000L)).as("media_id"),
+          col("content")))
+    val by3 = Multimodal.videoDedupPairs(media3, frameBytes = 32,
+      every = 2, minFrames = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    verbatimable.foreach { case (d, n) =>
+      val sc = sampled(n)
+      Seq((d, d + 1000000L), (d, d + 5000000L),
+        (d + 1000000L, d + 5000000L)).foreach { p =>
+        assert(by3.get(p).contains(sc),
+          s"3-member group of doc $d: pair $p must match all $sc frames")
+      }
+    }
   }
 }
