@@ -490,28 +490,17 @@ object Multimodal {
     * count, bounded by truly-matching frames. Output:
     * (da, db, matched_frames). */
   def videoDedupPairs(media: DataFrame, frameBytes: Int = 32,
-      every: Int = 2, minFrames: Int = 2): DataFrame = {
-    // exact-digest collapse (the r13 Dedup.digestCollapse idiom):
-    // byte-identical videos — what verbatim re-crawl replicas are —
-    // run the frame join ONCE per distinct content; matched_frames is
-    // a pure function of the two contents, so members rejoin by
-    // expansion: cross pairs inherit their reps' count, intra pairs
-    // (identical videos) match on ALL their sampled frames, a provable
-    // score that is generated, never computed. Without this the x10
-    // verbatim rehearsal regime pays the per-dup-group quadratic in
-    // the JOIN (measured 51.8x); with it the quadratic survives only
-    // as the answer's own rows.
-    val m = media.select(col("media_id"), col("content"),
-      md5(col("content")).as("dg")).localCheckpoint()
-    val repOf = m.groupBy(col("dg")).agg(min(col("media_id")).as("rep"))
-    val members = m.join(repOf, Seq("dg"))
-      .select(col("rep"), col("media_id").as("id"))
-    val reps = m.join(repOf, Seq("dg"))
-      .where(col("media_id") === col("rep"))
-      .select(col("media_id"), col("content"))
+      every: Int = 2, minFrames: Int = 2): DataFrame =
+    videoPairsFromFrames(videoFrames(media, frameBytes, every), minFrames)
+
+  /** The sampled-frame digest derivation — video's INGEST pass and the
+    * rows [[graft.sources.VideoIndex]] persists: (media_id, frame_idx,
+    * fm), one 16-byte digest per sampled frame, payloads read once. */
+  def videoFrames(media: DataFrame, frameBytes: Int = 32,
+      every: Int = 2): DataFrame = {
     val nFrames = ceil(length(col("content")) / lit(frameBytes.toDouble))
       .cast("int")
-    val frames = reps
+    media
       .select(col("media_id"), col("content"),
         explode(sequence(lit(0), nFrames - 1)).as("frame_idx"))
       .where(col("frame_idx") % every === 0)
@@ -519,10 +508,37 @@ object Multimodal {
         col("frame_idx").cast("long").as("frame_idx"),
         md5(expr(s"substring(content, frame_idx * $frameBytes + 1, " +
           s"$frameBytes)")).as("fm"))
+  }
+
+  /** The pair stage over a (media_id, frame_idx, fm) frame-digest
+    * frame — a pure function of it, so the stored index serves
+    * byte-identical answers. Exact-digest collapse (the r13
+    * Dedup.digestCollapse idiom), keyed on the SAMPLED-SEQUENCE digest:
+    * matched_frames is a pure function of the two sampled sequences, so
+    * videos with identical sequences — verbatim re-crawl replicas, and
+    * also videos differing only in unsampled frames — run the frame
+    * join ONCE per distinct sequence and rejoin by expansion: cross
+    * pairs inherit their reps' count, intra pairs match on ALL their
+    * sampled frames, a provable score that is generated, never
+    * computed. Without this the ×10 verbatim rehearsal regime pays the
+    * per-dup-group quadratic in the JOIN (measured 51.8×); with it the
+    * quadratic survives only as the answer's own rows. */
+  def videoPairsFromFrames(framesIn: DataFrame,
+      minFrames: Int = 2): DataFrame = {
+    val f = framesIn.select(col("media_id"), col("frame_idx"), col("fm"))
       .localCheckpoint()
-    val repPairs = frames
+    val vdg = f.groupBy(col("media_id"))
+      .agg(md5(concat_ws(";", sort_array(collect_list(
+        concat_ws(":", col("frame_idx"), col("fm")))))).as("dg"),
+        count(lit(1)).as("sc"))
+    val repOf = vdg.groupBy(col("dg")).agg(min(col("media_id")).as("rep"))
+    val members = vdg.join(repOf, Seq("dg"))
+      .select(col("rep"), col("media_id").as("id"), col("sc"))
+    val repFrames = f.join(
+      repOf.select(col("rep").as("media_id")), Seq("media_id"))
+    val repPairs = repFrames
       .select(col("media_id").as("da"), col("frame_idx"), col("fm"))
-      .join(frames.select(col("media_id").as("db"), col("frame_idx"),
+      .join(repFrames.select(col("media_id").as("db"), col("frame_idx"),
         col("fm")), Seq("frame_idx", "fm"))
       .where(col("da") < col("db"))
       .groupBy(col("da"), col("db"))
@@ -533,12 +549,9 @@ object Multimodal {
       .join(members.select(col("rep").as("db"), col("id").as("ib")), "db")
       .select(least(col("ia"), col("ib")).as("da"),
         greatest(col("ia"), col("ib")).as("db"), col("matched_frames"))
-    val sampledCnt = frames.groupBy(col("media_id").as("rep"))
-      .agg(count(lit(1)).as("sc"))
-    val intra = members.select(col("rep"), col("id").as("ia"))
+    val intra = members.select(col("rep"), col("id").as("ia"), col("sc"))
       .join(members.select(col("rep"), col("id").as("ib")), Seq("rep"))
       .where(col("ia") < col("ib"))
-      .join(sampledCnt, Seq("rep"))
       .where(col("sc") >= minFrames)
       .select(col("ia").as("da"), col("ib").as("db"),
         col("sc").as("matched_frames"))

@@ -275,7 +275,40 @@ object MultimodalQueries {
         Multimodal.videoTable(s, d)
           .unionByName(Multimodal.videoTwinTable(s, d, frameBytes = 32)),
         frameBytes = 32, every = 2, minFrames = 2),
-      Some("""WITH m AS (
+      Some(videoFramesCte +
+        """SELECT a.media_id AS da, b.media_id AS db,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM sf a JOIN sf b
+                ON a.frame_idx = b.frame_idx AND a.fm = b.fm
+               AND a.media_id < b.media_id
+              GROUP BY 1, 2 HAVING count(*) >= 2""")),
+
+    // the crawl-admission shape for video: the three-regime twin batch
+    // arrives FRESH and its frame digests join the corpus-ONLY stored
+    // table on (frame_idx, fm) — batch broadcast, stored side map-side,
+    // md5 equality IS the frame match (no verify join), one
+    // match-bounded exchange. Oracle = the shared replay restricted to
+    // CROSS pairs.
+    Q("q_video_dedup_against",
+      (s, d) => graft.sources.VideoIndex.pairsAgainst(s,
+        graft.sources.VideoIndex.ensureBuiltVideoCorpus(s, d),
+        Multimodal.videoFrames(
+          Multimodal.videoTwinTable(s, d, frameBytes = 32)),
+        minFrames = 2),
+      Some(videoFramesCte +
+        """SELECT b.media_id AS fid, a.media_id AS cid,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM sf a JOIN sf b
+                ON a.frame_idx = b.frame_idx AND a.fm = b.fm
+               AND a.media_id < 1000000 AND b.media_id >= 1000000
+              GROUP BY 1, 2 HAVING count(*) >= 2"""))
+  )
+
+  /** The frame-digest replay shared by the video pair oracles: corpus ∪
+    * the three-regime twin slice (verbatim +1M, re-cut +2M, edited
+    * +3M), 32-byte frames, every 2nd sampled, md5 per frame in `sf`.
+    * Callers append the final aligned-join SELECT. */
+  private def videoFramesCte: String = """WITH m AS (
                 SELECT doc_id AS media_id, text FROM documents
                 UNION ALL
                 SELECT doc_id + 1000000, text
@@ -302,13 +335,7 @@ object MultimodalQueries {
                        md5(substring(text,
                          CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS fm
                 FROM f WHERE frame_idx % 2 = 0)
-              SELECT a.media_id AS da, b.media_id AS db,
-                     CAST(count(*) AS BIGINT) AS matched_frames
-              FROM sf a JOIN sf b
-                ON a.frame_idx = b.frame_idx AND a.fm = b.fm
-               AND a.media_id < b.media_id
-              GROUP BY 1, 2 HAVING count(*) >= 2"""))
-  )
+              """
 
   /** The PNG dHash replay shared by the image pair oracles: callers
     * supply the `m` payload table (corpus, or corpus ∪ a shifted-id
@@ -437,7 +464,16 @@ object MultimodalQueries {
     Q("q_audio_dedup_stored",
       (s, d) => graft.sources.MediaIndex.pairs(s,
         graft.sources.MediaIndex.ensureBuiltAudio(s, d), maxDist = 6),
-      live.find(_.name == "q_audio_dedup").get.oracle))
+      live.find(_.name == "q_audio_dedup").get.oracle),
+    // the SAME video pairs served from the PERSISTED frame-digest table
+    // (graft.sources.VideoIndex — the fifth stored family): the payload
+    // pass runs once at build, the query reads 16-byte digests; the
+    // pair stage is a pure function of the stored rows, so the oracle
+    // is the live replay VERBATIM.
+    Q("q_video_dedup_stored",
+      (s, d) => graft.sources.VideoIndex.pairs(s,
+        graft.sources.VideoIndex.ensureBuiltVideo(s, d), minFrames = 2),
+      live.find(_.name == "q_video_dedup").get.oracle))
 
   /** The PNG decode-features replay (hex-derived byte math over the
     * encoded payload + zero padding to the raster size); `extraCols`

@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** PERSISTED video frame-digest index — the fifth stored family
+  * ([[IvfIndex]] vectors, [[TextIndex]] lexical, [[DedupIndex]] text
+  * near-dup, [[MediaIndex]] image/audio fingerprints). Stores one
+  * 16-byte md5 per SAMPLED frame:
+  *
+  *   - `<name>_vf` (media_id, frame_idx, fm): the
+  *     [[Multimodal.videoFrames]] derivation persisted at ingest,
+  *     bucketed by media_id so [[remove]]'s anti-join and
+  *     [[Compact.compactTable]] ride the standard one-bucket-per-task
+  *     rewrite (the [[MediaIndex]] layout with the frame dimension
+  *     added).
+  *
+  * Serving ([[pairs]]) runs [[Multimodal.videoPairsFromFrames]] — a
+  * pure function of the stored rows, so answers are byte-identical to
+  * the live derivation while payloads are never re-read. At 100 TB of
+  * video the sidecar is 16 bytes per sampled frame vs the frames
+  * themselves; the incremental gate ([[pairsAgainst]]) broadcasts a
+  * crawl batch's digests and streams the stored table map-side, the
+  * [[MediaIndex.pairsAgainst]] plan with (frame_idx, fm) as the
+  * self-verifying join key (no Hamming verify needed — md5 equality IS
+  * the frame match). Lifecycle mirrors the siblings: [[build]] /
+  * [[append]] / [[compact]] / [[maintain]] / [[remove]] /
+  * [[graft.streaming.Streams.streamVideoDedupIngest]]. */
+object VideoIndex {
+
+  /** Write the frame-digest table. `frames` is (media_id, frame_idx,
+    * fm) from [[Multimodal.videoFrames]] — the payload pass runs HERE,
+    * once. */
+  def build(spark: SparkSession, frames: DataFrame, name: String,
+      buckets: Int = 16,
+      basePath: String = IvfIndex.defaultBase): Unit =
+    frames.select(col("media_id"), col("frame_idx"), col("fm"))
+      .repartition(col("media_id")) // 1 file/bucket (IvfIndex recipe)
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$basePath/${name}_vf")
+      .bucketBy(buckets, "media_id").sortBy("media_id", "frame_idx")
+      .saveAsTable(s"${name}_vf")
+
+  /** Ingest a fresh batch's frame digests: |batch| payload reads
+    * upstream, one bucket-aligned insert here. */
+  def append(spark: SparkSession, name: String, frames: DataFrame): Unit =
+    frames.select(col("media_id"), col("frame_idx"), col("fm"))
+      .write.mode("append").insertInto(s"${name}_vf")
+
+  /** Video near-dup pairs from the STORED digests — byte-identical to
+    * the live [[Multimodal.videoDedupPairs]] over the same corpus. */
+  def pairs(spark: SparkSession, name: String,
+      minFrames: Int = 2): DataFrame =
+    Multimodal.videoPairsFromFrames(spark.table(s"${name}_vf"), minFrames)
+
+  /** INCREMENTAL check — the crawl-admission shape: a fresh batch's
+    * frame digests band against the STORED corpus only, returning CROSS
+    * matches (fid, cid, matched_frames). The batch rides a BROADCAST,
+    * the stored table streams map-side through the (frame_idx, fm)
+    * equi-join — md5 equality is the frame match, so there is no
+    * verify join — and the one exchange is the (fid, cid) count,
+    * bounded by truly-matching frames. */
+  def pairsAgainst(spark: SparkSession, name: String,
+      freshFrames: DataFrame, minFrames: Int = 2): DataFrame =
+    pairsAgainstFrames(spark.table(s"${name}_vf"), freshFrames, minFrames)
+
+  /** [[pairsAgainst]] over an explicit stored frame — the recompute
+    * twin's seam ([[MediaIndex.pairsAgainstFp]] discipline). */
+  def pairsAgainstFrames(stored: DataFrame, freshFrames: DataFrame,
+      minFrames: Int = 2): DataFrame = {
+    val fB = broadcast(freshFrames
+      .select(col("media_id").as("fid"), col("frame_idx"), col("fm"))
+      .localCheckpoint())
+    stored.select(col("media_id").as("cid"), col("frame_idx"), col("fm"))
+      .join(fB, Seq("frame_idx", "fm"))
+      .groupBy(col("fid"), col("cid"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .where(col("matched_frames") >= minFrames)
+  }
+
+  /** Admit the fresh frames whose video has NO stored near-dup — the
+    * crawl gate ([[DedupIndex.dedupAgainst]]'s contract). Feed the
+    * admitted rows to [[append]]; the next batch gates against
+    * corpus ∪ batch. */
+  def dedupAgainst(spark: SparkSession, name: String,
+      freshFrames: DataFrame, minFrames: Int = 2): DataFrame =
+    freshFrames.join(
+      pairsAgainst(spark, name, freshFrames, minFrames)
+        .select(col("fid").as("media_id")).distinct(),
+      Seq("media_id"), "left_anti")
+
+  /** Maintenance: one-file-per-bucket rewrite ([[Compact.compactTable]]
+    * contract). */
+  def compact(spark: SparkSession, name: String): Map[String, (Long, Long)] =
+    Map(s"${name}_vf" -> Compact.compactTable(spark, s"${name}_vf"))
+
+  /** Scheduled maintenance: compact when fragmented, else no-op. */
+  def maintain(spark: SparkSession, name: String,
+      maxFilesPerBucket: Double = 4.0): Map[String, (Long, Long)] =
+    Compact.maintainTables(spark, Seq(s"${name}_vf"), maxFilesPerBucket)
+
+  /** DELETE videos from the index (takedowns, erasure): removed items
+    * stop pairing with future re-crawls. */
+  def remove(spark: SparkSession, name: String, ids: DataFrame,
+      idCol: String = "media_id"): Map[String, (Long, Long)] = {
+    val rid = broadcast(ids.select(col(idCol).cast("long").as("__rid"))
+      .distinct().localCheckpoint())
+    Map(s"${name}_vf" -> Compact.compactTable(spark, s"${name}_vf",
+      transform = df => df.join(rid, df("media_id") === rid("__rid"),
+        "left_anti")))
+  }
+
+  /** Memoized builds over the fixture corpora ([[MediaIndex]]'s memo
+    * discipline): full = corpus ∪ the three-regime twin table (matching
+    * q_video_dedup's live input), corpus-only = the stored side of the
+    * crawl-admission query. */
+  private val built = scala.collection.concurrent.TrieMap.empty[
+    (String, String, String), String]
+
+  private def corpusFp(spark: SparkSession, sfDir: String): String = {
+    val r = graft.Tables.documents(spark, sfDir)
+      .agg(count(lit(1)), max(col("doc_id")), sum(col("n_chars"))).head()
+    s"${r.get(0)}|${r.get(1)}|${r.get(2)}"
+  }
+
+  def ensureBuiltVideo(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "video"), {
+      val name = s"graft_media_vid_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark, Multimodal.videoFrames(
+        Multimodal.videoTable(spark, sfDir).unionByName(
+          Multimodal.videoTwinTable(spark, sfDir, frameBytes = 32))), name)
+      name
+    })
+  }
+
+  def ensureBuiltVideoCorpus(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "video_corpus"), {
+      val name = s"graft_media_vidc_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark,
+        Multimodal.videoFrames(Multimodal.videoTable(spark, sfDir)), name)
+      name
+    })
+  }
+}

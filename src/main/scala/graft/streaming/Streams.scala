@@ -615,6 +615,38 @@ object Streams {
     spark.catalog.refreshTable(s"${indexName}_fp")
   }
 
+  /** [[streamMediaDedupIngest]]'s VIDEO twin — the crawl-admission
+    * loop for the frame-digest family: each micro-batch derives its
+    * sampled frame digests, gates through [[graft.sources.VideoIndex
+    * .dedupAgainst]] (temporally-aligned cross match against the STORED
+    * frames — the corpus is never re-read), and appends ONLY the
+    * admitted rows. Same per-batch refresh + materialize-before-append
+    * discipline as the siblings. */
+  def streamVideoDedupIngest(spark: SparkSession, sfDir: String,
+      indexName: String, pred: Column, minFrames: Int = 2,
+      checkpoint: Option[String] = None): Unit = {
+    val s = tuned(spark)
+    val fresh = documentsStream(s, sfDir).where(pred)
+    val q = fresh.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val bs = batch.sparkSession
+        bs.catalog.refreshTable(s"${indexName}_vf")
+        val frames = graft.multimodal.Multimodal.videoFrames(
+          graft.multimodal.Multimodal.videoTableOf(batch))
+        val admitted = graft.sources.VideoIndex.dedupAgainst(
+          bs, indexName, frames, minFrames).localCheckpoint()
+        graft.sources.VideoIndex.append(bs, indexName, admitted)
+      }
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_videodedup_ckpt")
+          .toString))
+      .start()
+    q.awaitTermination()
+    spark.catalog.refreshTable(s"${indexName}_vf")
+  }
+
   /** Streaming DEDUP-GATED ingest — the full crawl-admission loop at
     * stream time: each documents micro-batch is near-dup-checked
     * against the STORED band/shingle postings

@@ -255,4 +255,43 @@ class StreamSmokeSpec extends AnyFunSuite {
     assert(!ids.contains(900002L),
       s"the verbatim twin must be rejected against batch 1's append, got ids: $ids")
   }
+
+  test("stream video dedup gate: a verbatim re-crawl is refused against a prior batch's frames") {
+    // batch 1 admits a video's frame digests; batch 2 carries the
+    // byte-identical payload under a new id — every aligned sampled
+    // frame matches batch 1's STORED digests, so the gate refuses it —
+    // while batch 2's genuinely fresh payload is admitted.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_videodedup_src").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+    val tA = ("alpha beta gamma delta epsilon zeta eta theta " * 3).trim
+    write(Seq((920011L, tA)))
+    Thread.sleep(1100)
+    write(Seq((920012L, tA),
+      (920013L, ("one two three four five six seven eight " * 3).trim)))
+    val corpus = Seq(
+      (1L, ("lorem ipsum dolor sit amet consectetur adipiscing " * 3).trim))
+      .toDF("doc_id", "text")
+    graft.sources.VideoIndex.build(spark,
+      graft.multimodal.Multimodal.videoFrames(
+        graft.multimodal.Multimodal.videoTableOf(corpus)),
+      "graft_videodedup_gate")
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    try graft.streaming.Streams.streamVideoDedupIngest(spark, dir,
+      "graft_videodedup_gate", lit(true))
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val ids = spark.table("graft_videodedup_gate_vf")
+      .select(col("media_id")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.contains(920011L), "batch-1 payload must be admitted")
+    assert(ids.contains(920013L),
+      "batch-2's genuinely fresh payload must be admitted")
+    assert(!ids.contains(920012L),
+      s"the verbatim twin must be refused against batch 1's append: $ids")
+  }
 }
