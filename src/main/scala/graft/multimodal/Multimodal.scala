@@ -558,6 +558,98 @@ object Multimodal {
     cross.unionByName(intra)
   }
 
+  /** The clip-twin fixture for [[videoClipDetect]]: the doc_id % 4 = 1
+    * slice rotated left by TWO frames (+4M ids) — the same material
+    * starting one SAMPLED position later. [[videoDedupPairs]]'s aligned
+    * join refuses it; the shift-tolerant detector finds it at a
+    * consistent shift of +2. Docs longer than 4 frames only (shorter
+    * ones can't overlap on ≥ 2 sampled frames). */
+  def videoClipTwinTable(spark: SparkSession, sfDir: String,
+      frameBytes: Int): DataFrame =
+    Tables.documents(spark, sfDir)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .where(length(col("content")) > 4 * frameBytes)
+      .select((col("doc_id") + lit(4000000L)).as("media_id"),
+        concat(expr(s"substring(content, ${2 * frameBytes + 1})"),
+          expr(s"substring(content, 1, ${2 * frameBytes})")).as("content"))
+
+  /** SHIFT-TOLERANT video copy detection — [[videoDedupPairs]]'s
+    * complement: two videos share a CLIP when ≥ `minFrames` sampled
+    * frames carry identical bytes at a CONSISTENT temporal offset
+    * (frame_idx_a − frame_idx_b constant), the standard frame-hash
+    * copy-detection shape. The aligned dedup is this at shift 0; a
+    * re-cut of the same material surfaces here at its shift instead of
+    * being (correctly) refused there. Detection granularity is the
+    * sampling stride: only shifts that are multiples of
+    * every·frameBytes can align sampled frames — the dial a production
+    * probe batch sets to every=1. Join on the digest alone, group by
+    * (pair, shift): at 100 TB each digest bucket holds the few frames
+    * sharing those exact bytes, the shift grouping is map-side
+    * partial-agged, and verbatim replica mass is collapsed exactly as
+    * in [[videoPairsFromFrames]] (shift is antisymmetric, so expansion
+    * flips its sign when member reordering swaps the pair). Output:
+    * (da, db, shift, matched_frames). */
+  def videoClipDetect(media: DataFrame, frameBytes: Int = 32,
+      every: Int = 2, minFrames: Int = 2): DataFrame =
+    clipPairsFromFrames(videoFrames(media, frameBytes, every), minFrames)
+
+  /** The clip stage over a (media_id, frame_idx, fm) frame — pure
+    * function of it (the [[videoPairsFromFrames]] contract, so the
+    * stored [[graft.sources.VideoIndex]] rows serve it unchanged). */
+  def clipPairsFromFrames(framesIn: DataFrame,
+      minFrames: Int = 2): DataFrame = {
+    val f = framesIn.select(col("media_id"), col("frame_idx"), col("fm"))
+      .localCheckpoint()
+    val vdg = f.groupBy(col("media_id"))
+      .agg(md5(concat_ws(";", sort_array(collect_list(
+        concat_ws(":", col("frame_idx"), col("fm")))))).as("dg"),
+        count(lit(1)).as("sc"))
+    val repOf = vdg.groupBy(col("dg")).agg(min(col("media_id")).as("rep"))
+    val members = vdg.join(repOf, Seq("dg"))
+      .select(col("rep"), col("media_id").as("id"), col("sc"))
+    val repFrames = f.join(
+      repOf.select(col("rep").as("media_id")), Seq("media_id"))
+    val repPairs = repFrames
+      .select(col("media_id").as("da"), col("frame_idx").as("fa"),
+        col("fm"))
+      .join(repFrames.select(col("media_id").as("db"),
+        col("frame_idx").as("fb"), col("fm")), Seq("fm"))
+      .where(col("da") < col("db"))
+      .groupBy(col("da"), col("db"), (col("fa") - col("fb")).as("shift"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .where(col("matched_frames") >= minFrames)
+    val cross = repPairs
+      .join(members.select(col("rep").as("da"), col("id").as("ia")), "da")
+      .join(members.select(col("rep").as("db"), col("id").as("ib")), "db")
+      .select(least(col("ia"), col("ib")).as("da"),
+        greatest(col("ia"), col("ib")).as("db"),
+        // shift is f_first − f_second: negate when the member
+        // reordering swaps which side comes first
+        when(col("ia") < col("ib"), col("shift"))
+          .otherwise(-col("shift")).as("shift"),
+        col("matched_frames"))
+    // intra pairs (identical sampled sequences) match at EVERY shift of
+    // the sequence's SELF-correlation, not just 0 — periodic content
+    // overlaps itself at its period. One self-join per rep generates
+    // the full shift histogram each member pair inherits.
+    val selfCorr = repFrames
+      .select(col("media_id").as("rep"), col("frame_idx").as("fa"),
+        col("fm"))
+      .join(repFrames.select(col("media_id").as("rep"),
+        col("frame_idx").as("fb"), col("fm")), Seq("rep", "fm"))
+      .groupBy(col("rep"), (col("fa") - col("fb")).as("shift"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .where(col("matched_frames") >= minFrames)
+    val intra = members.select(col("rep"), col("id").as("ia"))
+      .join(members.select(col("rep"), col("id").as("ib")), Seq("rep"))
+      .where(col("ia") < col("ib"))
+      .join(selfCorr, Seq("rep"))
+      .select(col("ia").as("da"), col("ib").as("db"), col("shift"),
+        col("matched_frames"))
+    cross.unionByName(intra)
+  }
+
   /** Shared banded pair stage over a (media_id, h_lo, h_hi) fingerprint
     * frame: 4×16-bit band equi-join candidates, exact Hamming verify —
     * see [[imageDedupPairs]]'s scaladoc for the recall and 100 TB

@@ -283,6 +283,45 @@ object MultimodalQueries {
                AND a.media_id < b.media_id
               GROUP BY 1, 2 HAVING count(*) >= 2""")),
 
+    // SHIFT-TOLERANT video copy detection — q_video_dedup's complement:
+    // a clip relation is >= 2 identical sampled frames at a CONSISTENT
+    // temporal offset, so a re-cut of the same material (rotated by TWO
+    // frames = one sampled stride, the +4M twin) surfaces HERE at
+    // shift 2 while the aligned dedup correctly refuses it. The oracle
+    // replays the whole thing — frames, digests, the digest-only join,
+    // the shift grouping and the threshold — against DuckDB, including
+    // the self-correlation shifts of identical videos that the
+    // engine-side digest collapse must re-generate exactly.
+    Q("q_video_clip_detect",
+      (s, d) => Multimodal.videoClipDetect(
+        Multimodal.videoTable(s, d).unionByName(
+          Multimodal.videoClipTwinTable(s, d, frameBytes = 32)),
+        frameBytes = 32, every = 2, minFrames = 2),
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 4000000,
+                       substring(text, 65) || substring(text, 1, 64)
+                FROM documents
+                WHERE doc_id % 4 = 1 AND octet_length(encode(text)) > 128),
+              f AS (
+                SELECT media_id, text,
+                       unnest(range(0,
+                         CAST(ceil(octet_length(encode(text)) / 32.0)
+                           AS BIGINT))) AS frame_idx
+                FROM m),
+              sf AS (
+                SELECT media_id, frame_idx,
+                       md5(substring(text,
+                         CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS fm
+                FROM f WHERE frame_idx % 2 = 0)
+              SELECT a.media_id AS da, b.media_id AS db,
+                     CAST(a.frame_idx - b.frame_idx AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM sf a JOIN sf b
+                ON a.fm = b.fm AND a.media_id < b.media_id
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
     // the crawl-admission shape for video: the three-regime twin batch
     // arrives FRESH and its frame digests join the corpus-ONLY stored
     // table on (frame_idx, fm) — batch broadcast, stored side map-side,

@@ -331,4 +331,26 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("clip detect finds a one-stride re-cut at shift 2; aligned dedup refuses it") {
+    val media = Multimodal.videoTable(spark, sf0001).unionByName(
+      Multimodal.videoClipTwinTable(spark, sf0001, frameBytes = 32))
+    val clips = Multimodal.videoClipDetect(media, frameBytes = 32,
+      every = 2, minFrames = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every clip twin is found against its own original, always at the
+    // consistent shift of +2 sampled frames (original leads the re-cut)
+    val twinPairs = clips.filter(p => p._2 == p._1 + 4000000L)
+    assert(twinPairs.nonEmpty)
+    twinPairs.foreach { p =>
+      assert(p._3 == 2L && p._4 >= 2L,
+        s"clip twin must surface at shift 2 with >= 2 frames: $p")
+    }
+    // the aligned dedup refuses exactly these pairs — complementarity
+    val aligned = Multimodal.videoDedupPairs(media, frameBytes = 32,
+      every = 2, minFrames = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!aligned.exists(p => p._2 == p._1 + 4000000L),
+      "a one-stride re-cut must not align-match its original")
+  }
 }
