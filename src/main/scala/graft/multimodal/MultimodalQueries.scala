@@ -512,7 +512,15 @@ object MultimodalQueries {
     Q("q_video_dedup_stored",
       (s, d) => graft.sources.VideoIndex.pairs(s,
         graft.sources.VideoIndex.ensureBuiltVideo(s, d), minFrames = 2),
-      live.find(_.name == "q_video_dedup").get.oracle))
+      live.find(_.name == "q_video_dedup").get.oracle),
+    // the shift-tolerant detector served from the SAME stored layout —
+    // clipPairsFromFrames is a pure function of the _vf rows, so one
+    // artifact answers both video operators; live oracle verbatim.
+    Q("q_video_clip_detect_stored",
+      (s, d) => Multimodal.clipPairsFromFrames(
+        s.table(s"${graft.sources.VideoIndex.ensureBuiltVideoClip(s, d)}_vf"),
+        minFrames = 2),
+      live.find(_.name == "q_video_clip_detect").get.oracle))
 
   /** The PNG decode-features replay (hex-derived byte math over the
     * encoded payload + zero padding to the raster size); `extraCols`

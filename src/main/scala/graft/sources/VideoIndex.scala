@@ -136,6 +136,22 @@ object VideoIndex {
     })
   }
 
+  /** Corpus ∪ the clip twin (matching q_video_clip_detect's live
+    * input) — the same stored layout serves BOTH video operators:
+    * [[pairs]] (aligned dedup) and [[Multimodal.clipPairsFromFrames]]
+    * (shift-tolerant) are each pure functions of the `_vf` rows. */
+  def ensureBuiltVideoClip(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "video_clip"), {
+      val name = s"graft_media_vidk_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark, Multimodal.videoFrames(
+        Multimodal.videoTable(spark, sfDir).unionByName(
+          Multimodal.videoClipTwinTable(spark, sfDir, frameBytes = 32))),
+        name)
+      name
+    })
+  }
+
   def ensureBuiltVideoCorpus(spark: SparkSession, sfDir: String): String = {
     val fp = corpusFp(spark, sfDir)
     built.getOrElseUpdate((sfDir, fp, "video_corpus"), {
