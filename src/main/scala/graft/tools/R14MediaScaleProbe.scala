@@ -53,8 +53,16 @@ object R14MediaScaleProbe {
         .where(pmod(col("doc_id"), lit(4L)) === 1L)
         .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // video re-crawl: the same slice verbatim under shifted ids — the
+    // fifth family's frame-level gate (5–10 frame rows per item)
+    val freshVideo = Multimodal.videoFrames(Multimodal.videoTableOf(
+      graft.Tables.documents(spark, sfDir)
+        .where(pmod(col("doc_id"), lit(4L)) === 1L)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     println(s"fresh audio fp: ${freshAudio.count()}  " +
-      s"fresh image fp: ${freshImage.count()}")
+      s"fresh image fp: ${freshImage.count()}  " +
+      s"fresh video frames: ${freshVideo.count()}")
 
     def time[T](body: => T): (Double, T) = {
       val t0 = System.nanoTime()
@@ -95,6 +103,25 @@ object R14MediaScaleProbe {
         Multimodal.audioDHash(Multimodal.audioTable(spark, dir)))
       if (modes("image")) arm("image", freshImage,
         Multimodal.imageDHash(Multimodal.imageTable(spark, dir)))
+      if (modes("video")) {
+        def corpusFrames = Multimodal.videoFrames(
+          Multimodal.videoTable(spark, dir))
+        val name = s"graft_media_r14scale_video_$label"
+        val (ingest, _) =
+          time(graft.sources.VideoIndex.build(spark, corpusFrames, name))
+        var rows = 0L
+        val serves = (1 to 3).map { _ =>
+          time(graft.sources.VideoIndex
+            .pairsAgainst(spark, name, freshVideo).count()) match {
+            case (t, n) => rows = n; t
+          }
+        }
+        val (recompute, rrows) = time(graft.sources.VideoIndex
+          .pairsAgainstFrames(corpusFrames, freshVideo).count())
+        println(f"R14MEDIA video $label%-6s ingest=${ingest}%8.2f s  " +
+          f"serve=${serves.min}%6.2f s (min3, rows=$rows)  " +
+          f"recompute=${recompute}%8.2f s (rows=$rrows)")
+      }
     }
     spark.stop()
   }
