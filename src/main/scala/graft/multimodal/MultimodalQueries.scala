@@ -322,6 +322,44 @@ object MultimodalQueries {
                 ON a.fm = b.fm AND a.media_id < b.media_id
               GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
 
+    // the SHIFT-TOLERANT crawl gate — the one a training-data crawler
+    // actually wants: a re-cut of stored material IS duplicate data,
+    // and the aligned gate (q_video_dedup_against) admits it by design.
+    // The one-stride-rotated twin batch matches the corpus-only stored
+    // frames here at shift 2; oracle = the clip replay restricted to
+    // cross pairs, shift = stored frame − fresh frame.
+    Q("q_video_clip_against",
+      (s, d) => graft.sources.VideoIndex.clipAgainst(s,
+        graft.sources.VideoIndex.ensureBuiltVideoCorpus(s, d),
+        Multimodal.videoFrames(
+          Multimodal.videoClipTwinTable(s, d, frameBytes = 32)),
+        minFrames = 2),
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 4000000,
+                       substring(text, 65) || substring(text, 1, 64)
+                FROM documents
+                WHERE doc_id % 4 = 1 AND octet_length(encode(text)) > 128),
+              f AS (
+                SELECT media_id, text,
+                       unnest(range(0,
+                         CAST(ceil(octet_length(encode(text)) / 32.0)
+                           AS BIGINT))) AS frame_idx
+                FROM m),
+              sf AS (
+                SELECT media_id, frame_idx,
+                       md5(substring(text,
+                         CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS fm
+                FROM f WHERE frame_idx % 2 = 0)
+              SELECT b.media_id AS fid, a.media_id AS cid,
+                     CAST(a.frame_idx - b.frame_idx AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM sf a JOIN sf b
+                ON a.fm = b.fm
+               AND a.media_id < 1000000 AND b.media_id >= 1000000
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
     // the crawl-admission shape for video: the three-regime twin batch
     // arrives FRESH and its frame digests join the corpus-ONLY stored
     // table on (frame_idx, fm) — batch broadcast, stored side map-side,

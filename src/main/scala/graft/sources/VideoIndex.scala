@@ -80,6 +80,30 @@ object VideoIndex {
       .where(col("matched_frames") >= minFrames)
   }
 
+  /** SHIFT-TOLERANT incremental check — [[pairsAgainst]] with the
+    * [[Multimodal.videoClipDetect]] relation: a fresh video matches a
+    * stored one when ≥ `minFrames` sampled frames carry identical bytes
+    * at a CONSISTENT offset. This is the gate a training-data crawler
+    * actually wants — a re-cut of stored material IS duplicate data,
+    * and the aligned gate admits it by design. Same plan shape: batch
+    * broadcast, stored side map-side on the digest key, the shift
+    * grouping rides the same match-bounded exchange. Output:
+    * (fid, cid, shift, matched_frames), shift = stored − fresh. */
+  def clipAgainst(spark: SparkSession, name: String,
+      freshFrames: DataFrame, minFrames: Int = 2): DataFrame = {
+    val fB = broadcast(freshFrames
+      .select(col("media_id").as("fid"), col("frame_idx").as("ff"),
+        col("fm"))
+      .localCheckpoint())
+    spark.table(s"${name}_vf")
+      .select(col("media_id").as("cid"), col("frame_idx").as("cf"),
+        col("fm"))
+      .join(fB, Seq("fm"))
+      .groupBy(col("fid"), col("cid"), (col("cf") - col("ff")).as("shift"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .where(col("matched_frames") >= minFrames)
+  }
+
   /** Admit the fresh frames whose video has NO stored near-dup — the
     * crawl gate ([[DedupIndex.dedupAgainst]]'s contract). Feed the
     * admitted rows to [[append]]; the next batch gates against

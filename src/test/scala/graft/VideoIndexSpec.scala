@@ -90,6 +90,46 @@ class VideoIndexSpec extends AnyFunSuite {
       "re-cut copies must be admitted (alignment refused them)")
   }
 
+  test("a re-cut slips the aligned gate but not the shift-tolerant clip gate") {
+    val corpus = Multimodal.videoTable(spark, sf0001)
+    VideoIndex.build(spark, Multimodal.videoFrames(corpus),
+      "graft_video_spec_clip")
+    val recuts = Multimodal.videoFrames(
+      Multimodal.videoClipTwinTable(spark, sf0001, frameBytes = 32))
+      .localCheckpoint()
+    // aligned gate: one-stride rotations never align — all admitted
+    val aligned = VideoIndex.pairsAgainst(spark, "graft_video_spec_clip",
+      recuts)
+    assert(aligned.count() == 0L,
+      "the aligned gate admits re-cuts by design")
+    // clip gate: every re-cut caught against its original at shift 2
+    val clips = VideoIndex.clipAgainst(spark, "graft_video_spec_clip",
+      recuts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val own = clips.filter(p => p._1 == p._2 + 4000000L)
+    assert(own.nonEmpty && own.forall(p => p._3 == 2L && p._4 >= 2L),
+      s"every re-cut must surface at shift 2: ${clips.take(5).toSeq}")
+    // a re-cut overlaps its original on sampled frame f iff original
+    // frame f+2 is full and pre-wrap: 96 + 32f <= n. Two sampled
+    // overlaps (f = 0, 2) therefore need n >= 160; shorter docs
+    // genuinely share < minFrames frames with their original — the
+    // contract, not a miss.
+    val caught = clips.map(_._1).toSet
+    val longEnough = graft.Tables.documents(spark, sf0001)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).as("n"))
+      .collect().filter(_.getInt(1) >= 160)
+      .map(_.getLong(0) + 4000000L).toSet
+    assert(longEnough.nonEmpty && longEnough.subsetOf(caught),
+      s"every >=160-byte re-cut must be caught: missing " +
+        s"${(longEnough -- caught).take(5)}")
+    val freshIds = recuts.select(col("media_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert((freshIds -- caught).forall(id => !longEnough.contains(id)),
+      "only sub-160-byte re-cuts may pass the clip gate")
+  }
+
   test("pairsAgainst plan: fresh batch broadcasts; stored frames never shuffle before the join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val corpus = Multimodal.videoTable(spark, sf0001)
