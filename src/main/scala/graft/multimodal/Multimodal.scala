@@ -490,8 +490,9 @@ object Multimodal {
     * count, bounded by truly-matching frames. Output:
     * (da, db, matched_frames). */
   def videoDedupPairs(media: DataFrame, frameBytes: Int = 32,
-      every: Int = 2, minFrames: Int = 2): DataFrame =
-    videoPairsFromFrames(videoFrames(media, frameBytes, every), minFrames)
+      every: Int = 2, minFrames: Int = 2, maxDf: Int = 10000): DataFrame =
+    videoPairsFromFrames(videoFrames(media, frameBytes, every), minFrames,
+      maxDf)
 
   /** The sampled-frame digest derivation — video's INGEST pass and the
     * rows [[graft.sources.VideoIndex]] persists: (media_id, frame_idx,
@@ -523,10 +524,22 @@ object Multimodal {
     * computed. Without this the ×10 verbatim rehearsal regime pays the
     * per-dup-group quadratic in the JOIN (measured 51.8×); with it the
     * quadratic survives only as the answer's own rows. */
-  def videoPairsFromFrames(framesIn: DataFrame,
-      minFrames: Int = 2): DataFrame = {
-    val f = framesIn.select(col("media_id"), col("frame_idx"), col("fm"))
-      .localCheckpoint()
+  /** Digests appearing in more than `maxDf` distinct videos — black
+    * frames, silence, standard intros: the video analog of stopwords.
+    * They carry no copy-detection signal and make every digest join
+    * quadratic in their df, so the pair stages drop them (the text
+    * side's stop-shingle discipline). The set is tiny by construction
+    * (only over-common digests) and rides a broadcast anti-join. */
+  private[graft] def stopFrames(frames: DataFrame, maxDf: Int): DataFrame =
+    frames.groupBy(col("fm"))
+      .agg(countDistinct(col("media_id")).as("df"))
+      .where(col("df") > maxDf).select(col("fm"))
+
+  def videoPairsFromFrames(framesIn: DataFrame, minFrames: Int = 2,
+      maxDf: Int = 10000): DataFrame = {
+    val raw = framesIn.select(col("media_id"), col("frame_idx"), col("fm"))
+    val f = raw.join(broadcast(stopFrames(raw, maxDf)), Seq("fm"),
+      "left_anti").localCheckpoint()
     val vdg = f.groupBy(col("media_id"))
       .agg(md5(concat_ws(";", sort_array(collect_list(
         concat_ws(":", col("frame_idx"), col("fm")))))).as("dg"),
@@ -591,16 +604,18 @@ object Multimodal {
     * flips its sign when member reordering swaps the pair). Output:
     * (da, db, shift, matched_frames). */
   def videoClipDetect(media: DataFrame, frameBytes: Int = 32,
-      every: Int = 2, minFrames: Int = 2): DataFrame =
-    clipPairsFromFrames(videoFrames(media, frameBytes, every), minFrames)
+      every: Int = 2, minFrames: Int = 2, maxDf: Int = 10000): DataFrame =
+    clipPairsFromFrames(videoFrames(media, frameBytes, every), minFrames,
+      maxDf)
 
   /** The clip stage over a (media_id, frame_idx, fm) frame — pure
     * function of it (the [[videoPairsFromFrames]] contract, so the
     * stored [[graft.sources.VideoIndex]] rows serve it unchanged). */
-  def clipPairsFromFrames(framesIn: DataFrame,
-      minFrames: Int = 2): DataFrame = {
-    val f = framesIn.select(col("media_id"), col("frame_idx"), col("fm"))
-      .localCheckpoint()
+  def clipPairsFromFrames(framesIn: DataFrame, minFrames: Int = 2,
+      maxDf: Int = 10000): DataFrame = {
+    val raw = framesIn.select(col("media_id"), col("frame_idx"), col("fm"))
+    val f = raw.join(broadcast(stopFrames(raw, maxDf)), Seq("fm"),
+      "left_anti").localCheckpoint()
     val vdg = f.groupBy(col("media_id"))
       .agg(md5(concat_ws(";", sort_array(collect_list(
         concat_ws(":", col("frame_idx"), col("fm")))))).as("dg"),

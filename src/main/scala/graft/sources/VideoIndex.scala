@@ -34,14 +34,35 @@ object VideoIndex {
     * fm) from [[Multimodal.videoFrames]] — the payload pass runs HERE,
     * once. */
   def build(spark: SparkSession, frames: DataFrame, name: String,
-      buckets: Int = 16,
-      basePath: String = IvfIndex.defaultBase): Unit =
+      buckets: Int = 16, maxDf: Int = 10000,
+      basePath: String = IvfIndex.defaultBase): Unit = {
     frames.select(col("media_id"), col("frame_idx"), col("fm"))
       .repartition(col("media_id")) // 1 file/bucket (IvfIndex recipe)
       .write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/${name}_vf")
       .bucketBy(buckets, "media_id").sortBy("media_id", "frame_idx")
       .saveAsTable(s"${name}_vf")
+    refreshStop(spark, name, maxDf, basePath)
+  }
+
+  /** (Re)derive the stop-frame sidecar — digests in more than `maxDf`
+    * distinct videos ([[Multimodal.stopFrames]]: black frames, silence,
+    * standard intros), the set the GATES anti-join so a crawl batch's
+    * stop frames never fan out across the corpus. Derived at [[build]]
+    * and re-derived at [[compact]]/[[maintain]]; [[append]] leaves it
+    * (the standard sketch-staleness trade — a digest crossing maxDf
+    * between maintenance windows costs extra join rows, never wrong
+    * answers, because the gates threshold on matched count). */
+  def refreshStop(spark: SparkSession, name: String,
+      maxDf: Int = 10000,
+      basePath: String = IvfIndex.defaultBase): Long = {
+    val stop = Multimodal.stopFrames(spark.table(s"${name}_vf"), maxDf)
+      .localCheckpoint()
+    stop.coalesce(1).write.mode("overwrite").format("parquet")
+      .option("path", s"$basePath/${name}_stop")
+      .saveAsTable(s"${name}_stop")
+    spark.table(s"${name}_stop").count()
+  }
 
   /** Ingest a fresh batch's frame digests: |batch| payload reads
     * upstream, one bucket-aligned insert here. */
@@ -64,14 +85,18 @@ object VideoIndex {
     * bounded by truly-matching frames. */
   def pairsAgainst(spark: SparkSession, name: String,
       freshFrames: DataFrame, minFrames: Int = 2): DataFrame =
-    pairsAgainstFrames(spark.table(s"${name}_vf"), freshFrames, minFrames)
+    pairsAgainstFrames(spark.table(s"${name}_vf"), freshFrames, minFrames,
+      Some(spark.table(s"${name}_stop")))
 
   /** [[pairsAgainst]] over an explicit stored frame — the recompute
     * twin's seam ([[MediaIndex.pairsAgainstFp]] discipline). */
   def pairsAgainstFrames(stored: DataFrame, freshFrames: DataFrame,
-      minFrames: Int = 2): DataFrame = {
-    val fB = broadcast(freshFrames
+      minFrames: Int = 2, stop: Option[DataFrame] = None): DataFrame = {
+    val fresh0 = freshFrames
       .select(col("media_id").as("fid"), col("frame_idx"), col("fm"))
+    val fB = broadcast(stop.fold(fresh0)(s =>
+        fresh0.join(broadcast(s.select(col("fm"))), Seq("fm"),
+          "left_anti"))
       .localCheckpoint())
     stored.select(col("media_id").as("cid"), col("frame_idx"), col("fm"))
       .join(fB, Seq("frame_idx", "fm"))
@@ -94,6 +119,8 @@ object VideoIndex {
     val fB = broadcast(freshFrames
       .select(col("media_id").as("fid"), col("frame_idx").as("ff"),
         col("fm"))
+      .join(broadcast(spark.table(s"${name}_stop").select(col("fm"))),
+        Seq("fm"), "left_anti")
       .localCheckpoint())
     spark.table(s"${name}_vf")
       .select(col("media_id").as("cid"), col("frame_idx").as("cf"),
@@ -116,14 +143,22 @@ object VideoIndex {
       Seq("media_id"), "left_anti")
 
   /** Maintenance: one-file-per-bucket rewrite ([[Compact.compactTable]]
-    * contract). */
-  def compact(spark: SparkSession, name: String): Map[String, (Long, Long)] =
-    Map(s"${name}_vf" -> Compact.compactTable(spark, s"${name}_vf"))
+    * contract) + stop-sidecar re-derivation. */
+  def compact(spark: SparkSession, name: String): Map[String, (Long, Long)] = {
+    val r = Map(s"${name}_vf" -> Compact.compactTable(spark, s"${name}_vf"))
+    refreshStop(spark, name)
+    r
+  }
 
-  /** Scheduled maintenance: compact when fragmented, else no-op. */
+  /** Scheduled maintenance: compact when fragmented, else no-op; the
+    * stop sidecar re-derives whenever the table was rewritten. */
   def maintain(spark: SparkSession, name: String,
-      maxFilesPerBucket: Double = 4.0): Map[String, (Long, Long)] =
-    Compact.maintainTables(spark, Seq(s"${name}_vf"), maxFilesPerBucket)
+      maxFilesPerBucket: Double = 4.0): Map[String, (Long, Long)] = {
+    val r = Compact.maintainTables(spark, Seq(s"${name}_vf"),
+      maxFilesPerBucket)
+    if (r.exists { case (_, (b, a)) => a < b }) refreshStop(spark, name)
+    r
+  }
 
   /** DELETE videos from the index (takedowns, erasure): removed items
     * stop pairing with future re-crawls. */
@@ -131,9 +166,11 @@ object VideoIndex {
       idCol: String = "media_id"): Map[String, (Long, Long)] = {
     val rid = broadcast(ids.select(col(idCol).cast("long").as("__rid"))
       .distinct().localCheckpoint())
-    Map(s"${name}_vf" -> Compact.compactTable(spark, s"${name}_vf",
+    val r = Map(s"${name}_vf" -> Compact.compactTable(spark, s"${name}_vf",
       transform = df => df.join(rid, df("media_id") === rid("__rid"),
         "left_anti")))
+    refreshStop(spark, name)
+    r
   }
 
   /** Memoized builds over the fixture corpora ([[MediaIndex]]'s memo

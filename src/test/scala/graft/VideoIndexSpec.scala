@@ -152,6 +152,47 @@ class VideoIndexSpec extends AnyFunSuite {
       s"the stored frame digests must stream map-side:\n$plan")
   }
 
+  test("stop frames: over-common digests are dropped from pairs and gates") {
+    val s = spark
+    import s.implicits._
+    // six videos share two stop frames (S0@0, S1@1 — black frames /
+    // standard intros); videos 1 and 2 additionally share genuine
+    // content (A@2, B@3)
+    val corpus = (1L to 6L).flatMap(v =>
+      Seq((v, 0L, "S0"), (v, 1L, "S1"))) ++
+      Seq((1L, 2L, "A"), (1L, 3L, "B"), (2L, 2L, "A"), (2L, 3L, "B"))
+    val corpusDf = corpus.toDF("media_id", "frame_idx", "fm")
+    // without the dial every pair of the six matches on the two stop
+    // frames; with maxDf = 5 only the genuine pair survives
+    val loose = Multimodal.videoPairsFromFrames(corpusDf, minFrames = 2,
+      maxDf = 10000).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(loose.length == 15, s"all 15 stop-frame pairs: ${loose.toSeq}")
+    val strict = Multimodal.videoPairsFromFrames(corpusDf, minFrames = 2,
+      maxDf = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(strict.toSeq == Seq((1L, 2L, 2L)),
+      s"only the genuine pair at its 2 content frames: ${strict.toSeq}")
+    // the gate: build with maxDf = 5 → _stop = {S0, S1}; a fresh video
+    // of pure stop frames admits, a genuine dup is refused
+    VideoIndex.build(spark, corpusDf, "graft_video_spec_stop", maxDf = 5)
+    assert(rows(spark.table("graft_video_spec_stop_stop"))
+      .map(_.head) == Set("S0", "S1"))
+    val fresh = Seq((100L, 0L, "S0"), (100L, 1L, "S1"),
+      (200L, 2L, "A"), (200L, 3L, "B"))
+      .toDF("media_id", "frame_idx", "fm")
+    val admitted = VideoIndex.dedupAgainst(spark, "graft_video_spec_stop",
+      fresh).select(col("media_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(100L),
+      s"stop-frame-only video admits, the genuine dup is refused: $admitted")
+    // clipAgainst drops them too: only the aligned genuine match shows
+    val clips = VideoIndex.clipAgainst(spark, "graft_video_spec_stop",
+      fresh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clips.toSet == Set((200L, 1L, 0L), (200L, 2L, 0L)),
+      s"genuine content matches videos 1 and 2 at shift 0: ${clips.toSeq}")
+  }
+
   test("maintain compacts only when fragmented") {
     val corpus = Multimodal.videoTable(spark, sf0001)
     VideoIndex.build(spark, Multimodal.videoFrames(corpus),
