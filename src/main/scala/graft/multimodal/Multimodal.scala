@@ -55,6 +55,10 @@ object Multimodal {
   def frameSample(media: DataFrame, frameBytes: Int, every: Int): DataFrame = {
     val nFrames = ceil(col("meta.n_bytes") / lit(frameBytes.toDouble)).cast("int")
     media
+      // r14 ADVICE: for an empty payload nFrames = 0 and
+      // sequence(0, -1) steps DOWN to [0, -1] instead of yielding an
+      // empty array — an empty document must emit no frames at all
+      .where(col("meta.n_bytes") > 0)
       .select(col("media_id"), col("content"),
         explode(sequence(lit(0), nFrames - 1)).as("frame_idx"))
       .where(col("frame_idx") % every === 0)
@@ -502,6 +506,9 @@ object Multimodal {
     val nFrames = ceil(length(col("content")) / lit(frameBytes.toDouble))
       .cast("int")
     media
+      // r14 ADVICE: sequence(0, -1) steps DOWN to [0, -1] — an empty
+      // payload must emit no frames (the oracle's range(0, 0) is empty)
+      .where(length(col("content")) > 0)
       .select(col("media_id"), col("content"),
         explode(sequence(lit(0), nFrames - 1)).as("frame_idx"))
       .where(col("frame_idx") % every === 0)

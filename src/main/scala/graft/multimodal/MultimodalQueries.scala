@@ -275,10 +275,10 @@ object MultimodalQueries {
         Multimodal.videoTable(s, d)
           .unionByName(Multimodal.videoTwinTable(s, d, frameBytes = 32)),
         frameBytes = 32, every = 2, minFrames = 2),
-      Some(videoFramesCte +
+      Some(videoFramesCte() +
         """SELECT a.media_id AS da, b.media_id AS db,
                      CAST(count(*) AS BIGINT) AS matched_frames
-              FROM sf a JOIN sf b
+              FROM sfx a JOIN sfx b
                 ON a.frame_idx = b.frame_idx AND a.fm = b.fm
                AND a.media_id < b.media_id
               GROUP BY 1, 2 HAVING count(*) >= 2""")),
@@ -314,11 +314,17 @@ object MultimodalQueries {
                 SELECT media_id, frame_idx,
                        md5(substring(text,
                          CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS fm
-                FROM f WHERE frame_idx % 2 = 0)
+                FROM f WHERE frame_idx % 2 = 0),
+              stop AS (
+                SELECT fm FROM sf
+                GROUP BY fm HAVING count(DISTINCT media_id) > 10000),
+              sfx AS (
+                SELECT sf.* FROM sf
+                WHERE fm NOT IN (SELECT fm FROM stop))
               SELECT a.media_id AS da, b.media_id AS db,
                      CAST(a.frame_idx - b.frame_idx AS BIGINT) AS shift,
                      CAST(count(*) AS BIGINT) AS matched_frames
-              FROM sf a JOIN sf b
+              FROM sfx a JOIN sfx b
                 ON a.fm = b.fm AND a.media_id < b.media_id
               GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
 
@@ -351,11 +357,17 @@ object MultimodalQueries {
                 SELECT media_id, frame_idx,
                        md5(substring(text,
                          CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS fm
-                FROM f WHERE frame_idx % 2 = 0)
+                FROM f WHERE frame_idx % 2 = 0),
+              stop AS (
+                SELECT fm FROM sf WHERE media_id < 1000000
+                GROUP BY fm HAVING count(DISTINCT media_id) > 10000),
+              sfx AS (
+                SELECT sf.* FROM sf
+                WHERE fm NOT IN (SELECT fm FROM stop))
               SELECT b.media_id AS fid, a.media_id AS cid,
                      CAST(a.frame_idx - b.frame_idx AS BIGINT) AS shift,
                      CAST(count(*) AS BIGINT) AS matched_frames
-              FROM sf a JOIN sf b
+              FROM sf a JOIN sfx b
                 ON a.fm = b.fm
                AND a.media_id < 1000000 AND b.media_id >= 1000000
               GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
@@ -372,10 +384,10 @@ object MultimodalQueries {
         Multimodal.videoFrames(
           Multimodal.videoTwinTable(s, d, frameBytes = 32)),
         minFrames = 2),
-      Some(videoFramesCte +
+      Some(videoFramesCte(corpusOnlyStop = true) +
         """SELECT b.media_id AS fid, a.media_id AS cid,
                      CAST(count(*) AS BIGINT) AS matched_frames
-              FROM sf a JOIN sf b
+              FROM sf a JOIN sfx b
                 ON a.frame_idx = b.frame_idx AND a.fm = b.fm
                AND a.media_id < 1000000 AND b.media_id >= 1000000
               GROUP BY 1, 2 HAVING count(*) >= 2"""))
@@ -383,9 +395,29 @@ object MultimodalQueries {
 
   /** The frame-digest replay shared by the video pair oracles: corpus ∪
     * the three-regime twin slice (verbatim +1M, re-cut +2M, edited
-    * +3M), 32-byte frames, every 2nd sampled, md5 per frame in `sf`.
-    * Callers append the final aligned-join SELECT. */
-  private def videoFramesCte: String = """WITH m AS (
+    * +3M), 32-byte frames, every 2nd sampled, md5 per frame in `sf`;
+    * `sfx` = `sf` minus the stop-frame digests (df > 10000 — r14
+    * ADVICE: the live pair stages drop them, so the replay must too or
+    * a scale where any digest crosses the dial turns the row red; the
+    * GATE queries derive stop from the CORPUS side only, exactly as the
+    * stored `_stop` sidecar does). Callers append the final SELECT over
+    * `sfx` (pair side) / `sf` (corpus side of gates). */
+  private def videoFramesCte(corpusOnlyStop: Boolean = false): String =
+    videoFramesCteRaw + stopCte(corpusOnlyStop)
+
+  /** The df > maxDf stop-frame replay appended to every video frames
+    * CTE (shared with the clip oracles' inline CTEs). */
+  private def stopCte(corpusOnlyStop: Boolean): String =
+    s""", stop AS (
+                SELECT fm FROM sf
+                ${if (corpusOnlyStop) "WHERE media_id < 1000000" else ""}
+                GROUP BY fm HAVING count(DISTINCT media_id) > 10000),
+              sfx AS (
+                SELECT sf.* FROM sf
+                WHERE fm NOT IN (SELECT fm FROM stop))
+              """
+
+  private def videoFramesCteRaw: String = """WITH m AS (
                 SELECT doc_id AS media_id, text FROM documents
                 UNION ALL
                 SELECT doc_id + 1000000, text

@@ -32,12 +32,31 @@ object Compact {
     else df
   }
 
+  /** Complete a swap interrupted inside [[compactTable]]'s drop→rename
+    * window (r14 ADVICE — hoisted so EVERY entry point that touches the
+    * table heals it, not just a direct compactTable call): a crash
+    * there leaves no `table` catalog entry and a complete
+    * `__compacting` copy — renaming the finished copy into place IS the
+    * finished compaction. Without this, the scheduled maintenance path
+    * ([[filesPerBucket]] → [[maintainTables]]) would throw on
+    * getTableMetadata instead of recovering. */
+  private[sources] def healInterruptedSwap(spark: SparkSession,
+      table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val parser = spark.sessionState.sqlParser
+    if (!catalog.tableExists(parser.parseTableIdentifier(table)) &&
+        catalog.tableExists(
+          parser.parseTableIdentifier(s"${table}__compacting")))
+      spark.sql(s"ALTER TABLE ${table}__compacting RENAME TO $table")
+  }
+
   /** Fragmentation observable for the maintenance loop: mean data
     * files per bucket of a bucketed table (plain file count for an
     * unbucketed one — "buckets" = 1). Pure metadata — one directory
     * listing, no data read — so a scheduler can poll it cheaply before
     * deciding to pay a [[compactTable]] pass. */
   def filesPerBucket(spark: SparkSession, table: String): Double = {
+    healInterruptedSwap(spark, table)
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val loc = new org.apache.hadoop.fs.Path(meta.location)
@@ -134,15 +153,9 @@ object Compact {
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val tmpName = s"${table}__compacting"
     val tmpIdent = spark.sessionState.sqlParser.parseTableIdentifier(tmpName)
-    // Crash recovery (r13 ADVICE): a crash inside the drop→rename window
-    // below leaves NO `table` entry and a complete `__compacting` copy —
-    // the only catalog entry that survives. Sweeping it there would
-    // destroy the one servable copy, and getTableMetadata(table) would
-    // throw first anyway. Complete the interrupted swap instead: the
-    // copy was written eagerly (saveAsTable returns only after the job),
-    // so renaming it into place IS the finished compaction.
-    if (!catalog.tableExists(ident) && catalog.tableExists(tmpIdent))
-      spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
+    // Crash recovery (r13 ADVICE, shared helper since r14 ADVICE so the
+    // maintenance path heals too — see [[healInterruptedSwap]]).
+    healInterruptedSwap(spark, table)
     val meta = catalog.getTableMetadata(ident)
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -190,6 +203,13 @@ object Compact {
     }
     spark.sql(s"DROP TABLE $table") // external: files stay until deleted
     spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
+    // the rewrite is a FRESH saveAsTable, which drops user-set table
+    // properties — re-apply the engine's own (`graft.*`) so persisted
+    // dials (e.g. VideoIndex's maxDf, r14 ADVICE) survive compaction
+    val dials = meta.properties.filter { case (k, _) => k.startsWith("graft.") }
+    if (dials.nonEmpty)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+        dials.map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")")
     fs.delete(loc, true)
     (before, dataFiles(tmpLoc))
   }

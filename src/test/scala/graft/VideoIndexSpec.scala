@@ -193,6 +193,44 @@ class VideoIndexSpec extends AnyFunSuite {
       s"genuine content matches videos 1 and 2 at shift 0: ${clips.toSeq}")
   }
 
+  test("append-time stop: a digest crossing maxDf purely by appends is capped with no compact") {
+    val s = spark
+    import s.implicits._
+    // corpus: digest V in 3 videos (df 3 <= maxDf 5); 1 and 2 also share
+    // genuine content frames A@2, B@3
+    val corpus = (1L to 3L).map(v => (v, 0L, "V")) ++
+      Seq((1L, 2L, "A"), (2L, 2L, "A"), (1L, 3L, "B"), (2L, 3L, "B"))
+    VideoIndex.build(spark, corpus.toDF("media_id", "frame_idx", "fm"),
+      "graft_video_spec_inc", maxDf = 5)
+    assert(spark.table("graft_video_spec_inc_stop").count() == 0L)
+    // two appends, each alone below the threshold, crossing it together
+    VideoIndex.append(spark, "graft_video_spec_inc",
+      Seq((10L, 0L, "V"), (11L, 0L, "V"))
+        .toDF("media_id", "frame_idx", "fm"))
+    assert(spark.table("graft_video_spec_inc_stop").count() == 0L,
+      "df 5 is not yet over maxDf 5")
+    VideoIndex.append(spark, "graft_video_spec_inc",
+      Seq((12L, 0L, "V")).toDF("media_id", "frame_idx", "fm"))
+    assert(rows(spark.table("graft_video_spec_inc_stop")).map(_.head)
+      == Set("V"),
+      "the sixth video must push V over maxDf at APPEND time")
+    // the gate stops fanning out immediately: a fresh video carrying
+    // only the viral digest admits; a genuine dup is still refused
+    val fresh = Seq((100L, 0L, "V"), (100L, 1L, "W"),
+      (200L, 2L, "A"), (200L, 3L, "B"))
+      .toDF("media_id", "frame_idx", "fm")
+    val admitted = VideoIndex.dedupAgainst(spark, "graft_video_spec_inc",
+      fresh).select(col("media_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(100L), s"viral-digest-only video admits: $admitted")
+    // the build-time dial survives compaction (r14 ADVICE: persisted
+    // property, not a hardcoded default in the maintenance path)
+    VideoIndex.compact(spark, "graft_video_spec_inc")
+    assert(VideoIndex.storedMaxDf(spark, "graft_video_spec_inc") == 5)
+    assert(rows(spark.table("graft_video_spec_inc_stop")).map(_.head)
+      == Set("V"), "the collapsed df log re-derives the same stop set")
+  }
+
   test("maintain compacts only when fragmented") {
     val corpus = Multimodal.videoTable(spark, sf0001)
     VideoIndex.build(spark, Multimodal.videoFrames(corpus),
