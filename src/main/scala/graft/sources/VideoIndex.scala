@@ -76,13 +76,26 @@ object VideoIndex {
     * until the next compact). */
   def rebuildDfs(spark: SparkSession, name: String,
       basePath: String = IvfIndex.defaultBase): Unit = {
-    val dfs = spark.table(s"${name}_vf")
-      .groupBy(col("fm"))
+    val vf = spark.table(s"${name}_vf")
+    val dfs = vf.groupBy(col("fm"))
       .agg(countDistinct(col("media_id")).as("df"))
       .localCheckpoint() // lineage reads the table the write replaces
     Compact.forWrite(dfs).write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/${name}_dfs")
       .saveAsTable(s"${name}_dfs")
+    // the perceptual leg's band-df log (see [[Multimodal.videoBandStop]]
+    // — video-df per band value is SUM-decomposable under fresh ids,
+    // exactly like the md5 log, so appends stay exact here too); the
+    // value space is 4 × 2^16, so the log is tiny by construction
+    if (vf.columns.contains("f_lo")) {
+      val bdfs = Multimodal.fpBands(vf)
+        .groupBy(col("bi"), col("bv"))
+        .agg(countDistinct(col("media_id")).as("df"))
+        .localCheckpoint()
+      Compact.forWrite(bdfs).write.mode("overwrite").format("parquet")
+        .option("path", s"$basePath/${name}_bdfs")
+        .saveAsTable(s"${name}_bdfs")
+    }
   }
 
   /** (Re)derive the stop-frame sidecar — digests in more than `maxDf`
@@ -102,6 +115,18 @@ object VideoIndex {
     stop.coalesce(1).write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/${name}_stop")
       .saveAsTable(s"${name}_stop")
+    // the perceptual band stop rides the same refresh: collapse the
+    // band-df log at threshold (the sidecar the perceptual GATE
+    // anti-joins; serve-side pair stages derive theirs inline)
+    if (spark.catalog.tableExists(s"${name}_bdfs")) {
+      val bstop = spark.table(s"${name}_bdfs")
+        .groupBy(col("bi"), col("bv")).agg(sum(col("df")).as("df"))
+        .where(col("df") > maxDf).select(col("bi"), col("bv"))
+        .localCheckpoint()
+      bstop.coalesce(1).write.mode("overwrite").format("parquet")
+        .option("path", s"$basePath/${name}_bstop")
+        .saveAsTable(s"${name}_bstop")
+    }
     spark.table(s"${name}_stop").count()
   }
 
@@ -117,6 +142,11 @@ object VideoIndex {
     f.write.mode("append").insertInto(s"${name}_vf")
     f.groupBy(col("fm")).agg(countDistinct(col("media_id")).as("df"))
       .coalesce(1).write.mode("append").insertInto(s"${name}_dfs")
+    if (cols.contains("f_lo"))
+      Multimodal.fpBands(f)
+        .groupBy(col("bi"), col("bv"))
+        .agg(countDistinct(col("media_id")).as("df"))
+        .coalesce(1).write.mode("append").insertInto(s"${name}_bdfs")
     refreshStop(spark, name)
   }
 
@@ -179,6 +209,48 @@ object VideoIndex {
         col("fm"))
       .join(fB, Seq("fm"))
       .groupBy(col("fid"), col("cid"), (col("cf") - col("ff")).as("shift"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .where(col("matched_frames") >= minFrames)
+  }
+
+  /** TRANSCODE-TOLERANT pairs from the stored 5-column layout —
+    * [[Multimodal.perceptualPairsFromFrames]] over the `_vf` rows, a
+    * pure function of them (same answers as the live derivation), with
+    * the persisted maxDf dial. */
+  def pairsPerceptual(spark: SparkSession, name: String,
+      maxDist: Int = 6, minFrames: Int = 2): DataFrame =
+    Multimodal.perceptualPairsFromFrames(spark.table(s"${name}_vf"),
+      maxDist, minFrames, storedMaxDf(spark, name))
+
+  /** The PERCEPTUAL crawl gate — [[pairsAgainst]]'s transcode-tolerant
+    * twin: a fresh batch's frame fingerprints band against the STORED
+    * corpus at the same frame position, Hamming-verified inline on the
+    * matched row (both codes ride it — no second corpus join), with the
+    * `_bstop` sidecar anti-joined on the broadcast fresh side so hot
+    * band values never fan out. Exchanges: the match-bounded
+    * (fid, cid, frame_idx) dedup of multi-band hits, then the count.
+    * Output: (fid, cid, matched_frames). */
+  def perceptualAgainst(spark: SparkSession, name: String,
+      freshFrames: DataFrame, maxDist: Int = 6,
+      minFrames: Int = 2): DataFrame = {
+    val fB = broadcast(Multimodal.fpBands(
+        freshFrames.select(col("media_id"), col("frame_idx"),
+          col("f_lo"), col("f_hi")))
+      .join(broadcast(spark.table(s"${name}_bstop")), Seq("bi", "bv"),
+        "left_anti")
+      .select(col("media_id").as("fid"), col("frame_idx"), col("bi"),
+        col("bv"), col("f_lo").as("la"), col("f_hi").as("ha"))
+      .localCheckpoint())
+    Multimodal.fpBands(spark.table(s"${name}_vf")
+        .select(col("media_id"), col("frame_idx"), col("f_lo"),
+          col("f_hi")))
+      .select(col("media_id").as("cid"), col("frame_idx"), col("bi"),
+        col("bv"), col("f_lo").as("lb"), col("f_hi").as("hb"))
+      .join(fB, Seq("frame_idx", "bi", "bv"))
+      .where((expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
+        <= maxDist)
+      .select(col("fid"), col("cid"), col("frame_idx")).distinct()
+      .groupBy(col("fid"), col("cid"))
       .agg(count(lit(1)).as("matched_frames"))
       .where(col("matched_frames") >= minFrames)
   }
@@ -250,7 +322,7 @@ object VideoIndex {
     val fp = corpusFp(spark, sfDir)
     built.getOrElseUpdate((sfDir, fp, "video"), {
       val name = s"graft_media_vid_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
-      build(spark, Multimodal.videoFrames(
+      build(spark, Multimodal.videoFramesFp(
         Multimodal.videoTable(spark, sfDir).unionByName(
           Multimodal.videoTwinTable(spark, sfDir, frameBytes = 32))), name)
       name
@@ -265,10 +337,26 @@ object VideoIndex {
     val fp = corpusFp(spark, sfDir)
     built.getOrElseUpdate((sfDir, fp, "video_clip"), {
       val name = s"graft_media_vidk_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
-      build(spark, Multimodal.videoFrames(
+      build(spark, Multimodal.videoFramesFp(
         Multimodal.videoTable(spark, sfDir).unionByName(
           Multimodal.videoClipTwinTable(spark, sfDir, frameBytes = 32))),
         name)
+      name
+    })
+  }
+
+  /** Corpus ∪ the perceptual (re-encode) twin table — matching
+    * q_video_dedup_perceptual's live input; the stored rows carry the
+    * 5-column fp layout, so [[pairsPerceptual]] is a pure function of
+    * them. */
+  def ensureBuiltVideoPerc(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "video_perc"), {
+      val name = s"graft_media_vidp_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark, Multimodal.videoFramesFp(
+        Multimodal.videoTable(spark, sfDir).unionByName(
+          Multimodal.videoPerceptualTwinTable(spark, sfDir,
+            frameBytes = 32))), name)
       name
     })
   }
@@ -278,7 +366,7 @@ object VideoIndex {
     built.getOrElseUpdate((sfDir, fp, "video_corpus"), {
       val name = s"graft_media_vidc_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
       build(spark,
-        Multimodal.videoFrames(Multimodal.videoTable(spark, sfDir)), name)
+        Multimodal.videoFramesFp(Multimodal.videoTable(spark, sfDir)), name)
       name
     })
   }

@@ -353,4 +353,80 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!aligned.exists(p => p._2 == p._1 + 4000000L),
       "a one-stride re-cut must not align-match its original")
   }
+
+  test("perceptual video dedup: gain shift caught, noise caught, re-cut refused, md5 family blind to re-encodes") {
+    val media = Multimodal.videoTable(spark, sf0001).unionByName(
+      Multimodal.videoPerceptualTwinTable(spark, sf0001, frameBytes = 32))
+    val pairs = Multimodal.videoPerceptualPairs(media, frameBytes = 32,
+      every = 2, maxDist = 6, minFrames = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    val docs = graft.Tables.documents(spark, sf0001)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .select(col("doc_id"), length(encode(col("text"), "UTF-8")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // GAIN (+1 every byte): the fingerprint is INVARIANT on full frames
+    // (every comparison, including vs the mean, shifts together), so
+    // every doc with >= 2 full sampled frames (frames 0 and 2 full <=>
+    // n >= 96) is caught against its +5M twin
+    val gainable = docs.filter { case (_, n) => n >= 96 }
+    assert(gainable.nonEmpty)
+    gainable.foreach { case (d, n) =>
+      assert(byPair.contains((d, d + 5000000L)),
+        s"doc $d (n=$n): +1 gain twin must be caught perceptually")
+    }
+    // NOISE (+2 at every 16th byte): sparse perturbation, small nonzero
+    // Hamming distance — the tolerance dial's regime. Not every frame
+    // is guaranteed under maxDist, but the regime must be caught.
+    val noiseCaught = pairs.count(p =>
+      p._2 >= 6000000L && p._2 < 7000000L && p._1 == p._2 - 6000000L)
+    assert(noiseCaught > 0, "sparse byte noise must be caught")
+    // RE-CUT (+7M): perceptually identical material, refused by
+    // alignment — the semantics the md5 family established
+    assert(!pairs.exists(p =>
+      p._2 >= 7000000L && p._1 == p._2 - 7000000L),
+      "a re-cut must not align-match its original perceptually")
+    // and the md5 family is BLIND to both re-encode regimes — the gap
+    // the perceptual leg exists to close (r14 verdict top_next)
+    val md5Pairs = Multimodal.videoDedupPairs(media, frameBytes = 32,
+      every = 2, minFrames = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!md5Pairs.exists(p =>
+      p._2 >= 5000000L && p._2 < 7000000L && p._1 == p._2 - 5000000L
+        || p._2 >= 6000000L && p._2 < 7000000L && p._1 == p._2 - 6000000L),
+      "byte-exact digests must refuse every re-encoded twin")
+  }
+
+  test("perceptual band stop: a hot shared frame collapses to the genuine pairs") {
+    val s = spark
+    import s.implicits._
+    // eight videos share the SAME frame fingerprint at idx 0 and 6 (a
+    // solid intro/outro card: band df 8); videos 1 and 2 additionally
+    // share genuine content fps at idx 2 and 4. Filler fps are unique
+    // per video with nonzero values in every 16-bit band so no
+    // accidental band collisions occur.
+    val hotLo = 65536L * 7 + 7
+    val hotHi = 65536L * 9 + 9
+    val frames = (1L to 8L).flatMap(v => Seq(
+      (v, 0L, s"h0", hotLo, hotHi),
+      (v, 6L, s"h6", hotLo + 1, hotHi + 1),
+      (v, 8L, s"u$v", 65536L * (100 + v) + 100 + v,
+        65536L * (200 + v) + 200 + v))) ++
+      Seq((1L, 2L, "a1", 65536L * 31 + 31, 65536L * 33 + 33),
+        (2L, 2L, "a2", 65536L * 31 + 31, 65536L * 33 + 33),
+        (1L, 4L, "b1", 65536L * 41 + 41, 65536L * 43 + 43),
+        (2L, 4L, "b2", 65536L * 41 + 41, 65536L * 43 + 43))
+    val df = frames.toDF("media_id", "frame_idx", "fm", "f_lo", "f_hi")
+    val loose = Multimodal.perceptualPairsFromFrames(df, maxDist = 0,
+      minFrames = 2, maxDf = 10000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(loose.length == 28,
+      s"without the dial every pair of the 8 matches on the hot frames: " +
+        s"${loose.length}")
+    val strict = Multimodal.perceptualPairsFromFrames(df, maxDist = 0,
+      minFrames = 2, maxDf = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(strict.toSeq == Seq((1L, 2L, 2L)),
+      s"only the genuine pair at its 2 content frames: ${strict.toSeq}")
+  }
 }

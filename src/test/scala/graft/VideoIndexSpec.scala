@@ -231,6 +231,67 @@ class VideoIndexSpec extends AnyFunSuite {
       == Set("V"), "the collapsed df log re-derives the same stop set")
   }
 
+  test("perceptual: stored equals live; the gate is the cross restriction and broadcasts the batch") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val corpus = Multimodal.videoTable(spark, sf0001)
+    val twin = Multimodal.videoPerceptualTwinTable(spark, sf0001,
+      frameBytes = 32)
+    val media = corpus.unionByName(twin)
+    VideoIndex.build(spark, Multimodal.videoFramesFp(media),
+      "graft_video_spec_perc")
+    val stored = rows(VideoIndex.pairsPerceptual(spark,
+      "graft_video_spec_perc"))
+    val live = rows(Multimodal.videoPerceptualPairs(media))
+    assert(stored == live && stored.nonEmpty,
+      "the stored 5-column layout must serve the live answers verbatim")
+    // gate: corpus-only index, the re-encode twin arrives fresh
+    VideoIndex.build(spark, Multimodal.videoFramesFp(corpus),
+      "graft_video_spec_percg")
+    val freshFp = Multimodal.videoFramesFp(twin).localCheckpoint()
+    val gate = VideoIndex.perceptualAgainst(spark,
+      "graft_video_spec_percg", freshFp)
+    gate.count()
+    val got = gate.collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSet
+    val truth = live
+      .map(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Long]))
+      .filter(p => (p._1 >= 1000000L) != (p._2 >= 1000000L))
+    assert(got == truth && got.nonEmpty,
+      s"cross restriction of the live pairs: got=${got.size} " +
+        s"truth=${truth.size}")
+    val plan = gate.queryExecution.executedPlan
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"the banded frame match must be a broadcast equi-join:\n$plan")
+    val shuffledStored = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.child.toString.contains("graft_video_spec_percg_vf") => e
+    }
+    assert(shuffledStored.isEmpty,
+      s"the stored fingerprints must stream map-side:\n$plan")
+  }
+
+  test("perceptual band stop crosses maxDf purely by appends") {
+    val s = spark
+    import s.implicits._
+    def vids(ids: Seq[Long]) = ids.flatMap(v => Seq(
+      (v, 0L, "h", 65536L * 7 + 7, 65536L * 9 + 9), // the shared card
+      (v, 2L, s"u$v", 65536L * (100 + v) + 100 + v,
+        65536L * (200 + v) + 200 + v)))
+      .toDF("media_id", "frame_idx", "fm", "f_lo", "f_hi")
+    VideoIndex.build(spark, vids(1L to 3L), "graft_video_spec_binc",
+      maxDf = 5)
+    assert(spark.table("graft_video_spec_binc_bstop").count() == 0L)
+    VideoIndex.append(spark, "graft_video_spec_binc", vids(10L to 11L))
+    assert(spark.table("graft_video_spec_binc_bstop").count() == 0L,
+      "band df 5 is not yet over maxDf 5")
+    VideoIndex.append(spark, "graft_video_spec_binc", vids(Seq(12L)))
+    val bstop = spark.table("graft_video_spec_binc_bstop").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(bstop == Set((0, 7L), (1, 7L), (2, 9L), (3, 9L)),
+      s"the shared card's four bands must stop at APPEND time: $bstop")
+  }
+
   test("maintain compacts only when fragmented") {
     val corpus = Multimodal.videoTable(spark, sf0001)
     VideoIndex.build(spark, Multimodal.videoFrames(corpus),
