@@ -143,16 +143,24 @@ object MultimodalQueries {
       Some(imageFpCte(
         """SELECT doc_id AS media_id, hex(encode(text)) AS h,
                        octet_length(encode(text)) AS n_bytes
-                FROM documents""") +
+                FROM documents""") + mediaBandStopCte(corpusOnly = false) +
         """SELECT a.media_id AS da, b.media_id AS db,
                      CAST(bit_count(xor(a.lo, b.lo))
                         + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS dist
               FROM fp a JOIN fp b
                 ON a.media_id < b.media_id
-               AND (a.lo % 65536 = b.lo % 65536
-                 OR a.lo // 65536 = b.lo // 65536
-                 OR a.hi % 65536 = b.hi % 65536
-                 OR a.hi // 65536 = b.hi // 65536)
+               AND (a.lo % 65536 = b.lo % 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 0 AND s.bv = a.lo % 65536)
+                 OR a.lo // 65536 = b.lo // 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 1 AND s.bv = a.lo // 65536)
+                 OR a.hi % 65536 = b.hi % 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 2 AND s.bv = a.hi % 65536)
+                 OR a.hi // 65536 = b.hi // 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 3 AND s.bv = a.hi // 65536))
               WHERE bit_count(xor(a.lo, b.lo))
                   + bit_count(xor(a.hi, b.hi)) <= 6""")),
 
@@ -182,15 +190,24 @@ object MultimodalQueries {
                 SELECT doc_id + 1000000, hex(encode(text)),
                        octet_length(encode(text))
                 FROM documents WHERE doc_id % 4 = 1""") +
+        mediaBandStopCte(corpusOnly = true) +
         """SELECT b.media_id AS fid, a.media_id AS cid,
                      CAST(bit_count(xor(a.lo, b.lo))
                         + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS dist
               FROM fp a JOIN fp b
                 ON a.media_id < 1000000 AND b.media_id >= 1000000
-               AND (a.lo % 65536 = b.lo % 65536
-                 OR a.lo // 65536 = b.lo // 65536
-                 OR a.hi % 65536 = b.hi % 65536
-                 OR a.hi // 65536 = b.hi // 65536)
+               AND (a.lo % 65536 = b.lo % 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 0 AND s.bv = a.lo % 65536)
+                 OR a.lo // 65536 = b.lo // 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 1 AND s.bv = a.lo // 65536)
+                 OR a.hi % 65536 = b.hi % 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 2 AND s.bv = a.hi % 65536)
+                 OR a.hi // 65536 = b.hi // 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 3 AND s.bv = a.hi // 65536))
               WHERE bit_count(xor(a.lo, b.lo))
                   + bit_count(xor(a.hi, b.hi)) <= 6""")),
 
@@ -214,16 +231,24 @@ object MultimodalQueries {
         Multimodal.audioTable(s, d)
           .unionByName(Multimodal.audioScaledTable(s, d)),
         maxDist = 6),
-      Some(audioFpCte +
+      Some(audioFpCte + mediaBandStopCte(corpusOnly = false) +
         """SELECT a.media_id AS da, b.media_id AS db,
                      CAST(bit_count(xor(a.lo, b.lo))
                         + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS dist
               FROM fp a JOIN fp b
                 ON a.media_id < b.media_id
-               AND (a.lo % 65536 = b.lo % 65536
-                 OR a.lo // 65536 = b.lo // 65536
-                 OR a.hi % 65536 = b.hi % 65536
-                 OR a.hi // 65536 = b.hi // 65536)
+               AND (a.lo % 65536 = b.lo % 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 0 AND s.bv = a.lo % 65536)
+                 OR a.lo // 65536 = b.lo // 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 1 AND s.bv = a.lo // 65536)
+                 OR a.hi % 65536 = b.hi % 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 2 AND s.bv = a.hi % 65536)
+                 OR a.hi // 65536 = b.hi // 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 3 AND s.bv = a.hi // 65536))
               WHERE bit_count(xor(a.lo, b.lo))
                   + bit_count(xor(a.hi, b.hi)) <= 6""")),
 
@@ -243,16 +268,24 @@ object MultimodalQueries {
         graft.sources.MediaIndex.ensureBuiltAudioCorpus(s, d),
         Multimodal.audioDHash(Multimodal.audioScaledTable(s, d)),
         maxDist = 6),
-      Some(audioFpCte +
+      Some(audioFpCte + mediaBandStopCte(corpusOnly = true) +
         """SELECT b.media_id AS fid, a.media_id AS cid,
                      CAST(bit_count(xor(a.lo, b.lo))
                         + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS dist
               FROM fp a JOIN fp b
                 ON a.media_id < 1000000 AND b.media_id >= 1000000
-               AND (a.lo % 65536 = b.lo % 65536
-                 OR a.lo // 65536 = b.lo // 65536
-                 OR a.hi % 65536 = b.hi % 65536
-                 OR a.hi // 65536 = b.hi // 65536)
+               AND (a.lo % 65536 = b.lo % 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 0 AND s.bv = a.lo % 65536)
+                 OR a.lo // 65536 = b.lo // 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 1 AND s.bv = a.lo // 65536)
+                 OR a.hi % 65536 = b.hi % 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 2 AND s.bv = a.hi % 65536)
+                 OR a.hi // 65536 = b.hi // 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 3 AND s.bv = a.hi // 65536))
               WHERE bit_count(xor(a.lo, b.lo))
                   + bit_count(xor(a.hi, b.hi)) <= 6""")),
 
@@ -483,6 +516,28 @@ object MultimodalQueries {
               sfx AS (
                 SELECT sf.* FROM sf
                 WHERE fm NOT IN (SELECT fm FROM stop))
+              """
+
+  /** The media band-df replay (r14 verdict "what's missing" #2,
+    * mirrored by [[Multimodal.dhashPairs]] and the `_bstop` sidecar):
+    * band values carried by more than 10000 DISTINCT fingerprints are
+    * stop values — the OR-of-bands predicates gain a NOT EXISTS term
+    * per band so a pair must share at least one NON-hot band. Gate
+    * oracles scope the df count to the corpus side, exactly as the
+    * stored sidecar derives it. Empty at fixture scale (hashes
+    * unchanged); load-bearing at any scale where a band value goes
+    * hot. */
+  private def mediaBandStopCte(corpusOnly: Boolean): String =
+    s""", fpd AS (
+                SELECT DISTINCT lo, hi FROM fp
+                ${if (corpusOnly) "WHERE media_id < 1000000" else ""}),
+              bstop AS (
+                SELECT bi, bv FROM (
+                  SELECT 0 AS bi, lo % 65536 AS bv FROM fpd
+                  UNION ALL SELECT 1, lo // 65536 FROM fpd
+                  UNION ALL SELECT 2, hi % 65536 FROM fpd
+                  UNION ALL SELECT 3, hi // 65536 FROM fpd)
+                GROUP BY 1, 2 HAVING count(*) > 10000)
               """
 
   /** The perceptual frame-fingerprint replay: corpus ∪ the re-encode

@@ -47,30 +47,84 @@ object MediaIndex {
     * build cost is the linear ingest work the live queries were
     * re-paying per run. */
   def build(spark: SparkSession, fingerprints: DataFrame, name: String,
-      buckets: Int = 16,
-      basePath: String = IvfIndex.defaultBase): Unit =
+      buckets: Int = 16, maxBandDf: Int = 10000,
+      basePath: String = IvfIndex.defaultBase): Unit = {
     fingerprints.select(col("media_id"), col("h_lo"), col("h_hi"))
       .repartition(col("media_id")) // 1 file/bucket (IvfIndex recipe)
       .write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/${name}_fp")
       .bucketBy(buckets, "media_id").sortBy("media_id")
       .saveAsTable(s"${name}_fp")
+    spark.sql(s"ALTER TABLE ${name}_fp SET TBLPROPERTIES " +
+      s"('graft.maxBandDf'='$maxBandDf')")
+    refreshBandStop(spark, name, basePath)
+  }
+
+  /** The build-time band-df dial, read back from the `_fp` table
+    * property (survives [[Compact.compactTable]]'s swap — it re-applies
+    * `graft.*` properties). */
+  def storedMaxBandDf(spark: SparkSession, name: String): Int =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(s"${name}_fp"))
+      .properties.get("graft.maxBandDf").map(_.toInt).getOrElse(10000)
+
+  /** The stored fingerprints' 4×16-bit bands. */
+  private def fpBands(fp: DataFrame): DataFrame =
+    fp.select(explode(array(
+      struct(lit(0).as("bi"), (col("h_lo") % 65536L).as("bv")),
+      struct(lit(1).as("bi"), expr("h_lo div 65536L").as("bv")),
+      struct(lit(2).as("bi"), (col("h_hi") % 65536L).as("bv")),
+      struct(lit(3).as("bi"), (expr("h_hi div 65536L")).as("bv"))))
+      .as("b"))
+      .select(col("b.bi").as("bi"), col("b.bv").as("bv"))
+
+  /** (Re)derive the band-value stop sidecar — `_bstop` = (bi, bv) pairs
+    * carried by more than `maxBandDf` DISTINCT fingerprints (see
+    * [[Multimodal.dhashPairs]]'s discipline scaladoc for why distinct
+    * fingerprints, not media: identical-fp floods are collapsed, and a
+    * media count would stop a popular item's bands and wrongly admit
+    * its re-fetches). Distinct-fp counts are NOT sum-decomposable
+    * across appends (the same fingerprint can recur in later batches),
+    * so unlike [[VideoIndex]]'s media-count logs this re-derives from
+    * the `_fp` table — a 16-byte-row scan, no payload, no decode: the
+    * cheap-by-construction pass [[append]] can afford per batch, which
+    * keeps the gate's stop set EXACT between maintenance windows. */
+  def refreshBandStop(spark: SparkSession, name: String,
+      basePath: String = IvfIndex.defaultBase): Long = {
+    val maxBandDf = storedMaxBandDf(spark, name)
+    val bstop = fpBands(spark.table(s"${name}_fp")
+        .select(col("h_lo"), col("h_hi")).distinct())
+      .groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxBandDf).select(col("bi"), col("bv"))
+      .localCheckpoint()
+    bstop.coalesce(1).write.mode("overwrite").format("parquet")
+      .option("path", s"$basePath/${name}_bstop")
+      .saveAsTable(s"${name}_bstop")
+    spark.table(s"${name}_bstop").count()
+  }
 
   /** Ingest a fresh batch's fingerprints: |batch| decode+hash upstream,
-    * one bucket-aligned insert here — the stored corpus is not read. */
+    * one bucket-aligned insert here — the stored corpus's payloads are
+    * not read; the band-stop sidecar re-derives from the 16-byte
+    * fingerprint rows (see [[refreshBandStop]]) so a band value
+    * crossing the dial is capped at append time. */
   def append(spark: SparkSession, name: String,
-      freshFp: DataFrame): Unit =
+      freshFp: DataFrame): Unit = {
     freshFp.select(col("media_id"), col("h_lo"), col("h_hi"))
       .write.mode("append").insertInto(s"${name}_fp")
+    refreshBandStop(spark, name)
+  }
 
   /** Near-dup pairs from the STORED fingerprints — byte-identical
     * answers to the live [[Multimodal.imageDedupPairs]] /
     * [[Multimodal.audioDedupPairs]] over the same corpus (the pair
     * stage is a pure function of the fingerprint frame; MediaIndexSpec
-    * pins it), with the decode+fingerprint term gone from the query. */
+    * pins it), with the decode+fingerprint term gone from the query and
+    * the persisted band-df dial applied. */
   def pairs(spark: SparkSession, name: String,
       maxDist: Int = 6): DataFrame =
-    Multimodal.dhashPairs(spark.table(s"${name}_fp"), maxDist)
+    Multimodal.dhashPairs(spark.table(s"${name}_fp"), maxDist,
+      storedMaxBandDf(spark, name))
 
   /** INCREMENTAL near-dup check — the crawl-admission shape
     * ([[DedupIndex.dedupAgainst]]'s media analog): band a fresh batch's
@@ -91,7 +145,8 @@ object MediaIndex {
     * caller owns id freshness, so fid/cid collisions don't occur. */
   def pairsAgainst(spark: SparkSession, name: String, freshFp: DataFrame,
       maxDist: Int = 6): DataFrame =
-    pairsAgainstFp(spark.table(s"${name}_fp"), freshFp, maxDist)
+    pairsAgainstFp(spark.table(s"${name}_fp"), freshFp, maxDist,
+      Some(spark.table(s"${name}_bstop")))
 
   /** [[pairsAgainst]] over an explicit corpus fingerprint frame — the
     * seam (the [[Multimodal.dhashPairs]] frame-input discipline) that
@@ -99,7 +154,7 @@ object MediaIndex {
     * so stored-vs-live timings differ only in where the corpus
     * fingerprints come from. */
   def pairsAgainstFp(storedFp: DataFrame, freshFp: DataFrame,
-      maxDist: Int = 6): DataFrame = {
+      maxDist: Int = 6, stopBands: Option[DataFrame] = None): DataFrame = {
     def bandsOf(df: DataFrame, id: String, lo: String, hi: String) =
       df.select(col("media_id").as(id), col("h_lo").as(lo),
           col("h_hi").as(hi))
@@ -111,8 +166,18 @@ object MediaIndex {
           .as("b"))
         .select(col(id), col(lo), col(hi), col("b.bi").as("bi"),
           col("b.bv").as("bv"))
+    // band-df discipline on the fresh side: hot band values (df over
+    // the CORPUS's distinct fingerprints — the `_bstop` sidecar when
+    // serving an index, derived inline for the recompute twin) are
+    // dropped before the broadcast so they never fan out map-side
+    val stop = stopBands.getOrElse(
+      fpBands(storedFp.select(col("h_lo"), col("h_hi")).distinct())
+        .groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("df"))
+        .where(col("df") > 10000).select(col("bi"), col("bv")))
     val fB = broadcast(
-      bandsOf(freshFp, "fid", "la", "ha").localCheckpoint())
+      bandsOf(freshFp, "fid", "la", "ha")
+        .join(broadcast(stop), Seq("bi", "bv"), "left_anti")
+        .localCheckpoint())
     val sB = bandsOf(storedFp, "cid", "lb", "hb")
     sB.join(fB, Seq("bi", "bv"))
       .select(col("fid"), col("cid"),
@@ -136,16 +201,25 @@ object MediaIndex {
       Seq("media_id"), "left_anti")
 
   /** Maintenance: one-file-per-bucket rewrite of the appended
-    * fingerprint table ([[Compact.compactTable]] contract). */
-  def compact(spark: SparkSession, name: String): Map[String, (Long, Long)] =
-    Map(s"${name}_fp" -> Compact.compactTable(spark, s"${name}_fp"))
+    * fingerprint table ([[Compact.compactTable]] contract) + band-stop
+    * re-derivation under the persisted dial. */
+  def compact(spark: SparkSession, name: String): Map[String, (Long, Long)] = {
+    val r = Map(s"${name}_fp" -> Compact.compactTable(spark, s"${name}_fp"))
+    refreshBandStop(spark, name)
+    r
+  }
 
   /** Scheduled maintenance: compact when fragmented, else no-op
     * ([[Compact.maintainTables]] — the composed-loop entry point,
-    * r13 verdict #3). */
+    * r13 verdict #3); the band stop re-derives whenever the table was
+    * rewritten. */
   def maintain(spark: SparkSession, name: String,
-      maxFilesPerBucket: Double = 4.0): Map[String, (Long, Long)] =
-    Compact.maintainTables(spark, Seq(s"${name}_fp"), maxFilesPerBucket)
+      maxFilesPerBucket: Double = 4.0): Map[String, (Long, Long)] = {
+    val r = Compact.maintainTables(spark, Seq(s"${name}_fp"),
+      maxFilesPerBucket)
+    if (r.exists { case (_, (b, a)) => a < b }) refreshBandStop(spark, name)
+    r
+  }
 
   /** Maintenance: DELETE media from the index (takedowns, erasure). A
     * removed item stops pairing with future re-crawled copies — the
@@ -155,9 +229,11 @@ object MediaIndex {
       idCol: String = "media_id"): Map[String, (Long, Long)] = {
     val rid = broadcast(ids.select(col(idCol).cast("long").as("__rid"))
       .distinct().localCheckpoint())
-    Map(s"${name}_fp" -> Compact.compactTable(spark, s"${name}_fp",
+    val r = Map(s"${name}_fp" -> Compact.compactTable(spark, s"${name}_fp",
       transform = df => df.join(rid, df("media_id") === rid("__rid"),
         "left_anti")))
+    refreshBandStop(spark, name)
+    r
   }
 
   /** Memoized builds over the fixture corpora, keyed by (sfDir, data

@@ -160,6 +160,49 @@ class MediaIndexSpec extends AnyFunSuite {
       maxDist = 6)) == before)
   }
 
+  test("band-df discipline: a near-solid band flood collapses to the genuine pairs") {
+    val s = spark
+    import s.implicits._
+    // twelve DISTINCT fingerprints sharing band 0's value 7 (near-solid
+    // rasters: same dominant band, different residue — the collapse
+    // can't help because the fps differ) + one genuine near-dup pair
+    // (13, 14) at Hamming 2 sharing band (0, 99). Without the dial the
+    // flood pays 12-choose-2 candidate rows; with maxBandDf = 5 the
+    // flood's shared band stops and only the genuine pair survives.
+    val flood = (1L to 12L).map(v =>
+      (v, 65536L * (1000 + v) + 7, 65536L * (3000 + v) + 3000 + v))
+    val genuine = Seq(
+      (13L, 65536L * 2000 + 99, 65536L * 4000 + 4000),
+      (14L, 65536L * 2000 + 99, 65536L * 4000 + 4001))
+    val fp = (flood ++ genuine).toDF("media_id", "h_lo", "h_hi")
+    val loose = Multimodal.dhashPairs(fp, maxDist = 64, maxBandDf = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(loose.length == 67, // 12C2 flood + the genuine pair
+      s"without the dial the flood pairs quadratically: ${loose.length}")
+    val strict = Multimodal.dhashPairs(fp, maxDist = 64, maxBandDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(strict.toSeq == Seq((13L, 14L, 1L)),
+      s"only the genuine pair survives the dial: ${strict.toSeq}")
+    // the GATE rides the persisted sidecar: corpus = the flood + item
+    // 13; a fresh batch carrying a flood-banded fp and a re-fetch of 13
+    // admits the flood item, refuses the genuine dup
+    MediaIndex.build(spark, (flood ++ genuine.take(1))
+      .toDF("media_id", "h_lo", "h_hi"), "graft_media_spec_bstop",
+      maxBandDf = 5)
+    assert(spark.table("graft_media_spec_bstop_bstop").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet == Set((0, 7L)),
+      "exactly the flood's shared band value is stopped")
+    val fresh = Seq(
+      (100L, 65536L * 5000 + 7, 65536L * 6000 + 6000), // flood-banded
+      (101L, 65536L * 2000 + 99, 65536L * 4000 + 4001)) // dup of 13
+      .toDF("media_id", "h_lo", "h_hi")
+    val admitted = MediaIndex.dedupAgainst(spark,
+      "graft_media_spec_bstop", fresh, maxDist = 64)
+      .select(col("media_id")).collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(100L),
+      s"hot-band candidate suppressed, genuine dup refused: $admitted")
+  }
+
   test("maintain compacts only when fragmented") {
     val fp = Multimodal.imageDHash(Multimodal.imageTable(spark, sf0001))
       .localCheckpoint()
