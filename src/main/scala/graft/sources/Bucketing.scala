@@ -25,6 +25,27 @@ object Bucketing {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Auto-scaled bucket count for the stored-index families (r14
+    * verdict "what's missing" #3 — the [[IvfIndex.autoCells]] clamp
+    * discipline applied to bucket counts): pinned buckets mean each
+    * bucket's file grows without bound as the corpus does (the ×1000
+    * video arm scans 33M rows through 16 buckets), while too many
+    * buckets hit the r14 task-floor finding — a bucketed scan schedules
+    * one FilePartition per bucket EVEN WHEN PRUNED, so bucket count is
+    * a per-query task cost, and a bucketed write emits at least one
+    * file per non-empty bucket, so it is also a file-count cost.
+    * √(N/1000), clamped to [16, 1024], grows both per-bucket rows and
+    * bucket count with √N: at the fixture scales it stays at the
+    * familiar 16 (memoized registered indexes keep their oracle
+    * regime), at the measured 33M-row rehearsal arm it yields ~182
+    * buckets (~180k rows ≈ a few MB per bucket file), and the 1024 cap
+    * bounds the empty-task floor at ~the 65536-cell IvfIndex ceiling's
+    * task budget. */
+  def autoBuckets(nRows: Long, minBuckets: Int = 16,
+      maxBuckets: Int = 1024): Int =
+    math.min(maxBuckets.toLong, math.max(minBuckets.toLong,
+      math.ceil(math.sqrt(nRows.toDouble / 1000.0)).toLong)).toInt
+
   /** Collision-safe table-name suffix: unsigned hex of the first 64
     * bits of SHA-256(key). The previous `math.abs(String.hashCode)` was
     * both sign-unsafe (abs(Int.MinValue) stays negative → a '-' in the

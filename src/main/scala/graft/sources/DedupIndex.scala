@@ -54,6 +54,21 @@ object DedupIndex {
         element_at(col("sig"), b + 1) + lit(b * 1099511627776L)): _*))
         .as("bkh"))
 
+  /** [[build]] at the [[Bucketing.autoBuckets]] dial. The sizing row
+    * count is the bands table's |docs| × bands — known analytically, so
+    * no derivation runs twice; shingles/sizes share the bucket count
+    * (one dial per index, the family contract). Returns the chosen
+    * bucket count. */
+  def buildAuto(spark: SparkSession, corpus: DataFrame, textCol: String,
+      idCol: String, name: String, k: Int = 3, numHashes: Int = 64,
+      bands: Int = 16,
+      basePath: String = IvfIndex.defaultBase): Int = {
+    val kb = Bucketing.autoBuckets(corpus.count() * bands)
+    build(spark, corpus, textCol, idCol, name, k, numHashes, bands,
+      buckets = kb, basePath = basePath)
+    kb
+  }
+
   def build(spark: SparkSession, corpus: DataFrame, textCol: String,
       idCol: String, name: String, k: Int = 3, numHashes: Int = 64,
       bands: Int = 16, buckets: Int = 16,

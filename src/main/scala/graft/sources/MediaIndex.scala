@@ -60,6 +60,23 @@ object MediaIndex {
     refreshBandStop(spark, name, basePath)
   }
 
+  /** [[build]] at the [[Bucketing.autoBuckets]] dial: the fingerprint
+    * frame is checkpointed (the decode+hash pass must not run twice),
+    * counted, and written with √-scaled buckets — the bucket-count
+    * analog of [[IvfIndex.ensureBuiltAuto]]. Returns the chosen bucket
+    * count. Registered fixture indexes stay at the memoized 16-bucket
+    * regime; rehearsal-scale builds take this path (R15BucketProbe
+    * measures the serve effect at ×1000). */
+  def buildAuto(spark: SparkSession, fingerprints: DataFrame,
+      name: String, maxBandDf: Int = 10000,
+      basePath: String = IvfIndex.defaultBase): Int = {
+    val f = fingerprints.localCheckpoint()
+    val k = Bucketing.autoBuckets(f.count())
+    build(spark, f, name, buckets = k, maxBandDf = maxBandDf,
+      basePath = basePath)
+    k
+  }
+
   /** The build-time band-df dial, read back from the `_fp` table
     * property (survives [[Compact.compactTable]]'s swap — it re-applies
     * `graft.*` properties). */

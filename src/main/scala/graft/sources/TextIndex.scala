@@ -73,6 +73,24 @@ object TextIndex {
       docCol: String, name: String, buckets: Int = 64,
       basePath: String = IvfIndex.defaultBase): Unit = {
     val (postings, totals) = postingAndTotals(docs, textCol, docCol)
+    writeTables(postings, totals, name, buckets, basePath)
+  }
+
+  /** [[build]] at the [[Bucketing.autoBuckets]] dial: postings counted
+    * (cheap — they derive from the checkpointed tf frame), buckets
+    * √-scaled. Returns the chosen bucket count. */
+  def buildAuto(spark: SparkSession, docs: DataFrame, textCol: String,
+      docCol: String, name: String,
+      basePath: String = IvfIndex.defaultBase): Int = {
+    val (postings, totals) = postingAndTotals(docs, textCol, docCol)
+    val p = postings.localCheckpoint()
+    val k = Bucketing.autoBuckets(p.count())
+    writeTables(p, totals, name, k, basePath)
+    k
+  }
+
+  private def writeTables(postings: DataFrame, totals: DataFrame,
+      name: String, buckets: Int, basePath: String): Unit = {
     // hash-partition by the bucket column before the bucketed write:
     // one file per bucket instead of tasks × buckets fragments (the
     // IvfIndex.build recipe — fresh frame, so no repartition elision)

@@ -56,6 +56,19 @@ object VideoIndex {
     refreshStop(spark, name, basePath)
   }
 
+  /** [[build]] at the [[Bucketing.autoBuckets]] dial (frames
+    * checkpointed so the payload pass runs once; returns the chosen
+    * bucket count) — the fix for the ×1000 arm's 33M rows flowing
+    * through 16 pinned buckets. */
+  def buildAuto(spark: SparkSession, frames: DataFrame, name: String,
+      maxDf: Int = 10000,
+      basePath: String = IvfIndex.defaultBase): Int = {
+    val f = frames.localCheckpoint()
+    val k = Bucketing.autoBuckets(f.count())
+    build(spark, f, name, buckets = k, maxDf = maxDf, basePath = basePath)
+    k
+  }
+
   /** The build-time stop dial, read back from the `_vf` table property
     * ([[Compact.compactTable]] re-applies `graft.*` properties across
     * its swap, so the dial survives maintenance). */

@@ -57,4 +57,32 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b3")
     }
   }
+
+  test("autoBuckets: sqrt-scaled, clamped, fixture regime preserved") {
+    assert(Bucketing.autoBuckets(0L) == 16)
+    assert(Bucketing.autoBuckets(33000L) == 16,
+      "fixture-scale builds stay at the 16-bucket oracle regime")
+    assert(Bucketing.autoBuckets(33000000L) == 182,
+      "the measured 33M-row rehearsal arm spreads past 16 buckets")
+    assert(Bucketing.autoBuckets(Long.MaxValue / 4) == 1024,
+      "the empty-task floor is capped")
+    // monotone in N: more rows never fewer buckets
+    val pts = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
+      .map(Bucketing.autoBuckets(_))
+    assert(pts == pts.sorted)
+  }
+
+  test("buildAuto round-trips: same answers as the pinned-bucket build at fixture scale") {
+    val frames = graft.multimodal.Multimodal.videoFramesFp(
+      graft.multimodal.Multimodal.videoTable(spark, sf0001))
+    val k = graft.sources.VideoIndex.buildAuto(spark, frames,
+      "graft_video_spec_auto")
+    assert(k == 16, s"fixture corpus must keep the 16-bucket regime: $k")
+    graft.sources.VideoIndex.build(spark, frames, "graft_video_spec_pin")
+    val a = graft.sources.VideoIndex.pairs(spark, "graft_video_spec_auto")
+      .collect().map(_.toSeq).toSet
+    val b = graft.sources.VideoIndex.pairs(spark, "graft_video_spec_pin")
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "bucket count changes layout, never answers")
+  }
 }
