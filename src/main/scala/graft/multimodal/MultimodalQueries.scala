@@ -491,7 +491,26 @@ object MultimodalQueries {
                 WHERE bit_count(xor(a.lo, b.lo))
                     + bit_count(xor(a.hi, b.hi)) <= 6)
               SELECT fid, cid, CAST(count(*) AS BIGINT) AS matched_frames
-              FROM pm GROUP BY 1, 2 HAVING count(*) >= 2"""))
+              FROM pm GROUP BY 1, 2 HAVING count(*) >= 2""")),
+
+    // the COMPOSED multimodal crawl gate (r14 verdict "what's missing"
+    // #4): one admitFlags call drives a batch carrying all four
+    // renditions through the text/image/audio/video stored-index gates
+    // and emits per-item flags. Fixture: a verbatim re-fetch slice
+    // (every modality refuses) + a reversed-text novel slice (every
+    // modality admits). The oracle composes the four gates' full
+    // replays — portable MinHash banding + exact Jaccard, PNG dHash
+    // byte math, WAV envelope byte math, aligned frame md5s — under
+    // prefixed CTEs in ONE DuckDB query, each scoped to cross
+    // (corpus × batch) pairs with its own stop/band-df discipline.
+    Q("q_crawl_admit",
+      (s, d) => graft.multimodal.CrawlAdmit.admitFlags(s,
+        graft.multimodal.CrawlAdmit.crawlBatch(s, d),
+        graft.sources.DedupIndex.ensureBuiltFull(s, d),
+        graft.sources.MediaIndex.ensureBuiltImage(s, d),
+        graft.sources.MediaIndex.ensureBuiltAudioCorpus(s, d),
+        graft.sources.VideoIndex.ensureBuiltVideoCorpus(s, d)),
+      Some(crawlAdmitSql))
   )
 
   /** The frame-digest replay shared by the video pair oracles: corpus ∪
@@ -517,6 +536,266 @@ object MultimodalQueries {
                 SELECT sf.* FROM sf
                 WHERE fm NOT IN (SELECT fm FROM stop))
               """
+
+  /** The composed crawl-admission replay: four modality gates under
+    * prefixed CTEs (t_ text MinHash, i_ image PNG dHash, a_ audio WAV
+    * envelope, v_ video frame md5s) over ONE shared batch ∪ corpus
+    * table, each restricted to cross pairs, finishing in per-item 0/1
+    * admit flags. Each leg is the SAME replay its standalone gate
+    * oracle certifies (q_incremental_dedup_stored,
+    * q_image_dedup_against, q_audio_dedup_against,
+    * q_video_dedup_against) — recomposed rather than referenced because
+    * one WITH clause cannot share CTE names across legs. */
+  private def crawlAdmitSql: String = {
+    val wordHash = graft.llm.LlmQueries.duckWordHash("x")
+    s"""WITH mb AS (
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                WHERE doc_id % 4 = 1
+                UNION ALL
+                SELECT doc_id + 2000000, reverse(text) FROM documents
+                WHERE doc_id % 4 = 3),
+              alltx AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM mb),
+              -- ======== text: portable MinHash banding + exact Jaccard
+              t_ws AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                         w -> length(w) > 0) AS w
+                FROM alltx),
+              t_sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                         AS shingle
+                FROM t_ws WHERE len(w) >= 3),
+              t_whl AS (
+                SELECT doc_id, list_transform(w, x -> $wordHash) AS hs
+                FROM t_ws WHERE len(w) >= 3),
+              t_shh AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(hs) - 1), i ->
+                         (((hs[i] * 1000003 + hs[i+1]) % 1000000007)
+                            * 1000003 + hs[i+2]) % 1000000007)) AS x
+                FROM t_whl),
+              t_hx AS (SELECT doc_id, x, unnest(range(0, 64)) AS h
+                       FROM t_shh),
+              t_mx AS (
+                SELECT doc_id, h,
+                       ((((x * 2654435761 + 40503 * (h + 1)) % 1000000007)
+                          * ((x * 2654435761 + 40503 * (h + 1))
+                             % 1000000007)) % 1000000007) AS s1
+                FROM t_hx),
+              t_sig AS (SELECT doc_id, h, min((s1 * s1) % 1000000007) AS s
+                        FROM t_mx GROUP BY doc_id, h),
+              t_bnd AS (SELECT doc_id, h // 4 AS band,
+                               list(s ORDER BY h) AS l
+                        FROM t_sig GROUP BY doc_id, (h // 4)),
+              t_bh AS (
+                SELECT doc_id, band,
+                       (((((l[1] * 1000003 + l[2]) % 1000000007)
+                           * 1000003 + l[3]) % 1000000007)
+                          * 1000003 + l[4]) % 1000000007 AS bh
+                FROM t_bnd),
+              t_cand AS (
+                SELECT DISTINCT f.doc_id AS fid, c.doc_id AS cid
+                FROM t_bh f JOIN t_bh c
+                  ON f.band = c.band AND f.bh = c.bh
+                WHERE f.doc_id >= 1000000 AND c.doc_id < 1000000),
+              t_fs AS (SELECT doc_id, shingle FROM t_sh
+                       WHERE doc_id >= 1000000),
+              t_cs AS (SELECT doc_id, shingle FROM t_sh
+                       WHERE doc_id < 1000000),
+              t_fsz AS (SELECT doc_id, count(*) AS nf FROM t_fs GROUP BY 1),
+              t_csz AS (SELECT doc_id, count(*) AS nc FROM t_cs GROUP BY 1),
+              t_inter AS (
+                SELECT t_cand.fid, t_cand.cid, count(*) AS c
+                FROM t_cand
+                JOIN t_fs ON t_fs.doc_id = t_cand.fid
+                JOIN t_cs ON t_cs.doc_id = t_cand.cid
+                         AND t_cs.shingle = t_fs.shingle
+                GROUP BY 1, 2),
+              t_dup AS (
+                SELECT DISTINCT fid FROM t_inter
+                JOIN t_fsz ON t_fsz.doc_id = t_inter.fid
+                JOIN t_csz ON t_csz.doc_id = t_inter.cid
+                WHERE round(c * 1.0 / (nf + nc - c), 4) >= 0.8),
+              -- ======== shared hex bytes for the image/audio legs
+              x_m AS (
+                SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n_bytes
+                FROM alltx),
+              -- ======== image: PNG dHash over the zero-padded raster
+              i_dims AS (
+                SELECT media_id,
+                       greatest(1, CAST(ceil(n_bytes / 48.0) AS BIGINT))
+                         AS hh
+                FROM x_m),
+              i_pos AS (
+                SELECT media_id, h, unnest(range(1, n_bytes + 1)) AS i
+                FROM x_m),
+              i_by AS (
+                SELECT media_id, i,
+                       16 * (strpos('0123456789ABCDEF',
+                               substring(h, CAST(2 * i - 1 AS BIGINT), 1)) - 1)
+                         + (strpos('0123456789ABCDEF',
+                               substring(h, CAST(2 * i AS BIGINT), 1)) - 1)
+                         AS byte
+                FROM i_pos),
+              i_bs AS (SELECT media_id, list(byte ORDER BY i) AS b
+                       FROM i_by GROUP BY 1),
+              i_cells AS (
+                SELECT d.media_id, gx.gx, gy.gy,
+                       ((coalesce(bs.b[CAST(3 * (((gy.gy * d.hh) // 8) * 16
+                                               + 2 * gx.gx) + 1 AS BIGINT)], 0)
+                       + coalesce(bs.b[CAST(3 * (((gy.gy * d.hh) // 8) * 16
+                                               + 2 * gx.gx) + 2 AS BIGINT)], 0)
+                       + coalesce(bs.b[CAST(3 * (((gy.gy * d.hh) // 8) * 16
+                                               + 2 * gx.gx) + 3 AS BIGINT)], 0))
+                        // 3) AS g
+                FROM i_dims d
+                LEFT JOIN i_bs bs ON d.media_id = bs.media_id
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS gx) gx
+                CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) gy),
+              i_bits AS (
+                SELECT a.media_id, 8 * a.gy + a.gx AS k,
+                       CASE WHEN n.g > a.g THEN 1 ELSE 0 END AS bit
+                FROM i_cells a
+                JOIN i_cells n ON a.media_id = n.media_id AND a.gy = n.gy
+                              AND n.gx = (a.gx + 1) % 8),
+              i_fp AS (
+                SELECT media_id,
+                       CAST(sum(CASE WHEN k < 32
+                         THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT))
+                         ELSE 0 END) AS BIGINT) AS lo,
+                       CAST(sum(CASE WHEN k >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+                         ELSE 0 END) AS BIGINT) AS hi
+                FROM i_bits GROUP BY 1),
+              i_fpd AS (SELECT DISTINCT lo, hi FROM i_fp
+                        WHERE media_id < 1000000),
+              i_bstop AS (
+                SELECT bi, bv FROM (
+                  SELECT 0 AS bi, lo % 65536 AS bv FROM i_fpd
+                  UNION ALL SELECT 1, lo // 65536 FROM i_fpd
+                  UNION ALL SELECT 2, hi % 65536 FROM i_fpd
+                  UNION ALL SELECT 3, hi // 65536 FROM i_fpd)
+                GROUP BY 1, 2 HAVING count(*) > 10000),
+              i_dup AS (
+                SELECT DISTINCT b.media_id
+                FROM i_fp a JOIN i_fp b
+                  ON a.media_id < 1000000 AND b.media_id >= 1000000
+                 AND (a.lo % 65536 = b.lo % 65536 AND NOT EXISTS (
+                        SELECT 1 FROM i_bstop s
+                        WHERE s.bi = 0 AND s.bv = a.lo % 65536)
+                   OR a.lo // 65536 = b.lo // 65536 AND NOT EXISTS (
+                        SELECT 1 FROM i_bstop s
+                        WHERE s.bi = 1 AND s.bv = a.lo // 65536)
+                   OR a.hi % 65536 = b.hi % 65536 AND NOT EXISTS (
+                        SELECT 1 FROM i_bstop s
+                        WHERE s.bi = 2 AND s.bv = a.hi % 65536)
+                   OR a.hi // 65536 = b.hi // 65536 AND NOT EXISTS (
+                        SELECT 1 FROM i_bstop s
+                        WHERE s.bi = 3 AND s.bv = a.hi // 65536))
+                WHERE bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) <= 6),
+              -- ======== audio: WAV envelope dHash over the raw bytes
+              a_wm AS (
+                SELECT media_id, ((i - 1) * 64) // n_bytes AS k,
+                       sum(byte) // count(*) AS mean
+                FROM (
+                  SELECT i_by.media_id, i_by.i, i_by.byte, x_m.n_bytes
+                  FROM i_by JOIN x_m ON i_by.media_id = x_m.media_id)
+                GROUP BY 1, 2),
+              a_grid AS (SELECT media_id, unnest(range(0, 64)) AS k
+                         FROM x_m),
+              a_mg AS (
+                SELECT a_grid.media_id, a_grid.k,
+                       coalesce(a_wm.mean, 0) AS mean
+                FROM a_grid
+                LEFT JOIN a_wm ON a_grid.media_id = a_wm.media_id
+                              AND a_grid.k = a_wm.k),
+              a_bits AS (
+                SELECT a.media_id, a.k,
+                       CASE WHEN n.mean > a.mean THEN 1 ELSE 0 END AS bit
+                FROM a_mg a
+                JOIN a_mg n ON a.media_id = n.media_id
+                           AND n.k = (a.k + 1) % 64),
+              a_fp AS (
+                SELECT media_id,
+                       CAST(sum(CASE WHEN k < 32
+                         THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT))
+                         ELSE 0 END) AS BIGINT) AS lo,
+                       CAST(sum(CASE WHEN k >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+                         ELSE 0 END) AS BIGINT) AS hi
+                FROM a_bits GROUP BY 1),
+              a_fpd AS (SELECT DISTINCT lo, hi FROM a_fp
+                        WHERE media_id < 1000000),
+              a_bstop AS (
+                SELECT bi, bv FROM (
+                  SELECT 0 AS bi, lo % 65536 AS bv FROM a_fpd
+                  UNION ALL SELECT 1, lo // 65536 FROM a_fpd
+                  UNION ALL SELECT 2, hi % 65536 FROM a_fpd
+                  UNION ALL SELECT 3, hi // 65536 FROM a_fpd)
+                GROUP BY 1, 2 HAVING count(*) > 10000),
+              a_dup AS (
+                SELECT DISTINCT b.media_id
+                FROM a_fp a JOIN a_fp b
+                  ON a.media_id < 1000000 AND b.media_id >= 1000000
+                 AND (a.lo % 65536 = b.lo % 65536 AND NOT EXISTS (
+                        SELECT 1 FROM a_bstop s
+                        WHERE s.bi = 0 AND s.bv = a.lo % 65536)
+                   OR a.lo // 65536 = b.lo // 65536 AND NOT EXISTS (
+                        SELECT 1 FROM a_bstop s
+                        WHERE s.bi = 1 AND s.bv = a.lo // 65536)
+                   OR a.hi % 65536 = b.hi % 65536 AND NOT EXISTS (
+                        SELECT 1 FROM a_bstop s
+                        WHERE s.bi = 2 AND s.bv = a.hi % 65536)
+                   OR a.hi // 65536 = b.hi // 65536 AND NOT EXISTS (
+                        SELECT 1 FROM a_bstop s
+                        WHERE s.bi = 3 AND s.bv = a.hi // 65536))
+                WHERE bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) <= 6),
+              -- ======== video: temporally-aligned frame md5s
+              v_f AS (
+                SELECT doc_id AS media_id, text,
+                       unnest(range(0,
+                         CAST(ceil(octet_length(encode(text)) / 32.0)
+                           AS BIGINT))) AS frame_idx
+                FROM alltx),
+              v_sf AS (
+                SELECT media_id, frame_idx,
+                       md5(substring(text,
+                         CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS fm
+                FROM v_f WHERE frame_idx % 2 = 0),
+              v_stop AS (
+                SELECT fm FROM v_sf WHERE media_id < 1000000
+                GROUP BY fm HAVING count(DISTINCT media_id) > 10000),
+              v_pair AS (
+                SELECT b.media_id AS fid
+                FROM v_sf a JOIN v_sf b
+                  ON a.frame_idx = b.frame_idx AND a.fm = b.fm
+                 AND a.media_id < 1000000 AND b.media_id >= 1000000
+                WHERE b.fm NOT IN (SELECT fm FROM v_stop)
+                GROUP BY b.media_id, a.media_id HAVING count(*) >= 2),
+              v_dup AS (SELECT DISTINCT fid FROM v_pair)
+              SELECT mb.doc_id,
+                CAST(mb.doc_id NOT IN (SELECT fid FROM t_dup)
+                  AS BIGINT) AS admit_text,
+                CAST(mb.doc_id NOT IN (SELECT media_id FROM i_dup)
+                  AS BIGINT) AS admit_image,
+                CAST(mb.doc_id NOT IN (SELECT media_id FROM a_dup)
+                  AS BIGINT) AS admit_audio,
+                CAST(mb.doc_id NOT IN (SELECT fid FROM v_dup)
+                  AS BIGINT) AS admit_video,
+                CAST(mb.doc_id NOT IN (SELECT fid FROM t_dup)
+                 AND mb.doc_id NOT IN (SELECT media_id FROM i_dup)
+                 AND mb.doc_id NOT IN (SELECT media_id FROM a_dup)
+                 AND mb.doc_id NOT IN (SELECT fid FROM v_dup)
+                  AS BIGINT) AS admit
+              FROM mb"""
+  }
 
   /** The media band-df replay (r14 verdict "what's missing" #2,
     * mirrored by [[Multimodal.dhashPairs]] and the `_bstop` sidecar):

@@ -209,4 +209,24 @@ object DedupIndex {
       name
     })
   }
+
+  /** Memoized build over the FULL documents corpus — the text leg of
+    * the composed multimodal crawl gate
+    * ([[graft.multimodal.CrawlAdmit]]): the whole fixture corpus is
+    * stored, the batch arrives entirely fresh (unlike [[ensureBuilt]]'s
+    * mixer split, where 20 % of the corpus plays the batch). */
+  private val builtFull = scala.collection.concurrent.TrieMap.empty[
+    (String, String), String]
+
+  def ensureBuiltFull(spark: SparkSession, sfDir: String): String = {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val r = docs.agg(count(lit(1)), max(col("doc_id")),
+      sum(col("n_chars"))).head()
+    val fp = s"${r.get(0)}|${r.get(1)}|${r.get(2)}"
+    builtFull.getOrElseUpdate((sfDir, fp), {
+      val name = s"graft_dedupf_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark, docs, "text", "doc_id", name)
+      name
+    })
+  }
 }

@@ -647,6 +647,48 @@ object Streams {
     spark.catalog.refreshTable(s"${indexName}_vf")
   }
 
+  /** The COMPOSED multimodal crawl-admission loop at stream time — one
+    * sink drives every micro-batch through ALL FOUR modality gates
+    * ([[graft.multimodal.CrawlAdmit.admitBatch]]): text MinHash bands,
+    * image + audio fingerprints, video frame digests, each against its
+    * own stored corpus-only index, each family appending its OWN
+    * admitted rows — so batch N+1 gates against corpus ∪ batch N in
+    * every modality with no rebuild anywhere. Per-batch refresh of all
+    * stored relations (prior inserts happened on a sibling micro-batch
+    * session) + the materialize-before-append discipline live inside
+    * admitBatch. */
+  def streamCrawlAdmitIngest(spark: SparkSession, sfDir: String,
+      textIdx: String, imageIdx: String, audioIdx: String,
+      videoIdx: String, pred: Column,
+      checkpoint: Option[String] = None): Unit = {
+    val s = tuned(spark)
+    val fresh = documentsStream(s, sfDir).where(pred)
+    val allTables = Seq(s"${textIdx}_bands", s"${textIdx}_shingles",
+      s"${textIdx}_sizes", s"${imageIdx}_fp", s"${imageIdx}_bstop",
+      s"${audioIdx}_fp", s"${audioIdx}_bstop", s"${videoIdx}_vf",
+      s"${videoIdx}_dfs", s"${videoIdx}_stop", s"${videoIdx}_bdfs",
+      s"${videoIdx}_bstop")
+    val q = fresh.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val bs = batch.sparkSession
+        allTables.filter(bs.catalog.tableExists)
+          .foreach(bs.catalog.refreshTable)
+        graft.multimodal.CrawlAdmit.admitBatch(bs,
+          batch.select(col("doc_id"), col("text")),
+          textIdx, imageIdx, audioIdx, videoIdx)
+        ()
+      }
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_crawladmit_ckpt")
+          .toString))
+      .start()
+    q.awaitTermination()
+    allTables.filter(spark.catalog.tableExists)
+      .foreach(spark.catalog.refreshTable)
+  }
+
   /** Streaming DEDUP-GATED ingest — the full crawl-admission loop at
     * stream time: each documents micro-batch is near-dup-checked
     * against the STORED band/shingle postings

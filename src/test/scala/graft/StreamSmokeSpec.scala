@@ -294,4 +294,62 @@ class StreamSmokeSpec extends AnyFunSuite {
     assert(!ids.contains(920012L),
       s"the verbatim twin must be refused against batch 1's append: $ids")
   }
+
+  test("composed crawl admission: two batches through all four modality gates") {
+    // batch 1 admits a fresh doc into ALL FOUR families; batch 2
+    // carries a verbatim twin (new id) that every modality must refuse
+    // against batch 1's appends — no rebuild anywhere — plus a
+    // genuinely fresh doc every modality admits.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_crawladmit_src").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+    // > 64 bytes so the video leg has >= 2 sampled frames to align on
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
+    val tB = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    write(Seq((930001L, tA)))
+    Thread.sleep(1100)
+    write(Seq((930002L, tA), (930003L, tB)))
+    val corpus = Seq((1L,
+      "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua"))
+      .toDF("doc_id", "text")
+    graft.sources.DedupIndex.build(spark, corpus, "text", "doc_id",
+      "graft_ca_text")
+    graft.sources.MediaIndex.build(spark,
+      graft.multimodal.Multimodal.imageDHash(
+        graft.multimodal.Multimodal.imageTableOf(corpus)), "graft_ca_img")
+    graft.sources.MediaIndex.build(spark,
+      graft.multimodal.Multimodal.audioDHash(
+        graft.multimodal.Multimodal.audioTableOf(corpus)), "graft_ca_aud")
+    graft.sources.VideoIndex.build(spark,
+      graft.multimodal.Multimodal.videoFramesFp(
+        graft.multimodal.Multimodal.videoTableOf(corpus)), "graft_ca_vid")
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    try graft.streaming.Streams.streamCrawlAdmitIngest(spark, dir,
+      "graft_ca_text", "graft_ca_img", "graft_ca_aud", "graft_ca_vid",
+      lit(true))
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    def idsOf(table: String, idCol: String): Set[Long] =
+      spark.table(table).select(col(idCol)).distinct()
+        .collect().map(_.getLong(0)).toSet
+    val families = Seq(
+      ("graft_ca_text_sizes", "id"),
+      ("graft_ca_img_fp", "media_id"),
+      ("graft_ca_aud_fp", "media_id"),
+      ("graft_ca_vid_vf", "media_id"))
+    families.foreach { case (t, c) =>
+      val ids = idsOf(t, c)
+      assert(ids.contains(930001L), s"$t: batch-1 doc must be admitted")
+      assert(ids.contains(930003L), s"$t: batch-2 fresh doc must be admitted")
+      assert(!ids.contains(930002L),
+        s"$t: the verbatim twin must be refused against batch 1: $ids")
+    }
+  }
 }
