@@ -229,6 +229,52 @@ object Bench {
       val picked = graft.sources.IvfIndex.pickNProbe(frontier, 0.95)
       frontier.map(p => (p.nProbe, p.recall, picked))
         .toDF("n_probe", "recall", "picked")
+    }),
+    // the banding-dial re-probe for the MEDIA family (the r14 verdict's
+    // pickNProbe discipline for fingerprints): sampled brute-force
+    // Hamming truth vs the banded gate, cumulative recall per maxDist,
+    // and the dial pick — the maintenance-window cost a deployment pays
+    // after a compaction/drift pass before trusting maxDist.
+    "b_media_reprobe" -> ((s, d) => {
+      import s.implicits._
+      val name = graft.sources.MediaIndex.ensureBuiltAudio(s, d)
+      val frontier = graft.sources.MediaIndex.reprobeRecall(s, name,
+        maxDists = Seq(3, 4, 5, 6), sampleSize = 128)
+      val picked = graft.sources.MediaIndex.pickMaxDist(frontier, 0.95)
+      frontier.map(p => (p.maxDist, p.recall, p.truthPairs, picked))
+        .toDF("max_dist", "recall", "truth_pairs", "picked")
+    }),
+    // ONE scheduled maintenance window across families (r14 stretch
+    // #8): a drift-appended vector index + a fragment-appended video
+    // index walked by a single Maintenance.maintainAll call — census,
+    // decide, refresh-or-compact, stop re-derivation, one report.
+    "b_maintain_all" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val emb = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      graft.sources.IvfIndex.build(s, emb.where(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", "graft_mntall_ivf", numCentroids = 64)
+      graft.sources.IvfIndex.append(s, "graft_mntall_ivf",
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      val docs = graft.Tables.documents(s, d)
+      graft.sources.VideoIndex.build(s,
+        graft.multimodal.Multimodal.videoFramesFp(
+          graft.multimodal.Multimodal.videoTableOf(
+            docs.where(col("doc_id") % 4 === 0))), "graft_mntall_vid")
+      (1 to 3).foreach(i => graft.sources.VideoIndex.append(s,
+        "graft_mntall_vid",
+        graft.multimodal.Multimodal.videoFramesFp(
+          graft.multimodal.Multimodal.videoTableOf(
+            docs.where(col("doc_id") % 4 === 1)
+              .select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+                col("text"))))))
+      val rep = graft.sources.Maintenance.maintainAll(s,
+        Seq(("ivf", "graft_mntall_ivf"), ("video", "graft_mntall_vid")))
+      rep.map(r => (r.kind, r.name, r.refreshed,
+          r.compacted.values.map(_._1).sum,
+          r.compacted.values.map(_._2).sum))
+        .toDF("kind", "name", "refreshed", "files_before", "files_after")
     }))
 
   def main(args: Array[String]): Unit = {

@@ -253,6 +253,65 @@ object MediaIndex {
     r
   }
 
+  case class BandRecallPoint(maxDist: Int, recall: Double,
+      truthPairs: Long)
+
+  /** Label-free recall re-probe for the banding dial — the
+    * [[IvfIndex.reprobeRecall]] discipline for fingerprints, the step
+    * R14MediaRecallProbe showed is mandatory knowledge for setting
+    * maxDist (4×16 banding is pigeonhole-guaranteed only at dist ≤ 3;
+    * measured 0.92/0.83/0.67 at 4/5/6 on the audio corpus): sample
+    * `sampleSize` stored fingerprints as a probe batch, brute-force
+    * Hamming truth against the whole corpus (sample BROADCAST, corpus
+    * streams map-side — linear in the corpus with a 16-byte × sample
+    * constant, the affordable maintenance-window pass), run the banded
+    * gate at the widest swept dial, and report cumulative recall at
+    * each dial. Call after [[maintain]]/[[compact]] whenever the corpus
+    * composition drifted; feed the frontier to [[pickMaxDist]]. */
+  def reprobeRecall(spark: SparkSession, name: String,
+      maxDists: Seq[Int] = Seq(3, 4, 5, 6, 8),
+      sampleSize: Int = 256): Seq[BandRecallPoint] = {
+    require(maxDists.nonEmpty, "empty dial sweep")
+    val fp = spark.table(s"${name}_fp")
+    val sample = fp
+      .orderBy(xxhash64(col("media_id")), col("media_id"))
+      .limit(sampleSize)
+      .select(col("media_id"), col("h_lo"), col("h_hi"))
+      .localCheckpoint()
+    val widest = maxDists.max
+    val truth = fp
+      .select(col("media_id").as("cid"), col("h_lo").as("lb"),
+        col("h_hi").as("hb"))
+      .crossJoin(broadcast(sample.select(col("media_id").as("fid"),
+        col("h_lo").as("la"), col("h_hi").as("ha"))))
+      .where(col("fid") =!= col("cid"))
+      .select(col("fid"), col("cid"),
+        (expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
+          .cast("long").as("dist"))
+      .where(col("dist") <= widest)
+      .localCheckpoint()
+    val banded = pairsAgainst(spark, name, sample, widest)
+      .where(col("fid") =!= col("cid"))
+      .localCheckpoint()
+    maxDists.sorted.map { d =>
+      val t = truth.where(col("dist") <= d).count()
+      val b = banded.where(col("dist") <= d).count()
+      BandRecallPoint(d,
+        if (t == 0L) 1.0 else b.toDouble / t, t)
+    }
+  }
+
+  /** The dial decision over a [[reprobeRecall]] frontier: the WIDEST
+    * swept maxDist whose measured banding recall still meets `target`
+    * (match as tolerantly as the candidate rule honestly supports), or
+    * the tightest swept dial when none does. */
+  def pickMaxDist(frontier: Seq[BandRecallPoint],
+      target: Double): Int = {
+    require(frontier.nonEmpty, "empty recall frontier")
+    frontier.sortBy(-_.maxDist).find(_.recall >= target)
+      .getOrElse(frontier.minBy(_.maxDist)).maxDist
+  }
+
   /** Memoized builds over the fixture corpora, keyed by (sfDir, data
     * fingerprint) — the [[DedupIndex.ensureBuilt]] discipline. Image:
     * the PNG-encoded media table. Audio: corpus ∪ the 0.9×-amplitude

@@ -202,6 +202,52 @@ class CompactSpec extends AnyFunSuite {
       .map(_.toSeq).toSet == want)
   }
 
+  test("maintainAll walks the family registry: fragmented families compact, healthy ones are a cheap no-op") {
+    import graft.multimodal.Multimodal
+    // media family: fragmented by three appends
+    val media = Multimodal.imageTable(spark, sf0001)
+    graft.sources.MediaIndex.build(spark,
+      Multimodal.imageDHash(media.where(col("media_id") % 4 === 0)),
+      "graft_mnt_media")
+    (1 to 3).foreach(i => graft.sources.MediaIndex.append(spark,
+      "graft_mnt_media",
+      Multimodal.imageDHash(media.where(col("media_id") % 4 === i))))
+    // video family: fragmented by two appends
+    val vid = Multimodal.videoTableOf(Tables.documents(spark, sf0001))
+    graft.sources.VideoIndex.build(spark,
+      Multimodal.videoFramesFp(vid.where(col("media_id") % 4 === 0)),
+      "graft_mnt_vid")
+    (1 to 3).foreach(i => graft.sources.VideoIndex.append(spark,
+      "graft_mnt_vid", Multimodal.videoFramesFp(
+        vid.where(col("media_id") % 4 === i))))
+    // text family: freshly built, healthy — must be a no-op
+    graft.sources.TextIndex.build(spark,
+      Tables.documents(spark, sf0001), "text", "doc_id",
+      "graft_mnt_text", buckets = 8)
+    val mediaPairsBefore = graft.sources.MediaIndex.pairs(spark,
+      "graft_mnt_media").collect().map(_.toSeq).toSet
+    val vidPairsBefore = graft.sources.VideoIndex.pairs(spark,
+      "graft_mnt_vid").collect().map(_.toSeq).toSet
+    val rep = graft.sources.Maintenance.maintainAll(spark, Seq(
+      ("media", "graft_mnt_media"), ("video", "graft_mnt_vid"),
+      ("text", "graft_mnt_text")))
+    assert(rep.map(_.kind) == Seq("media", "video", "text"))
+    val byKind = rep.map(r => r.kind -> r).toMap
+    assert(byKind("media").compacted.values.exists { case (b, a) => a < b },
+      s"fragmented media family must compact: $rep")
+    assert(byKind("video").compacted.values.exists { case (b, a) => a < b },
+      s"fragmented video family must compact: $rep")
+    assert(byKind("text").compacted.isEmpty,
+      s"the healthy family must be a no-op: $rep")
+    assert(graft.sources.MediaIndex.pairs(spark, "graft_mnt_media")
+      .collect().map(_.toSeq).toSet == mediaPairsBefore)
+    assert(graft.sources.VideoIndex.pairs(spark, "graft_mnt_vid")
+      .collect().map(_.toSeq).toSet == vidPairsBefore)
+    intercept[IllegalArgumentException] {
+      graft.sources.Maintenance.maintainAll(spark, Seq(("nope", "x")))
+    }
+  }
+
   test("the forced-scan window is invisible to concurrent caller-session planning") {
     // r13 verdict #6: the window runs on spark.newSession(), so a query
     // planned on the CALLER's session mid-compaction keeps its conf and

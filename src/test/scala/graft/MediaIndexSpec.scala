@@ -203,6 +203,24 @@ class MediaIndexSpec extends AnyFunSuite {
       s"hot-band candidate suppressed, genuine dup refused: $admitted")
   }
 
+  test("reprobeRecall: pigeonhole floor holds, frontier feeds pickMaxDist") {
+    val media = Multimodal.audioTable(spark, sf0001)
+      .unionByName(Multimodal.audioScaledTable(spark, sf0001))
+    MediaIndex.build(spark, Multimodal.audioDHash(media),
+      "graft_media_spec_rp")
+    val frontier = MediaIndex.reprobeRecall(spark, "graft_media_spec_rp",
+      maxDists = Seq(3, 4, 6), sampleSize = 64)
+    assert(frontier.map(_.maxDist) == Seq(3, 4, 6))
+    assert(frontier.head.recall == 1.0,
+      s"4x16 banding is pigeonhole-complete at dist <= 3: $frontier")
+    assert(frontier.forall(p => p.recall >= 0.0 && p.recall <= 1.0))
+    val picked = MediaIndex.pickMaxDist(frontier, 0.95)
+    assert(Seq(3, 4, 6).contains(picked))
+    assert(frontier.find(_.maxDist == picked)
+      .forall(p => p.recall >= 0.95 || picked == 3),
+      s"picked dial must meet the target or be the tightest: $picked")
+  }
+
   test("maintain compacts only when fragmented") {
     val fp = Multimodal.imageDHash(Multimodal.imageTable(spark, sf0001))
       .localCheckpoint()
