@@ -27,24 +27,27 @@ object Bucketing {
 
   /** Auto-scaled bucket count for the stored-index families (r14
     * verdict "what's missing" #3 — the [[IvfIndex.autoCells]] clamp
-    * discipline applied to bucket counts): pinned buckets mean each
-    * bucket's file grows without bound as the corpus does (the ×1000
-    * video arm scans 33M rows through 16 buckets), while too many
-    * buckets hit the r14 task-floor finding — a bucketed scan schedules
-    * one FilePartition per bucket EVEN WHEN PRUNED, so bucket count is
-    * a per-query task cost, and a bucketed write emits at least one
-    * file per non-empty bucket, so it is also a file-count cost.
-    * √(N/1000), clamped to [16, 1024], grows both per-bucket rows and
-    * bucket count with √N: at the fixture scales it stays at the
-    * familiar 16 (memoized registered indexes keep their oracle
-    * regime), at the measured 33M-row rehearsal arm it yields ~182
-    * buckets (~180k rows ≈ a few MB per bucket file), and the 1024 cap
-    * bounds the empty-task floor at ~the 65536-cell IvfIndex ceiling's
-    * task budget. */
-  def autoBuckets(nRows: Long, minBuckets: Int = 16,
+    * discipline applied to bucket counts), CALIBRATED BY MEASUREMENT
+    * (R15VideoProbe, ×1000 = 42M digest rows): a √N-style growth to
+    * 206 buckets made the gate serve 3–4× SLOWER than pinned 16
+    * (aligned 3.31 → 14.04 s, clip 2.88 → 11.52 s) — the r14
+    * task-floor finding again: every bucket schedules a FilePartition
+    * (pruned or not) and opens at least one file, so bucket count is a
+    * per-query fixed cost that dominates long before per-bucket file
+    * SIZE hurts. What actually bounds the dial is bytes per bucket
+    * file (executor scan-chunk and memory scales), so the count
+    * targets ~`targetBytes` per bucket and otherwise stays at the
+    * floor: fixture and rehearsal scales keep the familiar 16
+    * (registered oracle regime preserved by construction — 42M 32-byte
+    * rows is ~84 MB/bucket, healthy), growth starts only past ~10⁸
+    * rows, and the 1024 cap bounds the task floor at true 100 TB
+    * scale (a 1 TB index = 1024 × 1 GB buckets — at that size the
+    * executor count, not the task floor, is the binding constraint). */
+  def autoBuckets(nRows: Long, bytesPerRow: Int = 32,
+      targetBytes: Long = 256L << 20, minBuckets: Int = 16,
       maxBuckets: Int = 1024): Int =
     math.min(maxBuckets.toLong, math.max(minBuckets.toLong,
-      math.ceil(math.sqrt(nRows.toDouble / 1000.0)).toLong)).toInt
+      math.ceil(nRows.toDouble * bytesPerRow / targetBytes).toLong)).toInt
 
   /** Collision-safe table-name suffix: unsigned hex of the first 64
     * bits of SHA-256(key). The previous `math.abs(String.hashCode)` was

@@ -58,17 +58,22 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
-  test("autoBuckets: sqrt-scaled, clamped, fixture regime preserved") {
+  test("autoBuckets: bytes-per-bucket targeted, clamped, fixture regime preserved") {
     assert(Bucketing.autoBuckets(0L) == 16)
     assert(Bucketing.autoBuckets(33000L) == 16,
       "fixture-scale builds stay at the 16-bucket oracle regime")
-    assert(Bucketing.autoBuckets(33000000L) == 182,
-      "the measured 33M-row rehearsal arm spreads past 16 buckets")
-    assert(Bucketing.autoBuckets(Long.MaxValue / 4) == 1024,
-      "the empty-task floor is capped")
+    // the measured R15VideoProbe calibration: 42M rows must STAY at the
+    // floor (sqrt-growth to 206 buckets made serve 3-4x slower — the
+    // per-bucket task floor dominates until file bytes genuinely grow)
+    assert(Bucketing.autoBuckets(42000000L) == 16,
+      "rehearsal-scale corpora stay at the measured-optimal floor")
+    assert(Bucketing.autoBuckets(2000000000L) > 16,
+      "growth starts when per-bucket bytes pass the target")
+    assert(Bucketing.autoBuckets(Long.MaxValue / 1024) == 1024,
+      "the task floor is capped at true scale")
     // monotone in N: more rows never fewer buckets
-    val pts = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
-      .map(Bucketing.autoBuckets(_))
+    val pts = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L,
+      100000000000L).map(Bucketing.autoBuckets(_))
     assert(pts == pts.sorted)
   }
 
