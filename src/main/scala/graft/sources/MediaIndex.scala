@@ -62,11 +62,11 @@ object MediaIndex {
 
   /** [[build]] at the [[Bucketing.autoBuckets]] dial: the fingerprint
     * frame is checkpointed (the decode+hash pass must not run twice),
-    * counted, and written with √-scaled buckets — the bucket-count
-    * analog of [[IvfIndex.ensureBuiltAuto]]. Returns the chosen bucket
-    * count. Registered fixture indexes stay at the memoized 16-bucket
-    * regime; rehearsal-scale builds take this path (R15BucketProbe
-    * measures the serve effect at ×1000). */
+    * counted, and written with bytes-per-bucket-targeted buckets — the
+    * bucket-count analog of [[IvfIndex.ensureBuiltAuto]], calibrated by
+    * the R15VideoProbe measurement (see [[Bucketing.autoBuckets]]).
+    * Returns the chosen bucket count; fixture AND rehearsal scales stay
+    * at the measured-optimal 16-bucket floor. */
   def buildAuto(spark: SparkSession, fingerprints: DataFrame,
       name: String, maxBandDf: Int = 10000,
       basePath: String = IvfIndex.defaultBase): Int = {
@@ -117,6 +117,9 @@ object MediaIndex {
     bstop.coalesce(1).write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/${name}_bstop")
       .saveAsTable(s"${name}_bstop")
+    // invalidate the cached file listing of the overwritten sidecar
+    // (relation caches are per session; see VideoIndex.refreshStop)
+    spark.catalog.refreshTable(s"${name}_bstop")
     spark.table(s"${name}_bstop").count()
   }
 

@@ -58,8 +58,9 @@ object VideoIndex {
 
   /** [[build]] at the [[Bucketing.autoBuckets]] dial (frames
     * checkpointed so the payload pass runs once; returns the chosen
-    * bucket count) — the fix for the ×1000 arm's 33M rows flowing
-    * through 16 pinned buckets. */
+    * bucket count) — growth starts only when per-bucket BYTES pass the
+    * target: the ×1000 arm measured √-scaled growth 3–4× SLOWER than
+    * the 16-bucket floor (see [[Bucketing.autoBuckets]]). */
   def buildAuto(spark: SparkSession, frames: DataFrame, name: String,
       maxDf: Int = 10000,
       basePath: String = IvfIndex.defaultBase): Int = {
@@ -128,6 +129,10 @@ object VideoIndex {
     stop.coalesce(1).write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/${name}_stop")
       .saveAsTable(s"${name}_stop")
+    // invalidate any cached file listing of the overwritten sidecar —
+    // sibling sessions (streaming micro-batches) share the relation
+    // cache, and a stale FileIndex reads deleted part files
+    spark.catalog.refreshTable(s"${name}_stop")
     // the perceptual band stop rides the same refresh: collapse the
     // band-df log at threshold (the sidecar the perceptual GATE
     // anti-joins; serve-side pair stages derive theirs inline)
@@ -139,6 +144,7 @@ object VideoIndex {
       bstop.coalesce(1).write.mode("overwrite").format("parquet")
         .option("path", s"$basePath/${name}_bstop")
         .saveAsTable(s"${name}_bstop")
+      spark.catalog.refreshTable(s"${name}_bstop")
     }
     spark.table(s"${name}_stop").count()
   }
@@ -276,6 +282,24 @@ object VideoIndex {
       freshFrames: DataFrame, minFrames: Int = 2): DataFrame =
     freshFrames.join(
       pairsAgainst(spark, name, freshFrames, minFrames)
+        .select(col("fid").as("media_id")).distinct(),
+      Seq("media_id"), "left_anti")
+
+  /** [[dedupAgainst]] with the PERCEPTUAL match semantics — the
+    * admission gate a curation pipeline actually wants for video: the
+    * byte-exact gate admits a transcoded/re-encoded copy of stored
+    * material by construction (every frame md5 differs), but a
+    * re-encode IS duplicate training data. Refuses a fresh video when
+    * ≥ `minFrames` of its frame fingerprints sit within `maxDist` of a
+    * stored video's AT THE SAME positions ([[perceptualAgainst]] — a
+    * re-cut still admits here; compose with [[clipAgainst]] when
+    * re-cuts must be refused too). `freshFrames` must carry the fp
+    * columns ([[Multimodal.videoFramesFp]]). */
+  def dedupAgainstPerceptual(spark: SparkSession, name: String,
+      freshFrames: DataFrame, maxDist: Int = 6,
+      minFrames: Int = 2): DataFrame =
+    freshFrames.join(
+      perceptualAgainst(spark, name, freshFrames, maxDist, minFrames)
         .select(col("fid").as("media_id")).distinct(),
       Seq("media_id"), "left_anti")
 

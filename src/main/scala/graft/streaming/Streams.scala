@@ -576,7 +576,9 @@ object Streams {
           .toString))
       .start()
     q.awaitTermination()
-    spark.catalog.refreshTable(s"${indexName}_fp")
+    Seq(s"${indexName}_fp", s"${indexName}_bstop")
+      .filter(spark.catalog.tableExists)
+      .foreach(spark.catalog.refreshTable)
   }
 
   /** [[streamMediaIngest]]'s DEDUP-GATED twin — the media
@@ -600,7 +602,8 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val bs = batch.sparkSession
-        bs.catalog.refreshTable(s"${indexName}_fp")
+        Seq(s"${indexName}_fp", s"${indexName}_bstop")
+          .foreach(bs.catalog.refreshTable)
         val fp = graft.multimodal.Multimodal.imageDHash(
           graft.multimodal.Multimodal.imageTableOf(batch))
         val admitted = graft.sources.MediaIndex.dedupAgainst(
@@ -612,7 +615,9 @@ object Streams {
           .toString))
       .start()
     q.awaitTermination()
-    spark.catalog.refreshTable(s"${indexName}_fp")
+    Seq(s"${indexName}_fp", s"${indexName}_bstop")
+      .filter(spark.catalog.tableExists)
+      .foreach(spark.catalog.refreshTable)
   }
 
   /** [[streamMediaDedupIngest]]'s VIDEO twin — the crawl-admission
@@ -632,7 +637,8 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val bs = batch.sparkSession
-        bs.catalog.refreshTable(s"${indexName}_vf")
+        Seq(s"${indexName}_vf", s"${indexName}_dfs", s"${indexName}_stop")
+          .foreach(bs.catalog.refreshTable)
         val frames = graft.multimodal.Multimodal.videoFrames(
           graft.multimodal.Multimodal.videoTableOf(batch))
         val admitted = graft.sources.VideoIndex.dedupAgainst(
@@ -644,7 +650,53 @@ object Streams {
           .toString))
       .start()
     q.awaitTermination()
-    spark.catalog.refreshTable(s"${indexName}_vf")
+    Seq(s"${indexName}_vf", s"${indexName}_dfs", s"${indexName}_stop",
+      s"${indexName}_bdfs", s"${indexName}_bstop")
+      .filter(spark.catalog.tableExists)
+      .foreach(spark.catalog.refreshTable)
+  }
+
+  /** [[streamVideoDedupIngest]]'s PERCEPTUAL twin — the ingest loop
+    * that refuses TRANSCODED copies of stored material, not just
+    * byte-identical ones: each micro-batch derives the 5-column frame
+    * fingerprints once ([[graft.multimodal.Multimodal.videoFramesFp]]),
+    * gates through [[graft.sources.VideoIndex.dedupAgainstPerceptual]]
+    * (frame-level banding + Hamming against the stored corpus, the
+    * `_bstop` sidecar anti-joined), and appends only the admitted
+    * rows — md5, fp, df-log and band-log all land in the same insert,
+    * so the next batch gates against corpus ∪ batch with every
+    * discipline current. */
+  def streamVideoPerceptualIngest(spark: SparkSession, sfDir: String,
+      indexName: String, pred: Column, maxDist: Int = 6,
+      minFrames: Int = 2, checkpoint: Option[String] = None): Unit = {
+    val s = tuned(spark)
+    val fresh = documentsStream(s, sfDir).where(pred)
+    val q = fresh.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val bs = batch.sparkSession
+        Seq(s"${indexName}_vf", s"${indexName}_dfs", s"${indexName}_stop",
+          s"${indexName}_bdfs", s"${indexName}_bstop")
+          .foreach(bs.catalog.refreshTable)
+        val frames = graft.multimodal.Multimodal.videoFramesFp(
+          graft.multimodal.Multimodal.videoTableOf(batch))
+        val admitted = graft.sources.VideoIndex.dedupAgainstPerceptual(
+          bs, indexName, frames, maxDist, minFrames).localCheckpoint()
+        graft.sources.VideoIndex.append(bs, indexName, admitted)
+      }
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_videoperc_ckpt")
+          .toString))
+      .start()
+    q.awaitTermination()
+    // relation caches are PER SESSION: the micro-batch sessions
+    // refreshed their own view of the rewritten sidecars, but the
+    // caller's cached file listings still point at deleted generations
+    Seq(s"${indexName}_vf", s"${indexName}_dfs", s"${indexName}_stop",
+      s"${indexName}_bdfs", s"${indexName}_bstop")
+      .filter(spark.catalog.tableExists)
+      .foreach(spark.catalog.refreshTable)
   }
 
   /** The COMPOSED multimodal crawl-admission loop at stream time — one

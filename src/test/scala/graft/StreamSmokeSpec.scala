@@ -352,4 +352,53 @@ class StreamSmokeSpec extends AnyFunSuite {
         s"$t: the verbatim twin must be refused against batch 1: $ids")
     }
   }
+
+  test("stream video perceptual gate: a transcoded copy is refused across batches; the byte-exact gate is blind to it") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_videoperc_src").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
+    // the gain transcode: every byte +1 — every frame md5 differs,
+    // every full frame's perceptual fingerprint is IDENTICAL
+    val tA1 = tA.map(c => (c + 1).toChar)
+    val tB = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    write(Seq((940001L, tA)))
+    Thread.sleep(1100)
+    write(Seq((940002L, tA1), (940003L, tB)))
+    val corpus = Seq((1L,
+      "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua"))
+      .toDF("doc_id", "text")
+    graft.sources.VideoIndex.build(spark,
+      graft.multimodal.Multimodal.videoFramesFp(
+        graft.multimodal.Multimodal.videoTableOf(corpus)),
+      "graft_vperc_gate")
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    try graft.streaming.Streams.streamVideoPerceptualIngest(spark, dir,
+      "graft_vperc_gate", lit(true))
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val ids = spark.table("graft_vperc_gate_vf")
+      .select(col("media_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(940001L), "batch-1 doc must be admitted")
+    assert(ids.contains(940003L), "batch-2 fresh doc must be admitted")
+    assert(!ids.contains(940002L),
+      s"the transcoded copy must be refused against batch 1: $ids")
+    // the byte-exact gate is BLIND to the same transcode — the gap the
+    // perceptual gate exists to close
+    val alignedMatches = graft.sources.VideoIndex.pairsAgainst(spark,
+      "graft_vperc_gate",
+      graft.multimodal.Multimodal.videoFramesFp(
+        graft.multimodal.Multimodal.videoTableOf(
+          Seq((950002L, tA1)).toDF("doc_id", "text"))))
+    assert(alignedMatches.count() == 0L,
+      "md5 equality must not see the transcode")
+  }
 }
