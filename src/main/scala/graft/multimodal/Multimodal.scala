@@ -860,6 +860,120 @@ object Multimodal {
     cross.unionByName(intra)
   }
 
+  /** SHIFT-TOLERANT PERCEPTUAL video copy detection — the fourth
+    * quadrant of the video dedup matrix ({aligned, shift-tolerant} ×
+    * {byte-exact, perceptual}): a copy that is BOTH transcoded (every
+    * frame's bytes perturbed — invisible to the md5 legs) and re-cut
+    * (offset frames — refused by the aligned legs) surfaces only here.
+    * Candidates band-join on (band_index, band_value) ALONE (the
+    * [[videoClipDetect]] digest-only discipline with the band value
+    * standing in for the digest), Hamming-verify ≤ `maxDist` on the
+    * candidate row, then group by (pair, frame offset) with the
+    * ≥ `minFrames` consistency threshold. The fp-sequence collapse and
+    * the band-df stop bound the join exactly as in
+    * [[perceptualPairsFromFrames]]; shift is antisymmetric on
+    * expansion and intra pairs inherit each rep's full perceptual
+    * SELF-correlation histogram (the [[clipPairsFromFrames]]
+    * disciplines). Output: (da, db, shift, matched_frames). */
+  def videoClipPerceptual(media: DataFrame, frameBytes: Int = 32,
+      every: Int = 2, maxDist: Int = 6, minFrames: Int = 2,
+      maxDf: Int = 10000): DataFrame =
+    clipPerceptualFromFrames(videoFramesFp(media, frameBytes, every),
+      maxDist, minFrames, maxDf)
+
+  def clipPerceptualFromFrames(framesIn: DataFrame, maxDist: Int = 6,
+      minFrames: Int = 2, maxDf: Int = 10000): DataFrame = {
+    val raw = framesIn.select(col("media_id"), col("frame_idx"),
+      col("f_lo"), col("f_hi")).localCheckpoint()
+    val stopB = videoBandStop(raw, maxDf).localCheckpoint()
+    val vdg = raw.groupBy(col("media_id"))
+      .agg(md5(concat_ws(";", sort_array(collect_list(concat_ws(":",
+        col("frame_idx"), col("f_lo"), col("f_hi")))))).as("dg"))
+    val repOf = vdg.groupBy(col("dg")).agg(min(col("media_id")).as("rep"))
+    val members = vdg.join(repOf, Seq("dg"))
+      .select(col("rep"), col("media_id").as("id"))
+    val repFrames = raw.join(
+      repOf.select(col("rep").as("media_id")), Seq("media_id"))
+    val repBands = fpBands(repFrames)
+      .join(broadcast(stopB), Seq("bi", "bv"), "left_anti")
+    val cand = repBands.select(col("media_id").as("da"),
+        col("frame_idx").as("fa"), col("bi"), col("bv"))
+      .join(repBands.select(col("media_id").as("db"),
+        col("frame_idx").as("fb"), col("bi"), col("bv")),
+        Seq("bi", "bv"))
+      .where(col("da") < col("db"))
+      .select(col("da"), col("db"), col("fa"), col("fb")).distinct()
+    val fpa = repFrames.select(col("media_id").as("da"),
+      col("frame_idx").as("fa"), col("f_lo").as("la"),
+      col("f_hi").as("ha"))
+    val fpb = repFrames.select(col("media_id").as("db"),
+      col("frame_idx").as("fb"), col("f_lo").as("lb"),
+      col("f_hi").as("hb"))
+    val repPairs = cand
+      .join(fpa, Seq("da", "fa")).join(fpb, Seq("db", "fb"))
+      .where((expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
+        <= maxDist)
+      .groupBy(col("da"), col("db"), (col("fa") - col("fb")).as("shift"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .where(col("matched_frames") >= minFrames)
+    val cross = repPairs
+      .join(members.select(col("rep").as("da"), col("id").as("ia")), "da")
+      .join(members.select(col("rep").as("db"), col("id").as("ib")), "db")
+      .select(least(col("ia"), col("ib")).as("da"),
+        greatest(col("ia"), col("ib")).as("db"),
+        when(col("ia") < col("ib"), col("shift"))
+          .otherwise(-col("shift")).as("shift"),
+        col("matched_frames"))
+    // intra: each rep's full perceptual self-correlation histogram
+    // (band candidates against itself, fa = fb included)
+    val selfCand = repBands.select(col("media_id").as("rep"),
+        col("frame_idx").as("fa"), col("bi"), col("bv"))
+      .join(repBands.select(col("media_id").as("rep"),
+        col("frame_idx").as("fb"), col("bi"), col("bv")),
+        Seq("rep", "bi", "bv"))
+      .select(col("rep"), col("fa"), col("fb")).distinct()
+    val selfCorr = selfCand
+      .join(repFrames.select(col("media_id").as("rep"),
+        col("frame_idx").as("fa"), col("f_lo").as("la"),
+        col("f_hi").as("ha")), Seq("rep", "fa"))
+      .join(repFrames.select(col("media_id").as("rep"),
+        col("frame_idx").as("fb"), col("f_lo").as("lb"),
+        col("f_hi").as("hb")), Seq("rep", "fb"))
+      .where((expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
+        <= maxDist)
+      .groupBy(col("rep"), (col("fa") - col("fb")).as("shift"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .where(col("matched_frames") >= minFrames)
+    val intra = members.select(col("rep"), col("id").as("ia"))
+      .join(members.select(col("rep"), col("id").as("ib")), Seq("rep"))
+      .where(col("ia") < col("ib"))
+      .join(selfCorr, Seq("rep"))
+      .select(col("ia").as("da"), col("ib").as("db"), col("shift"),
+        col("matched_frames"))
+    cross.unionByName(intra)
+  }
+
+  /** The gain+re-cut twin for [[videoClipPerceptual]] (+8M ids): the
+    * doc_id % 4 = 1 slice rotated by TWO frames (one sampled stride)
+    * AND every byte +1 — the combined transform the other three legs
+    * each miss for their own reason (md5 legs: bytes differ; aligned
+    * perceptual: positions differ). Caught here at shift 2,
+    * distance 0 on full frames. */
+  def videoClipPerceptualTwinTable(spark: SparkSession, sfDir: String,
+      frameBytes: Int): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .where(length(col("content")) > 4 * frameBytes)
+      .select((col("doc_id") + lit(8000000L)).as("media_id"),
+        concat(expr(s"substring(content, ${2 * frameBytes + 1})"),
+          expr(s"substring(content, 1, ${2 * frameBytes})")).as("content"))
+      .as[MediaRow]
+      .mapPartitions(_.map(r => MediaRow(r.media_id,
+        r.content.map(b => ((b & 0xff) + 1).toByte)))).toDF()
+  }
+
   /** The re-encode fixture for [[videoPerceptualPairs]], three regimes
     * of the doc_id % 4 = 1 slice (all byte math, all DuckDB-replayable
     * through the hex-derived byte CTEs — no string surgery needed

@@ -493,6 +493,73 @@ object MultimodalQueries {
               SELECT fid, cid, CAST(count(*) AS BIGINT) AS matched_frames
               FROM pm GROUP BY 1, 2 HAVING count(*) >= 2""")),
 
+    // the FOURTH quadrant of the video dedup matrix ({aligned, shift} ×
+    // {byte-exact, perceptual}): a copy that is BOTH transcoded AND
+    // re-cut is invisible to all three other legs — md5 legs see
+    // different bytes, the aligned perceptual leg sees different
+    // positions. Candidates band-join WITHOUT frame alignment, Hamming
+    // verify, then the (pair, shift) consistency grouping. Fixture =
+    // the +8M gain+re-cut twin: caught here at shift 2, distance 0 on
+    // full frames. The oracle replays the whole thing from byte math,
+    // including the shift-antisymmetric expansion rows and each rep's
+    // perceptual self-correlation histogram.
+    Q("q_video_clip_perceptual",
+      (s, d) => Multimodal.videoClipPerceptual(
+        Multimodal.videoTable(s, d).unionByName(
+          Multimodal.videoClipPerceptualTwinTable(s, d, frameBytes = 32)),
+        frameBytes = 32, every = 2, maxDist = 6, minFrames = 2),
+      Some(percFpCte("", clipPercM) +
+        """cand AS (
+                SELECT DISTINCT a.media_id AS da, b.media_id AS db,
+                       a.frame_idx AS fa, b.frame_idx AS fb
+                FROM bandx a JOIN bandx b
+                  ON a.bi = b.bi AND a.bv = b.bv
+                 AND a.media_id < b.media_id
+                WHERE NOT EXISTS (SELECT 1 FROM bstop s
+                                  WHERE s.bi = a.bi AND s.bv = a.bv)),
+              pm AS (
+                SELECT c.da, c.db, c.fa, c.fb
+                FROM cand c
+                JOIN vfp a ON a.media_id = c.da AND a.frame_idx = c.fa
+                JOIN vfp b ON b.media_id = c.db AND b.frame_idx = c.fb
+                WHERE bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) <= 6)
+              SELECT da, db, CAST(fa - fb AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM pm GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
+    // the fourth-quadrant CRAWL GATE: the gain+re-cut twin batch
+    // arrives fresh and matches the corpus-only stored frames at a
+    // consistent shift within Hamming tolerance — the admission
+    // decision all three sibling gates get wrong for this duplicate.
+    // Oracle = the fourth-quadrant replay restricted to cross pairs,
+    // band stop corpus-scoped, shift = stored − fresh.
+    Q("q_video_clip_perceptual_against",
+      (s, d) => graft.sources.VideoIndex.clipPerceptualAgainst(s,
+        graft.sources.VideoIndex.ensureBuiltVideoCorpus(s, d),
+        Multimodal.videoFramesFp(
+          Multimodal.videoClipPerceptualTwinTable(s, d, frameBytes = 32)),
+        maxDist = 6, minFrames = 2),
+      Some(percFpCte("WHERE media_id < 1000000", clipPercM) +
+        """cand AS (
+                SELECT DISTINCT b.media_id AS fid, a.media_id AS cid,
+                       b.frame_idx AS fb, a.frame_idx AS fa
+                FROM bandx a JOIN bandx b
+                  ON a.bi = b.bi AND a.bv = b.bv
+                 AND a.media_id < 1000000 AND b.media_id >= 1000000
+                WHERE NOT EXISTS (SELECT 1 FROM bstop s
+                                  WHERE s.bi = a.bi AND s.bv = a.bv)),
+              pm AS (
+                SELECT c.fid, c.cid, c.fa, c.fb
+                FROM cand c
+                JOIN vfp a ON a.media_id = c.cid AND a.frame_idx = c.fa
+                JOIN vfp b ON b.media_id = c.fid AND b.frame_idx = c.fb
+                WHERE bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) <= 6)
+              SELECT fid, cid, CAST(fa - fb AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM pm GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
     // the COMPOSED multimodal crawl gate (r14 verdict "what's missing"
     // #4): one admitFlags call drives a batch carrying all four
     // renditions through the text/image/audio/video stored-index gates
@@ -829,9 +896,9 @@ object MultimodalQueries {
     * band stop (df > 10000, scoped by `stopWhere` — corpus-only for the
     * gate, exactly as the `_bstop` sidecar derives) in `bstop`. Callers
     * append the candidate/verify/count SELECTs. */
-  private def percFpCte(stopWhere: String): String =
-    s"""WITH m AS (
-                SELECT doc_id AS media_id, hex(encode(text)) AS h,
+  /** The default perceptual m-table: corpus ∪ the three re-encode twin
+    * regimes (gain +5M, noise +6M, re-cut +7M). */
+  private def percDefaultM: String = """SELECT doc_id AS media_id, hex(encode(text)) AS h,
                        octet_length(encode(text)) AS n, 0 AS delta
                 FROM documents
                 UNION ALL
@@ -848,7 +915,28 @@ object MultimodalQueries {
                          || substring(text, 1, 32))),
                        octet_length(encode(text)), 0
                 FROM documents
-                WHERE doc_id % 4 = 1 AND octet_length(encode(text)) > 32),
+                WHERE doc_id % 4 = 1 AND octet_length(encode(text)) > 32"""
+
+  /** The gain+re-cut m-table for the fourth-quadrant oracle: corpus ∪
+    * the +8M slice rotated one sampled stride THEN every byte +1
+    * (delta = 1 applies the +1 in the byte CTE, after the rotation's
+    * string surgery — matching the engine's transform order). */
+  private def clipPercM: String = """SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n, 0 AS delta
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 8000000,
+                       hex(encode(substring(text, 65)
+                         || substring(text, 1, 64))),
+                       octet_length(encode(text)), 1
+                FROM documents
+                WHERE doc_id % 4 = 1
+                  AND octet_length(encode(text)) > 128"""
+
+  private def percFpCte(stopWhere: String,
+      mSql: String = percDefaultM): String =
+    s"""WITH m AS (
+                $mSql),
               pos AS (
                 SELECT media_id, h, n, delta,
                        unnest(range(1,
@@ -1087,7 +1175,14 @@ object MultimodalQueries {
       (s, d) => graft.sources.VideoIndex.pairsPerceptual(s,
         graft.sources.VideoIndex.ensureBuiltVideoPerc(s, d),
         maxDist = 6, minFrames = 2),
-      live.find(_.name == "q_video_dedup_perceptual").get.oracle))
+      live.find(_.name == "q_video_dedup_perceptual").get.oracle),
+    // the fourth quadrant served from the same stored artifact; live
+    // oracle verbatim.
+    Q("q_video_clip_perceptual_stored",
+      (s, d) => graft.sources.VideoIndex.clipPerceptual(s,
+        graft.sources.VideoIndex.ensureBuiltVideoClipPerc(s, d),
+        maxDist = 6, minFrames = 2),
+      live.find(_.name == "q_video_clip_perceptual").get.oracle))
 
   /** The PNG decode-features replay (hex-derived byte math over the
     * encoded payload + zero padding to the raster size); `extraCols`

@@ -241,6 +241,15 @@ object VideoIndex {
     Multimodal.perceptualPairsFromFrames(spark.table(s"${name}_vf"),
       maxDist, minFrames, storedMaxDf(spark, name))
 
+  /** SHIFT-TOLERANT PERCEPTUAL pairs from the stored layout — the
+    * fourth quadrant ({shift} × {perceptual}:
+    * [[Multimodal.clipPerceptualFromFrames]]) served from the same
+    * `_vf` artifact as the other three legs, with the persisted dial. */
+  def clipPerceptual(spark: SparkSession, name: String,
+      maxDist: Int = 6, minFrames: Int = 2): DataFrame =
+    Multimodal.clipPerceptualFromFrames(spark.table(s"${name}_vf"),
+      maxDist, minFrames, storedMaxDf(spark, name))
+
   /** The PERCEPTUAL crawl gate — [[pairsAgainst]]'s transcode-tolerant
     * twin: a fresh batch's frame fingerprints band against the STORED
     * corpus at the same frame position, Hamming-verified inline on the
@@ -270,6 +279,41 @@ object VideoIndex {
         <= maxDist)
       .select(col("fid"), col("cid"), col("frame_idx")).distinct()
       .groupBy(col("fid"), col("cid"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .where(col("matched_frames") >= minFrames)
+  }
+
+  /** The fourth-quadrant crawl gate — SHIFT-TOLERANT PERCEPTUAL: a
+    * fresh batch matches stored material when ≥ `minFrames` of its
+    * frame fingerprints sit within `maxDist` of stored frames at a
+    * CONSISTENT offset — the gate that catches a copy that is BOTH
+    * transcoded and re-cut, which [[pairsAgainst]] (bytes differ),
+    * [[clipAgainst]] (bytes differ) and [[perceptualAgainst]]
+    * (positions differ) each admit. Same plan economics: fresh bands
+    * broadcast (anti-joined on `_bstop`), stored side map-side with the
+    * Hamming verify inline, match-bounded exchanges. Output:
+    * (fid, cid, shift, matched_frames), shift = stored − fresh. */
+  def clipPerceptualAgainst(spark: SparkSession, name: String,
+      freshFrames: DataFrame, maxDist: Int = 6,
+      minFrames: Int = 2): DataFrame = {
+    val fB = broadcast(Multimodal.fpBands(
+        freshFrames.select(col("media_id"), col("frame_idx"),
+          col("f_lo"), col("f_hi")))
+      .join(broadcast(spark.table(s"${name}_bstop")), Seq("bi", "bv"),
+        "left_anti")
+      .select(col("media_id").as("fid"), col("frame_idx").as("ff"),
+        col("bi"), col("bv"), col("f_lo").as("la"), col("f_hi").as("ha"))
+      .localCheckpoint())
+    Multimodal.fpBands(spark.table(s"${name}_vf")
+        .select(col("media_id"), col("frame_idx"), col("f_lo"),
+          col("f_hi")))
+      .select(col("media_id").as("cid"), col("frame_idx").as("cf"),
+        col("bi"), col("bv"), col("f_lo").as("lb"), col("f_hi").as("hb"))
+      .join(fB, Seq("bi", "bv"))
+      .where((expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
+        <= maxDist)
+      .select(col("fid"), col("cid"), col("ff"), col("cf")).distinct()
+      .groupBy(col("fid"), col("cid"), (col("cf") - col("ff")).as("shift"))
       .agg(count(lit(1)).as("matched_frames"))
       .where(col("matched_frames") >= minFrames)
   }
@@ -393,6 +437,20 @@ object VideoIndex {
       build(spark, Multimodal.videoFramesFp(
         Multimodal.videoTable(spark, sfDir).unionByName(
           Multimodal.videoPerceptualTwinTable(spark, sfDir,
+            frameBytes = 32))), name)
+      name
+    })
+  }
+
+  /** Corpus ∪ the gain+re-cut twin — matching q_video_clip_perceptual's
+    * live input. */
+  def ensureBuiltVideoClipPerc(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "video_clipperc"), {
+      val name = s"graft_media_vidcp_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark, Multimodal.videoFramesFp(
+        Multimodal.videoTable(spark, sfDir).unionByName(
+          Multimodal.videoClipPerceptualTwinTable(spark, sfDir,
             frameBytes = 32))), name)
       name
     })

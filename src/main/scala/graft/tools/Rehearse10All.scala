@@ -49,8 +49,13 @@ object Rehearse10All {
     def minOf2(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = math.min(once(fn, dir), once(fn, dir))
 
+    // SPARK_GRAFT_ONLY=a,b,c runs an addendum over a late registration
+    // subset (the full-run rows are unaffected by registry order)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val entries = (Registry.byName.map { case (n, q) => n -> q.run } ++
       graft.Bench.benchOnly).toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     var totB = 0.0; var totX = 0.0; var nOk = 0
     val failed = Seq.newBuilder[String]
     entries.foreach { case (name, fn) =>

@@ -429,4 +429,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(strict.toSeq == Seq((1L, 2L, 2L)),
       s"only the genuine pair at its 2 content frames: ${strict.toSeq}")
   }
+
+  test("fourth quadrant: a transcoded re-cut is caught ONLY by shift-tolerant perceptual detection") {
+    val media = Multimodal.videoTable(spark, sf0001).unionByName(
+      Multimodal.videoClipPerceptualTwinTable(spark, sf0001,
+        frameBytes = 32))
+    val q4 = Multimodal.videoClipPerceptual(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val longEnough = graft.Tables.documents(spark, sf0001)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).as("n"))
+      .collect().filter(_.getInt(1) >= 160).map(_.getLong(0)).toSet
+    assert(longEnough.nonEmpty)
+    val caught = q4.filter(p => p._2 == p._1 + 8000000L)
+      .map(p => (p._1, p._3)).toMap
+    longEnough.foreach { d =>
+      assert(caught.get(d).contains(2L),
+        s"doc $d: gain+re-cut twin must surface at shift 2, " +
+          s"got ${caught.get(d)}")
+    }
+    // and it is INVISIBLE to the three other legs, each for its own
+    // reason: md5 legs see different bytes, the aligned perceptual leg
+    // sees different positions
+    def noTwin(rows: Array[(Long, Long)]): Unit =
+      assert(!rows.exists(p => p._2 == p._1 + 8000000L))
+    noTwin(Multimodal.videoDedupPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
+    noTwin(Multimodal.videoClipDetect(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
+    noTwin(Multimodal.videoPerceptualPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
+  }
 }

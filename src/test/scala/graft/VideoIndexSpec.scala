@@ -271,6 +271,37 @@ class VideoIndexSpec extends AnyFunSuite {
       s"the stored fingerprints must stream map-side:\n$plan")
   }
 
+  test("fourth-quadrant gate: a transcoded re-cut slips all three sibling gates and is caught here") {
+    val corpus = Multimodal.videoTable(spark, sf0001)
+    VideoIndex.build(spark, Multimodal.videoFramesFp(corpus),
+      "graft_video_spec_q4")
+    val fresh = Multimodal.videoFramesFp(
+      Multimodal.videoClipPerceptualTwinTable(spark, sf0001,
+        frameBytes = 32)).localCheckpoint()
+    assert(VideoIndex.pairsAgainst(spark, "graft_video_spec_q4", fresh)
+      .count() == 0L, "byte-exact aligned gate is blind (bytes differ)")
+    assert(VideoIndex.clipAgainst(spark, "graft_video_spec_q4", fresh)
+      .count() == 0L, "byte-exact clip gate is blind (bytes differ)")
+    assert(VideoIndex.perceptualAgainst(spark, "graft_video_spec_q4",
+      fresh).count() == 0L,
+      "aligned perceptual gate is blind (positions differ)")
+    val q4 = VideoIndex.clipPerceptualAgainst(spark,
+      "graft_video_spec_q4", fresh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val own = q4.filter(p => p._1 == p._2 + 8000000L)
+    assert(own.nonEmpty && own.forall(p => p._3 == 2L && p._4 >= 2L),
+      s"every long-enough twin surfaces at shift 2: ${q4.take(5).toSeq}")
+    val longEnough = graft.Tables.documents(spark, sf0001)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).as("n"))
+      .collect().filter(_.getInt(1) >= 160)
+      .map(_.getLong(0) + 8000000L).toSet
+    assert(longEnough.nonEmpty &&
+      longEnough.subsetOf(own.map(_._1).toSet),
+      "every >=160-byte gain+re-cut twin must be caught")
+  }
+
   test("perceptual band stop crosses maxDf purely by appends") {
     val s = spark
     import s.implicits._
