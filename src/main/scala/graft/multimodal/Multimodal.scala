@@ -804,10 +804,12 @@ object Multimodal {
     * contract: the stored [[graft.sources.VideoIndex]] rows serve it
     * byte-identically). */
   def perceptualPairsFromFrames(framesIn: DataFrame, maxDist: Int = 6,
-      minFrames: Int = 2, maxDf: Int = 10000): DataFrame = {
+      minFrames: Int = 2, maxDf: Int = 10000,
+      stopBands: Option[DataFrame] = None): DataFrame = {
     val raw = framesIn.select(col("media_id"), col("frame_idx"),
       col("f_lo"), col("f_hi")).localCheckpoint()
-    val stopB = videoBandStop(raw, maxDf).localCheckpoint()
+    val stopB = stopBands.getOrElse(videoBandStop(raw, maxDf))
+      .localCheckpoint()
     // collapse on the fp-sequence digest: identical sequences (verbatim
     // replicas — and frames equal in fp though not in bytes) run the
     // band join once per distinct sequence and inherit by expansion
@@ -882,10 +884,12 @@ object Multimodal {
       maxDist, minFrames, maxDf)
 
   def clipPerceptualFromFrames(framesIn: DataFrame, maxDist: Int = 6,
-      minFrames: Int = 2, maxDf: Int = 10000): DataFrame = {
+      minFrames: Int = 2, maxDf: Int = 10000,
+      stopBands: Option[DataFrame] = None): DataFrame = {
     val raw = framesIn.select(col("media_id"), col("frame_idx"),
       col("f_lo"), col("f_hi")).localCheckpoint()
-    val stopB = videoBandStop(raw, maxDf).localCheckpoint()
+    val stopB = stopBands.getOrElse(videoBandStop(raw, maxDf))
+      .localCheckpoint()
     val vdg = raw.groupBy(col("media_id"))
       .agg(md5(concat_ws(";", sort_array(collect_list(concat_ws(":",
         col("frame_idx"), col("f_lo"), col("f_hi")))))).as("dg"))
@@ -1035,7 +1039,8 @@ object Multimodal {
     * (they carry near-zero dedup signal and all of the join cost); the
     * oracle replays the same rule. */
   private[graft] def dhashPairs(fingerprints: DataFrame,
-      maxDist: Int, maxBandDf: Int = 10000): DataFrame = {
+      maxDist: Int, maxBandDf: Int = 10000,
+      stopBands: Option[DataFrame] = None): DataFrame = {
     // referenced by the collapse, the band explode and the expansion
     val fp = fingerprints.localCheckpoint()
     // exact-fingerprint collapse (r13 — the Dedup.digestCollapse idiom
@@ -1061,10 +1066,15 @@ object Multimodal {
       struct(lit(3).as("bi"), expr("h_hi div 65536L").as("bv")))).as("b"))
       .select(col("media_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
     // band-df discipline: reps ARE the distinct fingerprints, so a
-    // plain count per (bi, bv) here is the distinct-fp df
-    val bandStop = bandsAll.groupBy(col("bi"), col("bv"))
-      .agg(count(lit(1)).as("df")).where(col("df") > maxBandDf)
-      .select(col("bi"), col("bv"))
+    // plain count per (bi, bv) here is the distinct-fp df; a PERSISTED
+    // index passes its `_bstop` sidecar instead (same set by
+    // construction — derived from the same fingerprints at the same
+    // dial, refreshed on every append/compact — minus one aggregate
+    // per query)
+    val bandStop = stopBands.getOrElse(
+      bandsAll.groupBy(col("bi"), col("bv"))
+        .agg(count(lit(1)).as("df")).where(col("df") > maxBandDf)
+        .select(col("bi"), col("bv")))
     val bands = bandsAll
       .join(broadcast(bandStop), Seq("bi", "bv"), "left_anti")
     val cand = bands.select(col("media_id").as("da"), col("bi"), col("bv"))

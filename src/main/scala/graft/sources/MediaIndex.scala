@@ -144,7 +144,8 @@ object MediaIndex {
   def pairs(spark: SparkSession, name: String,
       maxDist: Int = 6): DataFrame =
     Multimodal.dhashPairs(spark.table(s"${name}_fp"), maxDist,
-      storedMaxBandDf(spark, name))
+      storedMaxBandDf(spark, name),
+      Some(spark.table(s"${name}_bstop")))
 
   /** INCREMENTAL near-dup check — the crawl-admission shape
     * ([[DedupIndex.dedupAgainst]]'s media analog): band a fresh batch's

@@ -239,7 +239,8 @@ object VideoIndex {
   def pairsPerceptual(spark: SparkSession, name: String,
       maxDist: Int = 6, minFrames: Int = 2): DataFrame =
     Multimodal.perceptualPairsFromFrames(spark.table(s"${name}_vf"),
-      maxDist, minFrames, storedMaxDf(spark, name))
+      maxDist, minFrames, storedMaxDf(spark, name),
+      Some(spark.table(s"${name}_bstop"))) // same set, one agg less
 
   /** SHIFT-TOLERANT PERCEPTUAL pairs from the stored layout — the
     * fourth quadrant ({shift} × {perceptual}:
@@ -248,7 +249,8 @@ object VideoIndex {
   def clipPerceptual(spark: SparkSession, name: String,
       maxDist: Int = 6, minFrames: Int = 2): DataFrame =
     Multimodal.clipPerceptualFromFrames(spark.table(s"${name}_vf"),
-      maxDist, minFrames, storedMaxDf(spark, name))
+      maxDist, minFrames, storedMaxDf(spark, name),
+      Some(spark.table(s"${name}_bstop"))) // same set, one agg less
 
   /** The PERCEPTUAL crawl gate — [[pairsAgainst]]'s transcode-tolerant
     * twin: a fresh batch's frame fingerprints band against the STORED
