@@ -47,21 +47,22 @@ object CrawlAdmit {
     * renditions, runs the four gates, mutates nothing. */
   def admitFlags(spark: SparkSession, batch: DataFrame, textIdx: String,
       imageIdx: String, audioIdx: String, videoIdx: String,
-      maxDist: Int = 6, minFrames: Int = 2,
-      tau: Double = 0.8): DataFrame = {
+      maxDist: Int = 6, minFrames: Int = 2, tau: Double = 0.8,
+      videoPerceptual: Boolean = false): DataFrame = {
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
     flagsFrom(spark, b,
       Multimodal.imageDHash(Multimodal.imageTableOf(b)),
       Multimodal.audioDHash(Multimodal.audioTableOf(b)),
       Multimodal.videoFramesFp(Multimodal.videoTableOf(b)),
-      textIdx, imageIdx, audioIdx, videoIdx, maxDist, minFrames, tau)
+      textIdx, imageIdx, audioIdx, videoIdx, maxDist, minFrames, tau,
+      videoPerceptual)
   }
 
   private def flagsFrom(spark: SparkSession, b: DataFrame,
       imgFp: DataFrame, audFp: DataFrame, vFrames: DataFrame,
       textIdx: String, imageIdx: String, audioIdx: String,
-      videoIdx: String, maxDist: Int, minFrames: Int,
-      tau: Double): DataFrame = {
+      videoIdx: String, maxDist: Int, minFrames: Int, tau: Double,
+      videoPerceptual: Boolean = false): DataFrame = {
     val ids = b.select(col("doc_id"))
     val textAdm = DedupIndex.dedupAgainst(spark, textIdx, b, "text",
       "doc_id", tau = tau).select(col("doc_id"))
@@ -70,9 +71,17 @@ object CrawlAdmit {
     val audAdm = MediaIndex.dedupAgainst(spark, audioIdx, audFp, maxDist)
       .select(col("media_id").as("doc_id"))
     // refusal-set formulation so a frameless (empty) video admits —
-    // nothing to dedup is not a dup
-    val vidRefused = VideoIndex.pairsAgainst(spark, videoIdx, vFrames,
-      minFrames).select(col("fid").as("doc_id")).distinct()
+    // nothing to dedup is not a dup. `videoPerceptual` swaps the video
+    // leg's match semantics from byte-exact frame digests to the
+    // banded perceptual fingerprints (a TRANSCODED copy of stored
+    // video then refuses too — the curation default at real crawl
+    // scale; the registered q_crawl_admit keeps the byte-exact leg its
+    // oracle replays)
+    val vidRefused = (if (videoPerceptual)
+        VideoIndex.perceptualAgainst(spark, videoIdx, vFrames, maxDist,
+          minFrames)
+      else VideoIndex.pairsAgainst(spark, videoIdx, vFrames, minFrames))
+      .select(col("fid").as("doc_id")).distinct()
     def flag(admitted: DataFrame, name: String): DataFrame =
       admitted.withColumn(name, lit(1L))
     ids
@@ -96,8 +105,8 @@ object CrawlAdmit {
     * is decoded twice. Returns the flags. */
   def admitBatch(spark: SparkSession, batch: DataFrame, textIdx: String,
       imageIdx: String, audioIdx: String, videoIdx: String,
-      maxDist: Int = 6, minFrames: Int = 2,
-      tau: Double = 0.8): DataFrame = {
+      maxDist: Int = 6, minFrames: Int = 2, tau: Double = 0.8,
+      videoPerceptual: Boolean = false): DataFrame = {
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
     val imgFp = Multimodal.imageDHash(Multimodal.imageTableOf(b))
       .localCheckpoint()
@@ -106,7 +115,8 @@ object CrawlAdmit {
     val vFrames = Multimodal.videoFramesFp(Multimodal.videoTableOf(b))
       .localCheckpoint()
     val flags = flagsFrom(spark, b, imgFp, audFp, vFrames, textIdx,
-      imageIdx, audioIdx, videoIdx, maxDist, minFrames, tau)
+      imageIdx, audioIdx, videoIdx, maxDist, minFrames, tau,
+      videoPerceptual)
       .localCheckpoint()
     def adm(c: String): DataFrame =
       flags.where(col(c) === 1L).select(col("doc_id"))

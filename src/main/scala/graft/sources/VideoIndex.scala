@@ -157,6 +157,11 @@ object VideoIndex {
     * corpus frame re-scan. */
   def append(spark: SparkSession, name: String, frames: DataFrame): Unit = {
     val cols = spark.table(s"${name}_vf").columns
+    require(cols.forall(frames.columns.contains),
+      s"append into ${name}_vf needs columns (${cols.mkString(", ")}), " +
+        s"got (${frames.columns.mkString(", ")}) — a 5-column " +
+        "(perceptual) index ingests videoFramesFp-derived batches, " +
+        "never the 3-column videoFrames shape")
     val f = frames.select(cols.map(col): _*).localCheckpoint()
     f.write.mode("append").insertInto(s"${name}_vf")
     f.groupBy(col("fm")).agg(countDistinct(col("media_id")).as("df"))

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{CrawlAdmit, Multimodal}
+import graft.sources.{DedupIndex, MediaIndex, VideoIndex}
+
+/** The composed crawl gate's per-modality semantics on a controlled
+  * corpus: a GAIN transcode of stored material is refused by the
+  * gain-invariant image/audio fingerprints either way, slips the
+  * byte-exact video leg (md5s differ), and is refused by the video leg
+  * exactly when the `videoPerceptual` dial is on — while a genuinely
+  * novel doc admits everywhere under both dials. */
+class CrawlAdmitSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("videoPerceptual dial: a gain transcode slips the byte-exact video leg only") {
+    val s = spark
+    import s.implicits._
+    val tA = "the quick brown fox jumps over the lazy dog while seven " +
+      "wise owls watch from the old stone bridge at dawn in cold rain"
+    val tB = "numbers one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    assert(tA.length >= 96 && tA.forall(_ <= 'z')) // +1 stays ASCII
+    val corpus = Seq((1L, tA)).toDF("doc_id", "text")
+    DedupIndex.build(spark, corpus, "text", "doc_id", "graft_caspec_text")
+    MediaIndex.build(spark,
+      Multimodal.imageDHash(Multimodal.imageTableOf(corpus)),
+      "graft_caspec_img")
+    MediaIndex.build(spark,
+      Multimodal.audioDHash(Multimodal.audioTableOf(corpus)),
+      "graft_caspec_aud")
+    VideoIndex.build(spark,
+      Multimodal.videoFramesFp(Multimodal.videoTableOf(corpus)),
+      "graft_caspec_vid")
+    // the gain transcode: every byte +1 — all three perceptual
+    // fingerprint families are invariant (comparisons shift together),
+    // every md5 differs
+    val batch = Seq((10L, tA.map(c => (c + 1).toChar)), (11L, tB))
+      .toDF("doc_id", "text")
+    def flags(perc: Boolean): Map[Long, (Long, Long, Long, Long, Long)] =
+      CrawlAdmit.admitFlags(spark, batch, "graft_caspec_text",
+        "graft_caspec_img", "graft_caspec_aud", "graft_caspec_vid",
+        videoPerceptual = perc)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+    val exact = flags(perc = false)
+    // transcode: text admits (different words), image + audio refuse
+    // (gain-invariant dHashes match at dist 0), byte-exact VIDEO leg is
+    // blind and admits; conjunction already refuses via image/audio
+    assert(exact(10L) == ((1L, 0L, 0L, 1L, 0L)),
+      s"byte-exact video leg must be blind to the transcode: ${exact(10L)}")
+    assert(exact(11L) == ((1L, 1L, 1L, 1L, 1L)),
+      s"the novel doc must admit everywhere: ${exact(11L)}")
+    val perc = flags(perc = true)
+    assert(perc(10L) == ((1L, 0L, 0L, 0L, 0L)),
+      s"the perceptual video leg must refuse the transcode: ${perc(10L)}")
+    assert(perc(11L) == ((1L, 1L, 1L, 1L, 1L)),
+      "the dial must not change the novel doc's admission")
+  }
+}
