@@ -44,32 +44,55 @@ object CrawlAdmit {
     * (doc_id, admit_text, admit_image, admit_audio, admit_video, admit)
     * — admit_* ∈ {0, 1} (1 = no stored near-dup in that modality),
     * `admit` = the conjunction. Read-only: derives the batch's four
-    * renditions, runs the four gates, mutates nothing. */
+    * renditions, runs the four gates, mutates nothing. `audioClipIdx`
+    * (a [[VideoIndex]]-family segment index) folds EXCERPT refusal into
+    * the audio flag: an item embedding stored audio — invisible to the
+    * whole-stream fingerprint — refuses when ≥ `minFrames` of its PCM
+    * segments match stored segments at one consistent offset within
+    * `maxDist`. */
   def admitFlags(spark: SparkSession, batch: DataFrame, textIdx: String,
       imageIdx: String, audioIdx: String, videoIdx: String,
       maxDist: Int = 6, minFrames: Int = 2, tau: Double = 0.8,
-      videoPerceptual: Boolean = false): DataFrame = {
+      videoPerceptual: Boolean = false,
+      audioClipIdx: Option[String] = None): DataFrame = {
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
     flagsFrom(spark, b,
       Multimodal.imageDHash(Multimodal.imageTableOf(b)),
       Multimodal.audioDHash(Multimodal.audioTableOf(b)),
       Multimodal.videoFramesFp(Multimodal.videoTableOf(b)),
+      audioClipIdx.map(_ =>
+        Multimodal.audioSegmentsFp(Multimodal.audioTableOf(b))),
       textIdx, imageIdx, audioIdx, videoIdx, maxDist, minFrames, tau,
-      videoPerceptual)
+      videoPerceptual, audioClipIdx)
   }
 
   private def flagsFrom(spark: SparkSession, b: DataFrame,
       imgFp: DataFrame, audFp: DataFrame, vFrames: DataFrame,
+      audSeg: Option[DataFrame],
       textIdx: String, imageIdx: String, audioIdx: String,
       videoIdx: String, maxDist: Int, minFrames: Int, tau: Double,
-      videoPerceptual: Boolean = false): DataFrame = {
+      videoPerceptual: Boolean = false,
+      audioClipIdx: Option[String] = None): DataFrame = {
     val ids = b.select(col("doc_id"))
     val textAdm = DedupIndex.dedupAgainst(spark, textIdx, b, "text",
       "doc_id", tau = tau).select(col("doc_id"))
     val imgAdm = MediaIndex.dedupAgainst(spark, imageIdx, imgFp, maxDist)
       .select(col("media_id").as("doc_id"))
-    val audAdm = MediaIndex.dedupAgainst(spark, audioIdx, audFp, maxDist)
+    // `audioClipIdx` adds EXCERPT refusal to the audio leg: the
+    // whole-stream fingerprint is blind to stored material embedded in
+    // (or lifted from) a batch item — every envelope window moves —
+    // but the segment grid matches the stored index at a consistent
+    // offset (VideoIndex.clipPerceptualAgainst: the index is
+    // modality-agnostic over temporal rows, and the perceptual leg
+    // catches a re-MASTERED excerpt too, the curation default)
+    val audClipRefused = (audioClipIdx zip audSeg).map { case (idx, seg) =>
+      VideoIndex.clipPerceptualAgainst(spark, idx, seg, maxDist, minFrames)
+        .select(col("fid").as("doc_id")).distinct()
+    }
+    val audAdm0 = MediaIndex.dedupAgainst(spark, audioIdx, audFp, maxDist)
       .select(col("media_id").as("doc_id"))
+    val audAdm = audClipRefused.fold(audAdm0)(r =>
+      audAdm0.join(r, Seq("doc_id"), "left_anti"))
     // refusal-set formulation so a frameless (empty) video admits —
     // nothing to dedup is not a dup. `videoPerceptual` swaps the video
     // leg's match semantics from byte-exact frame digests to the
@@ -106,7 +129,8 @@ object CrawlAdmit {
   def admitBatch(spark: SparkSession, batch: DataFrame, textIdx: String,
       imageIdx: String, audioIdx: String, videoIdx: String,
       maxDist: Int = 6, minFrames: Int = 2, tau: Double = 0.8,
-      videoPerceptual: Boolean = false): DataFrame = {
+      videoPerceptual: Boolean = false,
+      audioClipIdx: Option[String] = None): DataFrame = {
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
     val imgFp = Multimodal.imageDHash(Multimodal.imageTableOf(b))
       .localCheckpoint()
@@ -114,9 +138,12 @@ object CrawlAdmit {
       .localCheckpoint()
     val vFrames = Multimodal.videoFramesFp(Multimodal.videoTableOf(b))
       .localCheckpoint()
-    val flags = flagsFrom(spark, b, imgFp, audFp, vFrames, textIdx,
+    val audSeg = audioClipIdx.map(_ =>
+      Multimodal.audioSegmentsFp(Multimodal.audioTableOf(b))
+        .localCheckpoint())
+    val flags = flagsFrom(spark, b, imgFp, audFp, vFrames, audSeg, textIdx,
       imageIdx, audioIdx, videoIdx, maxDist, minFrames, tau,
-      videoPerceptual)
+      videoPerceptual, audioClipIdx)
       .localCheckpoint()
     def adm(c: String): DataFrame =
       flags.where(col(c) === 1L).select(col("doc_id"))
@@ -131,6 +158,13 @@ object CrawlAdmit {
     VideoIndex.append(spark, videoIdx, vFrames.join(
       adm("admit_video").withColumnRenamed("doc_id", "media_id"),
       Seq("media_id")))
+    // the excerpt index ingests the audio-admitted items' segments so
+    // the next batch's excerpt gate sees corpus ∪ admitted
+    (audioClipIdx zip audSeg).foreach { case (idx, seg) =>
+      VideoIndex.append(spark, idx, seg.join(
+        adm("admit_audio").withColumnRenamed("doc_id", "media_id"),
+        Seq("media_id")))
+    }
     flags
   }
 }

@@ -428,6 +428,92 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Per-SEGMENT audio fingerprints over the DECODED PCM — the temporal
+    * grid that gives audio what [[videoFramesFp]] gives video:
+    * EXCERPT (clip) detection, the modality-matrix cell the whole-stream
+    * [[audioDHash]] cannot express (a clip of stored material embedded
+    * in a longer recording moves every whole-stream window, but its
+    * segment grid matches the original's at a consistent offset — the
+    * song-in-a-podcast / sample-in-a-mix duplicate a training crawler
+    * meets). The decoded stream is sliced into consecutive FULL
+    * `segBytes` windows (the sub-segment tail carries no fingerprint:
+    * the detection granularity IS the segment grid, exactly as video's
+    * is its sampling stride); each segment carries both fingerprints of
+    * the 5-column temporal contract — its md5 (byte-exact, the
+    * self-verifying join key) and the [[frameFpBits]] gradient
+    * fingerprint. Measured on the sf0.01 corpus: a 0.9×-amplitude
+    * re-master ([[audioScaledTable]]'s transform) moves a 32-byte
+    * segment's gradient bits by ≤ 5 (median 0) while unrelated segments
+    * sit at median 26 (p1 = 14), so the video family's maxDist = 6 dial
+    * transfers unchanged. One decode per payload, one 24-byte row per
+    * segment — the shape [[graft.sources.VideoIndex]] persists, because
+    * that index is modality-agnostic over (media_id, frame_idx, fm,
+    * f_lo, f_hi) temporal rows: every clip stage
+    * ([[clipPairsFromFrames]], [[clipPerceptualFromFrames]], the
+    * gates) is a pure function of them, so audio excerpt detection
+    * rides the stored family with zero new machinery. */
+  def audioSegmentsFp(media: DataFrame, segBytes: Int = 32,
+      decode: Array[Byte] => Array[Byte] = decodeWavBytes): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[MediaRow]
+      .mapPartitions { rows =>
+        // one digest context per partition (the decode-shape idiom)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          val d = decode(r.content)
+          val nSegs = d.length / segBytes
+          (0 until nSegs).iterator.map { si =>
+            val from = si * segBytes
+            md.reset()
+            md.update(d, from, segBytes)
+            val fm = md.digest().map(x => f"$x%02x").mkString
+            val (lo, hi) = frameFpBits(d, from, from + segBytes, segBytes)
+            VideoFpRow(r.media_id, si.toLong, fm, lo, hi)
+          }
+        }
+      }.toDF()
+  }
+
+  /** The EXCERPT twin for audio clip detection — two regimes of the
+    * doc_id % 4 = 1 slice (docs carrying ≥ 8 full segments, so the
+    * excerpt is interior material, not a prefix):
+    *   - EXACT excerpt (+2M ids): PCM samples [2·segBytes, 6·segBytes)
+    *     re-wrapped as their own WAV — four segments of stored material
+    *     starting two segments in. The byte-exact clip stage finds it
+    *     at a consistent shift of +2; the ALIGNED whole-stream dedup
+    *     ([[audioDedupPairs]]) correctly treats it as different audio
+    *     (an excerpt is not the same recording — its envelope differs).
+    *   - GAIN excerpt (+3M ids): the same samples at 0.9× amplitude
+    *     (sample′ = sample·9 div 10, [[audioScaledTable]]'s re-master
+    *     math) — invisible to the md5 leg (every sample byte differs),
+    *     caught by the PERCEPTUAL clip stage within the measured
+    *     Hamming dial.
+    * Both regimes are integer byte math on sample-per-byte PCM, so
+    * DuckDB replays them from the document text's hex bytes. */
+  def audioExcerptTable(spark: SparkSession, sfDir: String,
+      segBytes: Int = 32): DataFrame = {
+    import spark.implicits._
+    val slice = Tables.documents(spark, sfDir)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .where(length(encode(col("text"), "UTF-8")) >= 8 * segBytes)
+      .select(col("doc_id"),
+        expr(s"substring(encode(text, 'UTF-8'), ${2 * segBytes + 1}, " +
+          s"${4 * segBytes})").as("content"))
+    val exact = slice
+      .select((col("doc_id") + lit(2000000L)).as("media_id"),
+        col("content")).as[MediaRow]
+      .mapPartitions(_.map(r => MediaRow(r.media_id, encodeWav(r.content))))
+      .toDF()
+    val gain = slice
+      .select((col("doc_id") + lit(3000000L)).as("media_id"),
+        col("content")).as[MediaRow]
+      .mapPartitions(_.map(r => MediaRow(r.media_id,
+        encodeWav(r.content.map(b => ((b & 0xff) * 9 / 10).toByte)))))
+      .toDF()
+    exact.unionByName(gain)
+  }
+
   /** Video table: each payload as an OPAQUE byte stream — the contract
     * the multimodal design states for video (no codec in this
     * container; the frame SLICING is the parse, [[frameSample]]'s

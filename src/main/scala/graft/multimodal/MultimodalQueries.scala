@@ -577,7 +577,123 @@ object MultimodalQueries {
         graft.sources.MediaIndex.ensureBuiltImage(s, d),
         graft.sources.MediaIndex.ensureBuiltAudioCorpus(s, d),
         graft.sources.VideoIndex.ensureBuiltVideoCorpus(s, d)),
-      Some(crawlAdmitSql))
+      Some(crawlAdmitSql)),
+
+    // AUDIO EXCERPT detection — the audio cell of the shift-tolerant
+    // modality matrix (video had all four quadrants, audio only the
+    // whole-stream aligned dHash): a clip of stored material embedded
+    // in / lifted from a longer recording moves every whole-stream
+    // envelope window, but its PCM SEGMENT grid matches the original's
+    // at a consistent offset. Segments are 32 decoded samples; the
+    // match is ≥ 2 identical segments at one offset — literally
+    // clipPairsFromFrames over audioSegmentsFp rows, because the clip
+    // stage is a pure function of (media_id, frame_idx, fm) whatever
+    // the grid unit. Fixture: the two-regime excerpt twin — the exact
+    // excerpt (+2M) caught at shift +2, the 0.9×-gain excerpt (+3M)
+    // correctly invisible to this byte-exact leg (the perceptual leg's
+    // job). Oracle: hex-derived PCM byte math (the WAV decode replay),
+    // segment keys joined on reconstructed hex (byte equality — what
+    // the engine's md5 equality means; the gain twin's bytes leave
+    // ASCII so string md5 can't replay it), stop-df discipline replayed.
+    Q("q_audio_clip_detect",
+      (s, d) => Multimodal.clipPairsFromFrames(
+        Multimodal.audioSegmentsFp(
+          Multimodal.audioTable(s, d)
+            .unionByName(Multimodal.audioExcerptTable(s, d))),
+        minFrames = 2),
+      Some(audioSegCte(corpusOnlyStop = false, perceptual = false) +
+        """SELECT a.media_id AS da, b.media_id AS db,
+                     CAST(a.seg - b.seg AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM skx a JOIN skx b
+                ON a.k = b.k AND a.media_id < b.media_id
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
+    // the excerpt CRAWL GATE: a fresh batch (both excerpt regimes)
+    // checks against the corpus-only stored segment index —
+    // VideoIndex.clipAgainst verbatim, because the index is
+    // modality-agnostic over temporal fingerprint rows. Batch segments
+    // broadcast (anti-joined on the _stop sidecar), stored side
+    // map-side on the self-verifying segment digest, one match-bounded
+    // (fid, cid, shift) exchange. Only the exact excerpt matches.
+    Q("q_audio_clip_against",
+      (s, d) => graft.sources.VideoIndex.clipAgainst(s,
+        graft.sources.VideoIndex.ensureBuiltAudioSegCorpus(s, d),
+        Multimodal.audioSegmentsFp(Multimodal.audioExcerptTable(s, d)),
+        minFrames = 2),
+      Some(audioSegCte(corpusOnlyStop = true, perceptual = false) +
+        """SELECT b.media_id AS fid, a.media_id AS cid,
+                     CAST(a.seg - b.seg AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM skx a JOIN skx b ON a.k = b.k
+               AND a.media_id < 2000000 AND b.media_id >= 2000000
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
+    // GAIN-TOLERANT audio excerpt detection — the perceptual leg: the
+    // 0.9×-amplitude excerpt's every sample byte differs (md5 leg
+    // blind), but each 32-byte segment's gradient fingerprint moves ≤ 5
+    // bits (measured, median 0; unrelated segments at median 26), so
+    // the frame-level banding + Hamming verify + shift grouping of
+    // clipPerceptualFromFrames catches it at the video family's
+    // maxDist = 6 dial. The oracle replays fingerprint byte math, band
+    // candidates, band-df stop, Hamming verify and the shift grouping.
+    Q("q_audio_clip_perceptual",
+      (s, d) => Multimodal.clipPerceptualFromFrames(
+        Multimodal.audioSegmentsFp(
+          Multimodal.audioTable(s, d)
+            .unionByName(Multimodal.audioExcerptTable(s, d))),
+        maxDist = 6, minFrames = 2),
+      Some(audioSegCte(corpusOnlyStop = false, perceptual = true) +
+        """cand AS (
+                SELECT DISTINCT a.media_id AS da, b.media_id AS db,
+                       a.seg AS fa, b.seg AS fb
+                FROM bandx a JOIN bandx b
+                  ON a.bi = b.bi AND a.bv = b.bv
+                 AND a.media_id < b.media_id
+                WHERE NOT EXISTS (SELECT 1 FROM bstop s
+                                  WHERE s.bi = a.bi AND s.bv = a.bv)),
+              pm AS (
+                SELECT c.da, c.db, c.fa, c.fb
+                FROM cand c
+                JOIN afp a ON a.media_id = c.da AND a.seg = c.fa
+                JOIN afp b ON b.media_id = c.db AND b.seg = c.fb
+                WHERE bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) <= 6)
+              SELECT da, db, CAST(fa - fb AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM pm GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
+    // the perceptual excerpt GATE — both excerpt regimes arrive fresh
+    // and BOTH are caught (exact at distance 0, gain within the dial):
+    // the admission decision the byte-exact gate gets wrong for a
+    // re-mastered excerpt of stored material. clipPerceptualAgainst on
+    // the same corpus-only index: fresh bands broadcast (anti-joined
+    // on _bstop), stored side map-side, Hamming verify inline,
+    // match-bounded exchanges.
+    Q("q_audio_clip_perceptual_against",
+      (s, d) => graft.sources.VideoIndex.clipPerceptualAgainst(s,
+        graft.sources.VideoIndex.ensureBuiltAudioSegCorpus(s, d),
+        Multimodal.audioSegmentsFp(Multimodal.audioExcerptTable(s, d)),
+        maxDist = 6, minFrames = 2),
+      Some(audioSegCte(corpusOnlyStop = true, perceptual = true) +
+        """cand AS (
+                SELECT DISTINCT b.media_id AS fid, a.media_id AS cid,
+                       a.seg AS fa, b.seg AS fb
+                FROM bandx a JOIN bandx b
+                  ON a.bi = b.bi AND a.bv = b.bv
+                 AND a.media_id < 2000000 AND b.media_id >= 2000000
+                WHERE NOT EXISTS (SELECT 1 FROM bstop s
+                                  WHERE s.bi = a.bi AND s.bv = a.bv)),
+              pm AS (
+                SELECT c.fid, c.cid, c.fa, c.fb
+                FROM cand c
+                JOIN afp a ON a.media_id = c.cid AND a.seg = c.fa
+                JOIN afp b ON b.media_id = c.fid AND b.seg = c.fb
+                WHERE bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) <= 6)
+              SELECT fid, cid, CAST(fa - fb AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM pm GROUP BY 1, 2, 3 HAVING count(*) >= 2"""))
   )
 
   /** The frame-digest replay shared by the video pair oracles: corpus ∪
@@ -1133,6 +1249,110 @@ object MultimodalQueries {
                 FROM bits GROUP BY 1)
               """
 
+  /** The PCM segment replay shared by the audio CLIP oracles: corpus ∪
+    * the two-regime excerpt twin (exact +2M, 0.9×-gain +3M — the
+    * % 4 = 1 docs of ≥ 256 bytes, PCM samples [64, 192) = hex chars
+    * [129, 384]), FULL 32-byte segments only (the engine's grid), the
+    * gain transform applied in-SQL on hex-derived bytes. Emits per
+    * (media_id, seg):
+    *   - `sk.k`: the segment's canonical hex key — byte-sequence
+    *     equality, which is exactly what the engine's per-segment md5
+    *     equality decides (the gain twin's scaled bytes leave ASCII, so
+    *     the replay reconstructs hex instead of calling md5 on text);
+    *   - with `perceptual`: `afp.(lo, hi)` — the frameFpBits gradient
+    *     fingerprint (consecutive-byte bits + byte-vs-mean bits) —
+    *     plus its 4×16 `bandx` explode and the `bstop` band-df set.
+    * `stop` / `bstop` replay the media-df > 10000 discipline (empty at
+    * fixture scale, load-bearing wherever a segment crosses the dial);
+    * the GATE variants scope them to the corpus side, exactly as the
+    * stored `_stop`/`_bstop` sidecars derive. */
+  private def audioSegCte(corpusOnlyStop: Boolean,
+      perceptual: Boolean): String = {
+    val scope = if (corpusOnlyStop) "WHERE media_id < 2000000" else ""
+    val base = s"""WITH m AS (
+                SELECT doc_id AS media_id, 0 AS scaled,
+                       hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 2000000, 0,
+                       substring(hex(encode(text)), 129, 256), 128
+                FROM documents
+                WHERE doc_id % 4 = 1 AND octet_length(encode(text)) >= 256
+                UNION ALL
+                SELECT doc_id + 3000000, 1,
+                       substring(hex(encode(text)), 129, 256), 128
+                FROM documents
+                WHERE doc_id % 4 = 1 AND octet_length(encode(text)) >= 256),
+              pos AS (
+                SELECT media_id, scaled, h,
+                       unnest(range(1, (n // 32) * 32 + 1)) AS i
+                FROM m),
+              sb AS (
+                SELECT media_id, (i - 1) // 32 AS seg, (i - 1) % 32 AS j,
+                       CASE WHEN scaled = 1 THEN (raw * 9) // 10
+                            ELSE raw END AS byte
+                FROM (
+                  SELECT media_id, scaled, i,
+                         16 * (strpos('0123456789ABCDEF',
+                                 substring(h, CAST(2*i-1 AS BIGINT), 1)) - 1)
+                           + (strpos('0123456789ABCDEF',
+                                 substring(h, CAST(2*i AS BIGINT), 1)) - 1)
+                           AS raw
+                  FROM pos)),
+              sk AS (
+                SELECT media_id, seg,
+                       string_agg(
+                         substring('0123456789abcdef', byte // 16 + 1, 1)
+                         || substring('0123456789abcdef', byte % 16 + 1, 1),
+                         '' ORDER BY j) AS k
+                FROM sb GROUP BY 1, 2),
+              stop AS (
+                SELECT k FROM sk $scope
+                GROUP BY 1 HAVING count(DISTINCT media_id) > 10000),
+              skx AS (
+                SELECT media_id, seg, k FROM sk
+                WHERE NOT EXISTS (SELECT 1 FROM stop s WHERE s.k = sk.k))
+              """
+    val fp = s""", mn AS (
+                SELECT media_id, seg, sum(byte) // 32 AS mean
+                FROM sb GROUP BY 1, 2),
+              glo AS (
+                SELECT a.media_id, a.seg,
+                       CAST(sum(CASE WHEN b.byte > a.byte
+                         THEN (CAST(1 AS BIGINT) << CAST(a.j AS INT))
+                         ELSE 0 END) AS BIGINT) AS lo
+                FROM sb a JOIN sb b
+                  ON a.media_id = b.media_id AND a.seg = b.seg
+                 AND b.j = (a.j + 1) % 32
+                GROUP BY 1, 2),
+              ghi AS (
+                SELECT sb.media_id, sb.seg,
+                       CAST(sum(CASE WHEN sb.byte > mn.mean
+                         THEN (CAST(1 AS BIGINT) << CAST(sb.j AS INT))
+                         ELSE 0 END) AS BIGINT) AS hi
+                FROM sb JOIN mn
+                  ON sb.media_id = mn.media_id AND sb.seg = mn.seg
+                GROUP BY 1, 2),
+              afp AS (
+                SELECT glo.media_id, glo.seg, glo.lo, ghi.hi
+                FROM glo JOIN ghi
+                  ON glo.media_id = ghi.media_id AND glo.seg = ghi.seg),
+              bandx AS (
+                SELECT media_id, seg, 0 AS bi, lo % 65536 AS bv FROM afp
+                UNION ALL
+                SELECT media_id, seg, 1, lo // 65536 FROM afp
+                UNION ALL
+                SELECT media_id, seg, 2, hi % 65536 FROM afp
+                UNION ALL
+                SELECT media_id, seg, 3, hi // 65536 FROM afp),
+              bstop AS (
+                SELECT bi, bv FROM bandx $scope
+                GROUP BY 1, 2 HAVING count(DISTINCT media_id) > 10000),
+              """
+    if (perceptual) base + fp else base
+  }
+
   /** The live entries + the STORED fingerprint twins (r13 verdict #1):
     * same answers, served from [[graft.sources.MediaIndex]]'s persisted
     * (media_id, h_lo, h_hi) table — the decode+dHash pass (33.6 s of
@@ -1182,7 +1402,17 @@ object MultimodalQueries {
       (s, d) => graft.sources.VideoIndex.clipPerceptual(s,
         graft.sources.VideoIndex.ensureBuiltVideoClipPerc(s, d),
         maxDist = 6, minFrames = 2),
-      live.find(_.name == "q_video_clip_perceptual").get.oracle))
+      live.find(_.name == "q_video_clip_perceptual").get.oracle),
+    // audio excerpt detection served from the persisted segment rows —
+    // the modality-agnostic temporal index: one _vf artifact (PCM
+    // segments instead of video frames) serves the exact clip stage as
+    // a pure function of its rows; decode + segment fingerprinting ran
+    // once at build. Live oracle verbatim.
+    Q("q_audio_clip_detect_stored",
+      (s, d) => Multimodal.clipPairsFromFrames(
+        s.table(s"${graft.sources.VideoIndex.ensureBuiltAudioSeg(s, d)}_vf"),
+        minFrames = 2),
+      live.find(_.name == "q_audio_clip_detect").get.oracle))
 
   /** The PNG decode-features replay (hex-derived byte math over the
     * encoded payload + zero padding to the raster size); `extraCols`

@@ -27,7 +27,16 @@ import graft.multimodal.Multimodal
   * self-verifying join key (no Hamming verify needed — md5 equality IS
   * the frame match). Lifecycle mirrors the siblings: [[build]] /
   * [[append]] / [[compact]] / [[maintain]] / [[remove]] /
-  * [[graft.streaming.Streams.streamVideoDedupIngest]]. */
+  * [[graft.streaming.Streams.streamVideoDedupIngest]].
+  *
+  * The index is MODALITY-AGNOSTIC over temporal fingerprint rows: any
+  * medium with a deterministic grid — sampled video frames, or decoded
+  * PCM segments ([[Multimodal.audioSegmentsFp]]) — persists the same
+  * (media_id, frame_idx, fm, f_lo, f_hi) shape, and every serve path
+  * here is a pure function of those rows. Audio EXCERPT detection
+  * (q_audio_clip_*) therefore rides this family unchanged: the "frame"
+  * is a PCM segment, the clip stages and gates never know the
+  * difference. */
 object VideoIndex {
 
   /** Write the frame-digest table. `frames` is (media_id, frame_idx,
@@ -469,6 +478,36 @@ object VideoIndex {
       val name = s"graft_media_vidc_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
       build(spark,
         Multimodal.videoFramesFp(Multimodal.videoTable(spark, sfDir)), name)
+      name
+    })
+  }
+
+  /** AUDIO corpus ∪ the two-regime excerpt twin, segmented
+    * ([[Multimodal.audioSegmentsFp]]) — the index is modality-agnostic
+    * over (media_id, frame_idx, fm, f_lo, f_hi) temporal rows, so audio
+    * EXCERPT detection rides this same stored family: the clip stages
+    * and gates are pure functions of the persisted rows whether a row's
+    * grid unit is a sampled video frame or a PCM segment. Matches
+    * q_audio_clip_detect's live input. */
+  def ensureBuiltAudioSeg(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "audio_seg"), {
+      val name = s"graft_media_aus_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark, Multimodal.audioSegmentsFp(
+        Multimodal.audioTable(spark, sfDir).unionByName(
+          Multimodal.audioExcerptTable(spark, sfDir))), name)
+      name
+    })
+  }
+
+  /** Audio corpus only, segmented — the stored side of the excerpt
+    * crawl gates. */
+  def ensureBuiltAudioSegCorpus(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "audio_seg_corpus"), {
+      val name = s"graft_media_ausc_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark, Multimodal.audioSegmentsFp(
+        Multimodal.audioTable(spark, sfDir)), name)
       name
     })
   }

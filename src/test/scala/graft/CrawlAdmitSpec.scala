@@ -60,4 +60,54 @@ class CrawlAdmitSpec extends AnyFunSuite {
     assert(perc(11L) == ((1L, 1L, 1L, 1L, 1L)),
       "the dial must not change the novel doc's admission")
   }
+
+  test("audioClipIdx dial: an item EMBEDDING stored audio slips the " +
+      "whole-stream fingerprint and refuses through the excerpt gate") {
+    val s = spark
+    import s.implicits._
+    // structurally distinct per salt (different multiplier, different
+    // quadratic modulus) — an additive salt would be a near-uniform
+    // shift of the same sequence, which the gain-INVARIANT gradient
+    // fingerprints would rightly match
+    def varied(n: Int, salt: Int): String =
+      (0 until n).map(i =>
+        (33 + (i * (37 + 2 * salt) + (i * i) % (19 + salt)) % 90).toChar)
+        .mkString
+    val tC = varied(320, 0)
+    val corpus = Seq((1L, tC)).toDF("doc_id", "text")
+    DedupIndex.build(spark, corpus, "text", "doc_id", "graft_casc_text")
+    MediaIndex.build(spark,
+      Multimodal.imageDHash(Multimodal.imageTableOf(corpus)),
+      "graft_casc_img")
+    MediaIndex.build(spark,
+      Multimodal.audioDHash(Multimodal.audioTableOf(corpus)),
+      "graft_casc_aud")
+    VideoIndex.build(spark,
+      Multimodal.videoFramesFp(Multimodal.videoTableOf(corpus)),
+      "graft_casc_vid")
+    VideoIndex.build(spark,
+      Multimodal.audioSegmentsFp(Multimodal.audioTableOf(corpus)),
+      "graft_casc_ausg")
+    // item 20 EMBEDS tC's PCM [64, 192) between novel segment-aligned
+    // padding: its whole-stream envelope moves everywhere, but four of
+    // its segments match the stored grid at one consistent offset;
+    // item 21 shares nothing
+    val embedding = varied(64, 7) + tC.substring(64, 192) + varied(64, 13)
+    val batch = Seq((20L, embedding), (21L, varied(320, 29)))
+      .toDF("doc_id", "text")
+    def audioFlag(dial: Option[String]): Map[Long, Long] =
+      CrawlAdmit.admitFlags(spark, batch, "graft_casc_text",
+        "graft_casc_img", "graft_casc_aud", "graft_casc_vid",
+        audioClipIdx = dial)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val off = audioFlag(None)
+    assert(off(20L) == 1L,
+      "the whole-stream fingerprint must be blind to the embedded excerpt")
+    assert(off(21L) == 1L)
+    val on = audioFlag(Some("graft_casc_ausg"))
+    assert(on(20L) == 0L,
+      "the excerpt gate must refuse the item embedding stored audio")
+    assert(on(21L) == 1L,
+      "the dial must not change the novel item's audio admission")
+  }
 }
