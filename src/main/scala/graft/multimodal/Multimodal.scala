@@ -749,11 +749,23 @@ object Multimodal {
     // intra pairs (identical sampled sequences) match at EVERY shift of
     // the sequence's SELF-correlation, not just 0 — periodic content
     // overlaps itself at its period. One self-join per rep generates
-    // the full shift histogram each member pair inherits.
-    val selfCorr = repFrames
+    // the full shift histogram each member pair inherits — but only
+    // reps with ≥ 2 members HAVE member pairs to inherit it, so the
+    // self-join runs on that (usually tiny) slice alone: on a
+    // mostly-distinct corpus the unrestricted version pays the whole
+    // self-correlation for nothing.
+    val multiReps = members.groupBy(col("rep"))
+      .agg(count(lit(1)).as("mc")).where(col("mc") >= 2)
+      .select(col("rep"))
+    // no broadcast hint: tiny on distinct-heavy corpora, but a
+    // dup-heavy crawl makes EVERY rep multi-member — let AQE pick
+    val multiFrames = repFrames.join(
+      multiReps.select(col("rep").as("media_id")),
+      Seq("media_id"), "left_semi")
+    val selfCorr = multiFrames
       .select(col("media_id").as("rep"), col("frame_idx").as("fa"),
         col("fm"))
-      .join(repFrames.select(col("media_id").as("rep"),
+      .join(multiFrames.select(col("media_id").as("rep"),
         col("frame_idx").as("fb"), col("fm")), Seq("rep", "fm"))
       .groupBy(col("rep"), (col("fa") - col("fb")).as("shift"))
       .agg(count(lit(1)).as("matched_frames"))
@@ -909,20 +921,19 @@ object Multimodal {
       repOf.select(col("rep").as("media_id")), Seq("media_id"))
     val repBands = fpBands(repFrames)
       .join(broadcast(stopB), Seq("bi", "bv"), "left_anti")
-    val cand = repBands.select(col("media_id").as("da"), col("frame_idx"),
-        col("bi"), col("bv"))
+    // inline Hamming verify on the band-join row (the codes ride the
+    // band rows) — see clipPerceptualFromFrames: same answers, two
+    // fewer joins, distinct over verified rows only
+    val repPairs = repBands.select(col("media_id").as("da"),
+        col("frame_idx"), col("bi"), col("bv"),
+        col("f_lo").as("la"), col("f_hi").as("ha"))
       .join(repBands.select(col("media_id").as("db"), col("frame_idx"),
-        col("bi"), col("bv")), Seq("frame_idx", "bi", "bv"))
+        col("bi"), col("bv"), col("f_lo").as("lb"),
+        col("f_hi").as("hb")), Seq("frame_idx", "bi", "bv"))
       .where(col("da") < col("db"))
-      .select(col("da"), col("db"), col("frame_idx")).distinct()
-    val fpa = repFrames.select(col("media_id").as("da"), col("frame_idx"),
-      col("f_lo").as("la"), col("f_hi").as("ha"))
-    val fpb = repFrames.select(col("media_id").as("db"), col("frame_idx"),
-      col("f_lo").as("lb"), col("f_hi").as("hb"))
-    val repPairs = cand
-      .join(fpa, Seq("da", "frame_idx")).join(fpb, Seq("db", "frame_idx"))
       .where((expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
         <= maxDist)
+      .select(col("da"), col("db"), col("frame_idx")).distinct()
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("matched_frames"))
       .where(col("matched_frames") >= minFrames)
@@ -986,23 +997,26 @@ object Multimodal {
       repOf.select(col("rep").as("media_id")), Seq("media_id"))
     val repBands = fpBands(repFrames)
       .join(broadcast(stopB), Seq("bi", "bv"), "left_anti")
-    val cand = repBands.select(col("media_id").as("da"),
-        col("frame_idx").as("fa"), col("bi"), col("bv"))
+    // both fingerprints ride the band rows (fpBands keeps f_lo/f_hi),
+    // so the Hamming verify runs INLINE on the band-join row — the
+    // gates' plan shape: no second fingerprint join, and the
+    // multi-band dedup shrinks to VERIFIED rows only (verify is a pure
+    // function of the pair's codes, so verify-then-distinct ≡
+    // distinct-then-verify). On the text-byte corpora the position-free
+    // band join dominates this stage — low-entropy bytes make 16-bit
+    // band values collide heavily — and the posterior-verify shape paid
+    // two more joins plus a distinct over UNVERIFIED candidates on top.
+    val repPairs = repBands.select(col("media_id").as("da"),
+        col("frame_idx").as("fa"), col("bi"), col("bv"),
+        col("f_lo").as("la"), col("f_hi").as("ha"))
       .join(repBands.select(col("media_id").as("db"),
-        col("frame_idx").as("fb"), col("bi"), col("bv")),
+        col("frame_idx").as("fb"), col("bi"), col("bv"),
+        col("f_lo").as("lb"), col("f_hi").as("hb")),
         Seq("bi", "bv"))
       .where(col("da") < col("db"))
-      .select(col("da"), col("db"), col("fa"), col("fb")).distinct()
-    val fpa = repFrames.select(col("media_id").as("da"),
-      col("frame_idx").as("fa"), col("f_lo").as("la"),
-      col("f_hi").as("ha"))
-    val fpb = repFrames.select(col("media_id").as("db"),
-      col("frame_idx").as("fb"), col("f_lo").as("lb"),
-      col("f_hi").as("hb"))
-    val repPairs = cand
-      .join(fpa, Seq("da", "fa")).join(fpb, Seq("db", "fb"))
       .where((expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
         <= maxDist)
+      .select(col("da"), col("db"), col("fa"), col("fb")).distinct()
       .groupBy(col("da"), col("db"), (col("fa") - col("fb")).as("shift"))
       .agg(count(lit(1)).as("matched_frames"))
       .where(col("matched_frames") >= minFrames)
@@ -1015,22 +1029,27 @@ object Multimodal {
           .otherwise(-col("shift")).as("shift"),
         col("matched_frames"))
     // intra: each rep's full perceptual self-correlation histogram
-    // (band candidates against itself, fa = fb included)
-    val selfCand = repBands.select(col("media_id").as("rep"),
-        col("frame_idx").as("fa"), col("bi"), col("bv"))
-      .join(repBands.select(col("media_id").as("rep"),
-        col("frame_idx").as("fb"), col("bi"), col("bv")),
+    // (band candidates against itself, fa = fb included) — computed
+    // ONLY for reps with ≥ 2 members, the only ones whose member pairs
+    // inherit it (the clipPairsFromFrames restriction; here it cuts
+    // the position-free band self-join, the stage's dominant cost on a
+    // distinct-heavy corpus)
+    val multiReps = members.groupBy(col("rep"))
+      .agg(count(lit(1)).as("mc")).where(col("mc") >= 2)
+      .select(col("rep"))
+    val multiBands = repBands.join(
+      multiReps.select(col("rep").as("media_id")),
+      Seq("media_id"), "left_semi")
+    val selfCorr = multiBands.select(col("media_id").as("rep"),
+        col("frame_idx").as("fa"), col("bi"), col("bv"),
+        col("f_lo").as("la"), col("f_hi").as("ha"))
+      .join(multiBands.select(col("media_id").as("rep"),
+        col("frame_idx").as("fb"), col("bi"), col("bv"),
+        col("f_lo").as("lb"), col("f_hi").as("hb")),
         Seq("rep", "bi", "bv"))
-      .select(col("rep"), col("fa"), col("fb")).distinct()
-    val selfCorr = selfCand
-      .join(repFrames.select(col("media_id").as("rep"),
-        col("frame_idx").as("fa"), col("f_lo").as("la"),
-        col("f_hi").as("ha")), Seq("rep", "fa"))
-      .join(repFrames.select(col("media_id").as("rep"),
-        col("frame_idx").as("fb"), col("f_lo").as("lb"),
-        col("f_hi").as("hb")), Seq("rep", "fb"))
       .where((expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
         <= maxDist)
+      .select(col("rep"), col("fa"), col("fb")).distinct()
       .groupBy(col("rep"), (col("fa") - col("fb")).as("shift"))
       .agg(count(lit(1)).as("matched_frames"))
       .where(col("matched_frames") >= minFrames)
