@@ -54,7 +54,8 @@ object CrawlAdmit {
       imageIdx: String, audioIdx: String, videoIdx: String,
       maxDist: Int = 6, minFrames: Int = 2, tau: Double = 0.8,
       videoPerceptual: Boolean = false,
-      audioClipIdx: Option[String] = None): DataFrame = {
+      audioClipIdx: Option[String] = None,
+      imageCropIdx: Option[String] = None): DataFrame = {
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
     flagsFrom(spark, b,
       Multimodal.imageDHash(Multimodal.imageTableOf(b)),
@@ -62,22 +63,36 @@ object CrawlAdmit {
       Multimodal.videoFramesFp(Multimodal.videoTableOf(b)),
       audioClipIdx.map(_ =>
         Multimodal.audioSegmentsFp(Multimodal.audioTableOf(b))),
+      imageCropIdx.map(_ =>
+        Multimodal.imageRowsFp(Multimodal.imageTableOf(b))),
       textIdx, imageIdx, audioIdx, videoIdx, maxDist, minFrames, tau,
-      videoPerceptual, audioClipIdx)
+      videoPerceptual, audioClipIdx, imageCropIdx)
   }
 
   private def flagsFrom(spark: SparkSession, b: DataFrame,
       imgFp: DataFrame, audFp: DataFrame, vFrames: DataFrame,
-      audSeg: Option[DataFrame],
+      audSeg: Option[DataFrame], imgRows: Option[DataFrame],
       textIdx: String, imageIdx: String, audioIdx: String,
       videoIdx: String, maxDist: Int, minFrames: Int, tau: Double,
       videoPerceptual: Boolean = false,
-      audioClipIdx: Option[String] = None): DataFrame = {
+      audioClipIdx: Option[String] = None,
+      imageCropIdx: Option[String] = None): DataFrame = {
     val ids = b.select(col("doc_id"))
     val textAdm = DedupIndex.dedupAgainst(spark, textIdx, b, "text",
       "doc_id", tau = tau).select(col("doc_id"))
-    val imgAdm = MediaIndex.dedupAgainst(spark, imageIdx, imgFp, maxDist)
+    // `imageCropIdx` adds CROP refusal to the image leg (the
+    // audioClipIdx discipline over raster rows): a batch item that is
+    // a vertical crop / banner edit of stored material slips the
+    // whole-image fingerprint but its rows match the stored row index
+    // at one consistent vertical offset
+    val imgCropRefused = (imageCropIdx zip imgRows).map { case (idx, rw) =>
+      VideoIndex.clipPerceptualAgainst(spark, idx, rw, maxDist, minFrames)
+        .select(col("fid").as("doc_id")).distinct()
+    }
+    val imgAdm0 = MediaIndex.dedupAgainst(spark, imageIdx, imgFp, maxDist)
       .select(col("media_id").as("doc_id"))
+    val imgAdm = imgCropRefused.fold(imgAdm0)(r =>
+      imgAdm0.join(r, Seq("doc_id"), "left_anti"))
     // `audioClipIdx` adds EXCERPT refusal to the audio leg: the
     // whole-stream fingerprint is blind to stored material embedded in
     // (or lifted from) a batch item — every envelope window moves —
@@ -130,7 +145,8 @@ object CrawlAdmit {
       imageIdx: String, audioIdx: String, videoIdx: String,
       maxDist: Int = 6, minFrames: Int = 2, tau: Double = 0.8,
       videoPerceptual: Boolean = false,
-      audioClipIdx: Option[String] = None): DataFrame = {
+      audioClipIdx: Option[String] = None,
+      imageCropIdx: Option[String] = None): DataFrame = {
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
     val imgFp = Multimodal.imageDHash(Multimodal.imageTableOf(b))
       .localCheckpoint()
@@ -141,9 +157,13 @@ object CrawlAdmit {
     val audSeg = audioClipIdx.map(_ =>
       Multimodal.audioSegmentsFp(Multimodal.audioTableOf(b))
         .localCheckpoint())
-    val flags = flagsFrom(spark, b, imgFp, audFp, vFrames, audSeg, textIdx,
+    val imgRows = imageCropIdx.map(_ =>
+      Multimodal.imageRowsFp(Multimodal.imageTableOf(b))
+        .localCheckpoint())
+    val flags = flagsFrom(spark, b, imgFp, audFp, vFrames, audSeg,
+      imgRows, textIdx,
       imageIdx, audioIdx, videoIdx, maxDist, minFrames, tau,
-      videoPerceptual, audioClipIdx)
+      videoPerceptual, audioClipIdx, imageCropIdx)
       .localCheckpoint()
     def adm(c: String): DataFrame =
       flags.where(col(c) === 1L).select(col("doc_id"))
@@ -163,6 +183,12 @@ object CrawlAdmit {
     (audioClipIdx zip audSeg).foreach { case (idx, seg) =>
       VideoIndex.append(spark, idx, seg.join(
         adm("admit_audio").withColumnRenamed("doc_id", "media_id"),
+        Seq("media_id")))
+    }
+    // likewise the crop index ingests the image-admitted items' rows
+    (imageCropIdx zip imgRows).foreach { case (idx, rw) =>
+      VideoIndex.append(spark, idx, rw.join(
+        adm("admit_image").withColumnRenamed("doc_id", "media_id"),
         Seq("media_id")))
     }
     flags

@@ -452,19 +452,33 @@ object Multimodal {
     * ([[clipPairsFromFrames]], [[clipPerceptualFromFrames]], the
     * gates) is a pure function of them, so audio excerpt detection
     * rides the stored family with zero new machinery. */
+  /** `hop` is the OFFSET-coverage dial (≤ 0 = segBytes, the aligned
+    * default the registered queries and oracles use): an excerpt whose
+    * start is not a multiple of the grid unit misses every aligned
+    * segment boundary and is invisible — the detection granularity IS
+    * the grid, exactly as video's is its sampling stride. Overlapping
+    * windows (hop < segBytes) buy coverage of every hop-aligned offset
+    * at segBytes/hop × the rows — the standard acoustic-fingerprint
+    * trade (dense overlapping windows), with `frame_idx` in hop units
+    * so a real embedding still reads as ONE consistent shift
+    * (AudioClipSpec pins a 16-shifted excerpt: invisible at the
+    * aligned default, found at hop = 16 at shift 3). */
   def audioSegmentsFp(media: DataFrame, segBytes: Int = 32,
-      decode: Array[Byte] => Array[Byte] = decodeWavBytes): DataFrame = {
+      decode: Array[Byte] => Array[Byte] = decodeWavBytes,
+      hop: Int = 0): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    val step = if (hop <= 0) segBytes else hop
     media.select(col("media_id"), col("content")).as[MediaRow]
       .mapPartitions { rows =>
         // one digest context per partition (the decode-shape idiom)
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { r =>
           val d = decode(r.content)
-          val nSegs = d.length / segBytes
+          val nSegs =
+            if (d.length < segBytes) 0 else (d.length - segBytes) / step + 1
           (0 until nSegs).iterator.map { si =>
-            val from = si * segBytes
+            val from = si * step
             md.reset()
             md.update(d, from, segBytes)
             val fm = md.digest().map(x => f"$x%02x").mkString
@@ -512,6 +526,79 @@ object Multimodal {
         encodeWav(r.content.map(b => ((b & 0xff) * 9 / 10).toByte)))))
       .toDF()
     exact.unionByName(gain)
+  }
+
+  /** Per-ROW image fingerprints over the DECODED raster — the spatial
+    * grid that gives IMAGES a shift-tolerant story: a vertical crop (or
+    * a banner added above/below — the canonical meme-reposting edit)
+    * shifts every raster row, so the whole-image [[imageDHash]] moves
+    * while the surviving rows still match the original's at one
+    * consistent VERTICAL offset. Rows are the grid the fixed-width
+    * raster gives for free (16 px × 3 channels = 48 bytes; the decoded
+    * raster is always whole rows — [[encodePng]] zero-pads the last),
+    * and each row carries the 5-column temporal contract (md5 +
+    * [[frameFpBits]]), so — exactly as with [[audioSegmentsFp]] — the
+    * clip stages, gates and the stored [[graft.sources.VideoIndex]]
+    * family serve image crop detection with zero new machinery: the
+    * "frame" is a raster row, `shift` is the vertical offset.
+    * HORIZONTAL crops change every row's bytes and are out of this
+    * grid's scope by construction (they need 2D blocks — the honest
+    * dial, documented not hidden). */
+  def imageRowsFp(media: DataFrame,
+      decode: Array[Byte] => Array[Byte] = decodePngBytes): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[MediaRow]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          val d = decode(r.content)
+          val nRows = d.length / RowBytes // decoded rasters are whole rows
+          (0 until nRows).iterator.map { ri =>
+            val from = ri * RowBytes
+            md.reset()
+            md.update(d, from, RowBytes)
+            val fm = md.digest().map(x => f"$x%02x").mkString
+            val (lo, hi) = frameFpBits(d, from, from + RowBytes, RowBytes)
+            VideoFpRow(r.media_id, ri.toLong, fm, lo, hi)
+          }
+        }
+      }.toDF()
+  }
+
+  /** The CROP twin for image crop detection — two regimes of the
+    * doc_id % 4 = 1 slice (payloads ≥ 6 full rows, so the crop is
+    * interior payload, never padding):
+    *   - EXACT crop (+4M ids): raster rows 1–4 (payload bytes
+    *     [48, 240)) re-encoded as their own PNG — the banner-stripped
+    *     repost. The whole-image dHash moves (different raster), the
+    *     row grid matches at a consistent vertical offset of +1.
+    *   - BRIGHTNESS crop (+5M ids): the same rows at +1 per byte (the
+    *     uniform brightness re-encode; text payloads stay below the
+    *     wrap) — every row md5 differs, the gradient fingerprint is
+    *     exactly invariant (all comparisons shift together, the
+    *     integer row mean shifts by exactly 1), so only the PERCEPTUAL
+    *     leg catches it, at distance 0. */
+  def imageCropTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = Tables.documents(spark, sfDir)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .where(length(encode(col("text"), "UTF-8")) >= 6 * RowBytes)
+      .select(col("doc_id"),
+        expr(s"substring(encode(text, 'UTF-8'), ${RowBytes + 1}, " +
+          s"${4 * RowBytes})").as("content"))
+    val exact = slice
+      .select((col("doc_id") + lit(4000000L)).as("media_id"),
+        col("content")).as[MediaRow]
+      .mapPartitions(_.map(r => MediaRow(r.media_id, encodePng(r.content))))
+      .toDF()
+    val bright = slice
+      .select((col("doc_id") + lit(5000000L)).as("media_id"),
+        col("content")).as[MediaRow]
+      .mapPartitions(_.map(r => MediaRow(r.media_id,
+        encodePng(r.content.map(b => ((b & 0xff) + 1).toByte)))))
+      .toDF()
+    exact.unionByName(bright)
   }
 
   /** Video table: each payload as an OPAQUE byte stream — the contract

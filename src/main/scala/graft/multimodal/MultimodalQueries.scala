@@ -693,6 +693,108 @@ object MultimodalQueries {
                     + bit_count(xor(a.hi, b.hi)) <= 6)
               SELECT fid, cid, CAST(fa - fb AS BIGINT) AS shift,
                      CAST(count(*) AS BIGINT) AS matched_frames
+              FROM pm GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
+    // IMAGE CROP detection — the image cell of the shift-tolerant
+    // matrix: a vertical crop (banner added or stripped — the
+    // meme-repost edit) moves the whole-image dHash but leaves the
+    // surviving raster ROWS matching the original's at one consistent
+    // vertical offset. Rows are the grid the 16-px-wide raster gives
+    // for free (48 bytes each, rasters are whole rows by the codec
+    // contract), so this is clipPairsFromFrames over imageRowsFp rows
+    // — the third modality riding the same machinery. Fixture: the
+    // exact crop (+4M, rows 1–4) caught at shift +1; the +1-brightness
+    // crop (+5M) correctly invisible to this byte-exact leg.
+    Q("q_image_crop_detect",
+      (s, d) => Multimodal.clipPairsFromFrames(
+        Multimodal.imageRowsFp(
+          Multimodal.imageTable(s, d)
+            .unionByName(Multimodal.imageCropTable(s, d))),
+        minFrames = 2),
+      Some(imageRowCte(corpusOnlyStop = false, perceptual = false) +
+        """SELECT a.media_id AS da, b.media_id AS db,
+                     CAST(a.seg - b.seg AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM skx a JOIN skx b
+                ON a.k = b.k AND a.media_id < b.media_id
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
+    // the crop CRAWL GATE: both crop regimes arrive fresh against the
+    // corpus-only stored row index — VideoIndex.clipAgainst verbatim
+    // (the temporal index's third modality); only the exact crop
+    // matches.
+    Q("q_image_crop_against",
+      (s, d) => graft.sources.VideoIndex.clipAgainst(s,
+        graft.sources.VideoIndex.ensureBuiltImageRowsCorpus(s, d),
+        Multimodal.imageRowsFp(Multimodal.imageCropTable(s, d)),
+        minFrames = 2),
+      Some(imageRowCte(corpusOnlyStop = true, perceptual = false) +
+        """SELECT b.media_id AS fid, a.media_id AS cid,
+                     CAST(a.seg - b.seg AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM skx a JOIN skx b ON a.k = b.k
+               AND a.media_id < 4000000 AND b.media_id >= 4000000
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
+    // BRIGHTNESS-TOLERANT crop detection — the perceptual leg: the
+    // +1-brightness crop's every byte differs (md5 leg blind), but the
+    // row gradient fingerprint is EXACTLY invariant (comparisons and
+    // the integer row mean all shift by 1 together), so the row-level
+    // banding + Hamming verify + shift grouping catches it at
+    // distance 0 at the same vertical offset.
+    Q("q_image_crop_perceptual",
+      (s, d) => Multimodal.clipPerceptualFromFrames(
+        Multimodal.imageRowsFp(
+          Multimodal.imageTable(s, d)
+            .unionByName(Multimodal.imageCropTable(s, d))),
+        maxDist = 6, minFrames = 2),
+      Some(imageRowCte(corpusOnlyStop = false, perceptual = true) +
+        """cand AS (
+                SELECT DISTINCT a.media_id AS da, b.media_id AS db,
+                       a.seg AS fa, b.seg AS fb
+                FROM bandx a JOIN bandx b
+                  ON a.bi = b.bi AND a.bv = b.bv
+                 AND a.media_id < b.media_id
+                WHERE NOT EXISTS (SELECT 1 FROM bstop s
+                                  WHERE s.bi = a.bi AND s.bv = a.bv)),
+              pm AS (
+                SELECT c.da, c.db, c.fa, c.fb
+                FROM cand c
+                JOIN afp a ON a.media_id = c.da AND a.seg = c.fa
+                JOIN afp b ON b.media_id = c.db AND b.seg = c.fb
+                WHERE bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) <= 6)
+              SELECT da, db, CAST(fa - fb AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM pm GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
+    // the perceptual crop GATE — both regimes caught (exact at
+    // distance 0, brightness at distance 0 through the invariant
+    // fingerprint): the admission decision the byte-exact gate gets
+    // wrong for a re-brightened crop of stored material.
+    Q("q_image_crop_perceptual_against",
+      (s, d) => graft.sources.VideoIndex.clipPerceptualAgainst(s,
+        graft.sources.VideoIndex.ensureBuiltImageRowsCorpus(s, d),
+        Multimodal.imageRowsFp(Multimodal.imageCropTable(s, d)),
+        maxDist = 6, minFrames = 2),
+      Some(imageRowCte(corpusOnlyStop = true, perceptual = true) +
+        """cand AS (
+                SELECT DISTINCT b.media_id AS fid, a.media_id AS cid,
+                       a.seg AS fa, b.seg AS fb
+                FROM bandx a JOIN bandx b
+                  ON a.bi = b.bi AND a.bv = b.bv
+                 AND a.media_id < 4000000 AND b.media_id >= 4000000
+                WHERE NOT EXISTS (SELECT 1 FROM bstop s
+                                  WHERE s.bi = a.bi AND s.bv = a.bv)),
+              pm AS (
+                SELECT c.fid, c.cid, c.fa, c.fb
+                FROM cand c
+                JOIN afp a ON a.media_id = c.cid AND a.seg = c.fa
+                JOIN afp b ON b.media_id = c.fid AND b.seg = c.fb
+                WHERE bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) <= 6)
+              SELECT fid, cid, CAST(fa - fb AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
               FROM pm GROUP BY 1, 2, 3 HAVING count(*) >= 2"""))
   )
 
@@ -1353,6 +1455,107 @@ object MultimodalQueries {
     if (perceptual) base + fp else base
   }
 
+  /** The raster-ROW replay shared by the image CROP oracles: corpus ∪
+    * the two-regime crop twin (exact +4M, +1-brightness +5M — raster
+    * rows 1–4 = payload bytes [48, 240) = hex chars [97, 480] of the
+    * % 4 = 1 docs with ≥ 6 full rows), 48-byte rows over the
+    * zero-PADDED raster (encodePng's contract: decoded rasters are
+    * whole rows), brightness applied in-SQL on hex-derived bytes
+    * (crop payloads carry no padding, so +1 applies to every byte,
+    * exactly as the engine brightens before encoding). Same emission
+    * contract as [[audioSegCte]] (`sk.k` hex keys, optional
+    * `afp`/`bandx`/`bstop` fingerprint CTEs), with the fb = 48
+    * frameFpBits replay: NO wraparound in the consecutive-byte bits
+    * (position 32 exists in a 48-byte row) and the mean over all 48
+    * bytes. */
+  private def imageRowCte(corpusOnlyStop: Boolean,
+      perceptual: Boolean): String = {
+    val scope = if (corpusOnlyStop) "WHERE media_id < 4000000" else ""
+    val base = s"""WITH m AS (
+                SELECT doc_id AS media_id, 0 AS bright,
+                       hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 4000000, 0,
+                       substring(hex(encode(text)), 97, 384), 192
+                FROM documents
+                WHERE doc_id % 4 = 1 AND octet_length(encode(text)) >= 288
+                UNION ALL
+                SELECT doc_id + 5000000, 1,
+                       substring(hex(encode(text)), 97, 384), 192
+                FROM documents
+                WHERE doc_id % 4 = 1 AND octet_length(encode(text)) >= 288),
+              pos AS (
+                SELECT media_id, bright, h, n,
+                       unnest(range(1, 48 * greatest(1,
+                         CAST(ceil(n / 48.0) AS BIGINT)) + 1)) AS i
+                FROM m),
+              sb AS (
+                SELECT media_id, (i - 1) // 48 AS seg, (i - 1) % 48 AS j,
+                       CASE WHEN i > n THEN 0 ELSE
+                         16 * (strpos('0123456789ABCDEF',
+                                 substring(h, CAST(2*i-1 AS BIGINT), 1)) - 1)
+                           + (strpos('0123456789ABCDEF',
+                                 substring(h, CAST(2*i AS BIGINT), 1)) - 1)
+                           + bright
+                       END AS byte
+                FROM pos),
+              sk AS (
+                SELECT media_id, seg,
+                       string_agg(
+                         substring('0123456789abcdef', byte // 16 + 1, 1)
+                         || substring('0123456789abcdef', byte % 16 + 1, 1),
+                         '' ORDER BY j) AS k
+                FROM sb GROUP BY 1, 2),
+              stop AS (
+                SELECT k FROM sk $scope
+                GROUP BY 1 HAVING count(DISTINCT media_id) > 10000),
+              skx AS (
+                SELECT media_id, seg, k FROM sk
+                WHERE NOT EXISTS (SELECT 1 FROM stop s WHERE s.k = sk.k))
+              """
+    val fp = s""", mn AS (
+                SELECT media_id, seg, sum(byte) // 48 AS mean
+                FROM sb GROUP BY 1, 2),
+              glo AS (
+                SELECT a.media_id, a.seg,
+                       CAST(sum(CASE WHEN b.byte > a.byte
+                         THEN (CAST(1 AS BIGINT) << CAST(a.j AS INT))
+                         ELSE 0 END) AS BIGINT) AS lo
+                FROM sb a JOIN sb b
+                  ON a.media_id = b.media_id AND a.seg = b.seg
+                 AND b.j = a.j + 1
+                WHERE a.j < 32
+                GROUP BY 1, 2),
+              ghi AS (
+                SELECT sb.media_id, sb.seg,
+                       CAST(sum(CASE WHEN sb.byte > mn.mean
+                         THEN (CAST(1 AS BIGINT) << CAST(sb.j AS INT))
+                         ELSE 0 END) AS BIGINT) AS hi
+                FROM sb JOIN mn
+                  ON sb.media_id = mn.media_id AND sb.seg = mn.seg
+                WHERE sb.j < 32
+                GROUP BY 1, 2),
+              afp AS (
+                SELECT glo.media_id, glo.seg, glo.lo, ghi.hi
+                FROM glo JOIN ghi
+                  ON glo.media_id = ghi.media_id AND glo.seg = ghi.seg),
+              bandx AS (
+                SELECT media_id, seg, 0 AS bi, lo % 65536 AS bv FROM afp
+                UNION ALL
+                SELECT media_id, seg, 1, lo // 65536 FROM afp
+                UNION ALL
+                SELECT media_id, seg, 2, hi % 65536 FROM afp
+                UNION ALL
+                SELECT media_id, seg, 3, hi // 65536 FROM afp),
+              bstop AS (
+                SELECT bi, bv FROM bandx $scope
+                GROUP BY 1, 2 HAVING count(DISTINCT media_id) > 10000),
+              """
+    if (perceptual) base + fp else base
+  }
+
   /** The live entries + the STORED fingerprint twins (r13 verdict #1):
     * same answers, served from [[graft.sources.MediaIndex]]'s persisted
     * (media_id, h_lo, h_hi) table — the decode+dHash pass (33.6 s of
@@ -1412,7 +1615,15 @@ object MultimodalQueries {
       (s, d) => Multimodal.clipPairsFromFrames(
         s.table(s"${graft.sources.VideoIndex.ensureBuiltAudioSeg(s, d)}_vf"),
         minFrames = 2),
-      live.find(_.name == "q_audio_clip_detect").get.oracle))
+      live.find(_.name == "q_audio_clip_detect").get.oracle),
+    // image crop detection served from the persisted raster-row index —
+    // the temporal family's third modality; live oracle verbatim.
+    Q("q_image_crop_detect_stored",
+      (s, d) => Multimodal.clipPairsFromFrames(
+        s.table(
+          s"${graft.sources.VideoIndex.ensureBuiltImageRows(s, d)}_vf"),
+        minFrames = 2),
+      live.find(_.name == "q_image_crop_detect").get.oracle))
 
   /** The PNG decode-features replay (hex-derived byte math over the
     * encoded payload + zero padding to the raster size); `extraCols`

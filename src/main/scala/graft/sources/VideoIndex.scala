@@ -511,4 +511,31 @@ object VideoIndex {
       name
     })
   }
+
+  /** IMAGE corpus ∪ the two-regime crop twin, as raster rows
+    * ([[Multimodal.imageRowsFp]]) — the third modality riding the
+    * temporal index (the "frame" is a raster row, shift is the
+    * vertical offset). Matches q_image_crop_detect's live input. */
+  def ensureBuiltImageRows(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "image_rows"), {
+      val name = s"graft_media_imr_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark, Multimodal.imageRowsFp(
+        Multimodal.imageTable(spark, sfDir).unionByName(
+          Multimodal.imageCropTable(spark, sfDir))), name)
+      name
+    })
+  }
+
+  /** Image corpus only, as raster rows — the stored side of the crop
+    * crawl gates. */
+  def ensureBuiltImageRowsCorpus(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "image_rows_corpus"), {
+      val name = s"graft_media_imrc_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark, Multimodal.imageRowsFp(
+        Multimodal.imageTable(spark, sfDir)), name)
+      name
+    })
+  }
 }

@@ -82,6 +82,25 @@ class AudioClipSpec extends AnyFunSuite {
       "gradient fingerprints must match within the dial at shift +2")
   }
 
+  test("hop dial: a non-aligned excerpt is invisible at the aligned " +
+      "default and found at hop = 16 at one consistent shift") {
+    // excerpt starts at byte 48 — 16-aligned but NOT 32-aligned, so it
+    // misses every default grid boundary (the granularity caveat the
+    // scaladoc states); the overlapping grid buys it back
+    val offExcerpt = base.slice(48, 176) // 128 bytes = 4 own segments
+    val m = media(wav(1L, base), wav(7L, offExcerpt))
+    assert(Multimodal.clipPairsFromFrames(
+      Multimodal.audioSegmentsFp(m), minFrames = 2).isEmpty,
+      "detection granularity IS the grid: a mid-segment offset must " +
+        "miss the aligned default")
+    val got = Multimodal.clipPairsFromFrames(
+      Multimodal.audioSegmentsFp(m, hop = 16), minFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set((1L, 7L, 3L, 7L)),
+      "all 7 overlapping windows must match at shift 3 (hop units)")
+  }
+
   test("the stored temporal index serves audio segments unchanged and " +
       "its gates admit/refuse excerpt regimes correctly") {
     val corpus = media(wav(1L, base), wav(4L, pcm(512).map(b => (b ^ 0x55).toByte)))

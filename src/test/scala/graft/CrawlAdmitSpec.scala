@@ -110,4 +110,47 @@ class CrawlAdmitSpec extends AnyFunSuite {
     assert(on(21L) == 1L,
       "the dial must not change the novel item's audio admission")
   }
+
+  test("imageCropIdx dial: a vertical crop of stored material slips " +
+      "the whole-image fingerprint and refuses through the crop gate") {
+    val s = spark
+    import s.implicits._
+    def varied(n: Int, salt: Int): String =
+      (0 until n).map(i =>
+        (33 + (i * (37 + 2 * salt) + (i * i) % (19 + salt)) % 90).toChar)
+        .mkString
+    val tC = varied(320, 3)
+    val corpus = Seq((1L, tC)).toDF("doc_id", "text")
+    DedupIndex.build(spark, corpus, "text", "doc_id", "graft_cicr_text")
+    MediaIndex.build(spark,
+      Multimodal.imageDHash(Multimodal.imageTableOf(corpus)),
+      "graft_cicr_img")
+    MediaIndex.build(spark,
+      Multimodal.audioDHash(Multimodal.audioTableOf(corpus)),
+      "graft_cicr_aud")
+    VideoIndex.build(spark,
+      Multimodal.videoFramesFp(Multimodal.videoTableOf(corpus)),
+      "graft_cicr_vid")
+    VideoIndex.build(spark,
+      Multimodal.imageRowsFp(Multimodal.imageTableOf(corpus)),
+      "graft_cicr_imrw")
+    // item 30's raster is rows 1..4 of tC's (payload bytes [48, 240));
+    // item 31 shares nothing
+    val batch = Seq((30L, tC.substring(48, 240)), (31L, varied(320, 11)))
+      .toDF("doc_id", "text")
+    def imageFlag(dial: Option[String]): Map[Long, Long] =
+      CrawlAdmit.admitFlags(spark, batch, "graft_cicr_text",
+        "graft_cicr_img", "graft_cicr_aud", "graft_cicr_vid",
+        imageCropIdx = dial)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val off = imageFlag(None)
+    assert(off(30L) == 1L,
+      "the whole-image fingerprint must be blind to the crop")
+    assert(off(31L) == 1L)
+    val on = imageFlag(Some("graft_cicr_imrw"))
+    assert(on(30L) == 0L,
+      "the crop gate must refuse the vertical crop of stored material")
+    assert(on(31L) == 1L,
+      "the dial must not change the novel item's image admission")
+  }
 }
