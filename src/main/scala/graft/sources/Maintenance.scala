@@ -33,7 +33,10 @@ object Maintenance {
   final case class FamilyReport(kind: String, name: String,
       refreshed: Boolean, compacted: Map[String, (Long, Long)])
 
-  /** Registered family kinds → their maintain dispatch. */
+  /** Registered family kinds → their maintain dispatch. `video` is the
+    * TEMPORAL-index kind: audio-segment and image-row indexes (the
+    * [[VideoIndex]] family's other modalities) register under it — the
+    * lifecycle is identical because the stored shape is. */
   val kinds: Set[String] = Set("ivf", "text", "dedup", "media", "video")
 
   def maintainAll(spark: SparkSession,
