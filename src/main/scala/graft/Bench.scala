@@ -120,6 +120,24 @@ object Bench {
     "b_pagerank_tol" -> ((s, d) => graft.graph.Iterative.pagerank(
       graft.graph.GraphOps.edgesFromLineitem(s, d),
       alpha = 0.85, tol = 1e-6, maxIter = 50)),
+    // the composed multimodal admission with EVERY dial on — perceptual
+    // video + audio-excerpt + image-crop legs over the registered
+    // crawl batch: the production curation gate at full strength, SIX
+    // gate plans over one checkpointed batch. q_crawl_admit oracles
+    // the byte-exact regime; the dial semantics are pinned per leg by
+    // CrawlAdmitSpec, so this row exists to TIME the composition.
+    "b_crawl_admit_dials" -> ((s, d) =>
+      graft.multimodal.CrawlAdmit.admitFlags(s,
+        graft.multimodal.CrawlAdmit.crawlBatch(s, d),
+        graft.sources.DedupIndex.ensureBuiltFull(s, d),
+        graft.sources.MediaIndex.ensureBuiltImage(s, d),
+        graft.sources.MediaIndex.ensureBuiltAudioCorpus(s, d),
+        graft.sources.VideoIndex.ensureBuiltVideoCorpus(s, d),
+        videoPerceptual = true,
+        audioClipIdx =
+          Some(graft.sources.VideoIndex.ensureBuiltAudioSegCorpus(s, d)),
+        imageCropIdx =
+          Some(graft.sources.VideoIndex.ensureBuiltImageRowsCorpus(s, d)))),
     "b_ppr_tol" -> ((s, d) => graft.graph.Iterative.personalizedPagerank(
       graft.graph.GraphOps.edgesFromLineitem(s, d), Seq(0L, 7L, 42L),
       alpha = 0.85, tol = 1e-6, maxIter = 50)),

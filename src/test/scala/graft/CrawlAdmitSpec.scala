@@ -153,4 +153,28 @@ class CrawlAdmitSpec extends AnyFunSuite {
     assert(on(31L) == 1L,
       "the dial must not change the novel item's image admission")
   }
+
+  test("the all-dials bench entry runs the six-gate composition over " +
+      "the registered fixture batch") {
+    val flags = Bench.benchOnly("b_crawl_admit_dials")(spark, sf0001)
+      .localCheckpoint()
+    val n = flags.count()
+    assert(n > 0)
+    // the verbatim re-fetch slice (+1M) must refuse under every dial
+    // (dials only ADD refusals); the reversed novel slice (+2M)
+    // OVERWHELMINGLY admits — perceptual gates at the family dist-6
+    // dial have an honest small false-refusal rate on 48-byte text
+    // rows (measured: 2/125 novel docs trip the image-crop leg at
+    // sf0.001 — the recall re-probe exists so a deployment picks a
+    // tighter dial; the designed crop/excerpt regimes match at
+    // distance 0)
+    import org.apache.spark.sql.functions.col
+    assert(flags.where(col("doc_id") < 2000000L)
+      .where(col("admit") =!= 0L).isEmpty)
+    val novel = flags.where(col("doc_id") >= 2000000L).count()
+    val admitted = flags.where(col("doc_id") >= 2000000L)
+      .where(col("admit") === 1L).count()
+    assert(admitted >= (novel * 9) / 10,
+      s"novel slice must overwhelmingly admit: $admitted/$novel")
+  }
 }
