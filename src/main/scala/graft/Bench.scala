@@ -1,133 +1,153 @@
 package graft
 import java.util.Locale
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR.
   *
-  * Output contract (round-4 fix for three rounds of `"parsed": null`):
-  * the driver's log-tail capture window is ~3 kB, and the full 110-query
-  * line no longer fits it whole — so stdout gets ONE SHORT headline JSON
-  * line (total + a fixed representative query subset, well under 1 kB,
-  * printed LAST, after spark.stop(), so no shutdown logging follows it),
-  * while the complete per-query map is written to bench_out.json in the
-  * working directory for anything that wants the full detail.
+  * ==Round-16 rewrite: fit the driver's window, keep the signal==
   *
-  * Timing discipline (round 6: multiple full suite passes — r3/r4/r5
-  * each got adjudicated for phantom regressions because the box swings
-  * whole-suite totals ±25 % across runs and the driver captures exactly
-  * one; min-of-N within a pass bounds per-query spikes but not a
-  * uniformly slow pass): the whole query loop runs `Passes` times (3
-  * since r12) and each query reports the MIN across every sample of
-  * every pass, so the recorded number measures the binary, not which
-  * side of the box's coin flip the capture landed on. Within a pass,
-  * scheduler/GC noise only ever ADDS time, so each query takes the min
-  * of its 2 runs. Every raw sample is preserved in bench_out.json under
-  * "samples" (per query, ordered by pass) so cross-round variance
-  * attribution can be done from the artifacts instead of by hand. Each timed run releases its terminal checkpoint
-  * blocks afterwards — in a `finally`, so a failing query can't leak its
-  * partially-built checkpoints into the remaining rows' GC pressure
-  * (graft.core.Checkpoints). A run that throws records NO sample; a query
-  * with no successful sample reports null rather than a plausible-looking
-  * wall-clock number. Names are sorted so per-query diffs line up run to
-  * run.
+  * BENCH_r15 died at rc=124 (raw query-loop wall ~3,558 s against a
+  * ~1,200 s driver budget) and — separately — every round since r12 had
+  * `parsed:null` even at rc=0 because the driver keeps only the LAST
+  * ~2,000 chars of stdout and the one-line headline JSON had grown past
+  * it (its `{"metric":...` start fell outside the window; verified
+  * against BENCH_r12..r15 artifacts, vs r05/r08 which parsed fine with a
+  * small query map). Both failure modes are fixed here:
+  *
+  *  1. '''Untimed warmup phase''': every shared stored-index fixture
+  *     (`ensureBuilt*` memos) and every bench-window setup is built
+  *     BEFORE the timed loop, so first samples no longer pay fixture
+  *     construction (r15: pass-1 wall 2,077 s vs warm-pass 508 s).
+  *  2. '''Hoisted b_* setups''': maintenance windows time ONLY the
+  *     maintenance call (r15 verdict "What's wrong #2": b_maintain_all's
+  *     timed run rebuilt an IVF index + decoded the video corpus before
+  *     the `maintainAll` it exists to time).
+  *  3. '''Tiered sampling''': b_* windows run once total; entries whose
+  *     running min exceeds ~2 s run once per pass; cheap entries keep
+  *     min-of-2 in pass 1 plus one confirming run per later pass.
+  *     Passes default 2 (env SPARK_GRAFT_BENCH_PASSES).
+  *  4. '''Budget guard''' (never silent): cumulative SAMPLE wall is
+  *     tracked against SPARK_GRAFT_BENCH_BUDGET_SEC (default 700).
+  *     Over budget, every entry still gets its mandatory first run but
+  *     all extra runs are skipped and the affected names are recorded
+  *     in bench_out.json `curtailed` + counted in the headline.
+  *  5. '''Incremental checkpoint + shutdown headline''': bench_out.json
+  *     is rewritten after every completed entry, and a JVM shutdown
+  *     hook prints the (partial:true) headline if the driver's timeout
+  *     kills the process — a future overrun degrades to a partial
+  *     signal instead of null.
+  *  6. '''Compact headline''': stdout gets ONE short JSON line, printed
+  *     last, with a fixed ~55-query representative map, hard-capped
+  *     under 1,900 chars (queries are dropped from the end of the list
+  *     — and counted in `hl_dropped` — sooner than overflowing the
+  *     driver's tail window). The full per-entry map + every raw sample
+  *     lives in bench_out.json.
+  *
+  * Timing discipline: within a pass, scheduler/GC noise only ever ADDS
+  * time, so each entry reports the MIN across every sample of every
+  * pass; every raw sample is preserved in bench_out.json under
+  * "samples" (ordered by pass) so cross-round variance attribution can
+  * be done from artifacts. Each timed run releases its terminal
+  * checkpoint blocks in a `finally` (graft.core.Checkpoints), so a
+  * failing query can't leak partially-built checkpoints into the
+  * remaining rows' GC pressure. A run that throws records NO sample; an
+  * entry with no successful sample reports null rather than a
+  * plausible-looking number, and drops OUT of the headline total — the
+  * explicit failure list makes total comparisons self-invalidate when
+  * the contributing sets differ.
   */
 object Bench {
 
-  /** Number of full suite passes; per-query result is min across passes.
-    * 3 since round 12 (r11 VERDICT #5): the 2-pass min was still
-    * absorbing whole-pass interference — pass-2 outliers like a 12.2 s
-    * q_pagerank_golden sample and q_semantic_incremental's 1.48×
-    * round-over-round drift (probed: unchanged code + unchanged fixture,
-    * min-of-10 back-to-back warm samples can no longer reproduce the
-    * old number → environment drift, not the binary). A third pass
-    * gives every query one more independent shot at a quiet window; to
-    * hold the wall budget, cheap queries now run min-of-2 WITHIN a pass
-    * (was 3) — the same 6 total samples as r11's 2×3, redistributed
-    * into three independent windows instead of two. */
-  val Passes = 3
+  /** Full suite passes (min across passes bounds whole-pass interference;
+    * the r11 finding). 2 by default since r16 — the third pass's extra
+    * confirmation no longer fits the driver window alongside 246+
+    * entries; the budget guard (not the pass count) is the enforcement. */
+  def passes: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(2)
 
-  /** Fixed stdout subset: the headline operators the round-over-round
-    * comparison tracks — dedup suite, ANN suite, iterative graph, text,
-    * streaming, relational representatives. */
+  /** Entries at or under this (seconds) are "cheap": min-of-2 in pass 1. */
+  def cheapSec: Double =
+    sys.env.get("SPARK_GRAFT_BENCH_CHEAP_SEC").flatMap(_.toDoubleOption).getOrElse(2.0)
+
+  /** Budget on the cumulative SAMPLE wall (seconds). Mandatory first runs
+    * ignore it; every extra run checks it. Default sized so warmup +
+    * samples + JVM/Spark overhead fit the driver's ~1,200 s window with
+    * margin on a box 1.5× slower than the driver's. */
+  def budgetSec: Double =
+    sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").flatMap(_.toDoubleOption).getOrElse(600.0)
+
+  /** Fixed stdout subset: representatives of every family the
+    * round-over-round comparison tracks, sized to keep the headline line
+    * inside the driver's ~2 kB stdout tail (the r12–r15 parsed:null
+    * cause). Order matters: later names are dropped first if the line
+    * would overflow, so put the longest-tracked representatives first. */
   val headline: Seq[String] = Seq(
-    "q1_agg", "q_asof_join", "q_cc_labels", "q_cc_labels_star",
-    "q_chunk_docs", "q_pack_sequences", "q_sessionize",
-    "q_corpus_stats", "q_dedup_clusters", "q_dedup_exact",
-    "q_dedup_normalized", "q_embed_ivf_knn", "q_embed_knn",
-    "q_embed_lsh_knn", "q_join_multi", "q_luby_mis", "q_minhash_lsh_pairs",
-    "q_ngram_jaccard_pairs", "q_pagerank", "q_simhash_pairs",
-    "q_simhash_pairs_wide", "q_sort_global", "q_sssp", "q_sssp_multi",
-    "q_stream_hourly", "q_token_stats", "q_triangle_count",
-    "q_union_all_count", "q_window_rank", "q_wordfreq",
-    // round-5 additions
-    "q_wordfreq_salted", "q_repetition", "q_mixture_temperature",
-    "q_decode_features", "q_incremental_dedup", "q_dedup_survivors",
-    // round-6 additions
-    "q_repeated_spans", "q_excise_spans", "q_pii_scrub",
-    "q_decode_audio_features", "q_embed_pq_knn", "q_embed_ivfpq_knn",
-    "q_lm_score", "q_approx_distinct_kmv", "q_contamination_score",
-    "q_stratified_sample", "q_embed_ivfpq_res_knn", "q_cms_heavy_hitters",
-    "q_shard_assign", "q_vocab_encode", "q_relative_quality",
-    "q_embed_decontaminate", "q_stream_cms", "q_profile_docs",
-    "q_pseudonymize", "q_k_anonymity", "q_containment_pairs",
-    "q_pmi_pairs", "q_bm25_topk",
-    // round-9 additions
-    "q_dsir_weights", "q_dsir_sample", "q_semantic_dedup", "q_blocklist",
-    "q_linear_score", "q_curation_pipeline", "q_range_join",
-    "q_interval_overlap", "q_anf_reach", "q_anf_profile",
-    // round-10 additions
-    "q_anf_centrality", "q_anf_diameter", "q_image_dedup", "q_audio_dedup",
-    "q_semantic_dedup_routed", "q_stream_blocklist",
-    // round-10 second tranche: events analytics, curation gates,
-    // retrieval fusion, graph readouts
-    "q_funnel", "q_retention", "q_gopher_rules", "q_novelty",
-    "q_token_budget_mix", "q_hybrid_rrf", "q_clustering_coeff",
-    "q_stream_funnel", "q_ppr", "q_event_anomaly", "q_event_transitions",
-    "q_ktruss", "q_cluster_split", "q_dup_weights", "q_link_prediction",
-    "q_semantic_incremental", "q_stream_transitions", "q_stream_anomaly",
-    "q_corr_matrix", "q_matching",
-    // round-11 additions: tuned ANN dials, ANN-backed retrieval, and the
-    // production tol-mode rank entries
-    "q_embed_ivf_knn_tuned", "q_embed_pq_refined_tuned", "q_hybrid_rrf_ann",
-    "q_embed_ivf_knn_clustered", "q_embed_int8", "q_edit_dedup",
-    "q_embed_mrl_knn", "q_embed_mutual_knn", "q_embed_mutual_knn_routed",
-    "q_stream_embed_route", "q_stream_int8", "q_domain_classify", "q_l_diversity",
-    "b_pagerank_tol", "b_ppr_tol",
-    // round-12 additions: the persisted-index serve/build pair, the
-    // SQ8 search paths, the LSH retrieval arm, the SQL surface
-    "q_embed_ivf_knn_stored", "b_ivf_build", "q_hybrid_rrf_lsh",
-    "q_embed_int8_knn", "q_embed_ivf_sq8_stored", "q_sql_simhash_pairs",
-    "q_incremental_dedup_stored", "q_bm25_stored", "b_text_build",
-    // round-13 additions: stored-index fusion, collapsed fuzzy
-    // clusters, the maintenance windows (compact + refresh), the
-    // routed-ingest stored twin
-    "q_hybrid_rrf_stored", "q_edit_dedup_clusters", "b_ivf_compact",
-    "b_ivf_refresh", "q_embed_ivf_knn_routed_stored",
-    // round-14 additions: the persisted MEDIA fingerprint family, the
-    // composed maintenance entry point, the media-index build window
-    "q_image_dedup_stored", "q_audio_dedup_stored", "b_ivf_maintain",
-    "b_media_build", "q_embed_ivf_knn_auto_stored", "b_ivf_reprobe")
+    // core relational + text + graph (tracked since r1-r5)
+    "q1_agg", "q_join_multi", "q_window_rank", "q_sort_global",
+    "q_union_all_count", "q_wordfreq", "q_token_stats", "q_sessionize",
+    "q_cc_labels", "q_sssp", "q_triangle_count", "q_pagerank", "q_luby_mis",
+    // dedup suite
+    "q_dedup_exact", "q_dedup_normalized", "q_minhash_lsh_pairs",
+    "q_simhash_pairs", "q_dedup_clusters", "q_incremental_dedup_stored",
+    // ANN / retrieval
+    "q_embed_knn", "q_embed_ivf_knn", "q_embed_ivf_knn_stored",
+    "q_embed_pq_knn", "q_embed_ivfpq_knn", "q_embed_lsh_knn",
+    "q_hybrid_rrf_stored", "q_bm25_stored", "q_semantic_dedup",
+    // curation / streaming / events
+    "q_gopher_rules", "q_curation_pipeline", "q_stream_hourly",
+    "q_stream_cms", "q_funnel", "q_retention", "q_vocab_encode",
+    // multimodal + stored media/video families
+    "q_image_dedup", "q_audio_dedup", "q_video_dedup",
+    "q_image_dedup_stored", "q_audio_dedup_stored", "q_video_dedup_stored",
+    "q_video_clip_detect", "q_video_dedup_perceptual",
+    "q_video_clip_perceptual", "q_audio_clip_detect",
+    "q_audio_clip_perceptual", "q_image_crop_detect", "q_crawl_admit",
+    // round-16 additions
+    "q_image_crop2d_detect", "q_video_keyframe_dedup",
+    // maintenance / build windows
+    "b_ivf_build", "b_ivf_compact", "b_ivf_maintain", "b_maintain_all",
+    "b_crawl_admit_dials", "b_pagerank_tol", "b_media_build")
 
-  /** BENCH-ONLY entries (r10 VERDICT #5): the production CONVERGENCE
-    * mode of the iterative rank ops. The registered q_pagerank/q_ppr run
-    * 5 fixed unrolled rounds because the oracle replays a fixed chain;
-    * production runs to Σ|Δrank| < tol — a result that depends on a
-    * runtime convergence test, so it has no fixed-unroll oracle and
-    * lives here (timed, recorded in BENCH/bench_out.json) rather than in
-    * the Registry (whose zero rows-only discipline stays intact). */
-  val benchOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-    "b_pagerank_tol" -> ((s, d) => graft.graph.Iterative.pagerank(
+  /** A bench-only entry: `setup` runs ONCE, untimed, in the warmup phase;
+    * `run` is the timed window. b_* windows are sampled once total. */
+  final case class BEntry(
+      setup: Option[(SparkSession, String) => Unit],
+      run: (SparkSession, String) => DataFrame)
+
+  /** BENCH-ONLY entries (r10 VERDICT #5): production modes with no
+    * fixed-unroll oracle — convergence-mode iterative ranks, index
+    * builds (artifact = side effect; served answers oracle-checked by
+    * their q_*_stored twins), and maintenance windows (answer
+    * equivalence across the swap pinned by CompactSpec /
+    * IvfLifecycleSpec). Setup work (fixture builds, appends, drift
+    * synthesis) is hoisted into `setup` so the timed closure measures
+    * only the operation the row is named for. */
+  val benchOnly: Map[String, BEntry] = Map(
+    "b_pagerank_tol" -> BEntry(None, (s, d) => graft.graph.Iterative.pagerank(
       graft.graph.GraphOps.edgesFromLineitem(s, d),
       alpha = 0.85, tol = 1e-6, maxIter = 50)),
-    // the composed multimodal admission with EVERY dial on — perceptual
-    // video + audio-excerpt + image-crop legs over the registered
-    // crawl batch: the production curation gate at full strength, SIX
-    // gate plans over one checkpointed batch. q_crawl_admit oracles
-    // the byte-exact regime; the dial semantics are pinned per leg by
-    // CrawlAdmitSpec, so this row exists to TIME the composition.
-    "b_crawl_admit_dials" -> ((s, d) =>
-      graft.multimodal.CrawlAdmit.admitFlags(s,
+    "b_ppr_tol" -> BEntry(None, (s, d) => graft.graph.Iterative.personalizedPagerank(
+      graft.graph.GraphOps.edgesFromLineitem(s, d), Seq(0L, 7L, 42L),
+      alpha = 0.85, tol = 1e-6, maxIter = 50)),
+    // the composed multimodal admission with EVERY dial on — the
+    // production curation gate at full strength, SIX gate plans over one
+    // checkpointed batch. q_crawl_admit oracles the byte-exact regime;
+    // dial semantics are pinned per leg by CrawlAdmitSpec; this row
+    // exists to TIME the composition. Fixture indexes come from the
+    // ensureBuilt memos (warmed in setup; the timed calls are memo hits).
+    "b_crawl_admit_dials" -> BEntry(
+      Some((s, d) => {
+        graft.sources.DedupIndex.ensureBuiltFull(s, d)
+        graft.sources.MediaIndex.ensureBuiltImage(s, d)
+        graft.sources.MediaIndex.ensureBuiltAudioCorpus(s, d)
+        graft.sources.VideoIndex.ensureBuiltVideoCorpus(s, d)
+        graft.sources.VideoIndex.ensureBuiltAudioSegCorpus(s, d)
+        graft.sources.VideoIndex.ensureBuiltImageRowsCorpus(s, d)
+        graft.sources.VideoIndex.ensureBuiltImageBlocksCorpus(s, d)
+        ()
+      }),
+      (s, d) => graft.multimodal.CrawlAdmit.admitFlags(s,
         graft.multimodal.CrawlAdmit.crawlBatch(s, d),
         graft.sources.DedupIndex.ensureBuiltFull(s, d),
         graft.sources.MediaIndex.ensureBuiltImage(s, d),
@@ -137,163 +157,186 @@ object Bench {
         audioClipIdx =
           Some(graft.sources.VideoIndex.ensureBuiltAudioSegCorpus(s, d)),
         imageCropIdx =
-          Some(graft.sources.VideoIndex.ensureBuiltImageRowsCorpus(s, d)))),
-    "b_ppr_tol" -> ((s, d) => graft.graph.Iterative.personalizedPagerank(
-      graft.graph.GraphOps.edgesFromLineitem(s, d), Seq(0L, 7L, 42L),
-      alpha = 0.85, tol = 1e-6, maxIter = 50)),
-    // the IVF index BUILD, forced fresh every run (no memo): the one-time
-    // |corpus|·numCentroids assignment + bucketed write that
-    // q_embed_ivf_knn_stored amortizes — its bench row is the
-    // query-time ≪ assign-time evidence the stored layout exists for.
-    // No fixed-unroll oracle applies (the artifact is a side effect),
-    // so it lives here; the SERVED answer is oracle-checked by
-    // q_embed_ivf_knn_stored.
-    "b_ivf_build" -> ((s, d) => {
+          Some(graft.sources.VideoIndex.ensureBuiltImageRowsCorpus(s, d)),
+        // the r15 gates' semantics, now explicit opt-ins (r16: the
+        // toggles default to the byte-exact clip gates)
+        audioClipPerceptual = true, imageCropPerceptual = true,
+        imageCrop2dIdx =
+          Some(graft.sources.VideoIndex.ensureBuiltImageBlocksCorpus(s, d)))),
+    // index BUILDS, forced fresh in the timed run (the build IS the
+    // operation): the one-time assignment/tokenize/decode cost the
+    // q_*_stored twins amortize.
+    "b_ivf_build" -> BEntry(None, (s, d) => {
       graft.sources.IvfIndex.build(s, graft.Tables.embeddings(s, d),
         "vec_id", "embedding", "graft_ivf_benchbuild", numCentroids = 64)
       s.table("graft_ivf_benchbuild_cells")
     }),
-    // the TEXT index BUILD, same contract as b_ivf_build: the one-time
-    // tokenize+aggregate+bucketed-write pass that q_bm25_stored
-    // amortizes (the live q_bm25_topk re-pays the tokenize part of it
-    // on every run). Served answers are oracle-checked by q_bm25_stored.
-    "b_text_build" -> ((s, d) => {
+    "b_text_build" -> BEntry(None, (s, d) => {
       graft.sources.TextIndex.build(s, graft.Tables.documents(s, d),
         "text", "doc_id", "graft_text_benchbuild")
       s.table("graft_text_benchbuild_postings")
     }),
-    // the maintenance op (r12 VERDICT #2): rebuild-in-place of an
-    // APPENDED index under its own bucket spec — build + 3 appends +
-    // compact, timed together so the row bounds the whole maintenance
-    // window. The artifact is a side effect (no oracle); answer
-    // equivalence across the swap is pinned by CompactSpec.
-    "b_ivf_compact" -> ((s, d) => {
-      import org.apache.spark.sql.functions.col
-      val emb = graft.Tables.embeddings(s, d)
-      graft.sources.IvfIndex.build(s, emb.where(col("vec_id") % 4 === 0),
-        "vec_id", "embedding", "graft_ivf_benchcmp", numCentroids = 64)
-      (1L to 3L).foreach(r => graft.sources.IvfIndex.append(s,
-        "graft_ivf_benchcmp", emb.where(col("vec_id") % 4 === r),
-        "vec_id", "embedding"))
-      graft.sources.IvfIndex.compact(s, "graft_ivf_benchcmp")
-      s.table("graft_ivf_benchcmp_cells")
-    }),
-    // the OTHER maintenance op: quantizer refresh after a skew-heavy
-    // append (build half + drifted-append half + Lloyd-refined rebuild
-    // — the detect→decide→act lifecycle timed as one window)
-    "b_ivf_refresh" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val emb = graft.Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-      val dim = emb.select(size(col("embedding"))).head().getInt(0)
-      graft.sources.IvfIndex.build(s, emb.where(col("vec_id") % 2 === 0),
-        "vec_id", "embedding", "graft_ivf_benchrf", numCentroids = 64)
-      val drifted = emb.where(col("vec_id") % 2 === 1).select(
-        (col("vec_id") + lit(10000000L)).as("vec_id"),
-        transform(sequence(lit(0), lit(dim - 1)), i =>
-          (element_at(col("embedding"), ((i + lit(7)) % lit(dim)) + 1)
-            + lit(2.0)).cast("float")).as("embedding"))
-      graft.sources.IvfIndex.append(s, "graft_ivf_benchrf", drifted,
-        "vec_id", "embedding")
-      if (graft.sources.IvfIndex.needsRefresh(s, "graft_ivf_benchrf"))
-        graft.sources.IvfIndex.refresh(s, "graft_ivf_benchrf")
-      s.table("graft_ivf_benchrf_cells")
-    }),
-    // the COMPOSED maintenance pass (r13 VERDICT #3): one
-    // IvfIndex.maintain call over a freshly built + drifted-appended
-    // index — detect (occupancy skew) → decide → refresh+compact →
-    // re-measure, the single scheduled entry a deployment runs.
-    // Lifecycle equivalences are pinned by IvfLifecycleSpec.
-    "b_ivf_maintain" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      val emb = graft.Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-      val dim = emb.select(size(col("embedding"))).head().getInt(0)
-      graft.sources.IvfIndex.build(s, emb.where(col("vec_id") % 2 === 0),
-        "vec_id", "embedding", "graft_ivf_benchmnt", numCentroids = 64)
-      val drifted = emb.where(col("vec_id") % 2 === 1).select(
-        (col("vec_id") + lit(10000000L)).as("vec_id"),
-        transform(sequence(lit(0), lit(dim - 1)), i =>
-          (element_at(col("embedding"), ((i + lit(7)) % lit(dim)) + 1)
-            + lit(2.0)).cast("float")).as("embedding"))
-      graft.sources.IvfIndex.append(s, "graft_ivf_benchmnt", drifted,
-        "vec_id", "embedding")
-      graft.sources.IvfIndex.maintain(s, "graft_ivf_benchmnt")
-      s.table("graft_ivf_benchmnt_cells")
-    }),
-    // the MEDIA fingerprint index BUILD (r13 VERDICT #1): the one-time
-    // decode+dHash pass over every payload — the exact cost the ×100
-    // decomposition showed q_image_dedup re-paying per run, now paid
-    // here once; q_image_dedup_stored's bench row is the amortized
-    // query-time evidence. Served pairs are oracle-checked there.
-    "b_media_build" -> ((s, d) => {
+    "b_media_build" -> BEntry(None, (s, d) => {
       graft.sources.MediaIndex.build(s,
         graft.multimodal.Multimodal.imageDHash(
           graft.multimodal.Multimodal.imageTable(s, d)),
         "graft_media_benchbuild")
       s.table("graft_media_benchbuild_fp")
     }),
-    // the RE-PROBE window (the step R14AutoKProbe showed is mandatory
-    // after any cell-dial change: recall dropped 1.000 → 0.900 when
-    // cells grew 64 → 1415 at fixed nProbe): label-free recall
-    // frontier from the index's own stored vectors + the dial pick —
-    // the maintenance-window cost a deployment pays after a
-    // refreshed=true maintain pass.
-    "b_ivf_reprobe" -> ((s, d) => {
-      import s.implicits._
-      val name = graft.sources.IvfIndex.ensureBuilt(s, d)
-      val frontier = graft.sources.IvfIndex.reprobeRecall(s, name,
-        nProbes = Seq(4, 8, 16), numQueries = 32, k = 5)
-      val picked = graft.sources.IvfIndex.pickNProbe(frontier, 0.95)
-      frontier.map(p => (p.nProbe, p.recall, picked))
-        .toDF("n_probe", "recall", "picked")
-    }),
-    // the banding-dial re-probe for the MEDIA family (the r14 verdict's
-    // pickNProbe discipline for fingerprints): sampled brute-force
-    // Hamming truth vs the banded gate, cumulative recall per maxDist,
-    // and the dial pick — the maintenance-window cost a deployment pays
-    // after a compaction/drift pass before trusting maxDist.
-    "b_media_reprobe" -> ((s, d) => {
-      import s.implicits._
-      val name = graft.sources.MediaIndex.ensureBuiltAudio(s, d)
-      val frontier = graft.sources.MediaIndex.reprobeRecall(s, name,
-        maxDists = Seq(3, 4, 5, 6), sampleSize = 128)
-      val picked = graft.sources.MediaIndex.pickMaxDist(frontier, 0.95)
-      frontier.map(p => (p.maxDist, p.recall, p.truthPairs, picked))
-        .toDF("max_dist", "recall", "truth_pairs", "picked")
-    }),
-    // ONE scheduled maintenance window across families (r14 stretch
-    // #8): a drift-appended vector index + a fragment-appended video
-    // index walked by a single Maintenance.maintainAll call — census,
-    // decide, refresh-or-compact, stop re-derivation, one report.
-    "b_maintain_all" -> ((s, d) => {
-      import org.apache.spark.sql.functions._
-      import s.implicits._
-      val emb = graft.Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-      graft.sources.IvfIndex.build(s, emb.where(col("vec_id") % 2 === 0),
-        "vec_id", "embedding", "graft_mntall_ivf", numCentroids = 64)
-      graft.sources.IvfIndex.append(s, "graft_mntall_ivf",
-        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding")
-      val docs = graft.Tables.documents(s, d)
-      graft.sources.VideoIndex.build(s,
-        graft.multimodal.Multimodal.videoFramesFp(
-          graft.multimodal.Multimodal.videoTableOf(
-            docs.where(col("doc_id") % 4 === 0))), "graft_mntall_vid")
-      (1 to 3).foreach(i => graft.sources.VideoIndex.append(s,
-        "graft_mntall_vid",
-        graft.multimodal.Multimodal.videoFramesFp(
-          graft.multimodal.Multimodal.videoTableOf(
-            docs.where(col("doc_id") % 4 === 1)
-              .select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-                col("text"))))))
-      val rep = graft.sources.Maintenance.maintainAll(s,
-        Seq(("ivf", "graft_mntall_ivf"), ("video", "graft_mntall_vid")))
-      rep.map(r => (r.kind, r.name, r.refreshed,
-          r.compacted.values.map(_._1).sum,
-          r.compacted.values.map(_._2).sum))
-        .toDF("kind", "name", "refreshed", "files_before", "files_after")
-    }))
+    // maintenance windows: setup builds the appended/drifted fixture,
+    // the timed run is ONLY the maintenance call.
+    "b_ivf_compact" -> BEntry(
+      Some((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val emb = graft.Tables.embeddings(s, d)
+        graft.sources.IvfIndex.build(s, emb.where(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", "graft_ivf_benchcmp", numCentroids = 64)
+        (1L to 3L).foreach(r => graft.sources.IvfIndex.append(s,
+          "graft_ivf_benchcmp", emb.where(col("vec_id") % 4 === r),
+          "vec_id", "embedding"))
+      }),
+      (s, _) => {
+        graft.sources.IvfIndex.compact(s, "graft_ivf_benchcmp")
+        s.table("graft_ivf_benchcmp_cells")
+      }),
+    "b_ivf_refresh" -> BEntry(
+      Some((s, d) => {
+        import org.apache.spark.sql.functions._
+        val emb = graft.Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        graft.sources.IvfIndex.build(s, emb.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", "graft_ivf_benchrf", numCentroids = 64)
+        val drifted = emb.where(col("vec_id") % 2 === 1).select(
+          (col("vec_id") + lit(10000000L)).as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)), i =>
+            (element_at(col("embedding"), ((i + lit(7)) % lit(dim)) + 1)
+              + lit(2.0)).cast("float")).as("embedding"))
+        graft.sources.IvfIndex.append(s, "graft_ivf_benchrf", drifted,
+          "vec_id", "embedding")
+      }),
+      (s, _) => {
+        if (graft.sources.IvfIndex.needsRefresh(s, "graft_ivf_benchrf"))
+          graft.sources.IvfIndex.refresh(s, "graft_ivf_benchrf")
+        s.table("graft_ivf_benchrf_cells")
+      }),
+    "b_ivf_maintain" -> BEntry(
+      Some((s, d) => {
+        import org.apache.spark.sql.functions._
+        val emb = graft.Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val dim = emb.select(size(col("embedding"))).head().getInt(0)
+        graft.sources.IvfIndex.build(s, emb.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", "graft_ivf_benchmnt", numCentroids = 64)
+        val drifted = emb.where(col("vec_id") % 2 === 1).select(
+          (col("vec_id") + lit(10000000L)).as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)), i =>
+            (element_at(col("embedding"), ((i + lit(7)) % lit(dim)) + 1)
+              + lit(2.0)).cast("float")).as("embedding"))
+        graft.sources.IvfIndex.append(s, "graft_ivf_benchmnt", drifted,
+          "vec_id", "embedding")
+      }),
+      (s, _) => {
+        graft.sources.IvfIndex.maintain(s, "graft_ivf_benchmnt")
+        s.table("graft_ivf_benchmnt_cells")
+      }),
+    // re-probe windows: the dial re-measurement a deployment pays after
+    // a maintenance pass before trusting nProbe / maxDist.
+    "b_ivf_reprobe" -> BEntry(
+      Some((s, d) => { graft.sources.IvfIndex.ensureBuilt(s, d); () }),
+      (s, d) => {
+        import s.implicits._
+        val name = graft.sources.IvfIndex.ensureBuilt(s, d)
+        val frontier = graft.sources.IvfIndex.reprobeRecall(s, name,
+          nProbes = Seq(4, 8, 16), numQueries = 32, k = 5)
+        val picked = graft.sources.IvfIndex.pickNProbe(frontier, 0.95)
+        frontier.map(p => (p.nProbe, p.recall, picked))
+          .toDF("n_probe", "recall", "picked")
+      }),
+    "b_media_reprobe" -> BEntry(
+      Some((s, d) => { graft.sources.MediaIndex.ensureBuiltAudio(s, d); () }),
+      (s, d) => {
+        import s.implicits._
+        val name = graft.sources.MediaIndex.ensureBuiltAudio(s, d)
+        val frontier = graft.sources.MediaIndex.reprobeRecall(s, name,
+          maxDists = Seq(3, 4, 5, 6), sampleSize = 128)
+        val picked = graft.sources.MediaIndex.pickMaxDist(frontier, 0.95)
+        frontier.map(p => (p.maxDist, p.recall, p.truthPairs, picked))
+          .toDF("max_dist", "recall", "truth_pairs", "picked")
+      }),
+    // ONE scheduled maintenance window across families: census, decide,
+    // refresh-or-compact, stop re-derivation, one report. Setup builds
+    // the drift-appended vector index + fragment-appended video index;
+    // the timed run is the single maintainAll call a deployment schedules.
+    "b_maintain_all" -> BEntry(
+      Some((s, d) => {
+        import org.apache.spark.sql.functions._
+        val emb = graft.Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        graft.sources.IvfIndex.build(s, emb.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", "graft_mntall_ivf", numCentroids = 64)
+        graft.sources.IvfIndex.append(s, "graft_mntall_ivf",
+          emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        val docs = graft.Tables.documents(s, d)
+        graft.sources.VideoIndex.build(s,
+          graft.multimodal.Multimodal.videoFramesFp(
+            graft.multimodal.Multimodal.videoTableOf(
+              docs.where(col("doc_id") % 4 === 0))), "graft_mntall_vid")
+        (1 to 3).foreach(i => graft.sources.VideoIndex.append(s,
+          "graft_mntall_vid",
+          graft.multimodal.Multimodal.videoFramesFp(
+            graft.multimodal.Multimodal.videoTableOf(
+              docs.where(col("doc_id") % 4 === 1)
+                .select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+                  col("text"))))))
+      }),
+      (s, _) => {
+        import s.implicits._
+        val rep = graft.sources.Maintenance.maintainAll(s,
+          Seq(("ivf", "graft_mntall_ivf"), ("video", "graft_mntall_vid")))
+        rep.map(r => (r.kind, r.name, r.refreshed,
+            r.compacted.values.map(_._1).sum,
+            r.compacted.values.map(_._2).sum))
+          .toDF("kind", "name", "refreshed", "files_before", "files_after")
+      }))
+
+  /** Shared stored-index fixtures the REGISTERED queries serve from
+    * (each ensureBuilt* memoizes; building here moves the cost out of
+    * first samples into the untimed warmup). Failures are per-fixture
+    * non-fatal: a broken fixture surfaces in its queries' samples. */
+  def warmFixtures(s: SparkSession, d: String): Unit = {
+    val fixtures: Seq[(String, () => Any)] = Seq(
+      "ivf" -> (() => graft.sources.IvfIndex.ensureBuilt(s, d)),
+      "ivf_auto" -> (() => graft.sources.IvfIndex.ensureBuiltAuto(s, d)),
+      "ivf_routed" -> (() => graft.sources.IvfIndex.ensureBuiltRouted(s, d)),
+      "text" -> (() => graft.sources.TextIndex.ensureBuilt(s, d)),
+      "dedup" -> (() => graft.sources.DedupIndex.ensureBuilt(s, d)),
+      "dedup_full" -> (() => graft.sources.DedupIndex.ensureBuiltFull(s, d)),
+      "media_image" -> (() => graft.sources.MediaIndex.ensureBuiltImage(s, d)),
+      "media_audio" -> (() => graft.sources.MediaIndex.ensureBuiltAudio(s, d)),
+      "media_audio_corpus" -> (() => graft.sources.MediaIndex.ensureBuiltAudioCorpus(s, d)),
+      "video" -> (() => graft.sources.VideoIndex.ensureBuiltVideo(s, d)),
+      "video_clip" -> (() => graft.sources.VideoIndex.ensureBuiltVideoClip(s, d)),
+      "video_perc" -> (() => graft.sources.VideoIndex.ensureBuiltVideoPerc(s, d)),
+      "video_clip_perc" -> (() => graft.sources.VideoIndex.ensureBuiltVideoClipPerc(s, d)),
+      "video_corpus" -> (() => graft.sources.VideoIndex.ensureBuiltVideoCorpus(s, d)),
+      "audio_seg" -> (() => graft.sources.VideoIndex.ensureBuiltAudioSeg(s, d)),
+      "audio_seg_corpus" -> (() => graft.sources.VideoIndex.ensureBuiltAudioSegCorpus(s, d)),
+      "image_rows" -> (() => graft.sources.VideoIndex.ensureBuiltImageRows(s, d)),
+      "image_rows_corpus" -> (() => graft.sources.VideoIndex.ensureBuiltImageRowsCorpus(s, d)),
+      "image_blocks" -> (() => graft.sources.VideoIndex.ensureBuiltImageBlocks(s, d)),
+      "image_blocks_corpus" -> (() => graft.sources.VideoIndex.ensureBuiltImageBlocksCorpus(s, d)))
+    fixtures.foreach { case (name, build) =>
+      val t0 = System.nanoTime()
+      try {
+        build()
+        System.err.println(f"[bench-warmup] $name%-20s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench-warmup] $name FAILED: ${e.getClass.getSimpleName}")
+      }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -305,24 +348,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session before timing: file listing, parquet footers, and
-    // first-codegen costs land here instead of on whichever query runs first.
+
+    val benchStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
+
+    // ---- untimed warmup: tables, codegen shapes, stored fixtures, b_* setups
     Seq("lineitem", "orders", "documents", "embeddings", "events").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // one toy iterative run warms the join/agg/checkpoint codegen shapes
-    // that the alphabetically-first iterative query would otherwise pay for
     try {
       import spark.implicits._
       graft.graph.Iterative.ccFind(
         Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")).count()
     } catch { case _: Throwable => () }
+    warmFixtures(spark, sfDir)
+    benchOnly.toSeq.sortBy(_._1).foreach { case (name, e) =>
+      e.setup.foreach { su =>
+        val t0 = System.nanoTime()
+        try {
+          su(spark, sfDir)
+          System.err.println(f"[bench-setup] $name%-22s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        } catch {
+          case ex: Throwable =>
+            System.err.println(s"[bench-setup] $name FAILED: ${ex.getClass.getSimpleName}")
+        }
+      }
+    }
+    System.err.println(f"[bench] warmup done at $elapsed%.1f s wall")
 
     /** One timed run; None if the query threw. The frame is bound outside
       * the try so its checkpoints are released even on failure. */
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
-      var df: org.apache.spark.sql.DataFrame = null
+    def timeOnce(fn: (SparkSession, String) => DataFrame): Option[Double] = {
+      var df: DataFrame = null
       try {
         val t0 = System.nanoTime()
         df = fn(spark, sfDir)
@@ -338,54 +396,146 @@ object Bench {
       }
     }
 
-    val names = (SparkEntry.queries ++ benchOnly).toSeq.sortBy(_._1)
-    // samples(name) accumulates every raw run time, pass 1 first.
+    val qEntries: Seq[(String, (SparkSession, String) => DataFrame)] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+    val bEntries: Seq[(String, (SparkSession, String) => DataFrame)] =
+      benchOnly.toSeq.sortBy(_._1).map { case (n, e) => n -> e.run }
+    val allNames: Seq[String] = (qEntries ++ bEntries).map(_._1).sorted
+
+    // Shared mutable state, guarded by `lock` (the shutdown hook reads it).
+    val lock = new Object
     val samples = scala.collection.mutable.LinkedHashMap(
-      names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
-    for (_ <- 1 to Passes) {
-      names.foreach { case (name, fn) =>
-        val first = timeOnce(fn)
-        val extra = first match {
-          case Some(_) => Seq(timeOnce(fn)) // min of 2 per pass
-          case None => Seq.empty // query is broken; don't burn wall re-proving it
-        }
-        samples(name) = samples(name) ++ (first.toSeq ++ extra.flatten)
-      }
-    }
-    val results: Seq[(String, Option[Double])] =
-      names.map { case (name, _) =>
-        val s = samples(name)
-        name -> (if (s.isEmpty) None else Some(s.min))
-      }
-    spark.stop()
+      allNames.map(_ -> Vector.empty[Double]): _*)
+    val curtailed = scala.collection.mutable.LinkedHashSet.empty[String]
+    var spent = 0.0 // cumulative sample wall, seconds
 
     def f(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     def fOpt(v: Option[Double]): String = v.map(f).getOrElse("null")
-    // A query that throws on every run reports null and drops OUT of the
-    // headline total — which would read as a round-over-round speedup. The
-    // explicit failure count/list makes total comparisons self-invalidate
-    // when the contributing query sets differ.
-    val failed = results.collect { case (n, None) => n }
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def jsonLine(qs: Seq[(String, Option[Double])], total: Double, detail: Boolean): String = {
-      val m = qs.map { case (k, v) => "\"" + k + "\":" + fOpt(v) }
-        .mkString("{", ",", "}")
-      val raw =
-        if (!detail) ""
-        else samples.map { case (k, s) =>
-          "\"" + k + "\":" + s.map(f).mkString("[", ",", "]")
-        }.mkString(""","samples":{""", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
-        s""""queries":$m,"sf":"$sfDir","n_queries":${results.size},""" +
-        s""""n_failed":${failed.size},"failed":$failedJson,""" +
-        s""""passes":$Passes,"detail":"bench_out.json"$raw}"""
+
+    /** Snapshot → (results, failed) under the lock. */
+    def snapshot(): (Seq[(String, Option[Double])], Seq[String]) = lock.synchronized {
+      val res = allNames.map { n =>
+        val s = samples(n)
+        n -> (if (s.isEmpty) None else Some(s.min))
+      }
+      (res, res.collect { case (n, None) => n })
     }
-    val total = results.flatMap(_._2).sum
-    try {
-      val w = new java.io.PrintWriter("bench_out.json")
-      try w.println(jsonLine(results, total, detail = true)) finally w.close()
-    } catch { case _: Throwable => () }
-    val headSet = headline.toSet
-    println(jsonLine(results.filter(r => headSet(r._1)), total, detail = false))
+
+    def headlineLine(partial: Boolean): String = {
+      val (results, failed) = snapshot()
+      val byName = results.toMap
+      val total = results.flatMap(_._2).sum
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val (curN, spentNow) = lock.synchronized((curtailed.size, spent))
+      def line(hl: Seq[String]): String = {
+        val m = hl.filter(byName.contains)
+          .map(k => "\"" + k + "\":" + fOpt(byName(k)))
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+          s""""queries":$m,"sf":"$sfDir","n_queries":${results.size},""" +
+          s""""n_failed":${failed.size},"failed":$failedJson,""" +
+          s""""passes":$passes,"partial":$partial,"curtailed_n":$curN,""" +
+          s""""sample_wall":${f(spentNow)},"hl_dropped":${headline.size - hl.size},""" +
+          s""""detail":"bench_out.json"}"""
+      }
+      // hard cap: the driver keeps ~2,000 chars of stdout tail and sbt's
+      // `[success] Total time …` line lands after ours, so stay well
+      // inside it; drop headline queries from the end (counted in
+      // hl_dropped, never silent) to fit.
+      var hl = headline
+      var out = line(hl)
+      while (out.length > 1800 && hl.nonEmpty) { hl = hl.dropRight(5); out = line(hl) }
+      out
+    }
+
+    /** Full-detail artifact, rewritten after every completed entry so a
+      * killed process leaves the freshest partial detail on disk. */
+    def writeDetail(partial: Boolean): Unit = {
+      val (results, failed) = snapshot()
+      val total = results.flatMap(_._2).sum
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val (curt, spentNow) = lock.synchronized((curtailed.toSeq, spent))
+      val curtJson = curt.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val m = results.map { case (k, v) => "\"" + k + "\":" + fOpt(v) }
+        .mkString("{", ",", "}")
+      val raw = lock.synchronized {
+        samples.map { case (k, s) =>
+          "\"" + k + "\":" + s.map(f).mkString("[", ",", "]")
+        }.mkString("{", ",", "}")
+      }
+      val j =
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$m,""" +
+          s""""sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},""" +
+          s""""failed":$failedJson,"passes":$passes,"partial":$partial,""" +
+          s""""curtailed":$curtJson,"sample_wall":${f(spentNow)},"samples":$raw}"""
+      try {
+        val w = new java.io.PrintWriter("bench_out.json")
+        try w.println(j) finally w.close()
+      } catch { case _: Throwable => () }
+    }
+
+    // Shutdown hook: if the driver's timeout kills us mid-loop, print the
+    // partial headline (log level OFF first so shutdown noise doesn't
+    // bury the line in the driver's stdout tail).
+    val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!printed.getAndSet(true)) {
+        try spark.sparkContext.setLogLevel("OFF") catch { case _: Throwable => () }
+        try org.apache.log4j.LogManager.getRootLogger
+          .setLevel(org.apache.log4j.Level.OFF)
+        catch { case _: Throwable => () }
+        println(headlineLine(partial = true))
+        System.out.flush()
+      }
+    }))
+
+    def record(name: String, sample: Option[Double]): Unit = lock.synchronized {
+      sample.foreach { t => samples(name) = samples(name) :+ t; spent += t }
+    }
+    def overBudget: Boolean = lock.synchronized(spent >= budgetSec)
+    def minOf(name: String): Option[Double] = lock.synchronized {
+      val s = samples(name); if (s.isEmpty) None else Some(s.min)
+    }
+
+    // ---- timed loop.
+    // Pass 1: every q_* entry runs once (mandatory); cheap entries get a
+    // confirming second run; then every b_* window runs exactly once
+    // (after the q_* loop, so the single window sample never pays the
+    // suite's coldest codegen). Later passes: q_* only — cheap entries
+    // once more (min-of-2 spread over independent windows), expensive
+    // entries once. All non-mandatory runs respect the budget.
+    for (pass <- 1 to passes) {
+      qEntries.foreach { case (name, fn) =>
+        val mandatory = pass == 1
+        val known = minOf(name)
+        if (mandatory) {
+          val first = timeOnce(fn)
+          record(name, first)
+          val nowCheap = first.exists(_ <= cheapSec)
+          if (first.isDefined && nowCheap && !overBudget)
+            record(name, timeOnce(fn))
+          else if (first.isDefined && nowCheap) curtailed += name
+        } else if (known.isDefined) { // broken entries don't burn wall re-proving it
+          // cheap and expensive tiers both get exactly one run per later
+          // pass (cheap: 3 samples over 2 passes; expensive: 2; the
+          // spread over independent windows is what bounds whole-pass
+          // interference, per the r11 finding)
+          if (!overBudget) record(name, timeOnce(fn))
+          else curtailed += name
+        }
+        writeDetail(partial = true)
+      }
+      if (pass == 1) {
+        bEntries.foreach { case (name, fn) =>
+          record(name, timeOnce(fn)) // mandatory single sample
+          writeDetail(partial = true)
+        }
+      }
+      System.err.println(f"[bench] pass $pass done: sample wall ${lock.synchronized(spent)}%.1f s, total wall $elapsed%.1f s")
+    }
+
+    writeDetail(partial = false)
+    spark.stop()
+    if (!printed.getAndSet(true)) println(headlineLine(partial = false))
   }
 }

@@ -15,13 +15,16 @@ import graft.sources.{DedupIndex, MediaIndex, VideoIndex}
   * Shape at 100 TB: each modality's gate is the family's broadcast-batch
   * plan (fresh side derived once, |batch|-bounded, broadcast; stored
   * side streams map-side; exchanges match-bounded) — composing them
-  * changes NOTHING about any one gate's economics, and the four gates
-  * share the single checkpointed batch so payloads are read once per
-  * modality's encoder. [[admitBatch]] additionally appends each
-  * family's OWN admitted rows (per-modality admission: a novel text
-  * whose image is a known dup enters the text index but not the image
-  * index — the curation semantics of modality-scoped dedup), so the
-  * next batch gates against corpus ∪ admitted with no rebuild. */
+  * changes NOTHING about any one gate's economics, and the gates share
+  * the single checkpointed batch AND each modality's ONE encoded media
+  * table (r15 ADVICE: with the clip dials on, the whole-item
+  * fingerprint and the segment/row grid both read the same
+  * checkpointed encode — payloads really are encoded once per
+  * modality). [[admitBatch]] additionally appends each family's OWN
+  * admitted rows (per-modality admission: a novel text whose image is
+  * a known dup enters the text index but not the image index — the
+  * curation semantics of modality-scoped dedup), so the next batch
+  * gates against corpus ∪ admitted with no rebuild. */
 object CrawlAdmit {
 
   /** The registered fixture batch: a verbatim re-fetch of the
@@ -40,71 +43,133 @@ object CrawlAdmit {
             reverse(col("text")).as("text")))
   }
 
+  /** The per-batch derived inputs every gate reads: the checkpointed
+    * batch plus each modality's fingerprints/grids, derived from ONE
+    * encoded media table per modality. `checkpointFps` materializes the
+    * fingerprint frames too ([[admitBatch]]'s gate-then-append reuse);
+    * [[admitFlags]] keeps them lazy (each is read once). */
+  private final case class BatchInputs(b: DataFrame, imgFp: DataFrame,
+      audFp: DataFrame, vFrames: DataFrame, audSeg: Option[DataFrame],
+      imgRows: Option[DataFrame], imgBlocks: Option[DataFrame])
+
+  private def deriveInputs(spark: SparkSession, batch: DataFrame,
+      audioClipIdx: Option[String], imageCropIdx: Option[String],
+      imageCrop2dIdx: Option[String], checkpointFps: Boolean): BatchInputs = {
+    val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointFps) df.localCheckpoint() else df
+    // one encode per modality: when a clip dial splits a modality into
+    // two fingerprint passes, the encoded table is checkpointed so the
+    // second pass reads materialized payloads instead of re-encoding
+    val imageTwoPasses = imageCropIdx.isDefined || imageCrop2dIdx.isDefined
+    val imgTbl =
+      if (imageTwoPasses) Multimodal.imageTableOf(b).localCheckpoint()
+      else Multimodal.imageTableOf(b)
+    val audTbl =
+      if (audioClipIdx.isDefined) Multimodal.audioTableOf(b).localCheckpoint()
+      else Multimodal.audioTableOf(b)
+    BatchInputs(b,
+      imgFp = cp(Multimodal.imageDHash(imgTbl)),
+      audFp = cp(Multimodal.audioDHash(audTbl)),
+      vFrames = cp(Multimodal.videoFramesFp(Multimodal.videoTableOf(b))),
+      // segment at the INDEX'S persisted hop (r15 ADVICE: a batch
+      // segmented at a different hop than the index was built with has
+      // incoherent shift semantics — the stored dial is authoritative)
+      audSeg = audioClipIdx.map(idx =>
+        cp(VideoIndex.segmentsFor(spark, idx, audTbl))),
+      imgRows = imageCropIdx.map(_ =>
+        cp(Multimodal.imageRowsFp(imgTbl))),
+      imgBlocks = imageCrop2dIdx.map(_ =>
+        cp(Multimodal.imageBlocksFp(imgTbl))))
+  }
+
   /** Per-item admission flags, one row per batch doc:
     * (doc_id, admit_text, admit_image, admit_audio, admit_video, admit)
     * — admit_* ∈ {0, 1} (1 = no stored near-dup in that modality),
-    * `admit` = the conjunction. Read-only: derives the batch's four
-    * renditions, runs the four gates, mutates nothing. `audioClipIdx`
-    * (a [[VideoIndex]]-family segment index) folds EXCERPT refusal into
-    * the audio flag: an item embedding stored audio — invisible to the
-    * whole-stream fingerprint — refuses when ≥ `minFrames` of its PCM
-    * segments match stored segments at one consistent offset within
-    * `maxDist`. */
+    * `admit` = the conjunction. Read-only: derives the batch's
+    * renditions, runs the gates, mutates nothing.
+    *
+    * Clip dials (each a [[VideoIndex]]-family temporal index):
+    *   - `audioClipIdx` folds EXCERPT refusal into the audio flag: an
+    *     item embedding stored audio — invisible to the whole-stream
+    *     fingerprint — refuses when ≥ `minFrames` of its PCM segments
+    *     match stored segments at one consistent offset.
+    *   - `imageCropIdx` adds vertical-crop refusal to the image flag
+    *     (raster rows, shift = vertical offset).
+    *   - `imageCrop2dIdx` adds 2D (horizontal/general) crop refusal:
+    *     8×1-px blocks at one consistent (row, col) packed shift —
+    *     byte-exact by design (a block-aligned crop copies bytes).
+    *   - `audioClipPerceptual` / `imageCropPerceptual` (r15 ADVICE,
+    *     medium): choose each leg's match semantics independently,
+    *     like the video leg's `videoPerceptual`. Default FALSE = the
+    *     byte-exact clip gate — the measured ~1.6 % false-refusal rate
+    *     of the shared-maxDist perceptual gate on genuinely novel
+    *     items is a policy a caller must opt into, not inherit. */
   def admitFlags(spark: SparkSession, batch: DataFrame, textIdx: String,
       imageIdx: String, audioIdx: String, videoIdx: String,
       maxDist: Int = 6, minFrames: Int = 2, tau: Double = 0.8,
       videoPerceptual: Boolean = false,
       audioClipIdx: Option[String] = None,
-      imageCropIdx: Option[String] = None): DataFrame = {
-    val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
-    flagsFrom(spark, b,
-      Multimodal.imageDHash(Multimodal.imageTableOf(b)),
-      Multimodal.audioDHash(Multimodal.audioTableOf(b)),
-      Multimodal.videoFramesFp(Multimodal.videoTableOf(b)),
-      audioClipIdx.map(_ =>
-        Multimodal.audioSegmentsFp(Multimodal.audioTableOf(b))),
-      imageCropIdx.map(_ =>
-        Multimodal.imageRowsFp(Multimodal.imageTableOf(b))),
+      imageCropIdx: Option[String] = None,
+      audioClipPerceptual: Boolean = false,
+      imageCropPerceptual: Boolean = false,
+      imageCrop2dIdx: Option[String] = None,
+      stopCache: Option[VideoIndex.StopCache] = None): DataFrame =
+    flagsFrom(spark,
+      deriveInputs(spark, batch, audioClipIdx, imageCropIdx,
+        imageCrop2dIdx, checkpointFps = false),
       textIdx, imageIdx, audioIdx, videoIdx, maxDist, minFrames, tau,
-      videoPerceptual, audioClipIdx, imageCropIdx)
-  }
+      videoPerceptual, audioClipIdx, imageCropIdx, audioClipPerceptual,
+      imageCropPerceptual, imageCrop2dIdx, stopCache)
 
-  private def flagsFrom(spark: SparkSession, b: DataFrame,
-      imgFp: DataFrame, audFp: DataFrame, vFrames: DataFrame,
-      audSeg: Option[DataFrame], imgRows: Option[DataFrame],
+  private def flagsFrom(spark: SparkSession, in: BatchInputs,
       textIdx: String, imageIdx: String, audioIdx: String,
       videoIdx: String, maxDist: Int, minFrames: Int, tau: Double,
-      videoPerceptual: Boolean = false,
-      audioClipIdx: Option[String] = None,
-      imageCropIdx: Option[String] = None): DataFrame = {
-    val ids = b.select(col("doc_id"))
-    val textAdm = DedupIndex.dedupAgainst(spark, textIdx, b, "text",
+      videoPerceptual: Boolean, audioClipIdx: Option[String],
+      imageCropIdx: Option[String], audioClipPerceptual: Boolean,
+      imageCropPerceptual: Boolean,
+      imageCrop2dIdx: Option[String],
+      stopCache: Option[VideoIndex.StopCache] = None): DataFrame = {
+    val ids = in.b.select(col("doc_id"))
+    // each clip leg picks its gate by ITS OWN toggle (byte-exact
+    // clipAgainst unless the caller opts into the perceptual regime)
+    def clipRefusal(idx: String, grid: DataFrame,
+        perceptual: Boolean): DataFrame =
+      (if (perceptual)
+        VideoIndex.clipPerceptualAgainst(spark, idx, grid, maxDist,
+          minFrames,
+          stopBands = stopCache.map(_.get(s"${idx}_bstop")))
+      else VideoIndex.clipAgainst(spark, idx, grid, minFrames,
+        stop = stopCache.map(_.get(s"${idx}_stop"))))
+        .select(col("fid").as("doc_id")).distinct()
+    val textAdm = DedupIndex.dedupAgainst(spark, textIdx, in.b, "text",
       "doc_id", tau = tau).select(col("doc_id"))
     // `imageCropIdx` adds CROP refusal to the image leg (the
     // audioClipIdx discipline over raster rows): a batch item that is
     // a vertical crop / banner edit of stored material slips the
     // whole-image fingerprint but its rows match the stored row index
-    // at one consistent vertical offset
-    val imgCropRefused = (imageCropIdx zip imgRows).map { case (idx, rw) =>
-      VideoIndex.clipPerceptualAgainst(spark, idx, rw, maxDist, minFrames)
-        .select(col("fid").as("doc_id")).distinct()
-    }
-    val imgAdm0 = MediaIndex.dedupAgainst(spark, imageIdx, imgFp, maxDist)
+    // at one consistent vertical offset. `imageCrop2dIdx` closes the
+    // horizontal/general regime over 8×1 blocks at one consistent
+    // packed (row, col) shift.
+    val imgRefusals =
+      (imageCropIdx zip in.imgRows).map { case (idx, rw) =>
+        clipRefusal(idx, rw, imageCropPerceptual) } ++
+      (imageCrop2dIdx zip in.imgBlocks).map { case (idx, bl) =>
+        clipRefusal(idx, bl, perceptual = false) }
+    val imgAdm0 = MediaIndex.dedupAgainst(spark, imageIdx, in.imgFp, maxDist)
       .select(col("media_id").as("doc_id"))
-    val imgAdm = imgCropRefused.fold(imgAdm0)(r =>
-      imgAdm0.join(r, Seq("doc_id"), "left_anti"))
+    val imgAdm = imgRefusals.foldLeft(imgAdm0)((adm, r) =>
+      adm.join(r, Seq("doc_id"), "left_anti"))
     // `audioClipIdx` adds EXCERPT refusal to the audio leg: the
     // whole-stream fingerprint is blind to stored material embedded in
     // (or lifted from) a batch item — every envelope window moves —
     // but the segment grid matches the stored index at a consistent
-    // offset (VideoIndex.clipPerceptualAgainst: the index is
-    // modality-agnostic over temporal rows, and the perceptual leg
-    // catches a re-MASTERED excerpt too, the curation default)
-    val audClipRefused = (audioClipIdx zip audSeg).map { case (idx, seg) =>
-      VideoIndex.clipPerceptualAgainst(spark, idx, seg, maxDist, minFrames)
-        .select(col("fid").as("doc_id")).distinct()
+    // offset (the index is modality-agnostic over temporal rows;
+    // `audioClipPerceptual` additionally catches a re-MASTERED excerpt)
+    val audClipRefused = (audioClipIdx zip in.audSeg).map { case (idx, seg) =>
+      clipRefusal(idx, seg, audioClipPerceptual)
     }
-    val audAdm0 = MediaIndex.dedupAgainst(spark, audioIdx, audFp, maxDist)
+    val audAdm0 = MediaIndex.dedupAgainst(spark, audioIdx, in.audFp, maxDist)
       .select(col("media_id").as("doc_id"))
     val audAdm = audClipRefused.fold(audAdm0)(r =>
       audAdm0.join(r, Seq("doc_id"), "left_anti"))
@@ -116,9 +181,11 @@ object CrawlAdmit {
     // scale; the registered q_crawl_admit keeps the byte-exact leg its
     // oracle replays)
     val vidRefused = (if (videoPerceptual)
-        VideoIndex.perceptualAgainst(spark, videoIdx, vFrames, maxDist,
-          minFrames)
-      else VideoIndex.pairsAgainst(spark, videoIdx, vFrames, minFrames))
+        VideoIndex.perceptualAgainst(spark, videoIdx, in.vFrames, maxDist,
+          minFrames,
+          stopBands = stopCache.map(_.get(s"${videoIdx}_bstop")))
+      else VideoIndex.pairsAgainst(spark, videoIdx, in.vFrames, minFrames,
+        stop = stopCache.map(_.get(s"${videoIdx}_stop"))))
       .select(col("fid").as("doc_id")).distinct()
     def flag(admitted: DataFrame, name: String): DataFrame =
       admitted.withColumn(name, lit(1L))
@@ -140,57 +207,58 @@ object CrawlAdmit {
     * discipline: the flags frame is checkpointed before any append so
     * a gate never reads its own inserts). The batch's fingerprints are
     * derived ONCE and shared between gating and appending — no payload
-    * is decoded twice. Returns the flags. */
+    * is encoded or decoded twice. Returns the flags. */
   def admitBatch(spark: SparkSession, batch: DataFrame, textIdx: String,
       imageIdx: String, audioIdx: String, videoIdx: String,
       maxDist: Int = 6, minFrames: Int = 2, tau: Double = 0.8,
       videoPerceptual: Boolean = false,
       audioClipIdx: Option[String] = None,
-      imageCropIdx: Option[String] = None): DataFrame = {
-    val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
-    val imgFp = Multimodal.imageDHash(Multimodal.imageTableOf(b))
-      .localCheckpoint()
-    val audFp = Multimodal.audioDHash(Multimodal.audioTableOf(b))
-      .localCheckpoint()
-    val vFrames = Multimodal.videoFramesFp(Multimodal.videoTableOf(b))
-      .localCheckpoint()
-    val audSeg = audioClipIdx.map(_ =>
-      Multimodal.audioSegmentsFp(Multimodal.audioTableOf(b))
-        .localCheckpoint())
-    val imgRows = imageCropIdx.map(_ =>
-      Multimodal.imageRowsFp(Multimodal.imageTableOf(b))
-        .localCheckpoint())
-    val flags = flagsFrom(spark, b, imgFp, audFp, vFrames, audSeg,
-      imgRows, textIdx,
+      imageCropIdx: Option[String] = None,
+      audioClipPerceptual: Boolean = false,
+      imageCropPerceptual: Boolean = false,
+      imageCrop2dIdx: Option[String] = None,
+      stopCache: Option[VideoIndex.StopCache] = None): DataFrame = {
+    val in = deriveInputs(spark, batch, audioClipIdx, imageCropIdx,
+      imageCrop2dIdx, checkpointFps = true)
+    val flags = flagsFrom(spark, in, textIdx,
       imageIdx, audioIdx, videoIdx, maxDist, minFrames, tau,
-      videoPerceptual, audioClipIdx, imageCropIdx)
+      videoPerceptual, audioClipIdx, imageCropIdx, audioClipPerceptual,
+      imageCropPerceptual, imageCrop2dIdx, stopCache)
       .localCheckpoint()
     def adm(c: String): DataFrame =
       flags.where(col(c) === 1L).select(col("doc_id"))
     DedupIndex.append(spark, textIdx,
-      b.join(adm("admit_text"), Seq("doc_id")), "text", "doc_id")
-    MediaIndex.append(spark, imageIdx, imgFp.join(
+      in.b.join(adm("admit_text"), Seq("doc_id")), "text", "doc_id")
+    MediaIndex.append(spark, imageIdx, in.imgFp.join(
       adm("admit_image").withColumnRenamed("doc_id", "media_id"),
       Seq("media_id")))
-    MediaIndex.append(spark, audioIdx, audFp.join(
+    MediaIndex.append(spark, audioIdx, in.audFp.join(
       adm("admit_audio").withColumnRenamed("doc_id", "media_id"),
       Seq("media_id")))
-    VideoIndex.append(spark, videoIdx, vFrames.join(
+    // each temporal-index append reports whether rows actually landed:
+    // only then did refreshStop rewrite the sidecars, so only then does
+    // the loop's StopCache entry go stale (an empty append leaves both
+    // untouched — the cache survives a nothing-admitted batch)
+    def appendAndInvalidate(idx: String, frames: DataFrame): Unit =
+      if (VideoIndex.append(spark, idx, frames))
+        stopCache.foreach(_.invalidate(idx))
+    appendAndInvalidate(videoIdx, in.vFrames.join(
       adm("admit_video").withColumnRenamed("doc_id", "media_id"),
       Seq("media_id")))
     // the excerpt index ingests the audio-admitted items' segments so
     // the next batch's excerpt gate sees corpus ∪ admitted
-    (audioClipIdx zip audSeg).foreach { case (idx, seg) =>
-      VideoIndex.append(spark, idx, seg.join(
+    (audioClipIdx zip in.audSeg).foreach { case (idx, seg) =>
+      appendAndInvalidate(idx, seg.join(
         adm("admit_audio").withColumnRenamed("doc_id", "media_id"),
         Seq("media_id")))
     }
-    // likewise the crop index ingests the image-admitted items' rows
-    (imageCropIdx zip imgRows).foreach { case (idx, rw) =>
-      VideoIndex.append(spark, idx, rw.join(
-        adm("admit_image").withColumnRenamed("doc_id", "media_id"),
-        Seq("media_id")))
-    }
+    // likewise the crop indexes ingest the image-admitted items' grids
+    ((imageCropIdx zip in.imgRows) ++ (imageCrop2dIdx zip in.imgBlocks))
+      .foreach { case (idx, grid) =>
+        appendAndInvalidate(idx, grid.join(
+          adm("admit_image").withColumnRenamed("doc_id", "media_id"),
+          Seq("media_id")))
+      }
     flags
   }
 }

@@ -87,16 +87,24 @@ object Multimodal {
     * 3p+2 → B), zero-padded to the last row. Deterministic: same payload
     * → same pixels (PNG container bytes may differ across JDKs, but the
     * DECODED content never does — which is what the features read). */
-  private[graft] def encodePng(payload: Array[Byte]): Array[Byte] = {
-    val h = imgHeight(payload.length)
+  private[graft] def encodePng(payload: Array[Byte]): Array[Byte] =
+    encodePngW(payload, ImgWidth)
+
+  /** [[encodePng]] at an explicit raster width — what a real crawl
+    * produces (images come in every width); the crop fixtures use it to
+    * make a HORIZONTALLY cropped repost an honestly narrower image
+    * instead of a reflowed same-width one. */
+  private[graft] def encodePngW(payload: Array[Byte], widthPx: Int): Array[Byte] = {
+    val rb = widthPx * 3
+    val h = math.max(1, (payload.length + rb - 1) / rb)
     val img = new java.awt.image.BufferedImage(
-      ImgWidth, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      widthPx, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var p = 0
-    val nPix = ImgWidth * h
+    val nPix = widthPx * h
     while (p < nPix) {
       val i = 3 * p
       def b(j: Int): Int = if (j < payload.length) payload(j) & 0xff else 0
-      img.setRGB(p % ImgWidth, p / ImgWidth, (b(i) << 16) | (b(i + 1) << 8) | b(i + 2))
+      img.setRGB(p % widthPx, p / widthPx, (b(i) << 16) | (b(i + 1) << 8) | b(i + 2))
       p += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
@@ -104,11 +112,13 @@ object Multimodal {
     baos.toByteArray
   }
 
-  /** Decode a PNG back to its raster bytes in RGB index order — the
-    * inverse of [[encodePng]] (PNG is lossless, so this IS the padded
-    * payload). One call per row, context-free; the expensive part is the
-    * actual `javax.imageio` PNG inflate. */
-  private[graft] def decodePngBytes(png: Array[Byte]): Array[Byte] = {
+  /** Decode a PNG to (width px, raster bytes in RGB index order) — the
+    * inverse of [[encodePngW]] (PNG is lossless, so the bytes ARE the
+    * padded payload). The width rides along because the 2D block grid
+    * ([[imageBlocksFp]]) must tile each image at ITS OWN row pitch —
+    * a crawl corpus has no fixed width. One call per row, context-free;
+    * the expensive part is the actual `javax.imageio` PNG inflate. */
+  private[graft] def decodePngRaster(png: Array[Byte]): (Int, Array[Byte]) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
     // ImageIO signals an unreadable container by returning null, not by
     // throwing — normalize to a throw so the error policy sees one path
@@ -130,8 +140,13 @@ object Multimodal {
       }
       y += 1
     }
-    out
+    (w, out)
   }
+
+  /** Raster bytes only — the original single-return decode most call
+    * sites want. */
+  private[graft] def decodePngBytes(png: Array[Byte]): Array[Byte] =
+    decodePngRaster(png)._2
 
   /** The WAV codec providers, resolved ONCE per JVM. Going through the
     * `AudioSystem` facade per row is the audio-path scale killer the
@@ -451,8 +466,9 @@ object Multimodal {
     * f_lo, f_hi) temporal rows: every clip stage
     * ([[clipPairsFromFrames]], [[clipPerceptualFromFrames]], the
     * gates) is a pure function of them, so audio excerpt detection
-    * rides the stored family with zero new machinery. */
-  /** `hop` is the OFFSET-coverage dial (≤ 0 = segBytes, the aligned
+    * rides the stored family with zero new machinery.
+    *
+    * `hop` is the OFFSET-coverage dial (≤ 0 = segBytes, the aligned
     * default the registered queries and oracles use): an excerpt whose
     * start is not a multiple of the grid unit misses every aligned
     * segment boundary and is invisible — the detection granularity IS
@@ -542,8 +558,9 @@ object Multimodal {
     * family serve image crop detection with zero new machinery: the
     * "frame" is a raster row, `shift` is the vertical offset.
     * HORIZONTAL crops change every row's bytes and are out of this
-    * grid's scope by construction (they need 2D blocks — the honest
-    * dial, documented not hidden). */
+    * grid's scope by construction — that regime belongs to the 2D
+    * block grid ([[imageBlocksFp]]), whose packed (row, col) index
+    * makes "shift" a 2-vector on the same temporal machinery. */
   def imageRowsFp(media: DataFrame,
       decode: Array[Byte] => Array[Byte] = decodePngBytes): DataFrame = {
     val spark = media.sparkSession
@@ -599,6 +616,93 @@ object Multimodal {
         encodePng(r.content.map(b => ((b & 0xff) + 1).toByte)))))
       .toDF()
     exact.unionByName(bright)
+  }
+
+  /** 2D block geometry: 8-px-wide, 1-row-tall tiles (24 bytes each,
+    * contiguous in the raster) — each raster row splits into
+    * `width/8` block columns. The packed index stride keeps the block
+    * column in the low bits of ONE long so a (row_shift, col_shift)
+    * 2-vector is a single subtraction: with every real raster's column
+    * count ≪ 2^20, distinct 2-vectors map to distinct packed shifts. */
+  private[graft] val BlockPx = 8
+  private[graft] val BlockBytes = BlockPx * 3
+  private[graft] val ColStride = 1L << 20
+
+  /** Per-BLOCK image fingerprints over the DECODED raster — the 2D
+    * grid that closes the crop regime [[imageRowsFp]] documents as out
+    * of its scope: a HORIZONTAL crop (or any row+column crop) changes
+    * every raster row's bytes, but block-aligned surviving tiles still
+    * match the original's at ONE consistent (row_shift, col_shift).
+    * Each image tiles at ITS OWN width ([[decodePngRaster]] — a crawl
+    * has no fixed width; a width not divisible by [[BlockPx]] drops the
+    * partial trailing column, the grid-unit granularity every leg of
+    * this family documents). Blocks carry the 5-column temporal
+    * contract (md5 + [[frameFpBits]]) with the packed index
+    * `row · 2^20 + col`, so the clip stages, the gates and the stored
+    * [[graft.sources.VideoIndex]] family serve 2D crop detection
+    * unchanged — the temporal index's first 2-vector shift: a group of
+    * matches at one packed shift IS a group at one (row, col) offset.
+    * ALL-ZERO blocks are dropped at derivation: they are
+    * indistinguishable from raster zero-padding (the right half-row
+    * past a payload's end), appear across most of the corpus, and
+    * carry no copy signal — the padding analog of the stop-frame
+    * discipline, but structural, so it holds at any df dial. */
+  def imageBlocksFp(media: DataFrame,
+      decodeR: Array[Byte] => (Int, Array[Byte]) = decodePngRaster): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[MediaRow]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          val (w, d) = decodeR(r.content)
+          val rowBytes = w * 3
+          val cols = rowBytes / BlockBytes
+          val nRows = if (rowBytes == 0) 0 else d.length / rowBytes
+          for {
+            gy <- (0 until nRows).iterator
+            gx <- (0 until cols).iterator
+            from = gy * rowBytes + gx * BlockBytes
+            if (from until from + BlockBytes).exists(d(_) != 0)
+          } yield {
+            md.reset()
+            md.update(d, from, BlockBytes)
+            val fm = md.digest().map(x => f"$x%02x").mkString
+            val (lo, hi) = frameFpBits(d, from, from + BlockBytes, BlockBytes)
+            VideoFpRow(r.media_id, gy * ColStride + gx, fm, lo, hi)
+          }
+        }
+      }.toDF()
+  }
+
+  /** The 2D-CROP twin for [[imageBlocksFp]] — the regime the ROW grid
+    * provably misses (ImageCrop2dSpec pins the blindness): the RIGHT
+    * HALF (pixel columns 8–15, bytes [24, 48) of each row) of raster
+    * rows 1–4, re-encoded at its honest 8-px width (+6M ids). Every
+    * 48-byte row of the original is gone — the cropped raster's rows
+    * are 24-byte slices, so [[imageRowsFp]] fingerprints reflowed
+    * garbage — but each surviving 8×1 block matches the original's
+    * block (gy+1, 1) byte-for-byte: the block grid finds 4 matches at
+    * the one consistent packed shift (+1 row, +1 col) = 2^20 + 1.
+    * Interior payload only (≥ 6 full rows, same bound as
+    * [[imageCropTable]]); pure byte surgery, so DuckDB replays the
+    * twin as hex substrings. Id offsets are the FIXTURE-SCALE contract
+    * (see MultimodalQueries' twin-offset note). */
+  def imageCrop2dTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .where(length(encode(col("text"), "UTF-8")) >= 6 * RowBytes)
+      .select((col("doc_id") + lit(6000000L)).as("media_id"),
+        concat(
+          expr(s"substring(encode(text, 'UTF-8'), ${RowBytes + BlockBytes + 1}, $BlockBytes)"),
+          expr(s"substring(encode(text, 'UTF-8'), ${2 * RowBytes + BlockBytes + 1}, $BlockBytes)"),
+          expr(s"substring(encode(text, 'UTF-8'), ${3 * RowBytes + BlockBytes + 1}, $BlockBytes)"),
+          expr(s"substring(encode(text, 'UTF-8'), ${4 * RowBytes + BlockBytes + 1}, $BlockBytes)"))
+          .as("content")).as[MediaRow]
+      .mapPartitions(_.map(r =>
+        MediaRow(r.media_id, encodePngW(r.content, BlockPx))))
+      .toDF()
   }
 
   /** Video table: each payload as an OPAQUE byte stream — the contract

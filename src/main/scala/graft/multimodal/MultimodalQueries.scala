@@ -795,7 +795,52 @@ object MultimodalQueries {
                     + bit_count(xor(a.hi, b.hi)) <= 6)
               SELECT fid, cid, CAST(fa - fb AS BIGINT) AS shift,
                      CAST(count(*) AS BIGINT) AS matched_frames
-              FROM pm GROUP BY 1, 2, 3 HAVING count(*) >= 2"""))
+              FROM pm GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
+    // 2D (HORIZONTAL/general) crop detection — the regime the row grid
+    // documents as out of scope: a horizontal crop reflows every
+    // raster row, so imageRowsFp fingerprints garbage, but 8×1-px
+    // BLOCKS survive block-aligned crops byte-for-byte at ONE
+    // consistent (row, col) offset. The packed `row·2^20 + col` index
+    // makes that 2-vector a single subtraction, so
+    // clipPairsFromFrames — and the whole temporal-index family —
+    // serve it unchanged. Fixture: the right-half crop of rows 1–4
+    // (+6M ids, honest 8-px-wide PNG) found at packed shift 2^20 + 1
+    // (+1 row, +1 col), with 4 matched blocks; ImageCrop2dSpec pins
+    // the row grid's blindness to the same twin. All-zero blocks
+    // (indistinguishable from raster padding) are dropped on both
+    // sides — the structural analog of the stop discipline.
+    Q("q_image_crop2d_detect",
+      (s, d) => Multimodal.clipPairsFromFrames(
+        Multimodal.imageBlocksFp(
+          Multimodal.imageTable(s, d)
+            .unionByName(Multimodal.imageCrop2dTable(s, d))),
+        minFrames = 2),
+      Some(imageBlockCte(corpusOnlyStop = false) +
+        """SELECT a.media_id AS da, b.media_id AS db,
+                     CAST(a.seg - b.seg AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM skx a JOIN skx b
+                ON a.k = b.k AND a.media_id < b.media_id
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
+    // the 2D-crop CRAWL GATE: the crop twin arrives fresh against the
+    // corpus-only stored BLOCK index — VideoIndex.clipAgainst verbatim
+    // (fresh blocks broadcast, anti-joined on the _stop sidecar;
+    // stored side map-side on the self-verifying block digest; one
+    // match-bounded (fid, cid, packed shift) exchange).
+    Q("q_image_crop2d_against",
+      (s, d) => graft.sources.VideoIndex.clipAgainst(s,
+        graft.sources.VideoIndex.ensureBuiltImageBlocksCorpus(s, d),
+        Multimodal.imageBlocksFp(Multimodal.imageCrop2dTable(s, d)),
+        minFrames = 2),
+      Some(imageBlockCte(corpusOnlyStop = true) +
+        """SELECT b.media_id AS fid, a.media_id AS cid,
+                     CAST(a.seg - b.seg AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM skx a JOIN skx b ON a.k = b.k
+               AND a.media_id < 6000000 AND b.media_id >= 6000000
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2"""))
   )
 
   /** The frame-digest replay shared by the video pair oracles: corpus ∪
@@ -1556,6 +1601,78 @@ object MultimodalQueries {
     if (perceptual) base + fp else base
   }
 
+  /** The 2D BLOCK-grid replay (q_image_crop2d_*): every image tiles
+    * into 8×1-px blocks (24 bytes, contiguous per row) AT ITS OWN row
+    * pitch `rb` — the corpus decodes at the 16-px contract (rb = 48,
+    * two block columns), the crop twin at its honest 8-px width
+    * (rb = 24, one column). `seg` is the packed row·2^20 + col index
+    * the live imageBlocksFp emits, `k` the block's bytes as hex
+    * (byte equality ≡ the engine's md5 equality). All-zero blocks drop
+    * in `skz` (raster-padding indistinguishable — the live side's
+    * structural rule), then the stop-df discipline replays over the
+    * survivors.
+    *
+    * TWIN-OFFSET CONTRACT (r15 ADVICE): the +1M…+8M twin id offsets
+    * across this file, and the matching `media_id <threshold>`
+    * corpus/fresh splits in the gate oracles, assume the corpus id
+    * space stays below 1,000,000 — true of every registered fixture
+    * scale (sf0.001–sf0.1 ≲ 10⁵ docs; the ×10/×100/×1000 rehearsals
+    * replicate ids upward of +10M, clear of every twin band). A corpus
+    * crossing 1M docs must re-derive the offsets from max(doc_id); the
+    * fixtures fail LOUDLY there (twin ids collide with real docs and
+    * the oracles' splits misclassify rows → hash mismatch), never
+    * silently. */
+  private def imageBlockCte(corpusOnlyStop: Boolean): String = {
+    val scope = if (corpusOnlyStop) "WHERE media_id < 6000000" else ""
+    s"""WITH m AS (
+                SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n, 48 AS rb
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 6000000,
+                       substring(hex(encode(text)), 145, 48) ||
+                       substring(hex(encode(text)), 241, 48) ||
+                       substring(hex(encode(text)), 337, 48) ||
+                       substring(hex(encode(text)), 433, 48),
+                       96, 24
+                FROM documents
+                WHERE doc_id % 4 = 1 AND octet_length(encode(text)) >= 288),
+              pos AS (
+                SELECT media_id, h, n, rb,
+                       unnest(range(1, rb * greatest(1,
+                         CAST(ceil(n / (1.0 * rb)) AS BIGINT)) + 1)) AS i
+                FROM m),
+              sb AS (
+                SELECT media_id,
+                       ((i - 1) // rb) * 1048576
+                         + (((i - 1) % rb) // 24) AS seg,
+                       ((i - 1) % rb) % 24 AS j,
+                       CASE WHEN i > n THEN 0 ELSE
+                         16 * (strpos('0123456789ABCDEF',
+                                 substring(h, CAST(2*i-1 AS BIGINT), 1)) - 1)
+                           + (strpos('0123456789ABCDEF',
+                                 substring(h, CAST(2*i AS BIGINT), 1)) - 1)
+                       END AS byte
+                FROM pos),
+              sk AS (
+                SELECT media_id, seg,
+                       string_agg(
+                         substring('0123456789abcdef', byte // 16 + 1, 1)
+                         || substring('0123456789abcdef', byte % 16 + 1, 1),
+                         '' ORDER BY j) AS k
+                FROM sb GROUP BY 1, 2),
+              skz AS (
+                SELECT media_id, seg, k FROM sk
+                WHERE k <> repeat('00', 24)),
+              stop AS (
+                SELECT k FROM skz $scope
+                GROUP BY 1 HAVING count(DISTINCT media_id) > 10000),
+              skx AS (
+                SELECT media_id, seg, k FROM skz
+                WHERE NOT EXISTS (SELECT 1 FROM stop s WHERE s.k = skz.k))
+              """
+  }
+
   /** The live entries + the STORED fingerprint twins (r13 verdict #1):
     * same answers, served from [[graft.sources.MediaIndex]]'s persisted
     * (media_id, h_lo, h_hi) table — the decode+dHash pass (33.6 s of
@@ -1623,7 +1740,16 @@ object MultimodalQueries {
         s.table(
           s"${graft.sources.VideoIndex.ensureBuiltImageRows(s, d)}_vf"),
         minFrames = 2),
-      live.find(_.name == "q_image_crop_detect").get.oracle))
+      live.find(_.name == "q_image_crop_detect").get.oracle),
+    // 2D crop detection served from the persisted BLOCK index — the
+    // fourth grid on the same stored family (packed 2-vector shift);
+    // live oracle verbatim.
+    Q("q_image_crop2d_detect_stored",
+      (s, d) => Multimodal.clipPairsFromFrames(
+        s.table(
+          s"${graft.sources.VideoIndex.ensureBuiltImageBlocks(s, d)}_vf"),
+        minFrames = 2),
+      live.find(_.name == "q_image_crop2d_detect").get.oracle))
 
   /** The PNG decode-features replay (hex-derived byte math over the
     * encoded payload + zero padding to the raster size); `extraCols`

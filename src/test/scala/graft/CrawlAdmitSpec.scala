@@ -156,7 +156,9 @@ class CrawlAdmitSpec extends AnyFunSuite {
 
   test("the all-dials bench entry runs the six-gate composition over " +
       "the registered fixture batch") {
-    val flags = Bench.benchOnly("b_crawl_admit_dials")(spark, sf0001)
+    val entry = Bench.benchOnly("b_crawl_admit_dials")
+    entry.setup.foreach(_(spark, sf0001)) // untimed fixture builds (r16)
+    val flags = entry.run(spark, sf0001)
       .localCheckpoint()
     val n = flags.count()
     assert(n > 0)

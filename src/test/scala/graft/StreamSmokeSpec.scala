@@ -353,6 +353,57 @@ class StreamSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("admission-loop sidecar cache: one parquet read per sidecar " +
+      "CHANGE, not per batch (r15 what's-missing #5)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
+    val tB = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    val corpus = Seq((1L, tA)).toDF("doc_id", "text")
+    graft.sources.DedupIndex.build(spark, corpus, "text", "doc_id",
+      "graft_sc_text")
+    graft.sources.MediaIndex.build(spark,
+      graft.multimodal.Multimodal.imageDHash(
+        graft.multimodal.Multimodal.imageTableOf(corpus)), "graft_sc_img")
+    graft.sources.MediaIndex.build(spark,
+      graft.multimodal.Multimodal.audioDHash(
+        graft.multimodal.Multimodal.audioTableOf(corpus)), "graft_sc_aud")
+    graft.sources.VideoIndex.build(spark,
+      graft.multimodal.Multimodal.videoFramesFp(
+        graft.multimodal.Multimodal.videoTableOf(corpus)), "graft_sc_vid")
+    val cache = new graft.sources.VideoIndex.StopCache(spark)
+    def admit(rows: Seq[(Long, String)]) =
+      graft.multimodal.CrawlAdmit.admitBatch(spark,
+        rows.toDF("doc_id", "text"), "graft_sc_text", "graft_sc_img",
+        "graft_sc_aud", "graft_sc_vid", stopCache = Some(cache))
+    // batch 1: a verbatim twin — every modality refuses, the video
+    // append is EMPTY, so the sidecars never change and the cache
+    // entry must survive
+    admit(Seq((960001L, tA)))
+    assert(cache.reads == 1, s"first gate reads the sidecar once")
+    // batch 2: another all-duplicate batch — the cached sidecar serves
+    // the gate with ZERO new parquet reads
+    admit(Seq((960002L, tA)))
+    assert(cache.reads == 1,
+      "an all-duplicate batch must not re-read an unchanged sidecar")
+    // batch 3: a fresh doc lands → append rewrites the sidecars →
+    // admitBatch invalidates; the NEXT gate re-reads exactly once
+    admit(Seq((960003L, tB)))
+    assert(cache.reads == 1, "invalidation happens after the gate ran")
+    admit(Seq((960004L, tA)))
+    assert(cache.reads == 2,
+      "one re-read after the one append that landed rows")
+    // end-to-end exactness under the cache: refusals/admissions as the
+    // uncached gates decide them
+    val vids = spark.table("graft_sc_vid_vf").select(col("media_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(vids.contains(960003L) && !vids.contains(960001L) &&
+      !vids.contains(960002L) && !vids.contains(960004L))
+  }
+
   test("stream video perceptual gate: a transcoded copy is refused across batches; the byte-exact gate is blind to it") {
     val s = spark
     import s.implicits._
