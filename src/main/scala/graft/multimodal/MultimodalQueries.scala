@@ -797,6 +797,54 @@ object MultimodalQueries {
                      CAST(count(*) AS BIGINT) AS matched_frames
               FROM pm GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
 
+    // REAL-CODEC keyframe dedup — the ingest regime the synthetic
+    // 32-byte-frame container can't express: videos arrive as
+    // containers of ACTUAL image keyframes (javax.imageio PNG/BMP),
+    // the ingest parses the container, decodes every 2nd keyframe and
+    // fingerprints the DECODED raster — so a cross-codec re-wrap
+    // (identical keyframes re-encoded PNG → BMP: every container byte
+    // differs) is caught as the verbatim dup it is. The pair stage is
+    // videoPairsFromFrames over the decoded-keyframe digests —
+    // unchanged machinery, new ingest seam. Oracle: the decoded
+    // keyframe IS its 96-byte payload slice (exact 2-row rasters, both
+    // codecs lossless), so the replay joins hex slices — no codec in
+    // DuckDB, which is exactly the point of fingerprinting decoded
+    // bytes.
+    Q("q_video_keyframe_dedup",
+      (s, d) => Multimodal.videoPairsFromFrames(
+        Multimodal.videoKeyframesFp(
+          Multimodal.videoKeyframeTable(s, d)
+            .unionByName(Multimodal.videoKeyframeTwinTable(s, d))),
+        minFrames = 2),
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 9000000, hex(encode(text)),
+                       octet_length(encode(text))
+                FROM documents
+                WHERE doc_id % 4 = 1 AND octet_length(encode(text)) >= 288),
+              kf AS (
+                SELECT media_id, h, unnest(range(0, n // 96)) AS seg
+                FROM m),
+              sk AS (
+                SELECT media_id, seg,
+                       substring(h, CAST(seg * 192 + 1 AS BIGINT), 192) AS k
+                FROM kf WHERE seg % 2 = 0),
+              stop AS (
+                SELECT k FROM sk
+                GROUP BY 1 HAVING count(DISTINCT media_id) > 10000),
+              skx AS (
+                SELECT media_id, seg, k FROM sk
+                WHERE NOT EXISTS (SELECT 1 FROM stop s WHERE s.k = sk.k))
+              SELECT a.media_id AS da, b.media_id AS db,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM skx a JOIN skx b
+                ON a.seg = b.seg AND a.k = b.k
+               AND a.media_id < b.media_id
+              GROUP BY 1, 2 HAVING count(*) >= 2""")),
+
     // 2D (HORIZONTAL/general) crop detection — the regime the row grid
     // documents as out of scope: a horizontal crop reflows every
     // raster row, so imageRowsFp fingerprints garbage, but 8×1-px
@@ -1749,7 +1797,15 @@ object MultimodalQueries {
         s.table(
           s"${graft.sources.VideoIndex.ensureBuiltImageBlocks(s, d)}_vf"),
         minFrames = 2),
-      live.find(_.name == "q_image_crop2d_detect").get.oracle))
+      live.find(_.name == "q_image_crop2d_detect").get.oracle),
+    // keyframe dedup served from the persisted decoded-keyframe
+    // digests: the container parse + imageio decode ran ONCE at build;
+    // the serve never opens a container. Live oracle verbatim.
+    Q("q_video_keyframe_dedup_stored",
+      (s, d) => graft.sources.VideoIndex.pairs(s,
+        graft.sources.VideoIndex.ensureBuiltVideoKeyframes(s, d),
+        minFrames = 2),
+      live.find(_.name == "q_video_keyframe_dedup").get.oracle))
 
   /** The PNG decode-features replay (hex-derived byte math over the
     * encoded payload + zero padding to the raster size); `extraCols`

@@ -635,6 +635,22 @@ object VideoIndex {
     })
   }
 
+  /** REAL-CODEC keyframe corpus ∪ the cross-codec (BMP re-wrap) twin —
+    * decoded-keyframe digests through [[Multimodal.videoKeyframesFp]]:
+    * the container parse + `javax.imageio` decode run once here; every
+    * serve path reads 5-column rows. Matches q_video_keyframe_dedup's
+    * live input. */
+  def ensureBuiltVideoKeyframes(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "video_kf"), {
+      val name = s"graft_media_vkf_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark, Multimodal.videoKeyframesFp(
+        Multimodal.videoKeyframeTable(spark, sfDir).unionByName(
+          Multimodal.videoKeyframeTwinTable(spark, sfDir))), name)
+      name
+    })
+  }
+
   /** Image corpus only, as blocks — the stored side of the 2D-crop
     * crawl gate. */
   def ensureBuiltImageBlocksCorpus(spark: SparkSession, sfDir: String): String = {

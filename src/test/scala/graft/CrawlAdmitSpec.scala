@@ -154,6 +154,60 @@ class CrawlAdmitSpec extends AnyFunSuite {
       "the dial must not change the novel item's image admission")
   }
 
+  test("imageCrop2dIdx dial: a sidebar-added edit (left half-rows kept, " +
+      "right half replaced) slips the whole-image AND row gates and " +
+      "refuses through the 2D block gate at one consistent shift") {
+    val s = spark
+    import s.implicits._
+    def varied(n: Int, salt: Int): String =
+      (0 until n).map(i =>
+        (33 + (i * (37 + 2 * salt) + (i * i) % (19 + salt)) % 90).toChar)
+        .mkString
+    val tC = varied(320, 5)
+    val corpus = Seq((1L, tC)).toDF("doc_id", "text")
+    DedupIndex.build(spark, corpus, "text", "doc_id", "graft_c2d_text")
+    MediaIndex.build(spark,
+      Multimodal.imageDHash(Multimodal.imageTableOf(corpus)),
+      "graft_c2d_img")
+    MediaIndex.build(spark,
+      Multimodal.audioDHash(Multimodal.audioTableOf(corpus)),
+      "graft_c2d_aud")
+    VideoIndex.build(spark,
+      Multimodal.videoFramesFp(Multimodal.videoTableOf(corpus)),
+      "graft_c2d_vid")
+    VideoIndex.build(spark,
+      Multimodal.imageRowsFp(Multimodal.imageTableOf(corpus)),
+      "graft_c2d_imrw")
+    VideoIndex.build(spark,
+      Multimodal.imageBlocksFp(Multimodal.imageTableOf(corpus)),
+      "graft_c2d_imbl")
+    // item 40: each of tC's first 6 raster rows keeps its LEFT 8-px
+    // half; the right half is new content — the sidebar/watermark-band
+    // repost. Every 48-byte row differs (row grid blind), the whole
+    // raster differs (dHash blind), but six left blocks match stored
+    // blocks (gy, 0) at the consistent packed shift 0.
+    val sidebar = (0 until 6).map(ri =>
+      tC.substring(48 * ri, 48 * ri + 24) + varied(24, 60 + ri)).mkString
+    val batch = Seq((40L, sidebar), (41L, varied(320, 17)))
+      .toDF("doc_id", "text")
+    def imageFlag(rows: Option[String], blocks: Option[String]): Map[Long, Long] =
+      CrawlAdmit.admitFlags(spark, batch, "graft_c2d_text",
+        "graft_c2d_img", "graft_c2d_aud", "graft_c2d_vid",
+        imageCropIdx = rows, imageCrop2dIdx = blocks)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val off = imageFlag(None, None)
+    assert(off(40L) == 1L && off(41L) == 1L,
+      "the whole-image fingerprint must be blind to the sidebar edit")
+    val rowsOnly = imageFlag(Some("graft_c2d_imrw"), None)
+    assert(rowsOnly(40L) == 1L,
+      "every 48-byte row changed — the ROW gate must also be blind")
+    val on = imageFlag(Some("graft_c2d_imrw"), Some("graft_c2d_imbl"))
+    assert(on(40L) == 0L,
+      "the 2D block gate must refuse the sidebar edit of stored material")
+    assert(on(41L) == 1L,
+      "the dial must not change the novel item's image admission")
+  }
+
   test("the all-dials bench entry runs the six-gate composition over " +
       "the registered fixture batch") {
     val entry = Bench.benchOnly("b_crawl_admit_dials")

@@ -461,4 +461,33 @@ class MultimodalSpec extends AnyFunSuite {
     noTwin(Multimodal.videoPerceptualPairs(media).collect()
       .map(r => (r.getLong(0), r.getLong(1))))
   }
+
+  test("cross-codec keyframes: PNG and BMP containers differ in every " +
+      "byte region yet decode to identical fingerprints, so the " +
+      "re-wrapped video pairs as verbatim") {
+    val s = spark
+    import s.implicits._
+    // 3 full keyframes (+ a fingerprint-less tail): sampled kfs 0 and 2
+    val payload = Array.tabulate(300)(i => (32 + (i * 31 + 7) % 95).toByte)
+    val png = Multimodal.keyframeContainer(payload, "png")
+    val bmp = Multimodal.keyframeContainer(payload, "bmp")
+    assert(!java.util.Arrays.equals(png, bmp),
+      "the two containers must differ at the byte level")
+    val m = Seq(Multimodal.MediaRow(1L, png), Multimodal.MediaRow(2L, bmp))
+      .toDF()
+    val fps = Multimodal.videoKeyframesFp(m).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val byId = fps.groupBy(_._1)
+    assert(byId(1L).map(t => (t._2, t._3, t._4, t._5)).toSet ==
+      byId(2L).map(t => (t._2, t._3, t._4, t._5)).toSet,
+      "decoded-keyframe fingerprints must be codec-independent")
+    assert(byId(1L).map(_._2).toSet == Set(0L, 2L),
+      "every 2nd keyframe sampled; the 12-byte tail carries none")
+    val pairs = Multimodal.videoPairsFromFrames(
+      Multimodal.videoKeyframesFp(m), minFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSet == Set((1L, 2L, 2L)),
+      "the cross-codec re-wrap is a verbatim dup on all sampled keyframes")
+  }
 }
