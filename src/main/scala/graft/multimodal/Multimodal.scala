@@ -699,18 +699,57 @@ object Multimodal {
     * (see MultimodalQueries' twin-offset note). */
   def imageCrop2dTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    val slice = Tables.documents(spark, sfDir)
       .where(pmod(col("doc_id"), lit(4L)) === 1L)
       .where(length(encode(col("text"), "UTF-8")) >= 6 * RowBytes)
-      .select((col("doc_id") + lit(6000000L)).as("media_id"),
+      .select(col("doc_id"),
         concat(
           expr(s"substring(encode(text, 'UTF-8'), ${RowBytes + BlockBytes + 1}, $BlockBytes)"),
           expr(s"substring(encode(text, 'UTF-8'), ${2 * RowBytes + BlockBytes + 1}, $BlockBytes)"),
           expr(s"substring(encode(text, 'UTF-8'), ${3 * RowBytes + BlockBytes + 1}, $BlockBytes)"),
           expr(s"substring(encode(text, 'UTF-8'), ${4 * RowBytes + BlockBytes + 1}, $BlockBytes)"))
-          .as("content")).as[MediaRow]
+          .as("content"))
+    val exact = slice
+      .select((col("doc_id") + lit(6000000L)).as("media_id"),
+        col("content")).as[MediaRow]
       .mapPartitions(_.map(r =>
         MediaRow(r.media_id, encodePngW(r.content, BlockPx))))
+      .toDF()
+    // the BRIGHTNESS-shifted 2D crop (+7M): every block md5 differs
+    // (the exact leg is blind), the gradient fingerprint is exactly
+    // +1-invariant (comparisons and the integer block mean shift
+    // together) — only the PERCEPTUAL leg catches it, at distance 0
+    val bright = slice
+      .select((col("doc_id") + lit(7000000L)).as("media_id"),
+        col("content")).as[MediaRow]
+      .mapPartitions(_.map(r => MediaRow(r.media_id,
+        encodePngW(r.content.map(b => ((b & 0xff) + 1).toByte), BlockPx))))
+      .toDF()
+    exact.unionByName(bright)
+  }
+
+  /** The RE-CUT keyframe twin (+9500000 ids, interleaved with the
+    * cross-codec twin's +9M band — both ride the keyframe fixture
+    * namespace): the doc_id % 4 = 1 slice's container starting TWO
+    * keyframes in (one sampled stride at every = 2 — a one-keyframe
+    * cut would shift sampled positions onto never-sampled ones, the
+    * grid-unit granularity every clip leg documents). The aligned
+    * keyframe dedup refuses it; [[clipPairsFromFrames]] over the
+    * decoded-keyframe digests finds it at the consistent shift +2.
+    * Docs with ≥ 3 full keyframes REMAINING after the cut (n ≥ 5·96)
+    * so ≥ 2 sampled keyframes overlap. */
+  def videoKeyframeClipTwinTable(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .where(length(col("content")) >= 5 * KfBytes)
+      .select((col("doc_id") + lit(9500000L)).as("media_id"),
+        expr(s"substring(content, ${2 * KfBytes + 1})").as("content"))
+      .as[MediaRow]
+      .mapPartitions(_.map(r =>
+        MediaRow(r.media_id, keyframeContainer(r.content, "png"))))
       .toDF()
   }
 
@@ -1360,8 +1399,11 @@ object Multimodal {
   def videoKeyframeTable(spark: SparkSession, sfDir: String): DataFrame =
     videoKeyframeTableOf(Tables.documents(spark, sfDir), "png")
 
-  private def videoKeyframeTableOf(docs: DataFrame,
-      format: String): DataFrame = {
+  /** [[videoKeyframeTable]] over an arbitrary documents frame — the
+    * seam the streaming keyframe ingest encodes a micro-batch through
+    * (the [[imageTableOf]] discipline; `format` picks the codec). */
+  def videoKeyframeTableOf(docs: DataFrame,
+      format: String = "png"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").as("media_id"),

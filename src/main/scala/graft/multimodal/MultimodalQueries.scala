@@ -888,6 +888,108 @@ object MultimodalQueries {
                      CAST(count(*) AS BIGINT) AS matched_frames
               FROM skx a JOIN skx b ON a.k = b.k
                AND a.media_id < 6000000 AND b.media_id >= 6000000
+              GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
+    // BRIGHTNESS-TOLERANT 2D crop detection — the perceptual leg of
+    // the block grid: the +1-brightness crop's every block md5 differs
+    // (exact leg blind) but the per-block gradient fingerprint is
+    // exactly +1-invariant, so the position-free band join + inline
+    // Hamming verify + packed-shift grouping catches it at distance 0
+    // at the same (row, col) offset as the exact crop.
+    Q("q_image_crop2d_perceptual",
+      (s, d) => Multimodal.clipPerceptualFromFrames(
+        Multimodal.imageBlocksFp(
+          Multimodal.imageTable(s, d)
+            .unionByName(Multimodal.imageCrop2dTable(s, d))),
+        maxDist = 6, minFrames = 2),
+      Some(imageBlockCte(corpusOnlyStop = false, perceptual = true) +
+        """cand AS (
+                SELECT DISTINCT a.media_id AS da, b.media_id AS db,
+                       a.seg AS fa, b.seg AS fb
+                FROM bandx a JOIN bandx b
+                  ON a.bi = b.bi AND a.bv = b.bv
+                 AND a.media_id < b.media_id
+                WHERE NOT EXISTS (SELECT 1 FROM bstop s
+                                  WHERE s.bi = a.bi AND s.bv = a.bv)),
+              pm AS (
+                SELECT c.da, c.db, c.fa, c.fb
+                FROM cand c
+                JOIN afp a ON a.media_id = c.da AND a.seg = c.fa
+                JOIN afp b ON b.media_id = c.db AND b.seg = c.fb
+                WHERE bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) <= 6)
+              SELECT da, db, CAST(fa - fb AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM pm GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
+    // the perceptual 2D-crop GATE — both crop regimes arrive fresh and
+    // BOTH are caught (exact at distance 0, brightness at distance 0
+    // through the invariant fingerprint): clipPerceptualAgainst on the
+    // corpus-only block index.
+    Q("q_image_crop2d_perceptual_against",
+      (s, d) => graft.sources.VideoIndex.clipPerceptualAgainst(s,
+        graft.sources.VideoIndex.ensureBuiltImageBlocksCorpus(s, d),
+        Multimodal.imageBlocksFp(Multimodal.imageCrop2dTable(s, d)),
+        maxDist = 6, minFrames = 2),
+      Some(imageBlockCte(corpusOnlyStop = true, perceptual = true) +
+        """cand AS (
+                SELECT DISTINCT b.media_id AS fid, a.media_id AS cid,
+                       a.seg AS fa, b.seg AS fb
+                FROM bandx a JOIN bandx b
+                  ON a.bi = b.bi AND a.bv = b.bv
+                 AND a.media_id < 6000000 AND b.media_id >= 6000000
+                WHERE NOT EXISTS (SELECT 1 FROM bstop s
+                                  WHERE s.bi = a.bi AND s.bv = a.bv)),
+              pm AS (
+                SELECT c.fid, c.cid, c.fa, c.fb
+                FROM cand c
+                JOIN afp a ON a.media_id = c.cid AND a.seg = c.fa
+                JOIN afp b ON b.media_id = c.fid AND b.seg = c.fb
+                WHERE bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) <= 6)
+              SELECT fid, cid, CAST(fa - fb AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM pm GROUP BY 1, 2, 3 HAVING count(*) >= 2""")),
+
+    // RE-CUT keyframe videos — shift-tolerant clip detection over the
+    // DECODED-keyframe digests: a container starting two keyframes in
+    // (one sampled stride) is refused by the aligned keyframe dedup
+    // and found here at the consistent shift +2 — the video clip
+    // machinery riding the real-codec ingest unchanged.
+    Q("q_video_keyframe_clip",
+      (s, d) => Multimodal.clipPairsFromFrames(
+        Multimodal.videoKeyframesFp(
+          Multimodal.videoKeyframeTable(s, d)
+            .unionByName(Multimodal.videoKeyframeClipTwinTable(s, d))),
+        minFrames = 2),
+      Some("""WITH m AS (
+                SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n, 0 AS off
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 9500000, hex(encode(text)),
+                       octet_length(encode(text)) - 192, 384
+                FROM documents
+                WHERE doc_id % 4 = 1 AND octet_length(encode(text)) >= 480),
+              kf AS (
+                SELECT media_id, h, off, unnest(range(0, n // 96)) AS seg
+                FROM m),
+              sk AS (
+                SELECT media_id, seg,
+                       substring(h, CAST(off + seg * 192 + 1 AS BIGINT),
+                         192) AS k
+                FROM kf WHERE seg % 2 = 0),
+              stop AS (
+                SELECT k FROM sk
+                GROUP BY 1 HAVING count(DISTINCT media_id) > 10000),
+              skx AS (
+                SELECT media_id, seg, k FROM sk
+                WHERE NOT EXISTS (SELECT 1 FROM stop s WHERE s.k = sk.k))
+              SELECT a.media_id AS da, b.media_id AS db,
+                     CAST(a.seg - b.seg AS BIGINT) AS shift,
+                     CAST(count(*) AS BIGINT) AS matched_frames
+              FROM skx a JOIN skx b
+                ON a.k = b.k AND a.media_id < b.media_id
               GROUP BY 1, 2, 3 HAVING count(*) >= 2"""))
   )
 
@@ -1670,23 +1772,28 @@ object MultimodalQueries {
     * fixtures fail LOUDLY there (twin ids collide with real docs and
     * the oracles' splits misclassify rows → hash mismatch), never
     * silently. */
-  private def imageBlockCte(corpusOnlyStop: Boolean): String = {
+  private def imageBlockCte(corpusOnlyStop: Boolean,
+      perceptual: Boolean = false): String = {
     val scope = if (corpusOnlyStop) "WHERE media_id < 6000000" else ""
-    s"""WITH m AS (
-                SELECT doc_id AS media_id, hex(encode(text)) AS h,
+    val crop = """substring(hex(encode(text)), 145, 48) ||
+                       substring(hex(encode(text)), 241, 48) ||
+                       substring(hex(encode(text)), 337, 48) ||
+                       substring(hex(encode(text)), 433, 48)"""
+    val base = s"""WITH m AS (
+                SELECT doc_id AS media_id, 0 AS bright,
+                       hex(encode(text)) AS h,
                        octet_length(encode(text)) AS n, 48 AS rb
                 FROM documents
                 UNION ALL
-                SELECT doc_id + 6000000,
-                       substring(hex(encode(text)), 145, 48) ||
-                       substring(hex(encode(text)), 241, 48) ||
-                       substring(hex(encode(text)), 337, 48) ||
-                       substring(hex(encode(text)), 433, 48),
-                       96, 24
+                SELECT doc_id + 6000000, 0, $crop, 96, 24
+                FROM documents
+                WHERE doc_id % 4 = 1 AND octet_length(encode(text)) >= 288
+                UNION ALL
+                SELECT doc_id + 7000000, 1, $crop, 96, 24
                 FROM documents
                 WHERE doc_id % 4 = 1 AND octet_length(encode(text)) >= 288),
               pos AS (
-                SELECT media_id, h, n, rb,
+                SELECT media_id, bright, h, n, rb,
                        unnest(range(1, rb * greatest(1,
                          CAST(ceil(n / (1.0 * rb)) AS BIGINT)) + 1)) AS i
                 FROM m),
@@ -1700,6 +1807,7 @@ object MultimodalQueries {
                                  substring(h, CAST(2*i-1 AS BIGINT), 1)) - 1)
                            + (strpos('0123456789ABCDEF',
                                  substring(h, CAST(2*i AS BIGINT), 1)) - 1)
+                           + bright
                        END AS byte
                 FROM pos),
               sk AS (
@@ -1719,6 +1827,55 @@ object MultimodalQueries {
                 SELECT media_id, seg, k FROM skz
                 WHERE NOT EXISTS (SELECT 1 FROM stop s WHERE s.k = skz.k))
               """
+    // the per-block gradient fingerprint at fb = 24: bit k of the low
+    // half compares bytes (k+1) mod 24 vs k mod 24 (the frameFpBits
+    // wraparound — blocks are shorter than the 32-bit halves, unlike
+    // the 48-byte rows), bit k of the high half compares byte k mod 24
+    // against the block's integer mean; zero (padding) blocks excluded
+    // exactly as the exact leg excludes them
+    val fp = s""", mn AS (
+                SELECT sb.media_id, sb.seg, sum(sb.byte) // 24 AS mean
+                FROM sb JOIN skz z
+                  ON z.media_id = sb.media_id AND z.seg = sb.seg
+                GROUP BY 1, 2),
+              fpk AS (SELECT unnest(range(0, 32)) AS k),
+              glo AS (
+                SELECT b1.media_id, b1.seg,
+                       CAST(sum(CASE WHEN b2.byte > b1.byte
+                         THEN (CAST(1 AS BIGINT) << CAST(f.k AS INT))
+                         ELSE 0 END) AS BIGINT) AS lo
+                FROM fpk f
+                JOIN sb b1 ON b1.j = f.k % 24
+                JOIN sb b2 ON b2.media_id = b1.media_id
+                          AND b2.seg = b1.seg AND b2.j = (f.k + 1) % 24
+                JOIN skz z ON z.media_id = b1.media_id AND z.seg = b1.seg
+                GROUP BY 1, 2),
+              ghi AS (
+                SELECT b1.media_id, b1.seg,
+                       CAST(sum(CASE WHEN b1.byte > mn.mean
+                         THEN (CAST(1 AS BIGINT) << CAST(f.k AS INT))
+                         ELSE 0 END) AS BIGINT) AS hi
+                FROM fpk f
+                JOIN sb b1 ON b1.j = f.k % 24
+                JOIN mn ON mn.media_id = b1.media_id AND mn.seg = b1.seg
+                GROUP BY 1, 2),
+              afp AS (
+                SELECT glo.media_id, glo.seg, glo.lo, ghi.hi
+                FROM glo JOIN ghi
+                  ON glo.media_id = ghi.media_id AND glo.seg = ghi.seg),
+              bandx AS (
+                SELECT media_id, seg, 0 AS bi, lo % 65536 AS bv FROM afp
+                UNION ALL
+                SELECT media_id, seg, 1, lo // 65536 FROM afp
+                UNION ALL
+                SELECT media_id, seg, 2, hi % 65536 FROM afp
+                UNION ALL
+                SELECT media_id, seg, 3, hi // 65536 FROM afp),
+              bstop AS (
+                SELECT bi, bv FROM bandx $scope
+                GROUP BY 1, 2 HAVING count(DISTINCT media_id) > 10000),
+              """
+    if (perceptual) base + fp else base
   }
 
   /** The live entries + the STORED fingerprint twins (r13 verdict #1):

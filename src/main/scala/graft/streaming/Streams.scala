@@ -657,6 +657,47 @@ object Streams {
       .foreach(spark.catalog.refreshTable)
   }
 
+  /** [[streamVideoDedupIngest]] for REAL-CODEC keyframe containers —
+    * each micro-batch encodes its payloads as keyframe containers,
+    * parses + `javax.imageio`-decodes them ONCE
+    * ([[graft.multimodal.Multimodal.videoKeyframesFp]] — the decode is
+    * the batch's one-time ingest cost), gates the decoded-keyframe
+    * digests against the STORED index (containers are never re-opened
+    * corpus-side) and appends only the admitted rows. A cross-codec
+    * re-wrap of material admitted in an earlier batch refuses here —
+    * the decoded-bytes invariant at stream time. */
+  def streamVideoKeyframeIngest(spark: SparkSession, sfDir: String,
+      indexName: String, pred: Column, minFrames: Int = 2,
+      checkpoint: Option[String] = None): Unit = {
+    val s = tuned(spark)
+    val fresh = documentsStream(s, sfDir).where(pred)
+    val q = fresh.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val bs = batch.sparkSession
+        Seq(s"${indexName}_vf", s"${indexName}_dfs", s"${indexName}_stop",
+          s"${indexName}_bdfs", s"${indexName}_bstop")
+          .filter(bs.catalog.tableExists)
+          .foreach(bs.catalog.refreshTable)
+        val frames = graft.multimodal.Multimodal.videoKeyframesFp(
+          graft.multimodal.Multimodal.videoKeyframeTableOf(batch))
+        val admitted = graft.sources.VideoIndex.dedupAgainst(
+          bs, indexName, frames, minFrames).localCheckpoint()
+        graft.sources.VideoIndex.append(bs, indexName, admitted)
+        ()
+      }
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_videokf_ckpt")
+          .toString))
+      .start()
+    q.awaitTermination()
+    Seq(s"${indexName}_vf", s"${indexName}_dfs", s"${indexName}_stop",
+      s"${indexName}_bdfs", s"${indexName}_bstop")
+      .filter(spark.catalog.tableExists)
+      .foreach(spark.catalog.refreshTable)
+  }
+
   /** [[streamVideoDedupIngest]]'s PERCEPTUAL twin — the ingest loop
     * that refuses TRANSCODED copies of stored material, not just
     * byte-identical ones: each micro-batch derives the 5-column frame

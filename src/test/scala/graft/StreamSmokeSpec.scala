@@ -404,6 +404,50 @@ class StreamSmokeSpec extends AnyFunSuite {
       !vids.contains(960002L) && !vids.contains(960004L))
   }
 
+  test("stream keyframe ingest: a re-fetch refuses against a prior " +
+      "batch's DECODED-keyframe digests; containers are never re-opened " +
+      "corpus-side") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_videokf_src").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append")
+        .parquet(s"$dir/documents.parquet")
+    // ≥ 5 full 96-byte keyframes (480 bytes) so ≥ 2 SAMPLED keyframes
+    // (0, 2, 4) align — a 2-keyframe payload has only one sampled
+    // keyframe and can never clear minFrames = 2
+    val tA = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi " * 4)
+      .take(480)
+    val tB = ("zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii " +
+      "0123456789 9876543210 abcdefghij jihgfedcba klmnopqrst " * 4)
+      .take(480)
+    write(Seq((970001L, tA)))
+    Thread.sleep(1100)
+    write(Seq((970002L, tA), (970003L, tB)))
+    val corpus = Seq((1L,
+      ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " +
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua " * 4)
+        .take(480))).toDF("doc_id", "text")
+    graft.sources.VideoIndex.build(spark,
+      graft.multimodal.Multimodal.videoKeyframesFp(
+        graft.multimodal.Multimodal.videoKeyframeTableOf(corpus)),
+      "graft_vkf_gate")
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    try graft.streaming.Streams.streamVideoKeyframeIngest(spark, dir,
+      "graft_vkf_gate", lit(true))
+    finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    val ids = spark.table("graft_vkf_gate_vf")
+      .select(col("media_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(970001L), "batch-1 video must be admitted")
+    assert(ids.contains(970003L), "batch-2 fresh video must be admitted")
+    assert(!ids.contains(970002L),
+      s"the re-fetch must be refused against batch 1's decoded digests: $ids")
+  }
+
   test("stream video perceptual gate: a transcoded copy is refused across batches; the byte-exact gate is blind to it") {
     val s = spark
     import s.implicits._
