@@ -341,7 +341,8 @@ object Bench {
       "image_rows_corpus" -> (() => graft.sources.VideoIndex.ensureBuiltImageRowsCorpus(s, d)),
       "image_blocks" -> (() => graft.sources.VideoIndex.ensureBuiltImageBlocks(s, d)),
       "image_blocks_corpus" -> (() => graft.sources.VideoIndex.ensureBuiltImageBlocksCorpus(s, d)),
-      "video_kf" -> (() => graft.sources.VideoIndex.ensureBuiltVideoKeyframes(s, d)))
+      "video_kf" -> (() => graft.sources.VideoIndex.ensureBuiltVideoKeyframes(s, d)),
+      "video_kf_clip" -> (() => graft.sources.VideoIndex.ensureBuiltVideoKeyframesClip(s, d)))
     fixtures.foreach { case (name, build) =>
       val t0 = System.nanoTime()
       try {

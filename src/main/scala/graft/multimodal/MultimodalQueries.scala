@@ -1962,7 +1962,17 @@ object MultimodalQueries {
       (s, d) => graft.sources.VideoIndex.pairs(s,
         graft.sources.VideoIndex.ensureBuiltVideoKeyframes(s, d),
         minFrames = 2),
-      live.find(_.name == "q_video_keyframe_dedup").get.oracle))
+      live.find(_.name == "q_video_keyframe_dedup").get.oracle),
+    // keyframe CLIP detection served from the persisted decoded-
+    // keyframe digests (corpus ∪ re-cut twin) — the container parse +
+    // decode the live row re-pays per run happens once at build; live
+    // oracle verbatim.
+    Q("q_video_keyframe_clip_stored",
+      (s, d) => Multimodal.clipPairsFromFrames(
+        s.table(
+          s"${graft.sources.VideoIndex.ensureBuiltVideoKeyframesClip(s, d)}_vf"),
+        minFrames = 2),
+      live.find(_.name == "q_video_keyframe_clip").get.oracle))
 
   /** The PNG decode-features replay (hex-derived byte math over the
     * encoded payload + zero padding to the raster size); `extraCols`

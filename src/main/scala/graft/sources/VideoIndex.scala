@@ -651,6 +651,21 @@ object VideoIndex {
     })
   }
 
+  /** Keyframe corpus ∪ the RE-CUT twin — matching
+    * q_video_keyframe_clip's live input, so the shift-tolerant clip
+    * stage serves from stored decoded-keyframe digests with the
+    * container parse + decode paid once. */
+  def ensureBuiltVideoKeyframesClip(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "video_kf_clip"), {
+      val name = s"graft_media_vkfc_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark, Multimodal.videoKeyframesFp(
+        Multimodal.videoKeyframeTable(spark, sfDir).unionByName(
+          Multimodal.videoKeyframeClipTwinTable(spark, sfDir))), name)
+      name
+    })
+  }
+
   /** Image corpus only, as blocks — the stored side of the 2D-crop
     * crawl gate. */
   def ensureBuiltImageBlocksCorpus(spark: SparkSession, sfDir: String): String = {
