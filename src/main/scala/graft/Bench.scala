@@ -23,12 +23,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     maintenance call (r15 verdict "What's wrong #2": b_maintain_all's
   *     timed run rebuilt an IVF index + decoded the video corpus before
   *     the `maintainAll` it exists to time).
-  *  3. '''Tiered sampling''': b_* windows run once total; entries whose
-  *     running min exceeds ~2 s run once per pass; cheap entries keep
-  *     min-of-2 in pass 1 plus one confirming run per later pass.
-  *     Passes default 2 (env SPARK_GRAFT_BENCH_PASSES).
-  *  4. '''Budget guard''' (never silent): cumulative SAMPLE wall is
-  *     tracked against SPARK_GRAFT_BENCH_BUDGET_SEC (default 700).
+  *  3. '''Confirm runs go to the expensive tail FIRST''' (r16 verdict
+  *     finding #1: 197/256 driver-capture entries were single COLD
+  *     samples and the top rows carried up to 28× measurement error —
+  *     q_image_crop_perceptual recorded 237.7 s vs its 8.4 s warm
+  *     floor — because pass-2 budget was spent FIFO on cheap entries).
+  *     Pass 1 is mandatory-first-runs only; every later pass re-sorts
+  *     the entries by DESCENDING current min, so the rows where a cold
+  *     first sample hides the most error confirm before any cheap
+  *     entry burns budget. b_* windows run once total. Passes default
+  *     2 (env SPARK_GRAFT_BENCH_PASSES).
+  *  4. '''Budget guard''' (never silent): cumulative SAMPLE wall —
+  *     including the wall of FAILED attempts (r16 ADVICE: a query that
+  *     runs long and then throws still burned the driver window) — is
+  *     tracked against SPARK_GRAFT_BENCH_BUDGET_SEC (default 800).
   *     Over budget, every entry still gets its mandatory first run but
   *     all extra runs are skipped and the affected names are recorded
   *     in bench_out.json `curtailed` + counted in the headline.
@@ -65,10 +73,6 @@ object Bench {
     * entries; the budget guard (not the pass count) is the enforcement. */
   def passes: Int =
     sys.env.get("SPARK_GRAFT_BENCH_PASSES").flatMap(_.toIntOption).getOrElse(2)
-
-  /** Entries at or under this (seconds) are "cheap": min-of-2 in pass 1. */
-  def cheapSec: Double =
-    sys.env.get("SPARK_GRAFT_BENCH_CHEAP_SEC").flatMap(_.toDoubleOption).getOrElse(2.0)
 
   /** Budget on the cumulative SAMPLE wall (seconds). Mandatory first runs
     * ignore it; every extra run checks it. Sized from the measured sf0.1
@@ -149,6 +153,7 @@ object Bench {
         graft.sources.VideoIndex.ensureBuiltAudioSegCorpus(s, d)
         graft.sources.VideoIndex.ensureBuiltImageRowsCorpus(s, d)
         graft.sources.VideoIndex.ensureBuiltImageBlocksCorpus(s, d)
+        graft.sources.VideoIndex.ensureBuiltVideoKeyframesCorpus(s, d)
         ()
       }),
       (s, d) => graft.multimodal.CrawlAdmit.admitFlags(s,
@@ -166,7 +171,11 @@ object Bench {
         // toggles default to the byte-exact clip gates)
         audioClipPerceptual = true, imageCropPerceptual = true,
         imageCrop2dIdx =
-          Some(graft.sources.VideoIndex.ensureBuiltImageBlocksCorpus(s, d)))),
+          Some(graft.sources.VideoIndex.ensureBuiltImageBlocksCorpus(s, d)),
+        // r17: the real-codec keyframe leg — containers parsed once per
+        // batch, decoded digests gated byte-exactly (EIGHT gate legs)
+        videoKeyframeIdx =
+          Some(graft.sources.VideoIndex.ensureBuiltVideoKeyframesCorpus(s, d)))),
     // index BUILDS, forced fresh in the timed run (the build IS the
     // operation): the one-time assignment/tokenize/decode cost the
     // q_*_stored twins amortize.
@@ -394,25 +403,6 @@ object Bench {
     }
     System.err.println(f"[bench] warmup done at $elapsed%.1f s wall")
 
-    /** One timed run; None if the query threw. The frame is bound outside
-      * the try so its checkpoints are released even on failure. */
-    def timeOnce(fn: (SparkSession, String) => DataFrame): Option[Double] = {
-      var df: DataFrame = null
-      try {
-        val t0 = System.nanoTime()
-        df = fn(spark, sfDir)
-        df.count()
-        Some((System.nanoTime() - t0) / 1e9)
-      } catch {
-        case _: Throwable => None
-      } finally {
-        if (df != null) {
-          try graft.core.Checkpoints.release(df)
-          catch { case _: Throwable => () }
-        }
-      }
-    }
-
     val qEntries: Seq[(String, (SparkSession, String) => DataFrame)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
     val bEntries: Seq[(String, (SparkSession, String) => DataFrame)] =
@@ -424,7 +414,31 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap(
       allNames.map(_ -> Vector.empty[Double]): _*)
     val curtailed = scala.collection.mutable.LinkedHashSet.empty[String]
-    var spent = 0.0 // cumulative sample wall, seconds
+    var spent = 0.0 // cumulative sample wall, seconds (incl. failed attempts)
+
+    /** One timed run; None if the query threw. The frame is bound outside
+      * the try so its checkpoints are released even on failure. A FAILED
+      * attempt records no sample but its wall still charges the budget
+      * (r16 ADVICE: a hanging-then-throwing family must not blow the
+      * driver window the guard exists to bound). */
+    def timeOnce(fn: (SparkSession, String) => DataFrame): Option[Double] = {
+      var df: DataFrame = null
+      val t0 = System.nanoTime()
+      try {
+        df = fn(spark, sfDir)
+        df.count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case _: Throwable =>
+          lock.synchronized { spent += (System.nanoTime() - t0) / 1e9 }
+          None
+      } finally {
+        if (df != null) {
+          try graft.core.Checkpoints.release(df)
+          catch { case _: Throwable => () }
+        }
+      }
+    }
 
     def f(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     def fOpt(v: Option[Double]): String = v.map(f).getOrElse("null")
@@ -515,28 +529,21 @@ object Bench {
     }
 
     // ---- timed loop.
-    // Pass 1: every q_* entry runs once (mandatory); cheap entries get a
-    // confirming second run; then every b_* window runs exactly once
-    // (after the q_* loop, so the single window sample never pays the
-    // suite's coldest codegen). Later passes: q_* only — cheap entries
-    // once more (min-of-2 spread over independent windows), expensive
-    // entries once. All non-mandatory runs respect the budget.
+    // Pass 1: every q_* entry runs ONCE (mandatory — nothing else burns
+    // budget before every entry has a number); then every b_* window
+    // runs exactly once (after the q_* loop, so the single window
+    // sample never pays the suite's coldest codegen). Later passes:
+    // q_* only, in DESCENDING current-min order — the expensive tail
+    // (where a cold first sample hides the most error) confirms first,
+    // cheap entries only if budget remains (r16 verdict finding #1).
+    // All non-mandatory runs respect the budget.
     for (pass <- 1 to passes) {
-      qEntries.foreach { case (name, fn) =>
-        val mandatory = pass == 1
-        val known = minOf(name)
-        if (mandatory) {
-          val first = timeOnce(fn)
-          record(name, first)
-          val nowCheap = first.exists(_ <= cheapSec)
-          if (first.isDefined && nowCheap && !overBudget)
-            record(name, timeOnce(fn))
-          else if (first.isDefined && nowCheap) curtailed += name
-        } else if (known.isDefined) { // broken entries don't burn wall re-proving it
-          // cheap and expensive tiers both get exactly one run per later
-          // pass (cheap: 3 samples over 2 passes; expensive: 2; the
-          // spread over independent windows is what bounds whole-pass
-          // interference, per the r11 finding)
+      val order =
+        if (pass == 1) qEntries
+        else qEntries.sortBy { case (n, _) => -minOf(n).getOrElse(0.0) }
+      order.foreach { case (name, fn) =>
+        if (pass == 1) record(name, timeOnce(fn))
+        else if (minOf(name).isDefined) { // broken entries don't re-prove it
           if (!overBudget) record(name, timeOnce(fn))
           else curtailed += name
         }

@@ -50,11 +50,13 @@ object CrawlAdmit {
     * [[admitFlags]] keeps them lazy (each is read once). */
   private final case class BatchInputs(b: DataFrame, imgFp: DataFrame,
       audFp: DataFrame, vFrames: DataFrame, audSeg: Option[DataFrame],
-      imgRows: Option[DataFrame], imgBlocks: Option[DataFrame])
+      imgRows: Option[DataFrame], imgBlocks: Option[DataFrame],
+      kfFrames: Option[DataFrame])
 
   private def deriveInputs(spark: SparkSession, batch: DataFrame,
       audioClipIdx: Option[String], imageCropIdx: Option[String],
-      imageCrop2dIdx: Option[String], checkpointFps: Boolean): BatchInputs = {
+      imageCrop2dIdx: Option[String],
+      videoKeyframeIdx: Option[String], checkpointFps: Boolean): BatchInputs = {
     val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
     def cp(df: DataFrame): DataFrame =
       if (checkpointFps) df.localCheckpoint() else df
@@ -79,8 +81,16 @@ object CrawlAdmit {
         cp(VideoIndex.segmentsFor(spark, idx, audTbl))),
       imgRows = imageCropIdx.map(_ =>
         cp(Multimodal.imageRowsFp(imgTbl))),
-      imgBlocks = imageCrop2dIdx.map(_ =>
-        cp(Multimodal.imageBlocksFp(imgTbl))))
+      // blocks derive at the INDEX'S persisted column hop (blocksFor —
+      // the segmentsFor discipline on the 2D grid)
+      imgBlocks = imageCrop2dIdx.map(idx =>
+        cp(VideoIndex.blocksFor(spark, idx, imgTbl))),
+      // the REAL-CODEC video rendition: containers parsed + decoded
+      // ONCE per batch, at the index's persisted sampling stride
+      // (keyframesFor — the graft.every discipline)
+      kfFrames = videoKeyframeIdx.map(idx =>
+        cp(VideoIndex.keyframesFor(spark, idx,
+          Multimodal.videoKeyframeTableOf(b)))))
   }
 
   /** Per-item admission flags, one row per batch doc:
@@ -104,7 +114,13 @@ object CrawlAdmit {
     *     like the video leg's `videoPerceptual`. Default FALSE = the
     *     byte-exact clip gate — the measured ~1.6 % false-refusal rate
     *     of the shared-maxDist perceptual gate on genuinely novel
-    *     items is a policy a caller must opt into, not inherit. */
+    *     items is a policy a caller must opt into, not inherit.
+    *   - `videoKeyframeIdx` adds REAL-CODEC refusal to the video flag:
+    *     the item's keyframe CONTAINER is parsed + decoded once (at
+    *     the index's persisted `graft.every` stride) and the DECODED
+    *     digests gate byte-exactly — a cross-codec re-wrap of stored
+    *     material (every container byte different) refuses, a novel
+    *     video admits. */
   def admitFlags(spark: SparkSession, batch: DataFrame, textIdx: String,
       imageIdx: String, audioIdx: String, videoIdx: String,
       maxDist: Int = 6, minFrames: Int = 2, tau: Double = 0.8,
@@ -114,13 +130,14 @@ object CrawlAdmit {
       audioClipPerceptual: Boolean = false,
       imageCropPerceptual: Boolean = false,
       imageCrop2dIdx: Option[String] = None,
+      videoKeyframeIdx: Option[String] = None,
       stopCache: Option[VideoIndex.StopCache] = None): DataFrame =
     flagsFrom(spark,
       deriveInputs(spark, batch, audioClipIdx, imageCropIdx,
-        imageCrop2dIdx, checkpointFps = false),
+        imageCrop2dIdx, videoKeyframeIdx, checkpointFps = false),
       textIdx, imageIdx, audioIdx, videoIdx, maxDist, minFrames, tau,
       videoPerceptual, audioClipIdx, imageCropIdx, audioClipPerceptual,
-      imageCropPerceptual, imageCrop2dIdx, stopCache)
+      imageCropPerceptual, imageCrop2dIdx, videoKeyframeIdx, stopCache)
 
   private def flagsFrom(spark: SparkSession, in: BatchInputs,
       textIdx: String, imageIdx: String, audioIdx: String,
@@ -129,6 +146,7 @@ object CrawlAdmit {
       imageCropIdx: Option[String], audioClipPerceptual: Boolean,
       imageCropPerceptual: Boolean,
       imageCrop2dIdx: Option[String],
+      videoKeyframeIdx: Option[String],
       stopCache: Option[VideoIndex.StopCache] = None): DataFrame = {
     val ids = in.b.select(col("doc_id"))
     // each clip leg picks its gate by ITS OWN toggle (byte-exact
@@ -180,13 +198,24 @@ object CrawlAdmit {
     // video then refuses too — the curation default at real crawl
     // scale; the registered q_crawl_admit keeps the byte-exact leg its
     // oracle replays)
-    val vidRefused = (if (videoPerceptual)
+    val vidRefused0 = (if (videoPerceptual)
         VideoIndex.perceptualAgainst(spark, videoIdx, in.vFrames, maxDist,
           minFrames,
           stopBands = stopCache.map(_.get(s"${videoIdx}_bstop")))
       else VideoIndex.pairsAgainst(spark, videoIdx, in.vFrames, minFrames,
         stop = stopCache.map(_.get(s"${videoIdx}_stop"))))
       .select(col("fid").as("doc_id")).distinct()
+    // `videoKeyframeIdx` adds real-codec refusal: the decoded-keyframe
+    // digests gate byte-exactly against the stored keyframe index (the
+    // aligned pairsAgainst — md5 of decoded bytes is codec-independent,
+    // so a PNG→BMP re-wrap of stored material refuses here while both
+    // synthetic-frame legs, reading container bytes, are blind to it)
+    val vidRefused = (videoKeyframeIdx zip in.kfFrames)
+      .map { case (idx, kf) =>
+        VideoIndex.pairsAgainst(spark, idx, kf, minFrames,
+          stop = stopCache.map(_.get(s"${idx}_stop")))
+          .select(col("fid").as("doc_id")).distinct()
+      }.fold(vidRefused0)(kfRefused => vidRefused0.unionByName(kfRefused))
     def flag(admitted: DataFrame, name: String): DataFrame =
       admitted.withColumn(name, lit(1L))
     ids
@@ -217,13 +246,14 @@ object CrawlAdmit {
       audioClipPerceptual: Boolean = false,
       imageCropPerceptual: Boolean = false,
       imageCrop2dIdx: Option[String] = None,
+      videoKeyframeIdx: Option[String] = None,
       stopCache: Option[VideoIndex.StopCache] = None): DataFrame = {
     val in = deriveInputs(spark, batch, audioClipIdx, imageCropIdx,
-      imageCrop2dIdx, checkpointFps = true)
+      imageCrop2dIdx, videoKeyframeIdx, checkpointFps = true)
     val flags = flagsFrom(spark, in, textIdx,
       imageIdx, audioIdx, videoIdx, maxDist, minFrames, tau,
       videoPerceptual, audioClipIdx, imageCropIdx, audioClipPerceptual,
-      imageCropPerceptual, imageCrop2dIdx, stopCache)
+      imageCropPerceptual, imageCrop2dIdx, videoKeyframeIdx, stopCache)
       .localCheckpoint()
     def adm(c: String): DataFrame =
       flags.where(col(c) === 1L).select(col("doc_id"))
@@ -259,6 +289,14 @@ object CrawlAdmit {
           adm("admit_image").withColumnRenamed("doc_id", "media_id"),
           Seq("media_id")))
       }
+    // and the keyframe index ingests the video-admitted items' DECODED
+    // digests (containers were parsed once in deriveInputs) so the
+    // next batch's real-codec gate sees corpus ∪ admitted
+    (videoKeyframeIdx zip in.kfFrames).foreach { case (idx, kf) =>
+      appendAndInvalidate(idx, kf.join(
+        adm("admit_video").withColumnRenamed("doc_id", "media_id"),
+        Seq("media_id")))
+    }
     flags
   }
 }

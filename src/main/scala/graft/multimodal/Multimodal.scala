@@ -117,7 +117,11 @@ object Multimodal {
       p += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, baos)
+    // ImageIO.write signals "no writer for this format" by returning
+    // false, not by throwing — unchecked, that yields an empty byte
+    // array that surfaces much later as a confusing unreadable container
+    require(javax.imageio.ImageIO.write(img, format, baos),
+      s"no imageio writer for format '$format'")
     baos.toByteArray
   }
 
@@ -656,22 +660,43 @@ object Multimodal {
     * past a payload's end), appear across most of the corpus, and
     * carry no copy signal — the padding analog of the stop-frame
     * discipline, but structural, so it holds at any df dial. */
+  /** `colHopPx` (r16 verdict "what's missing" #4 — the audio-overlap
+    * trade for the column axis): the pixel step between consecutive
+    * block STARTS within a row. The default [[BlockPx]] tiles aligned
+    * blocks only — a crop whose left edge is not 8-px-aligned copies
+    * no aligned block and is STRUCTURALLY invisible (recall 1/hop of
+    * uniformly-random column phases; the granularity contract every
+    * leg documents). hop < 8 emits overlapping blocks at every hop-px
+    * phase — 8/hop × the rows — so crops at any phase ≡ 0 (mod hop)
+    * match at one consistent packed shift; hop = 1 catches EVERY
+    * column phase at 8× rows (measured: SCALE.md round-17 study). The
+    * packed column index is the start ordinal `startPx / hop` (at the
+    * default this IS the block ordinal — the registered oracles'
+    * replay), so shifts stay single subtractions; both sides of a
+    * match MUST derive at one hop — persist it (`graft.hop`) and
+    * route batches through [[graft.sources.VideoIndex.blocksFor]]. */
   def imageBlocksFp(media: DataFrame,
-      decodeR: Array[Byte] => (Int, Array[Byte]) = decodePngRaster): DataFrame = {
+      decodeR: Array[Byte] => (Int, Array[Byte]) = decodePngRaster,
+      colHopPx: Int = BlockPx): DataFrame = {
+    require(colHopPx > 0 && BlockPx % colHopPx == 0,
+      s"colHopPx must divide $BlockPx, got $colHopPx")
     val spark = media.sparkSession
     import spark.implicits._
+    val hopBytes = colHopPx * 3
     media.select(col("media_id"), col("content")).as[MediaRow]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.flatMap { r =>
           val (w, d) = decodeR(r.content)
           val rowBytes = w * 3
-          val cols = rowBytes / BlockBytes
+          val cols =
+            if (rowBytes < BlockBytes) 0
+            else (rowBytes - BlockBytes) / hopBytes + 1
           val nRows = if (rowBytes == 0) 0 else d.length / rowBytes
           for {
             gy <- (0 until nRows).iterator
             gx <- (0 until cols).iterator
-            from = gy * rowBytes + gx * BlockBytes
+            from = gy * rowBytes + gx * hopBytes
             if (from until from + BlockBytes).exists(d(_) != 0)
           } yield {
             md.reset()
@@ -1428,6 +1453,50 @@ object Multimodal {
         .where(length(encode(col("text"), "UTF-8")) >= 3 * KfBytes)
         .select((col("doc_id") + lit(9000000L)).as("doc_id"), col("text")),
       "bmp")
+
+  /** The LOSSY-TRANSCODE keyframe twins (r16 verdict "what's missing"
+    * #2 — both registered keyframe codecs are lossless, so the
+    * byte-exact leg carried the family; these exercise the PERCEPTUAL
+    * keyframe leg, where the decoded rasters genuinely differ):
+    *
+    *   - GAIN (+9.7M ids): every payload byte +1 (mod 256) before
+    *     encoding — the brightness-shifted re-encode. Every decoded
+    *     keyframe's md5 differs (the byte-exact leg refuses the pair)
+    *     while [[frameFpBits]] is +c-invariant: distance 0.
+    *   - QUANT (+9.8M ids): the low 2 bits of every payload byte
+    *     dropped before encoding — JPEG-style quantization, the real
+    *     lossy-transcode shape. md5 differs wherever any byte had low
+    *     bits; the gradient bits degrade gracefully (a comparison
+    *     flips only when two bytes differed by ≤ 3 and quantize
+    *     equal), so near-uniform-gradient frames land within
+    *     `maxDist` and noisy ones honestly don't — the oracle replays
+    *     the identical byte math either way.
+    *
+    * Both twins ride the REAL codec path ([[keyframeContainer]] PNG):
+    * container parse + `javax.imageio` decode at ingest, exactly like
+    * the corpus. Docs with ≥ 2 sampled keyframes only. */
+  def videoKeyframePerceptualTwinTable(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val slice = Tables.documents(spark, sfDir)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .where(length(col("content")) >= 3 * KfBytes)
+    val gain = slice
+      .select((col("doc_id") + lit(9700000L)).as("media_id"),
+        col("content")).as[MediaRow]
+      .mapPartitions(_.map(r => MediaRow(r.media_id,
+        keyframeContainer(
+          r.content.map(b => ((b & 0xff) + 1).toByte), "png"))))
+      .toDF()
+    val quant = slice
+      .select((col("doc_id") + lit(9800000L)).as("media_id"),
+        col("content")).as[MediaRow]
+      .mapPartitions(_.map(r => MediaRow(r.media_id,
+        keyframeContainer(r.content.map(b => (b & 0xfc).toByte), "png"))))
+      .toDF()
+    gain.unionByName(quant)
+  }
 
   /** Keyframe-extraction INGEST over real-codec containers — the video
     * path's analog of the image leg's decode discipline: parse the

@@ -51,7 +51,7 @@ object VideoIndex {
   def build(spark: SparkSession, frames: DataFrame, name: String,
       buckets: Int = 16, maxDf: Int = 10000,
       basePath: String = IvfIndex.defaultBase, maxBandDf: Int = -1,
-      gridHop: Int = 0): Unit = {
+      gridHop: Int = 0, kfEvery: Int = 0): Unit = {
     val cols = Seq("media_id", "frame_idx", "fm") ++
       (if (frames.columns.contains("f_lo")) Seq("f_lo", "f_hi") else Nil)
     frames.select(cols.map(col): _*)
@@ -69,10 +69,18 @@ object VideoIndex {
     // default) — persisted so a gate or append computed at a DIFFERENT
     // hop fails loudly instead of silently matching incoherent shifts
     // (see [[segmentsFor]]).
+    // `kfEvery` (r16 verdict "what's missing" #3 — the `graft.hop` bug
+    // class, keyframe edition): the SAMPLING STRIDE the keyframe rows
+    // were decoded at (videoKeyframesFp's `every`; 0 = not a keyframe
+    // index / the default stride). Persisted so batch fingerprinting
+    // for a gate or append derives AT the index's stride (see
+    // [[keyframesFor]]) — a batch decoded at every=1 gated against an
+    // every=2 index silently changes match density and minFrames
+    // semantics.
     val bdf = if (maxBandDf > 0) maxBandDf else maxDf
     spark.sql(s"ALTER TABLE ${name}_vf SET TBLPROPERTIES " +
       s"('graft.maxDf'='$maxDf','graft.maxBandDf'='$bdf'," +
-      s"'graft.hop'='$gridHop')")
+      s"'graft.hop'='$gridHop','graft.every'='$kfEvery')")
     rebuildDfs(spark, name, basePath)
     refreshStop(spark, name, basePath)
   }
@@ -109,6 +117,14 @@ object VideoIndex {
   def storedHop(spark: SparkSession, name: String): Int =
     storedProp(spark, name, "graft.hop").map(_.toInt).getOrElse(0)
 
+  /** The keyframe sampling stride the stored rows were decoded at
+    * (`videoKeyframesFp`'s `every`) — defaults to that derivation's
+    * own default when the table predates the property or was built
+    * with `kfEvery = 0`. */
+  def storedEvery(spark: SparkSession, name: String): Int =
+    storedProp(spark, name, "graft.every").map(_.toInt).filter(_ > 0)
+      .getOrElse(2)
+
   private def storedProp(spark: SparkSession, name: String,
       key: String): Option[String] =
     spark.sessionState.catalog.getTableMetadata(
@@ -124,6 +140,29 @@ object VideoIndex {
   def segmentsFor(spark: SparkSession, name: String,
       media: DataFrame): DataFrame =
     Multimodal.audioSegmentsFp(media, hop = storedHop(spark, name))
+
+  /** Derive a fresh image batch's BLOCK-grid fingerprints AT THE
+    * INDEX'S persisted column hop (`graft.hop`, 0 = the aligned
+    * [[Multimodal.BlockPx]] default) — the [[segmentsFor]] discipline
+    * for the 2D grid: packed column ordinals are `startPx / hop`, so a
+    * batch derived at a different hop than the index has incoherent
+    * shift semantics by construction. */
+  def blocksFor(spark: SparkSession, name: String,
+      media: DataFrame): DataFrame = {
+    val h = storedHop(spark, name)
+    Multimodal.imageBlocksFp(media,
+      colHopPx = if (h > 0) h else Multimodal.BlockPx)
+  }
+
+  /** Derive a fresh keyframe-container batch's decoded-keyframe
+    * fingerprints AT THE INDEX'S persisted sampling stride — the
+    * [[segmentsFor]] discipline for the keyframe family (r16 verdict
+    * "what's missing" #3): routing derivation through the stored
+    * `graft.every` dial makes a stride-incoherent gate or append
+    * structurally impossible. */
+  def keyframesFor(spark: SparkSession, name: String,
+      media: DataFrame): DataFrame =
+    Multimodal.videoKeyframesFp(media, every = storedEvery(spark, name))
 
   /** (Re)derive the digest-frequency LOG from the stored frames — one
     * (fm, df) partial per distinct digest. [[append]] INSERTS a
@@ -217,8 +256,13 @@ object VideoIndex {
     // rewrite, so a streaming loop's [[StopCache]] (and any relation
     // cache) stays valid across batches where a modality admitted
     // nothing — the common case in a mostly-duplicate crawl window.
-    // Returns whether rows landed (the cache-invalidation signal).
-    if (f.isEmpty) return false
+    // Returns whether rows landed (the cache-invalidation signal). The
+    // empty checkpoint is released on the way out — a long admission
+    // loop hits this path every nothing-admitted batch.
+    if (f.isEmpty) {
+      graft.core.Checkpoints.release(f)
+      return false
+    }
     f.write.mode("append").insertInto(s"${name}_vf")
     f.groupBy(col("fm")).agg(countDistinct(col("media_id")).as("df"))
       .coalesce(1).write.mode("append").insertInto(s"${name}_dfs")
@@ -228,6 +272,7 @@ object VideoIndex {
         .agg(countDistinct(col("media_id")).as("df"))
         .coalesce(1).write.mode("append").insertInto(s"${name}_bdfs")
     refreshStop(spark, name)
+    graft.core.Checkpoints.release(f) // all consumers (insert + df partials) ran
     true
   }
 
@@ -254,31 +299,74 @@ object VideoIndex {
 
   /** Driver-side cache of the tiny `_stop`/`_bstop` sidecars for a
     * long-running admission loop (r15 verdict "what's missing" #5):
-    * the sidecars change ONLY at append/maintain — which the loop
-    * itself performs — so a gate re-reading them from parquet every
-    * micro-batch is pure waste. `apply` materializes a sidecar once
-    * (localCheckpoint — the gates broadcast it anyway) and returns the
-    * SAME frame until [[invalidate]], which the loop calls after an
-    * append that actually landed rows (an empty append leaves the
-    * sidecars untouched — see [[VideoIndex.append]]'s short-circuit —
-    * so the cache survives the common nothing-admitted batch). */
+    * the sidecars change ONLY at append/maintain, so a gate re-reading
+    * them from parquet every micro-batch is pure waste. [[get]]
+    * materializes a sidecar once (localCheckpoint — the gates broadcast
+    * it anyway) and returns the SAME frame until it changes.
+    *
+    * Staleness is detected structurally, not by trusting the loop to be
+    * the only writer (r16 ADVICE): every [[get]] lists the sidecar's
+    * physical directory (names + sizes + mtimes — one FS listing, no
+    * parquet read, no checkpoint) and re-reads only when the listing
+    * signature moved. An EXTERNAL maintain/compact that rewrites the
+    * sidecars is therefore picked up on the next get; [[invalidate]]
+    * remains the cheap fast path for the loop's own appends (skips even
+    * the listing's staleness window). The `reads` counter still counts
+    * actual parquet reads: one per sidecar per CHANGE. */
   final class StopCache(spark: SparkSession) {
-    private val m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    private val m =
+      scala.collection.concurrent.TrieMap.empty[String, (DataFrame, String)]
     /** Number of sidecar parquet reads so far (test observability). */
     @volatile var reads: Int = 0
-    def get(table: String): DataFrame = m.getOrElseUpdate(table, {
-      reads += 1
-      spark.table(table).localCheckpoint()
-    })
+    /** The sidecar's current on-disk generation: part-file names carry
+      * fresh UUIDs on every overwrite, so an unchanged signature IS an
+      * unchanged sidecar. */
+    private def sig(table: String): String = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location
+      val p = new org.apache.hadoop.fs.Path(loc)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).iterator
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .toSeq.sorted.mkString(",")
+    }
+    def get(table: String): DataFrame = {
+      val now = sig(table)
+      m.get(table) match {
+        case Some((df, s)) if s == now => df
+        case prev =>
+          prev.foreach { case (df, _) =>
+            try graft.core.Checkpoints.release(df)
+            catch { case _: Throwable => () }
+          }
+          reads += 1
+          // refresh first: this session's cached FileIndex may still
+          // list the overwritten generation's (deleted) part files
+          spark.catalog.refreshTable(table)
+          val df = spark.table(table).localCheckpoint()
+          m.put(table, (df, now))
+          df
+      }
+    }
     /** Drop `name`'s sidecar entries (call after a non-empty append or
       * a maintenance pass over `name`). */
     def invalidate(name: String): Unit =
       Seq(s"${name}_stop", s"${name}_bstop").foreach { t =>
-        m.remove(t).foreach { df =>
+        m.remove(t).foreach { case (df, _) =>
           try graft.core.Checkpoints.release(df)
           catch { case _: Throwable => () }
         }
       }
+    /** Release every cached sidecar frame — call when discarding a
+      * cache instance (r16 ADVICE: a replaced cache must not abandon
+      * its localCheckpointed frames). */
+    def releaseAll(): Unit = m.keys.foreach { t =>
+      m.remove(t).foreach { case (df, _) =>
+        try graft.core.Checkpoints.release(df)
+        catch { case _: Throwable => () }
+      }
+    }
   }
 
   /** [[pairsAgainst]] over an explicit stored frame — the recompute
@@ -646,7 +734,8 @@ object VideoIndex {
       val name = s"graft_media_vkf_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
       build(spark, Multimodal.videoKeyframesFp(
         Multimodal.videoKeyframeTable(spark, sfDir).unionByName(
-          Multimodal.videoKeyframeTwinTable(spark, sfDir))), name)
+          Multimodal.videoKeyframeTwinTable(spark, sfDir))), name,
+        kfEvery = 2)
       name
     })
   }
@@ -661,7 +750,38 @@ object VideoIndex {
       val name = s"graft_media_vkfc_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
       build(spark, Multimodal.videoKeyframesFp(
         Multimodal.videoKeyframeTable(spark, sfDir).unionByName(
-          Multimodal.videoKeyframeClipTwinTable(spark, sfDir))), name)
+          Multimodal.videoKeyframeClipTwinTable(spark, sfDir))), name,
+        kfEvery = 2)
+      name
+    })
+  }
+
+  /** Keyframe corpus ∪ the LOSSY-TRANSCODE twins (gain re-encode +
+    * low-bit quantization) — matching q_video_keyframe_perceptual's
+    * live input: the decoded rasters differ from the corpus in every
+    * frame (the byte-exact keyframe leg is blind) while the gradient
+    * fingerprint survives, and the stored 5-column rows serve the
+    * perceptual stage as a pure function. */
+  def ensureBuiltVideoKeyframesPerc(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "video_kf_perc"), {
+      val name = s"graft_media_vkfp_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark, Multimodal.videoKeyframesFp(
+        Multimodal.videoKeyframeTable(spark, sfDir).unionByName(
+          Multimodal.videoKeyframePerceptualTwinTable(spark, sfDir))), name,
+        kfEvery = 2)
+      name
+    })
+  }
+
+  /** Keyframe corpus only — the stored side of the keyframe crawl
+    * gates (the ensureBuilt*Corpus discipline). */
+  def ensureBuiltVideoKeyframesCorpus(spark: SparkSession, sfDir: String): String = {
+    val fp = corpusFp(spark, sfDir)
+    built.getOrElseUpdate((sfDir, fp, "video_kf_corpus"), {
+      val name = s"graft_media_vkfo_${Bucketing.nameSuffix(sfDir + "|" + fp)}"
+      build(spark, Multimodal.videoKeyframesFp(
+        Multimodal.videoKeyframeTable(spark, sfDir)), name, kfEvery = 2)
       name
     })
   }

@@ -680,7 +680,10 @@ object Streams {
           s"${indexName}_bdfs", s"${indexName}_bstop")
           .filter(bs.catalog.tableExists)
           .foreach(bs.catalog.refreshTable)
-        val frames = graft.multimodal.Multimodal.videoKeyframesFp(
+        // decode AT the index's persisted sampling stride (graft.every
+        // — the segmentsFor discipline): a mismatched stride would
+        // silently change match density against the stored rows
+        val frames = graft.sources.VideoIndex.keyframesFor(bs, indexName,
           graft.multimodal.Multimodal.videoKeyframeTableOf(batch))
         val admitted = graft.sources.VideoIndex.dedupAgainst(
           bs, indexName, frames, minFrames).localCheckpoint()
@@ -782,7 +785,9 @@ object Streams {
         val bs = batch.sparkSession
         val cache = cacheFor match {
           case Some((s0, c)) if s0 eq bs => c
-          case _ =>
+          case stale =>
+            // a replaced cache must not abandon its checkpointed frames
+            stale.foreach(_._2.releaseAll())
             val c = new graft.sources.VideoIndex.StopCache(bs)
             cacheFor = Some((bs, c))
             c

@@ -208,7 +208,62 @@ class CrawlAdmitSpec extends AnyFunSuite {
       "the dial must not change the novel item's image admission")
   }
 
-  test("the all-dials bench entry runs the six-gate composition over " +
+  test("videoKeyframeIdx dial: a cross-codec re-wrap of stored " +
+      "keyframes refuses through the decoded-digest gate; a novel " +
+      "video admits") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while seven " +
+      "wise owls watch from the old stone bridge at dawn in cold rain "
+    val tA = (base * 3).take(300) // ≥ 3 keyframes → sampled kfs 0 and 2
+    val tB = ("numbers one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen " +
+      "eighteen nineteen twenty twentyone twentytwo twentythree ") * 2
+    val corpusA = Seq((1L, tA)).toDF("doc_id", "text")
+    val corpusB = Seq((2L, tB.take(300))).toDF("doc_id", "text")
+    // text/image/audio/plain-video indexes hold ONLY tB, so doc 10's
+    // admission rides the keyframe leg alone
+    DedupIndex.build(spark, corpusB, "text", "doc_id", "graft_cakf_text")
+    MediaIndex.build(spark,
+      Multimodal.imageDHash(Multimodal.imageTableOf(corpusB)),
+      "graft_cakf_img")
+    MediaIndex.build(spark,
+      Multimodal.audioDHash(Multimodal.audioTableOf(corpusB)),
+      "graft_cakf_aud")
+    VideoIndex.build(spark,
+      Multimodal.videoFramesFp(Multimodal.videoTableOf(corpusB)),
+      "graft_cakf_vid")
+    // the stored keyframe index holds tA's keyframes as BMP containers;
+    // the batch rendition arrives as PNG (videoKeyframeTableOf's
+    // default) — every container byte differs, the decoded rasters are
+    // identical: the cross-codec re-wrap the decoded-digest gate exists
+    // to refuse
+    VideoIndex.build(spark,
+      Multimodal.videoKeyframesFp(
+        Multimodal.videoKeyframeTableOf(corpusA, "bmp")),
+      "graft_cakf_kf", kfEvery = 2)
+    // genuinely novel (no shared 32-byte frame, raster, or keyframe
+    // with either corpus text)
+    val tC = ("zebra quartz violet mango echo drift plasma copper " +
+      "harbor salmon tundra willow ember falcon garnet hollow ") * 3
+    val batch = Seq((10L, tA), (11L, tC.take(300))).toDF("doc_id", "text")
+    def vids(kf: Option[String]): Map[Long, Long] =
+      CrawlAdmit.admitFlags(spark, batch, "graft_cakf_text",
+        "graft_cakf_img", "graft_cakf_aud", "graft_cakf_vid",
+        videoKeyframeIdx = kf)
+        .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val off = vids(None)
+    assert(off(10L) == 1L && off(11L) == 1L,
+      s"without the dial both items pass the plain video leg: $off")
+    val on = vids(Some("graft_cakf_kf"))
+    assert(on(10L) == 0L,
+      "the decoded-digest gate must refuse the cross-codec re-wrap of " +
+        s"stored keyframes: $on")
+    assert(on(11L) == 1L,
+      s"the dial must not change the novel video's admission: $on")
+  }
+
+  test("the all-dials bench entry runs the full gate composition over " +
       "the registered fixture batch") {
     val entry = Bench.benchOnly("b_crawl_admit_dials")
     entry.setup.foreach(_(spark, sf0001)) // untimed fixture builds (r16)

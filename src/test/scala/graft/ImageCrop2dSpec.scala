@@ -106,4 +106,43 @@ class ImageCrop2dSpec extends AnyFunSuite {
     assert(hits == Set((100L, 1L, Stride + 1L)),
       "shift = stored − fresh: one row down, one column right")
   }
+
+  test("colHopPx dial: a NON-8-px-aligned crop is invisible at the " +
+      "aligned default and caught at hop 1 at one consistent shift; " +
+      "blocksFor derives a batch at the stored hop") {
+    // left edge at pixel column 3 (byte 9 of each row) — no aligned
+    // block of the original survives the crop (the granularity
+    // contract; measured 12 % recall on uniform phases, SCALE.md r17)
+    val off = 9
+    val unaligned = (1 to 5).flatMap(ri =>
+      base.slice(ri * Row + off, ri * Row + off + Blk)).toArray
+    val m = media(png(1L, base), png(5L, unaligned, widthPx = 8))
+    assert(Multimodal.clipPairsFromFrames(
+        Multimodal.imageBlocksFp(m), minFrames = 2).isEmpty,
+      "the aligned grid must be blind to a phase-3 crop")
+    // hop 1: the corpus side carries every column phase; packed column
+    // ordinals are startPx (hop = 1), so the crop (aligned within its
+    // own 8-px raster: ordinals 0,1,..,7 per row... its blocks start
+    // at px 0 only at width 8) matches at shift = (1 row, 3 px)
+    val got = Multimodal.clipPairsFromFrames(
+      Multimodal.imageBlocksFp(m, colHopPx = 1), minFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got.contains((1L, 5L, Stride + 3L)),
+      s"hop 1 must catch the phase-3 crop at packed shift 2^20 + 3: $got")
+    // the hop persists (graft.hop) and blocksFor derives at it — the
+    // coherence seam, same discipline as segmentsFor/keyframesFor
+    VideoIndex.build(spark,
+      Multimodal.imageBlocksFp(media(png(1L, base)), colHopPx = 1),
+      "graft_image_crop2d_hop", gridHop = 1)
+    assert(VideoIndex.storedHop(spark, "graft_image_crop2d_hop") == 1)
+    val fresh = VideoIndex.blocksFor(spark, "graft_image_crop2d_hop",
+      media(png(200L, unaligned, widthPx = 8)))
+    val hits = VideoIndex.clipAgainst(spark, "graft_image_crop2d_hop",
+      fresh, minFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(hits.contains((200L, 1L, Stride + 3L)),
+      s"the hop-1 gate must refuse the unaligned crop: $hits")
+  }
 }

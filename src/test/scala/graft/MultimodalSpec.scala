@@ -490,4 +490,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L, 2L)),
       "the cross-codec re-wrap is a verbatim dup on all sampled keyframes")
   }
+
+  test("lossy-transcode keyframes: the byte-exact leg is blind to the " +
+      "gain and quantized twins; the perceptual leg catches the gain " +
+      "re-encode at distance 0") {
+    val s = spark
+    import s.implicits._
+    // bytes with LOW BITS SET (so quantization actually changes them)
+    // and a strictly varied gradient (so +1 preserves every comparison)
+    val payload = Array.tabulate(300)(i => (33 + (i * 29 + 5) % 93).toByte)
+    val gain = payload.map(b => ((b & 0xff) + 1).toByte)
+    val quant = payload.map(b => (b & 0xfc).toByte)
+    val m = Seq(
+      Multimodal.MediaRow(1L, Multimodal.keyframeContainer(payload, "png")),
+      Multimodal.MediaRow(2L, Multimodal.keyframeContainer(gain, "png")),
+      Multimodal.MediaRow(3L, Multimodal.keyframeContainer(quant, "png")))
+      .toDF()
+    val frames = Multimodal.videoKeyframesFp(m).localCheckpoint()
+    // byte-exact: every decoded keyframe's md5 differs → NO pairs
+    val exact = Multimodal.videoPairsFromFrames(frames, minFrames = 2)
+      .collect()
+    assert(exact.isEmpty,
+      s"the byte-exact keyframe leg must be blind to both lossy twins: " +
+        s"${exact.mkString(", ")}")
+    // perceptual: the gain twin fingerprints identically (frameFpBits
+    // is +c-invariant) → pairs at every sampled keyframe; the quant
+    // twin pairs only if its gradient survived within maxDist — on
+    // this fixture's strictly-varied bytes (consecutive deltas ≥ 4 in
+    // magnitude after mod wrap never quantize equal... asserted
+    // empirically below as ≥ the gain pair, never asserted blind)
+    val perc = Multimodal.perceptualPairsFromFrames(frames,
+      maxDist = 6, minFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(perc.toSet.contains((1L, 2L, 2L)),
+      s"the gain re-encode must pair at distance 0 on both sampled " +
+        s"keyframes: ${perc.mkString(", ")}")
+  }
 }

@@ -71,8 +71,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("no registered query plans a CartesianProduct; BNLJ only where intended") {
-    // Registry-wide audit: an unconstrained crossJoin anywhere in the 91
-    // registered plans is a scale bug. BroadcastNestedLoopJoin is legal
+    // Registry-wide audit over EVERY registered plan (the iteration
+    // below reads Registry.byName, so new registrations are covered
+    // automatically): an unconstrained crossJoin anywhere is a scale
+    // bug. BroadcastNestedLoopJoin is legal
     // ONLY for the documented broadcast-small-side designs (knn query
     // sides, IVF centroid assignment, pagerank's 1-row dangling mass,
     // capped truth baselines). Streaming queries are skipped — building

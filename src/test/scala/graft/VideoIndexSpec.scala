@@ -381,6 +381,40 @@ class VideoIndexSpec extends AnyFunSuite {
       .count() == spark.table("graft_video_spec_hop0_vf").count())
   }
 
+  test("the keyframe sampling stride persists on the index and " +
+      "keyframesFor derives a batch at the stored dial") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .where(length(col("text")) >= 5 * 96).limit(6)
+    val media = Multimodal.videoKeyframeTableOf(docs).localCheckpoint()
+    // built at every = 3 — a NON-default stride, so a derivation that
+    // ignored the persisted dial (and fell back to videoKeyframesFp's
+    // every = 2) would disagree on which keyframes exist at all
+    VideoIndex.build(spark, Multimodal.videoKeyframesFp(media, every = 3),
+      "graft_video_spec_kfe", kfEvery = 3)
+    assert(VideoIndex.storedEvery(spark, "graft_video_spec_kfe") == 3)
+    // keyframesFor must reproduce the stored derivation exactly — the
+    // only coherent stride for a gate or append against this index
+    // (r16 verdict "what's missing" #3: a batch decoded at every = 1
+    // against an every = 2 index silently changes match density)
+    val rows = VideoIndex.keyframesFor(spark, "graft_video_spec_kfe",
+      media).collect().map(_.toSeq).toSet
+    val stored = spark.table("graft_video_spec_kfe_vf")
+      .collect().map(_.toSeq).toSet
+    assert(rows == stored)
+    assert(rows.map(_(1).asInstanceOf[Long]).forall(_ % 3 == 0),
+      "every-3rd sampling must hold on the derived side")
+    // the dial survives a compaction swap (Compact re-applies graft.*)
+    VideoIndex.compact(spark, "graft_video_spec_kfe")
+    assert(VideoIndex.storedEvery(spark, "graft_video_spec_kfe") == 3)
+    // an index built without the dial reads back videoKeyframesFp's
+    // own default stride
+    VideoIndex.build(spark, Multimodal.videoKeyframesFp(media),
+      "graft_video_spec_kfe0")
+    assert(VideoIndex.storedEvery(spark, "graft_video_spec_kfe0") == 2)
+    assert(VideoIndex.keyframesFor(spark, "graft_video_spec_kfe0", media)
+      .count() == spark.table("graft_video_spec_kfe0_vf").count())
+  }
+
   test("maintain compacts only when fragmented") {
     val corpus = Multimodal.videoTable(spark, sf0001)
     VideoIndex.build(spark, Multimodal.videoFrames(corpus),
