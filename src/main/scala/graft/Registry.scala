@@ -28,7 +28,9 @@ object Registry {
       graph.GraphQueries.all ++
       llm.LlmQueries.all ++
       streaming.StreamingQueries.all ++
-      multimodal.MultimodalQueries.all
+      multimodal.MultimodalQueries.all ++
+      multimodal.ImageCropQueries.all ++
+      multimodal.KeyframeQueries.all
 
   lazy val byName: Map[String, Q] = {
     val dup = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
