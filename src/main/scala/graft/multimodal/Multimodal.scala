@@ -667,9 +667,10 @@ object Multimodal {
     * no aligned block and is STRUCTURALLY invisible (recall 1/hop of
     * uniformly-random column phases; the granularity contract every
     * leg documents). hop < 8 emits overlapping blocks at every hop-px
-    * phase — 8/hop × the rows — so crops at any phase ≡ 0 (mod hop)
-    * match at one consistent packed shift; hop = 1 catches EVERY
-    * column phase at 8× rows (measured: SCALE.md round-17 study). The
+    * phase — up to 8/hop × the rows (measured 4.5× at hop 1: the
+    * padding-block drop and per-row start counts damp it) — so crops
+    * at any phase ≡ 0 (mod hop) match at one consistent packed shift;
+    * hop = 1 catches EVERY phase (SCALE.md round-17 study). The
     * packed column index is the start ordinal `startPx / hop` (at the
     * default this IS the block ordinal — the registered oracles'
     * replay), so shifts stay single subtractions; both sides of a
