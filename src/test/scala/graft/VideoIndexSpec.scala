@@ -415,6 +415,32 @@ class VideoIndexSpec extends AnyFunSuite {
       .count() == spark.table("graft_video_spec_kfe0_vf").count())
   }
 
+  test("StopCache: an unchanged sidecar serves cached; an EXTERNAL " +
+      "rewrite is picked up by file-listing signature with no " +
+      "invalidate call") {
+    val corpus = Multimodal.videoTable(spark, sf0001)
+    VideoIndex.build(spark, Multimodal.videoFrames(corpus),
+      "graft_video_spec_sc")
+    val cache = new VideoIndex.StopCache(spark)
+    cache.get("graft_video_spec_sc_stop")
+    assert(cache.reads == 1)
+    cache.get("graft_video_spec_sc_stop")
+    assert(cache.reads == 1,
+      "an unchanged sidecar must serve from the cache")
+    // an EXTERNAL writer (a maintenance pass this loop didn't run)
+    // rewrites the sidecar parquet — fresh part-file names — and the
+    // cache must notice WITHOUT an invalidate (r16 ADVICE: the old
+    // cache trusted the loop to be the only writer and would have
+    // gated against a stale stop set forever)
+    VideoIndex.refreshStop(spark, "graft_video_spec_sc")
+    cache.get("graft_video_spec_sc_stop")
+    assert(cache.reads == 2,
+      "a rewritten sidecar must re-read on signature change")
+    cache.get("graft_video_spec_sc_stop")
+    assert(cache.reads == 2, "and re-serve cached afterwards")
+    cache.releaseAll()
+  }
+
   test("maintain compacts only when fragmented") {
     val corpus = Multimodal.videoTable(spark, sf0001)
     VideoIndex.build(spark, Multimodal.videoFrames(corpus),
