@@ -312,12 +312,30 @@ object VideoIndex {
     * sidecars is therefore picked up on the next get; [[invalidate]]
     * remains the cheap fast path for the loop's own appends (skips even
     * the listing's staleness window). The `reads` counter still counts
-    * actual parquet reads: one per sidecar per CHANGE. */
+    * actual parquet reads: one per sidecar per CHANGE.
+    *
+    * Concurrency + lifetime (r17 ADVICE, both lows): every public
+    * method holds the cache monitor, so concurrent callers can't both
+    * miss and double-checkpoint a sidecar (one of which would leak
+    * when the second `put` overwrote it), and a release can't race a
+    * get that just returned the frame. A SUPERSEDED frame is NOT
+    * released at the change that supersedes it — a gate plan built
+    * from an earlier get (admitFlags returns LAZY flags embedding the
+    * stop frame) may not have executed yet — it parks one generation
+    * and is released on the NEXT change. Caller contract: execute gate
+    * output before two subsequent sidecar rewrites of the same table
+    * (an admission loop executes its flags every batch, so the
+    * one-generation grace is two full batches wide). */
   final class StopCache(spark: SparkSession) {
-    private val m =
-      scala.collection.concurrent.TrieMap.empty[String, (DataFrame, String)]
+    /** table -> (current frame, listing signature, superseded frame
+      * parked for deferred release). */
+    private val m = scala.collection.mutable
+      .HashMap.empty[String, (DataFrame, String, Option[DataFrame])]
     /** Number of sidecar parquet reads so far (test observability). */
     @volatile var reads: Int = 0
+    private def release(df: DataFrame): Unit =
+      try graft.core.Checkpoints.release(df)
+      catch { case _: Throwable => () }
     /** The sidecar's current on-disk generation: part-file names carry
       * fresh UUIDs on every overwrite, so an unchanged signature IS an
       * unchanged sidecar. */
@@ -331,40 +349,42 @@ object VideoIndex {
         .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
         .toSeq.sorted.mkString(",")
     }
-    def get(table: String): DataFrame = {
+    def get(table: String): DataFrame = synchronized {
       val now = sig(table)
       m.get(table) match {
-        case Some((df, s)) if s == now => df
+        case Some((df, s, _)) if s == now => df
         case prev =>
-          prev.foreach { case (df, _) =>
-            try graft.core.Checkpoints.release(df)
-            catch { case _: Throwable => () }
-          }
+          // release the generation TWO changes back; the one just
+          // superseded parks (deferred-release contract above)
+          prev.foreach { case (_, _, parked) => parked.foreach(release) }
           reads += 1
           // refresh first: this session's cached FileIndex may still
           // list the overwritten generation's (deleted) part files
           spark.catalog.refreshTable(table)
           val df = spark.table(table).localCheckpoint()
-          m.put(table, (df, now))
+          m.put(table, (df, now, prev.map(_._1)))
           df
       }
     }
     /** Drop `name`'s sidecar entries (call after a non-empty append or
-      * a maintenance pass over `name`). */
-    def invalidate(name: String): Unit =
+      * a maintenance pass over `name`). The loop's OWN invalidate means
+      * its prior gate output was executed (the append that triggers it
+      * consumed the flags), so both generations release here. */
+    def invalidate(name: String): Unit = synchronized {
       Seq(s"${name}_stop", s"${name}_bstop").foreach { t =>
-        m.remove(t).foreach { case (df, _) =>
-          try graft.core.Checkpoints.release(df)
-          catch { case _: Throwable => () }
+        m.remove(t).foreach { case (df, _, parked) =>
+          release(df); parked.foreach(release)
         }
       }
+    }
     /** Release every cached sidecar frame — call when discarding a
       * cache instance (r16 ADVICE: a replaced cache must not abandon
       * its localCheckpointed frames). */
-    def releaseAll(): Unit = m.keys.foreach { t =>
-      m.remove(t).foreach { case (df, _) =>
-        try graft.core.Checkpoints.release(df)
-        catch { case _: Throwable => () }
+    def releaseAll(): Unit = synchronized {
+      m.keys.toSeq.foreach { t =>
+        m.remove(t).foreach { case (df, _, parked) =>
+          release(df); parked.foreach(release)
+        }
       }
     }
   }

@@ -82,8 +82,12 @@ object R17FloorProbe {
           try {
             once(q.run) // untimed warm
             val ts = (1 to 10).map(_ => once(q.run)).sorted
+            // even-sized sample: median is the mean of the two middle
+            // order statistics (r17 ADVICE: ts(4) alone is the lower
+            // middle and biases recorded floors low)
+            val med = (ts(4) + ts(5)) / 2
             println(s"[floor] $name min=${f(ts.head)} " +
-              s"med=${f(ts(4))} max=${f(ts.last)} " +
+              s"med=${f(med)} max=${f(ts.last)} " +
               "load=" + f(load()))
           } catch {
             case e: Throwable =>
