@@ -456,6 +456,36 @@ object Multimodal {
     }.toDF()
   }
 
+  /** The LOSSY-TRANSCODE audio twin (+9.6M ids; r17 verdict "missing"
+    * #4 — the audio analog of the QUANT keyframe: the 0.9× GAIN twin
+    * exercises gain tolerance, this exercises QUANTIZATION, the
+    * MP3/Vorbis-shaped distortion): the doc_id % 4 = 1 slice with the
+    * low 2 bits of every PCM sample dropped (8→6-bit requantization)
+    * before the real WAV re-encode. Measured on the sf0.01 corpus
+    * BEFORE registering (the autoBuckets discipline): every 32-byte
+    * segment md5 differs (0/1,162 unchanged — the byte-exact segment
+    * leg is provably blind, AudioLossySpec pins it) while the
+    * whole-stream envelope moves by median Hamming 1 (p90 = 4,
+    * 122/123 within the maxDist = 6 dial; the one outlier at 7 is
+    * honestly refused — the QUANT-keyframe contract). The other lossy
+    * shape, 2× DECIMATION (drop every other sample), measured min
+    * Hamming 10 / median 24 — a re-sampled stream IS different audio
+    * to a temporal envelope, so no decimation twin is registered: it
+    * would contribute zero pairs by construction. Quantization is pure
+    * integer byte math on sample-per-byte PCM, so DuckDB replays it
+    * from the document text's hex bytes. */
+  def audioLossyTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, sfDir)
+      .where(pmod(col("doc_id"), lit(4L)) === 1L)
+      .select((col("doc_id") + lit(9600000L)).as("media_id"),
+        encode(col("text"), "UTF-8").as("content")).as[MediaRow]
+    payloads.mapPartitions { rows =>
+      rows.map(r => MediaRow(r.media_id,
+        encodeWav(r.content.map(b => (b & 0xfc).toByte))))
+    }.toDF()
+  }
+
   /** Per-SEGMENT audio fingerprints over the DECODED PCM — the temporal
     * grid that gives audio what [[videoFramesFp]] gives video:
     * EXCERPT (clip) detection, the modality-matrix cell the whole-stream
@@ -659,8 +689,9 @@ object Multimodal {
     * indistinguishable from raster zero-padding (the right half-row
     * past a payload's end), appear across most of the corpus, and
     * carry no copy signal — the padding analog of the stop-frame
-    * discipline, but structural, so it holds at any df dial. */
-  /** `colHopPx` (r16 verdict "what's missing" #4 — the audio-overlap
+    * discipline, but structural, so it holds at any df dial.
+    *
+    * `colHopPx` (r16 verdict "what's missing" #4 — the audio-overlap
     * trade for the column axis): the pixel step between consecutive
     * block STARTS within a row. The default [[BlockPx]] tiles aligned
     * blocks only — a crop whose left edge is not 8-px-aligned copies

@@ -289,6 +289,45 @@ object MultimodalQueries {
               WHERE bit_count(xor(a.lo, b.lo))
                   + bit_count(xor(a.hi, b.hi)) <= 6""")),
 
+    // the LOSSY-CODEC audio twin (r17 verdict "missing" #4 — the audio
+    // analog of the QUANT keyframe): corpus ∪ the low-2-bit-quantized
+    // re-encode slice. Quantization kills every byte-exact signal
+    // (0/1,162 segment md5s survive at sf0.01 — AudioLossySpec pins
+    // the blindness) while the envelope gradient bits move by median
+    // Hamming 1 (p90 = 4), so the PERCEPTUAL leg catches 122/123 of
+    // the re-encodes at the measured maxDist = 6 dial and honestly
+    // refuses the one at 7 — the QUANT-keyframe contract. The oracle
+    // replays the quantization as byte math inside the same envelope
+    // CTE (windows, integer means, gradients, banding all verbatim).
+    // 2× DECIMATION measured min Hamming 10 — a re-sample IS different
+    // audio to a temporal envelope — so no decimation regime exists to
+    // inflate the table (see audioLossyTable's scaladoc).
+    Q("q_audio_dedup_lossy",
+      (s, d) => Multimodal.audioDedupPairs(
+        Multimodal.audioTable(s, d)
+          .unionByName(Multimodal.audioLossyTable(s, d)),
+        maxDist = 6),
+      Some(audioLossyFpCte + mediaBandStopCte(corpusOnly = false) +
+        """SELECT a.media_id AS da, b.media_id AS db,
+                     CAST(bit_count(xor(a.lo, b.lo))
+                        + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS dist
+              FROM fp a JOIN fp b
+                ON a.media_id < b.media_id
+               AND (a.lo % 65536 = b.lo % 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 0 AND s.bv = a.lo % 65536)
+                 OR a.lo // 65536 = b.lo // 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 1 AND s.bv = a.lo // 65536)
+                 OR a.hi % 65536 = b.hi % 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 2 AND s.bv = a.hi % 65536)
+                 OR a.hi // 65536 = b.hi // 65536 AND NOT EXISTS (
+                      SELECT 1 FROM bstop s
+                      WHERE s.bi = 3 AND s.bv = a.hi // 65536))
+              WHERE bit_count(xor(a.lo, b.lo))
+                  + bit_count(xor(a.hi, b.hi)) <= 6""")),
+
     // video near-dup pairs via TEMPORALLY-ALIGNED exact frame
     // fingerprints (the third modality of the dedup family): payloads
     // are opaque byte streams (the frameSample contract — no codec in
@@ -1218,6 +1257,61 @@ object MultimodalQueries {
                             ELSE raw END AS byte
                 FROM (
                   SELECT media_id, scaled, n_bytes, i,
+                         16 * (strpos('0123456789ABCDEF',
+                                 substring(h, CAST(2 * i - 1 AS BIGINT), 1)) - 1)
+                           + (strpos('0123456789ABCDEF',
+                                 substring(h, CAST(2 * i AS BIGINT), 1)) - 1) AS raw
+                  FROM pos)),
+              wm AS (
+                SELECT media_id, ((i - 1) * 64) // n_bytes AS k,
+                       sum(byte) // count(*) AS mean
+                FROM by GROUP BY 1, 2),
+              grid AS (
+                SELECT media_id, unnest(range(0, 64)) AS k FROM m),
+              mg AS (
+                SELECT grid.media_id, grid.k, coalesce(wm.mean, 0) AS mean
+                FROM grid
+                LEFT JOIN wm ON grid.media_id = wm.media_id AND grid.k = wm.k),
+              bits AS (
+                SELECT a.media_id, a.k,
+                       CASE WHEN n.mean > a.mean THEN 1 ELSE 0 END AS bit
+                FROM mg a
+                JOIN mg n ON a.media_id = n.media_id AND n.k = (a.k + 1) % 64),
+              fp AS (
+                SELECT media_id,
+                       CAST(sum(CASE WHEN k < 32
+                         THEN bit * (CAST(1 AS BIGINT) << CAST(k AS INT))
+                         ELSE 0 END) AS BIGINT) AS lo,
+                       CAST(sum(CASE WHEN k >= 32
+                         THEN bit * (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+                         ELSE 0 END) AS BIGINT) AS hi
+                FROM bits GROUP BY 1)
+              """
+
+  /** [[audioFpCte]]'s LOSSY-twin variant (r17 verdict "missing" #4):
+    * corpus ∪ the low-2-bit-quantized re-encode slice (ids +9.6M,
+    * [[Multimodal.audioLossyTable]]), byte′ = byte - byte % 4 applied
+    * in-SQL on the hex-derived bytes — the rest of the envelope replay
+    * (windows, integer means, gradient bits, banding) is verbatim. */
+  private def audioLossyFpCte: String = """WITH m AS (
+                SELECT doc_id AS media_id, 0 AS lossy,
+                       hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n_bytes
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 9600000, 1, hex(encode(text)),
+                       octet_length(encode(text))
+                FROM documents WHERE doc_id % 4 = 1),
+              pos AS (
+                SELECT media_id, lossy, h, n_bytes,
+                       unnest(range(1, n_bytes + 1)) AS i
+                FROM m),
+              by AS (
+                SELECT media_id, n_bytes, i,
+                       CASE WHEN lossy = 1 THEN raw - (raw % 4)
+                            ELSE raw END AS byte
+                FROM (
+                  SELECT media_id, lossy, n_bytes, i,
                          16 * (strpos('0123456789ABCDEF',
                                  substring(h, CAST(2 * i - 1 AS BIGINT), 1)) - 1)
                            + (strpos('0123456789ABCDEF',

@@ -12,7 +12,9 @@ import graft.{Registry, Tables}
   * documents VERBATIM multiplies the near-dup group sizes, so pair
   * outputs grow quadratically in the factor (100× verbatim ⇒ ~5000×
   * the pairs) — that measures output explosion, not algorithm scaling.
-  * Here every replica r ≥ 1 suffixes each word with `_r`, making
+  * Here every replica r ≥ 1 rotates the printable alphabet by a
+  * per-replica stride (perceptual-fingerprint disjointness — see the
+  * note at the synthesis) and suffixes each word with `_r`, making
   * cross-replica shingle/gram sets DISJOINT: the corpus grows 100×
   * while the duplicate RATE stays the base corpus's (each replica
   * carries the same internal dup structure), which is the "more crawl
@@ -66,12 +68,35 @@ object Rehearse100 {
     val done = new java.io.File(s"$outDir/_done")
     if (done.exists()) return
     val docs = Tables.documents(spark, sfDir)
+    // Per-replica PRINTABLE-ALPHABET ROTATION (r17 verdict "missing"
+    // #3): the `_r` word suffix alone keeps replicas of one doc within
+    // a byte of each other — exactly what a perceptual fingerprint
+    // (gradient signs, [[graft.multimodal.Multimodal.frameFpBits]])
+    // tolerates — so the perceptual keyframe ×100 row emitted its
+    // quadratic cross-replica twin mass (29.76M pairs, 13,205× rows)
+    // and measured the synthesis, not the serve. Rotating every
+    // printable byte by a per-replica stride is a LARGE-amplitude
+    // order-scrambling map (pairs straddling the wrap point flip their
+    // comparison), so cross-replica frames land in different fp bands
+    // while the within-replica dup structure — the thing the rehearsal
+    // scales — is preserved exactly (the map is a per-replica
+    // bijection). The suffix stays for shingle/gram disjointness: the
+    // 94-char cycle collides for r ≥ 94 (6 replica pairs keep their
+    // perceptual twin — ~0.1% of the old quadratic mass, noted here
+    // rather than special-cased).
+    val alphabet = (33 to 126).map(_.toChar).mkString // printable, no space
+    def rotated(r: Int): String = {
+      val k = (r * 17) % alphabet.length // gcd(17, 94) = 1: distinct shifts
+      alphabet.drop(k) + alphabet.take(k)
+    }
     (0 until Factor).map { r =>
       val d = docs.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
       if (r == 0) d
       else d.withColumn("text",
-        array_join(transform(split(col("text"), " "),
-          w => concat(w, lit("_" + r))), " "))
+          translate(col("text"), alphabet, rotated(r)))
+        .withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("_" + r))), " "))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     val emb = Tables.embeddings(spark, sfDir)
@@ -133,11 +158,12 @@ object Rehearse100 {
     spark.sparkContext.setLogLevel("ERROR")
     require(outDir != sfDir, "never synthesize over the source tables")
     synthesize(spark, sfDir, outDir)
-    def time(q: graft.Q, dir: String): (Double, Long) = {
+    def time(fn: (SparkSession, String) => DataFrame,
+        dir: String): (Double, Long) = {
       var rows = 0L
       def once(): Double = {
         val t0 = System.nanoTime()
-        val df = q.run(spark, dir)
+        val df = fn(spark, dir)
         rows = df.count()
         val dt = (System.nanoTime() - t0) / 1e9
         graft.core.Checkpoints.release(df)
@@ -181,13 +207,29 @@ object Rehearse100 {
             f"rowratio=${bigRows.toDouble / math.max(1, baseRows)}%.1f  " +
             "[shifted-vertex graph, no saturation]")
           be.unpersist(); bigE.unpersist()
-        case None =>
-          val q = Registry.byName(name)
-          val (base, baseRows) = time(q, sfDir)
-          val (big, bigRows) = time(q, outDir)
-          println(f"REHEARSE100 $name%-24s base=$base%.2f s ($baseRows%d rows)  " +
-            f"x100=$big%.2f s ($bigRows%d rows)  ratio=${big / base}%.1f  " +
-            f"rowratio=${bigRows.toDouble / math.max(1, baseRows)}%.1f")
+        case None => Registry.byName.get(name) match {
+          case Some(q) =>
+            val (base, baseRows) = time(q.run, sfDir)
+            val (big, bigRows) = time(q.run, outDir)
+            println(f"REHEARSE100 $name%-24s base=$base%.2f s ($baseRows%d rows)  " +
+              f"x100=$big%.2f s ($bigRows%d rows)  ratio=${big / base}%.1f  " +
+              f"rowratio=${bigRows.toDouble / math.max(1, baseRows)}%.1f")
+          case None =>
+            // bench-only windows (r17 verdict stretch #7 — the
+            // eight-leg composed admission one decade up): the setup
+            // (fixture index builds over the ×100 corpus) runs
+            // UNTIMED per dir, exactly as graft.Bench hoists it, so
+            // the timed window is only the operation the row names.
+            val be = graft.Bench.benchOnly(name)
+            be.setup.foreach(_(spark, sfDir))
+            val (base, baseRows) = time(be.run, sfDir)
+            be.setup.foreach(_(spark, outDir))
+            val (big, bigRows) = time(be.run, outDir)
+            println(f"REHEARSE100 $name%-24s base=$base%.2f s ($baseRows%d rows)  " +
+              f"x100=$big%.2f s ($bigRows%d rows)  ratio=${big / base}%.1f  " +
+              f"rowratio=${bigRows.toDouble / math.max(1, baseRows)}%.1f  " +
+              "[bench-only window, setup untimed]")
+        }
       }
     }
     spark.stop()

@@ -526,4 +526,52 @@ class MultimodalSpec extends AnyFunSuite {
       s"the gain re-encode must pair at distance 0 on both sampled " +
         s"keyframes: ${perc.mkString(", ")}")
   }
+
+  test("lossy-transcode audio (AudioLossySpec): quantization blinds " +
+      "every byte-exact segment md5; the envelope leg catches the " +
+      "re-encode; 2x decimation reads as different audio") {
+    val corpus = Multimodal.audioTable(spark, sf0001)
+    val twins = Multimodal.audioLossyTable(spark, sf0001)
+    // byte-exact segment leg: NO segment md5 survives quantization —
+    // an (idx, md5)-aligned join between each original and its twin
+    // must be empty (the blindness the perceptual leg exists to cover)
+    val segs = Multimodal.audioSegmentsFp(corpus.unionByName(twins))
+      .localCheckpoint()
+    val surviving = segs.as("a").join(segs.as("b"),
+        col("a.media_id") + lit(9600000L) === col("b.media_id") &&
+          col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.fm") === col("b.fm"))
+      .count()
+    assert(surviving == 0,
+      s"quantization must change every PCM segment md5, $surviving survived")
+    // perceptual whole-stream leg: the registered query's exact shape —
+    // most twins land within the measured maxDist = 6 dial (sf0.01:
+    // 122/123, median 1; outliers are honestly refused)
+    val pairs = Multimodal.audioDedupPairs(corpus.unionByName(twins),
+        maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slice = Tables.documents(spark, sf0001)
+      .where(col("doc_id") % 4 === 1)
+      .select("doc_id").collect().map(_.getLong(0))
+    val caught = slice.count(d => pairs.contains((d, d + 9600000L)))
+    assert(caught * 2 >= slice.length,
+      s"the envelope leg must catch most quantized re-encodes: " +
+        s"$caught of ${slice.length}")
+    // decimation (the codec shape NOT registered): dropping every
+    // other sample re-partitions the envelope windows onto half the
+    // stream — measured min Hamming 10 at sf0.01 — so a 2x re-sample
+    // correctly reads as DIFFERENT audio at the same dial
+    val texts = Tables.documents(spark, sf0001)
+      .where(col("doc_id") % 4 === 1)
+      .select("text").collect().map(_.getString(0))
+    val refused = texts.forall { t =>
+      val b = t.getBytes("UTF-8")
+      val (lo, hi) = Multimodal.envelopeBits(b, 0, b.length)
+      val d = b.zipWithIndex.collect { case (x, i) if i % 2 == 0 => x }
+      val (dlo, dhi) = Multimodal.envelopeBits(d, 0, d.length)
+      java.lang.Long.bitCount(lo ^ dlo) +
+        java.lang.Long.bitCount(hi ^ dhi) > 6
+    }
+    assert(refused, "a 2x-decimated stream must not land within the dial")
+  }
 }
