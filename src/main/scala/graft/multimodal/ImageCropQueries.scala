@@ -26,7 +26,7 @@ object ImageCropQueries {
         Multimodal.imageRowsFp(
           Multimodal.imageTable(s, d)
             .unionByName(Multimodal.imageCropTable(s, d))),
-        minFrames = 2),
+        minFrames = 2, materializeFrames = true),
       Some(imageRowCte(corpusOnlyStop = false, perceptual = false) +
         """SELECT a.media_id AS da, b.media_id AS db,
                      CAST(a.seg - b.seg AS BIGINT) AS shift,
@@ -131,7 +131,7 @@ object ImageCropQueries {
         Multimodal.imageBlocksFp(
           Multimodal.imageTable(s, d)
             .unionByName(Multimodal.imageCrop2dTable(s, d))),
-        minFrames = 2),
+        minFrames = 2, materializeFrames = true),
       Some(imageBlockCte(corpusOnlyStop = false) +
         """SELECT a.media_id AS da, b.media_id AS db,
                      CAST(a.seg - b.seg AS BIGINT) AS shift,

@@ -31,7 +31,7 @@ object KeyframeQueries {
         Multimodal.videoKeyframesFp(
           Multimodal.videoKeyframeTable(s, d)
             .unionByName(Multimodal.videoKeyframeTwinTable(s, d))),
-        minFrames = 2),
+        minFrames = 2, materializeFrames = true),
       Some("""WITH m AS (
                 SELECT doc_id AS media_id, hex(encode(text)) AS h,
                        octet_length(encode(text)) AS n
@@ -71,7 +71,7 @@ object KeyframeQueries {
         Multimodal.videoKeyframesFp(
           Multimodal.videoKeyframeTable(s, d)
             .unionByName(Multimodal.videoKeyframeClipTwinTable(s, d))),
-        minFrames = 2),
+        minFrames = 2, materializeFrames = true),
       Some("""WITH m AS (
                 SELECT doc_id AS media_id, hex(encode(text)) AS h,
                        octet_length(encode(text)) AS n, 0 AS off

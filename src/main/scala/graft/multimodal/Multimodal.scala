@@ -82,6 +82,24 @@ object Multimodal {
   private[graft] def imgHeight(nBytes: Int): Int =
     math.max(1, (nBytes + RowBytes - 1) / RowBytes)
 
+  /** Lower-case hex of a digest — byte-identical to the previous
+    * per-byte `f"$x%02x"` formatting, minus the `java.util.Formatter`
+    * allocation + boxing PER BYTE it paid (r18, guide §1.2 step 2:
+    * per-task work on the fingerprint hot paths — every raster row,
+    * block, PCM segment and sampled frame formats one 16-byte digest). */
+  private val HexChars = "0123456789abcdef".toCharArray
+  private[graft] def hexString(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      out(2 * i) = HexChars(v >>> 4)
+      out(2 * i + 1) = HexChars(v & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Encode a payload into a real PNG: bytes fill a [[ImgWidth]]-wide
     * RGB raster in index order (byte 3p → R of pixel p, 3p+1 → G,
     * 3p+2 → B), zero-padded to the last row. Deterministic: same payload
@@ -108,14 +126,19 @@ object Multimodal {
     val h = math.max(1, (payload.length + rb - 1) / rb)
     val img = new java.awt.image.BufferedImage(
       widthPx, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var p = 0
+    // one bulk setRGB instead of a per-pixel call (r18, guide §1.2
+    // step 2): identical packed-RGB values, minus the per-call sync +
+    // color-model dispatch — the encode runs once per image per pass
     val nPix = widthPx * h
+    val px = new Array[Int](nPix)
+    var p = 0
     while (p < nPix) {
       val i = 3 * p
       def b(j: Int): Int = if (j < payload.length) payload(j) & 0xff else 0
-      img.setRGB(p % widthPx, p / widthPx, (b(i) << 16) | (b(i + 1) << 8) | b(i + 2))
+      px(p) = (b(i) << 16) | (b(i + 1) << 8) | b(i + 2)
       p += 1
     }
+    img.setRGB(0, 0, widthPx, h, px, 0, widthPx)
     val baos = new java.io.ByteArrayOutputStream()
     // ImageIO.write signals "no writer for this format" by returning
     // false, not by throwing — unchecked, that yields an empty byte
@@ -139,19 +162,19 @@ object Multimodal {
       throw new IllegalArgumentException("undecodable image payload")
     val w = img.getWidth
     val h = img.getHeight
+    // one bulk getRGB instead of w·h per-pixel calls (r18, guide §1.2
+    // step 2): same default-sRGB packed ints whatever the source color
+    // model, minus the per-call raster + color-model dispatch
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     val out = new Array[Byte](w * h * 3)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val i = 3 * (y * w + x)
-        out(i) = ((rgb >> 16) & 0xff).toByte
-        out(i + 1) = ((rgb >> 8) & 0xff).toByte
-        out(i + 2) = (rgb & 0xff).toByte
-        x += 1
-      }
-      y += 1
+    var p = 0
+    while (p < px.length) {
+      val rgb = px(p)
+      val i = 3 * p
+      out(i) = ((rgb >> 16) & 0xff).toByte
+      out(i + 1) = ((rgb >> 8) & 0xff).toByte
+      out(i + 2) = (rgb & 0xff).toByte
+      p += 1
     }
     (w, out)
   }
@@ -540,7 +563,7 @@ object Multimodal {
             val from = si * step
             md.reset()
             md.update(d, from, segBytes)
-            val fm = md.digest().map(x => f"$x%02x").mkString
+            val fm = hexString(md.digest())
             val (lo, hi) = frameFpBits(d, from, from + segBytes, segBytes)
             VideoFpRow(r.media_id, si.toLong, fm, lo, hi)
           }
@@ -618,7 +641,7 @@ object Multimodal {
             val from = ri * RowBytes
             md.reset()
             md.update(d, from, RowBytes)
-            val fm = md.digest().map(x => f"$x%02x").mkString
+            val fm = hexString(md.digest())
             val (lo, hi) = frameFpBits(d, from, from + RowBytes, RowBytes)
             VideoFpRow(r.media_id, ri.toLong, fm, lo, hi)
           }
@@ -733,7 +756,7 @@ object Multimodal {
           } yield {
             md.reset()
             md.update(d, from, BlockBytes)
-            val fm = md.digest().map(x => f"$x%02x").mkString
+            val fm = hexString(md.digest())
             val (lo, hi) = frameFpBits(d, from, from + BlockBytes, BlockBytes)
             VideoFpRow(r.media_id, gy * ColStride + gx, fm, lo, hi)
           }
@@ -886,6 +909,11 @@ object Multimodal {
     * (da, db, matched_frames). */
   def videoDedupPairs(media: DataFrame, frameBytes: Int = 32,
       every: Int = 2, minFrames: Int = 2, maxDf: Int = 10000): DataFrame =
+    // no materializeFrames here: videoFrames is a NATIVE (codegen)
+    // derivation over small text payloads — recomputing it under the
+    // stop aggregate is cheaper than an extra materialization barrier
+    // (measured r18: materializing moved q_video_clip_detect 1.73 →
+    // 2.64 s while the codec-decode sites gained 1.5–2.2×)
     videoPairsFromFrames(videoFrames(media, frameBytes, every), minFrames,
       maxDf)
 
@@ -934,10 +962,22 @@ object Multimodal {
       .where(col("df") > maxDf).select(col("fm"))
 
   def videoPairsFromFrames(framesIn: DataFrame, minFrames: Int = 2,
-      maxDf: Int = 10000): DataFrame = {
-    val raw = framesIn.select(col("media_id"), col("frame_idx"), col("fm"))
+      maxDf: Int = 10000, materializeFrames: Boolean = false): DataFrame = {
+    // materializeFrames (r18, guide §1.2/§2.4 — don't compute the same
+    // thing twice): the stop-df aggregate AND the checkpointed anti-join
+    // below both consume `raw`, so a LIVE call site whose frames come
+    // out of an expensive derivation (codec decode + digest pass) pays
+    // that derivation TWICE per run. Materializing raw first makes both
+    // consumers read the small 3-column digest rows instead — one
+    // corpus pass, released as soon as the filtered frame exists. A
+    // STORED call site (frames = a parquet read) keeps the default:
+    // there the second pass is a cheap columnar re-scan, and
+    // checkpointing a corpus-sized table would be the regression.
+    val raw0 = framesIn.select(col("media_id"), col("frame_idx"), col("fm"))
+    val raw = if (materializeFrames) raw0.localCheckpoint() else raw0
     val f = raw.join(broadcast(stopFrames(raw, maxDf)), Seq("fm"),
       "left_anti").localCheckpoint()
+    if (materializeFrames) graft.core.Checkpoints.release(raw)
     val vdg = f.groupBy(col("media_id"))
       .agg(md5(concat_ws(";", sort_array(collect_list(
         concat_ws(":", col("frame_idx"), col("fm")))))).as("dg"),
@@ -1003,6 +1043,8 @@ object Multimodal {
     * (da, db, shift, matched_frames). */
   def videoClipDetect(media: DataFrame, frameBytes: Int = 32,
       every: Int = 2, minFrames: Int = 2, maxDf: Int = 10000): DataFrame =
+    // native derivation — same no-materialize reasoning as
+    // [[videoDedupPairs]]
     clipPairsFromFrames(videoFrames(media, frameBytes, every), minFrames,
       maxDf)
 
@@ -1010,10 +1052,15 @@ object Multimodal {
     * function of it (the [[videoPairsFromFrames]] contract, so the
     * stored [[graft.sources.VideoIndex]] rows serve it unchanged). */
   def clipPairsFromFrames(framesIn: DataFrame, minFrames: Int = 2,
-      maxDf: Int = 10000): DataFrame = {
-    val raw = framesIn.select(col("media_id"), col("frame_idx"), col("fm"))
+      maxDf: Int = 10000, materializeFrames: Boolean = false): DataFrame = {
+    // materializeFrames: see [[videoPairsFromFrames]] — one derivation
+    // pass for live (expensive-to-derive) frames, default recompute for
+    // stored parquet rows.
+    val raw0 = framesIn.select(col("media_id"), col("frame_idx"), col("fm"))
+    val raw = if (materializeFrames) raw0.localCheckpoint() else raw0
     val f = raw.join(broadcast(stopFrames(raw, maxDf)), Seq("fm"),
       "left_anti").localCheckpoint()
+    if (materializeFrames) graft.core.Checkpoints.release(raw)
     val vdg = f.groupBy(col("media_id"))
       .agg(md5(concat_ws(";", sort_array(collect_list(
         concat_ws(":", col("frame_idx"), col("fm")))))).as("dg"),
@@ -1137,7 +1184,7 @@ object Multimodal {
             val until = math.min(from + frameBytes, n)
             md.reset()
             md.update(r.content, from, until - from)
-            val fm = md.digest().map(x => f"$x%02x").mkString
+            val fm = hexString(md.digest())
             val (lo, hi) = frameFpBits(r.content, from, until, frameBytes)
             VideoFpRow(r.media_id, fi.toLong, fm, lo, hi)
           }
@@ -1560,7 +1607,7 @@ object Multimodal {
               val d = decodePngBytes(blob) // ImageIO sniffs png/bmp/…
               md.reset()
               md.update(d)
-              val fm = md.digest().map(x => f"$x%02x").mkString
+              val fm = hexString(md.digest())
               val (lo, hi) = frameFpBits(d, 0, d.length, d.length)
               out += VideoFpRow(r.media_id, idx, fm, lo, hi)
             }

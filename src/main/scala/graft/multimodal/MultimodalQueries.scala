@@ -639,7 +639,7 @@ object MultimodalQueries {
         Multimodal.audioSegmentsFp(
           Multimodal.audioTable(s, d)
             .unionByName(Multimodal.audioExcerptTable(s, d))),
-        minFrames = 2),
+        minFrames = 2, materializeFrames = true),
       Some(audioSegCte(corpusOnlyStop = false, perceptual = false) +
         """SELECT a.media_id AS da, b.media_id AS db,
                      CAST(a.seg - b.seg AS BIGINT) AS shift,
