@@ -87,6 +87,35 @@ object Multimodal {
     * allocation + boxing PER BYTE it paid (r18, guide §1.2 step 2:
     * per-task work on the fingerprint hot paths — every raster row,
     * block, PCM segment and sampled frame formats one 16-byte digest). */
+  /** Spread a payload frame across the session's cores before a
+    * per-row codec pass (r18, guide §2.5 input parallelism): a small
+    * corpus arrives as ONE parquet split, so every encode/decode
+    * mapPartitions stage otherwise runs in a single task while the
+    * rest of the box idles — measured at sf0.1: 2,000 PNG encodes cost
+    * 0.19 s single-threaded, yet the codec queries spent seconds in
+    * one-task stages. Hash-repartitions on `media_id` (deterministic
+    * under task retry — never a rand-derived key) ONLY when the input
+    * has fewer partitions than the session's parallelism; at 100 TB
+    * scan splits already provide ≥ cores partitions and this is a
+    * no-op, so no constant is tuned to local mode. The moved bytes are
+    * exactly the payloads one codec pass is about to read — the
+    * cheapest point to buy the whole downstream chain's parallelism.
+    *
+    * CALL-SITE CONTRACT: only at the SYNTHESIS tables, whose upstream
+    * is a plain scan/select — never inside the fingerprint derivations.
+    * `df.rdd` under AQE eagerly executes any shuffle stages already in
+    * the plan to finalize it, so a partition check above an
+    * exchange-bearing input re-runs the whole upstream encode as a
+    * side effect (measured r18: q_image_dedup 1.64 → 5.88 s with the
+    * check inside imageDHash; reverted). Derivations inherit the
+    * synthesis tables' spread partitioning through the narrow chain. */
+  private def spreadForCodec(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target)
+      df.repartition(target, col("media_id"))
+    else df
+  }
+
   private val HexChars = "0123456789abcdef".toCharArray
   private[graft] def hexString(bytes: Array[Byte]): String = {
     val out = new Array[Char](bytes.length * 2)
@@ -115,6 +144,34 @@ object Multimodal {
   private[graft] def encodePngW(payload: Array[Byte], widthPx: Int): Array[Byte] =
     encodeRasterW(payload, widthPx, "png")
 
+  /** The image codec SPIs, resolved ONCE per JVM — the [[wavWriter]]
+    * discipline applied to `javax.imageio` (r18): the `ImageIO.read` /
+    * `ImageIO.write` facade re-scans the provider registry PER CALL and
+    * (with `useCache` on, the default) backs every image stream with a
+    * TEMP FILE on disk, so 32 executor threads encode/decode SLOWER
+    * than one once the codec passes are spread across cores (measured:
+    * the spread alone regressed the whole image family until this
+    * landed). The SPIs are resolved once, instances are created
+    * per call (ImageWriter/ImageReader are stateful and not
+    * thread-safe; `createWriterInstance` is allocation-only, no
+    * registry scan), and streams are memory-cached. Same plugins,
+    * byte-identical containers and rasters. */
+  private lazy val imageWriterSpis: Map[String, javax.imageio.spi.ImageWriterSpi] = {
+    import scala.jdk.CollectionConverters._
+    javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageWriterSpi], true)
+      .asScala.toSeq
+      .flatMap(spi => spi.getFormatNames.map(n => n.toLowerCase -> spi))
+      .groupBy(_._1).map { case (n, spis) => n -> spis.head._2 }
+  }
+
+  private lazy val imageReaderSpis: Seq[javax.imageio.spi.ImageReaderSpi] = {
+    import scala.jdk.CollectionConverters._
+    javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+      .asScala.toSeq
+  }
+
   /** The raster encode behind [[encodePngW]] with the CODEC as a call
     * site (`format` = any lossless `javax.imageio` writer — "png",
     * "bmp"): same payload → same DECODED pixels whatever the container,
@@ -139,12 +196,21 @@ object Multimodal {
       p += 1
     }
     img.setRGB(0, 0, widthPx, h, px, 0, widthPx)
+    // the "no writer" signal stays a require (pre-r18 this was
+    // ImageIO.write returning false — same failure, same message)
+    val spi = imageWriterSpis.get(format.toLowerCase)
+    require(spi.isDefined, s"no imageio writer for format '$format'")
+    val writer = spi.get.createWriterInstance()
     val baos = new java.io.ByteArrayOutputStream()
-    // ImageIO.write signals "no writer for this format" by returning
-    // false, not by throwing — unchecked, that yields an empty byte
-    // array that surfaces much later as a confusing unreadable container
-    require(javax.imageio.ImageIO.write(img, format, baos),
-      s"no imageio writer for format '$format'")
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     baos.toByteArray
   }
 
@@ -155,9 +221,32 @@ object Multimodal {
     * a crawl corpus has no fixed width. One call per row, context-free;
     * the expensive part is the actual `javax.imageio` PNG inflate. */
   private[graft] def decodePngRaster(png: Array[Byte]): (Int, Array[Byte]) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-    // ImageIO signals an unreadable container by returning null, not by
-    // throwing — normalize to a throw so the error policy sees one path
+    // sniff the codec against the once-resolved SPIs (the reader
+    // analog of [[imageWriterSpis]] — no per-call registry scan, no
+    // disk-backed stream cache); an unrecognized or unreadable
+    // container throws the same IllegalArgumentException the
+    // ImageIO.read-null path raised pre-r18
+    val img = {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(png))
+      val spi = imageReaderSpis.find { s =>
+        in.seek(0L)
+        try s.canDecodeInput(in) catch { case _: Exception => false }
+      }.getOrElse(
+        throw new IllegalArgumentException("undecodable image payload"))
+      in.seek(0L)
+      val reader = spi.createReaderInstance()
+      try {
+        reader.setInput(in)
+        reader.read(0)
+      } catch {
+        case e: Exception =>
+          throw new IllegalArgumentException("undecodable image payload", e)
+      } finally {
+        reader.dispose()
+        in.close()
+      }
+    }
     if (img == null)
       throw new IllegalArgumentException("undecodable image payload")
     val w = img.getWidth
@@ -252,9 +341,9 @@ object Multimodal {
   def imageTableOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val payloads = docs.select(
+    val payloads = spreadForCodec(docs.select(
       col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("content")).as[MediaRow]
+      encode(col("text"), "UTF-8").as("content"))).as[MediaRow]
     payloads.mapPartitions { rows =>
       // one encoder context per partition (ImageIO writer lookup is
       // per-call here, but a stateful codec would init in this scope)
@@ -274,9 +363,9 @@ object Multimodal {
   def audioTableOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val payloads = docs.select(
+    val payloads = spreadForCodec(docs.select(
       col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("content")).as[MediaRow]
+      encode(col("text"), "UTF-8").as("content"))).as[MediaRow]
     payloads.mapPartitions { rows =>
       rows.map(r => MediaRow(r.media_id, encodeWav(r.content)))
     }.toDF()
@@ -469,10 +558,10 @@ object Multimodal {
     * crawl actually produces: the same recordings at different gain. */
   def audioScaledTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val payloads = Tables.documents(spark, sfDir)
+    val payloads = spreadForCodec(Tables.documents(spark, sfDir)
       .where(pmod(col("doc_id"), lit(4L)) === 1L)
       .select((col("doc_id") + lit(1000000L)).as("media_id"),
-        encode(col("text"), "UTF-8").as("content")).as[MediaRow]
+        encode(col("text"), "UTF-8").as("content"))).as[MediaRow]
     payloads.mapPartitions { rows =>
       rows.map(r => MediaRow(r.media_id,
         encodeWav(r.content.map(b => ((b & 0xff) * 9 / 10).toByte))))
@@ -499,10 +588,10 @@ object Multimodal {
     * from the document text's hex bytes. */
   def audioLossyTable(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val payloads = Tables.documents(spark, sfDir)
+    val payloads = spreadForCodec(Tables.documents(spark, sfDir)
       .where(pmod(col("doc_id"), lit(4L)) === 1L)
       .select((col("doc_id") + lit(9600000L)).as("media_id"),
-        encode(col("text"), "UTF-8").as("content")).as[MediaRow]
+        encode(col("text"), "UTF-8").as("content"))).as[MediaRow]
     payloads.mapPartitions { rows =>
       rows.map(r => MediaRow(r.media_id,
         encodeWav(r.content.map(b => (b & 0xfc).toByte))))
@@ -596,14 +685,14 @@ object Multimodal {
       .select(col("doc_id"),
         expr(s"substring(encode(text, 'UTF-8'), ${2 * segBytes + 1}, " +
           s"${4 * segBytes})").as("content"))
-    val exact = slice
+    val exact = spreadForCodec(slice
       .select((col("doc_id") + lit(2000000L)).as("media_id"),
-        col("content")).as[MediaRow]
+        col("content"))).as[MediaRow]
       .mapPartitions(_.map(r => MediaRow(r.media_id, encodeWav(r.content))))
       .toDF()
-    val gain = slice
+    val gain = spreadForCodec(slice
       .select((col("doc_id") + lit(3000000L)).as("media_id"),
-        col("content")).as[MediaRow]
+        col("content"))).as[MediaRow]
       .mapPartitions(_.map(r => MediaRow(r.media_id,
         encodeWav(r.content.map(b => ((b & 0xff) * 9 / 10).toByte)))))
       .toDF()
@@ -670,14 +759,14 @@ object Multimodal {
       .select(col("doc_id"),
         expr(s"substring(encode(text, 'UTF-8'), ${RowBytes + 1}, " +
           s"${4 * RowBytes})").as("content"))
-    val exact = slice
+    val exact = spreadForCodec(slice
       .select((col("doc_id") + lit(4000000L)).as("media_id"),
-        col("content")).as[MediaRow]
+        col("content"))).as[MediaRow]
       .mapPartitions(_.map(r => MediaRow(r.media_id, encodePng(r.content))))
       .toDF()
-    val bright = slice
+    val bright = spreadForCodec(slice
       .select((col("doc_id") + lit(5000000L)).as("media_id"),
-        col("content")).as[MediaRow]
+        col("content"))).as[MediaRow]
       .mapPartitions(_.map(r => MediaRow(r.media_id,
         encodePng(r.content.map(b => ((b & 0xff) + 1).toByte)))))
       .toDF()
@@ -789,9 +878,9 @@ object Multimodal {
           expr(s"substring(encode(text, 'UTF-8'), ${3 * RowBytes + BlockBytes + 1}, $BlockBytes)"),
           expr(s"substring(encode(text, 'UTF-8'), ${4 * RowBytes + BlockBytes + 1}, $BlockBytes)"))
           .as("content"))
-    val exact = slice
+    val exact = spreadForCodec(slice
       .select((col("doc_id") + lit(6000000L)).as("media_id"),
-        col("content")).as[MediaRow]
+        col("content"))).as[MediaRow]
       .mapPartitions(_.map(r =>
         MediaRow(r.media_id, encodePngW(r.content, BlockPx))))
       .toDF()
@@ -799,9 +888,9 @@ object Multimodal {
     // (the exact leg is blind), the gradient fingerprint is exactly
     // +1-invariant (comparisons and the integer block mean shift
     // together) — only the PERCEPTUAL leg catches it, at distance 0
-    val bright = slice
+    val bright = spreadForCodec(slice
       .select((col("doc_id") + lit(7000000L)).as("media_id"),
-        col("content")).as[MediaRow]
+        col("content"))).as[MediaRow]
       .mapPartitions(_.map(r => MediaRow(r.media_id,
         encodePngW(r.content.map(b => ((b & 0xff) + 1).toByte), BlockPx))))
       .toDF()
@@ -1448,14 +1537,14 @@ object Multimodal {
     val slice = Tables.documents(spark, sfDir)
       .where(pmod(col("doc_id"), lit(4L)) === 1L)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
-    val gain = slice
+    val gain = spreadForCodec(slice
       .select((col("doc_id") + lit(5000000L)).as("media_id"),
-        col("content")).as[MediaRow]
+        col("content"))).as[MediaRow]
       .mapPartitions(_.map(r => MediaRow(r.media_id,
         r.content.map(b => ((b & 0xff) + 1).toByte)))).toDF()
-    val noise = slice
+    val noise = spreadForCodec(slice
       .select((col("doc_id") + lit(6000000L)).as("media_id"),
-        col("content")).as[MediaRow]
+        col("content"))).as[MediaRow]
       .mapPartitions(_.map(r => MediaRow(r.media_id,
         r.content.zipWithIndex.map { case (b, i) =>
           if (i % 16 == 0) ((b & 0xff) + 2).toByte else b
@@ -1510,8 +1599,8 @@ object Multimodal {
       format: String = "png"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").as("media_id"),
-        encode(col("text"), "UTF-8").as("content")).as[MediaRow]
+    spreadForCodec(docs.select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"))).as[MediaRow]
       .mapPartitions(_.map(r =>
         MediaRow(r.media_id, keyframeContainer(r.content, format))))
       .toDF()
@@ -1561,16 +1650,16 @@ object Multimodal {
       .where(pmod(col("doc_id"), lit(4L)) === 1L)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
       .where(length(col("content")) >= 3 * KfBytes)
-    val gain = slice
+    val gain = spreadForCodec(slice
       .select((col("doc_id") + lit(9700000L)).as("media_id"),
-        col("content")).as[MediaRow]
+        col("content"))).as[MediaRow]
       .mapPartitions(_.map(r => MediaRow(r.media_id,
         keyframeContainer(
           r.content.map(b => ((b & 0xff) + 1).toByte), "png"))))
       .toDF()
-    val quant = slice
+    val quant = spreadForCodec(slice
       .select((col("doc_id") + lit(9800000L)).as("media_id"),
-        col("content")).as[MediaRow]
+        col("content"))).as[MediaRow]
       .mapPartitions(_.map(r => MediaRow(r.media_id,
         keyframeContainer(r.content.map(b => (b & 0xfc).toByte), "png"))))
       .toDF()
