@@ -35,6 +35,15 @@ object Streams {
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame =
     Tables.normalizeTimestamps(tableStream(spark, sfDir, "documents"))
 
+  /** Staged source dirs and their raw schemas, memoized per (sfDir,
+    * table) for the JVM's lifetime — the staging copy and the driver-side
+    * parquet footer read are run-invariant SETUP (the streamed data is
+    * still read from the staged parquet every run), and re-paying them
+    * per drain charged every streaming twin a fixed copy+listing toll
+    * (r19 guide §1.2: per-task — here per-query — fixed work). */
+  private val stagedSources = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (String, org.apache.spark.sql.types.StructType)]()
+
   /** File-stream source for any testdata table. A directory-shaped
     * table (any Spark-written output, e.g. the 10× rehearsal corpus) IS
     * a file-stream source already; only the single-file testdata layout
@@ -43,27 +52,29 @@ object Streams {
     * round-5 bug.) */
   private def tableStream(spark: SparkSession, sfDir: String,
       table: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(s"$sfDir/$table.parquet")
-    val dir = if (Files.isDirectory(src)) src else {
-      val d = Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_stream_${table}_${math.abs(sfDir.hashCode)}")
-      Files.createDirectories(d)
-      Files.copy(src, d.resolve(s"$table.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      d
-    }
-    // raw file schema (pre-normalizeTimestamps): the stream reader must
-    // describe what the parquet files actually contain; NTZ→TIMESTAMP
-    // normalization happens on the streaming frame afterwards
-    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
+    val (dir, schema) = stagedSources.computeIfAbsent((sfDir, table), _ => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val src = Paths.get(s"$sfDir/$table.parquet")
+      val d = if (Files.isDirectory(src)) src else {
+        val d0 = Paths.get(sys.props("java.io.tmpdir"),
+          s"graft_stream_${table}_${math.abs(sfDir.hashCode)}")
+        Files.createDirectories(d0)
+        Files.copy(src, d0.resolve(s"$table.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        d0
+      }
+      // raw file schema (pre-normalizeTimestamps): the stream reader must
+      // describe what the parquet files actually contain; NTZ→TIMESTAMP
+      // normalization happens on the streaming frame afterwards
+      (d.toString, spark.read.parquet(s"$sfDir/$table.parquet").schema)
+    })
     val reader = spark.readStream.schema(schema)
     // operational knob (used by tools.StreamSmoke to force multi-batch
     // incremental arrival): cap files per micro-batch like a production
     // ingest would; unset = AvailableNow's default batching
     val tuned = spark.conf.getOption("graft.stream.maxFilesPerTrigger")
       .fold(reader)(v => reader.option("maxFilesPerTrigger", v))
-    tuned.parquet(dir.toString)
+    tuned.parquet(dir)
   }
 
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -78,14 +89,63 @@ object Streams {
   private def tuned(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
     val parent = spark.conf.get("spark.sql.shuffle.partitions", "8").toInt
-    s.conf.set("spark.sql.shuffle.partitions", math.min(8, parent).toString)
+    val drainParts = spark.conf.getOption("graft.stream.shufflePartitions")
+      .flatMap(_.toIntOption).getOrElse(8)
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(drainParts, parent).toString)
     // newSession does NOT inherit runtime confs — carry the graft.*
     // operational knobs (e.g. the StreamSmoke multi-batch cap) across
     spark.conf.getAll.foreach { case (k, v) =>
       if (k.startsWith("graft.")) s.conf.set(k, v)
     }
+    // r19: skip the trailing NO-DATA micro-batch by default. For every
+    // twin here it is a state-cleanup-only batch — append-mode emissions
+    // happen on data arrival, the keyed-state timeout handlers emit
+    // nothing, Complete-mode aggs re-emit only on data — so it produces
+    // zero output rows while costing a full batch cycle (measured:
+    // q_stream_interval_join pays 1.2 s re-scanning both join state
+    // stores for eviction in a drain that then discards the state).
+    // Watermark semantics (late-row drops, in-batch eviction) are
+    // untouched. Opt back in with graft.stream.noDataBatches=true — the
+    // late-data eviction test does, because eviction-after-the-last-
+    // data-batch is exactly what it asserts.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      spark.conf.getOption("graft.stream.noDataBatches").getOrElse("false"))
     s
   }
+
+  /** Checkpoint root for the EPHEMERAL per-drain ledgers: tmpfs when the
+    * box has it, else java.io.tmpdir. A drain's checkpoint is created
+    * fresh, used for one AvailableNow pass into a memory sink, and
+    * deleted on completion — durability was never part of its contract
+    * (the pre-r19 code used Spark's own temp-dir checkpoints on the same
+    * local disk), but the WAL/offset-log fsyncs were charging every
+    * micro-batch ~120 ms of local-disk latency. Long-lived INGEST loops
+    * (streamIvfIngest and siblings) keep their caller-owned checkpoint
+    * contract; only their default-temp fallback shares this root. A
+    * production deployment overrides with graft.stream.checkpointRoot
+    * (durable storage) and passes stable paths to the ingest loops. */
+  private[graft] def checkpointRoot(spark: SparkSession): String =
+    spark.conf.getOption("graft.stream.checkpointRoot").getOrElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm)) shm.toString
+      else sys.props("java.io.tmpdir")
+    }
+
+  private[graft] def freshCheckpoint(spark: SparkSession,
+      prefix: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(checkpointRoot(spark)), prefix).toString
+
+  private def deleteRecursively(path: String): Unit =
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(path)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => try Files.delete(f) catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
 
   /** Observability hook: the progress records of the most recent
     * [[drain]] — per-batch state metrics (rows dropped as late by the
@@ -102,14 +162,18 @@ object Streams {
     * for keyed state (single batch → one row per key). */
   private def drain(df: DataFrame, mode: OutputMode, base: String): DataFrame = {
     val name = s"${base}_${runCounter.incrementAndGet()}"
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    lastDrainProgress = q.recentProgress.toSeq
+    val ckpt = freshCheckpoint(df.sparkSession, s"graft_drain_$base")
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastDrainProgress = q.recentProgress.toSeq
+    } finally deleteRecursively(ckpt)
     df.sparkSession.table(name)
   }
 
@@ -509,8 +573,7 @@ object Streams {
           batch, "vec_id", "embedding")
       }
       .option("checkpointLocation", checkpoint.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft_ivf_ingest_ckpt")
-          .toString))
+        freshCheckpoint(s, "graft_ivf_ingest_ckpt")))
       .start()
     q.awaitTermination()
     // the appends ran on the micro-batch sessions; drop the CALLER
@@ -540,8 +603,7 @@ object Streams {
           batch, "text", "doc_id")
       }
       .option("checkpointLocation", checkpoint.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft_text_ingest_ckpt")
-          .toString))
+        freshCheckpoint(s, "graft_text_ingest_ckpt")))
       .start()
     q.awaitTermination()
     Seq("postings", "totals").foreach(t =>
@@ -572,8 +634,7 @@ object Streams {
             graft.multimodal.Multimodal.imageTableOf(batch)))
       }
       .option("checkpointLocation", checkpoint.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft_media_ingest_ckpt")
-          .toString))
+        freshCheckpoint(s, "graft_media_ingest_ckpt")))
       .start()
     q.awaitTermination()
     Seq(s"${indexName}_fp", s"${indexName}_bstop")
@@ -611,8 +672,7 @@ object Streams {
         graft.sources.MediaIndex.append(bs, indexName, admitted)
       }
       .option("checkpointLocation", checkpoint.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft_mediadedup_ckpt")
-          .toString))
+        freshCheckpoint(s, "graft_mediadedup_ckpt")))
       .start()
     q.awaitTermination()
     Seq(s"${indexName}_fp", s"${indexName}_bstop")
@@ -647,8 +707,7 @@ object Streams {
         ()
       }
       .option("checkpointLocation", checkpoint.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft_videodedup_ckpt")
-          .toString))
+        freshCheckpoint(s, "graft_videodedup_ckpt")))
       .start()
     q.awaitTermination()
     Seq(s"${indexName}_vf", s"${indexName}_dfs", s"${indexName}_stop",
@@ -691,8 +750,7 @@ object Streams {
         ()
       }
       .option("checkpointLocation", checkpoint.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft_videokf_ckpt")
-          .toString))
+        freshCheckpoint(s, "graft_videokf_ckpt")))
       .start()
     q.awaitTermination()
     Seq(s"${indexName}_vf", s"${indexName}_dfs", s"${indexName}_stop",
@@ -732,8 +790,7 @@ object Streams {
         ()
       }
       .option("checkpointLocation", checkpoint.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft_videoperc_ckpt")
-          .toString))
+        freshCheckpoint(s, "graft_videoperc_ckpt")))
       .start()
     q.awaitTermination()
     // relation caches are PER SESSION: the micro-batch sessions
@@ -802,8 +859,7 @@ object Streams {
         ()
       }
       .option("checkpointLocation", checkpoint.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft_crawladmit_ckpt")
-          .toString))
+        freshCheckpoint(s, "graft_crawladmit_ckpt")))
       .start()
     q.awaitTermination()
     allTables.filter(spark.catalog.tableExists)
@@ -849,8 +905,7 @@ object Streams {
           "text", "doc_id")
       }
       .option("checkpointLocation", checkpoint.getOrElse(
-        java.nio.file.Files.createTempDirectory("graft_dedup_ingest_ckpt")
-          .toString))
+        freshCheckpoint(s, "graft_dedup_ingest_ckpt")))
       .start()
     q.awaitTermination()
     Seq("bands", "shingles", "sizes").foreach(t =>

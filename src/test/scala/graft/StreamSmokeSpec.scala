@@ -56,6 +56,11 @@ class StreamSmokeSpec extends AnyFunSuite {
     val c = Seq((200L, at(200)), (201L, at(200, 1)))
     write(a); Thread.sleep(1100); write(late); Thread.sleep(1100); write(c)
     spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    // cohort A's eviction fires in the batch AFTER the last data batch
+    // advances the watermark — exactly the no-data cleanup batch the
+    // drains skip by default (it emits nothing); this test asserts the
+    // eviction itself, so it opts the cleanup batch back in
+    spark.conf.set("graft.stream.noDataBatches", "true")
     try {
       val out = graft.streaming.Streams.streamRetention(spark, dir)
         .collect().map(_.toSeq).toSet
@@ -79,7 +84,10 @@ class StreamSmokeSpec extends AnyFunSuite {
       assert(st.last.numRowsTotal < 7,
         s"state must shrink below the 7 admitted pairs after eviction, " +
           s"got ${st.last.numRowsTotal}")
-    } finally spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    } finally {
+      spark.conf.unset("graft.stream.maxFilesPerTrigger")
+      spark.conf.unset("graft.stream.noDataBatches")
+    }
   }
 
   test("stream ingest closes the loop: routed batches append into the stored IVF index and serve finds them") {
