@@ -27,6 +27,37 @@ import graft.sources.{DedupIndex, MediaIndex, VideoIndex}
   * gates against corpus ∪ admitted with no rebuild. */
 object CrawlAdmit {
 
+  /** Run independent leg builds concurrently (guide §2.6: actions are
+    * only sequential because the driver calls them sequentially). Each
+    * modality gate eagerly materializes its broadcast fresh side
+    * (`localCheckpoint` inside the *Against plans), so composing eight
+    * gates serially paid the SUM of eight small-job latencies while the
+    * box sat near-idle; submitting the builds from a small pool lets
+    * each leg's tasks back-fill the others' scheduling gaps. Results
+    * are unchanged: every leg is an independent read-only plan over the
+    * shared checkpointed batch, and the flags composition consumes the
+    * same frames it did when they were built one by one. */
+  private def inParallel[T](tasks: Seq[() => T]): Seq[T] = {
+    if (tasks.sizeIs <= 1) tasks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(tasks.size, 8))
+      try {
+        import scala.jdk.CollectionConverters._
+        val futures = pool.invokeAll(
+          tasks.map(t => new java.util.concurrent.Callable[T] {
+            override def call(): T = t()
+          }).asJava)
+        futures.asScala.toSeq.map(_.get()) // get() rethrows leg failures
+      } catch {
+        // unwrap so callers see the leg's own exception type, as the
+        // sequential build did
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      } finally pool.shutdown()
+    }
+  }
+
   /** The registered fixture batch: a verbatim re-fetch of the
     * doc_id % 4 = 1 slice (+1M ids — every modality refuses it) and a
     * genuinely novel slice, the doc_id % 4 = 3 docs REVERSED (+2M ids —
@@ -62,35 +93,50 @@ object CrawlAdmit {
       if (checkpointFps) df.localCheckpoint() else df
     // one encode per modality: when a clip dial splits a modality into
     // two fingerprint passes, the encoded table is checkpointed so the
-    // second pass reads materialized payloads instead of re-encoding
+    // second pass reads materialized payloads instead of re-encoding.
+    // The two encode checkpoints are independent jobs over the shared
+    // batch — built concurrently (inParallel scaladoc).
     val imageTwoPasses = imageCropIdx.isDefined || imageCrop2dIdx.isDefined
-    val imgTbl =
-      if (imageTwoPasses) Multimodal.imageTableOf(b).localCheckpoint()
-      else Multimodal.imageTableOf(b)
-    val audTbl =
-      if (audioClipIdx.isDefined) Multimodal.audioTableOf(b).localCheckpoint()
-      else Multimodal.audioTableOf(b)
-    BatchInputs(b,
-      imgFp = cp(Multimodal.imageDHash(imgTbl)),
-      audFp = cp(Multimodal.audioDHash(audTbl)),
-      vFrames = cp(Multimodal.videoFramesFp(Multimodal.videoTableOf(b))),
+    val tbls = inParallel(Seq(
+      () => if (imageTwoPasses) Multimodal.imageTableOf(b).localCheckpoint()
+            else Multimodal.imageTableOf(b),
+      () => if (audioClipIdx.isDefined)
+              Multimodal.audioTableOf(b).localCheckpoint()
+            else Multimodal.audioTableOf(b)))
+    val (imgTbl, audTbl) = (tbls(0), tbls(1))
+    // the seven fingerprint/grid frames are mutually independent reads
+    // of the materialized tables; when checkpointFps they each run an
+    // eager materialization job, so they too build concurrently (lazy
+    // mode only constructs plans — the pool is a no-op there)
+    val fps = inParallel(Seq[() => Option[DataFrame]](
+      () => Some(cp(Multimodal.imageDHash(imgTbl))),
+      () => Some(cp(Multimodal.audioDHash(audTbl))),
+      () => Some(cp(Multimodal.videoFramesFp(Multimodal.videoTableOf(b)))),
       // segment at the INDEX'S persisted hop (r15 ADVICE: a batch
       // segmented at a different hop than the index was built with has
       // incoherent shift semantics — the stored dial is authoritative)
-      audSeg = audioClipIdx.map(idx =>
+      () => audioClipIdx.map(idx =>
         cp(VideoIndex.segmentsFor(spark, idx, audTbl))),
-      imgRows = imageCropIdx.map(_ =>
+      () => imageCropIdx.map(_ =>
         cp(Multimodal.imageRowsFp(imgTbl))),
       // blocks derive at the INDEX'S persisted column hop (blocksFor —
       // the segmentsFor discipline on the 2D grid)
-      imgBlocks = imageCrop2dIdx.map(idx =>
+      () => imageCrop2dIdx.map(idx =>
         cp(VideoIndex.blocksFor(spark, idx, imgTbl))),
       // the REAL-CODEC video rendition: containers parsed + decoded
       // ONCE per batch, at the index's persisted sampling stride
       // (keyframesFor — the graft.every discipline)
-      kfFrames = videoKeyframeIdx.map(idx =>
+      () => videoKeyframeIdx.map(idx =>
         cp(VideoIndex.keyframesFor(spark, idx,
-          Multimodal.videoKeyframeTableOf(b)))))
+          Multimodal.videoKeyframeTableOf(b))))))
+    BatchInputs(b,
+      imgFp = fps(0).get,
+      audFp = fps(1).get,
+      vFrames = fps(2).get,
+      audSeg = fps(3),
+      imgRows = fps(4),
+      imgBlocks = fps(5),
+      kfFrames = fps(6))
   }
 
   /** Per-item admission flags, one row per batch doc:
@@ -160,62 +206,71 @@ object CrawlAdmit {
       else VideoIndex.clipAgainst(spark, idx, grid, minFrames,
         stop = stopCache.map(_.get(s"${idx}_stop"))))
         .select(col("fid").as("doc_id")).distinct()
-    val textAdm = DedupIndex.dedupAgainst(spark, textIdx, in.b, "text",
-      "doc_id", tau = tau).select(col("doc_id"))
-    // `imageCropIdx` adds CROP refusal to the image leg (the
-    // audioClipIdx discipline over raster rows): a batch item that is
-    // a vertical crop / banner edit of stored material slips the
-    // whole-image fingerprint but its rows match the stored row index
-    // at one consistent vertical offset. `imageCrop2dIdx` closes the
-    // horizontal/general regime over 8×1 blocks at one consistent
-    // packed (row, col) shift.
-    val imgRefusals =
-      (imageCropIdx zip in.imgRows).map { case (idx, rw) =>
-        clipRefusal(idx, rw, imageCropPerceptual) } ++
-      (imageCrop2dIdx zip in.imgBlocks).map { case (idx, bl) =>
-        clipRefusal(idx, bl, perceptual = false) }
-    val imgAdm0 = MediaIndex.dedupAgainst(spark, imageIdx, in.imgFp, maxDist)
-      .select(col("media_id").as("doc_id"))
-    val imgAdm = imgRefusals.foldLeft(imgAdm0)((adm, r) =>
-      adm.join(r, Seq("doc_id"), "left_anti"))
-    // `audioClipIdx` adds EXCERPT refusal to the audio leg: the
-    // whole-stream fingerprint is blind to stored material embedded in
-    // (or lifted from) a batch item — every envelope window moves —
-    // but the segment grid matches the stored index at a consistent
-    // offset (the index is modality-agnostic over temporal rows;
-    // `audioClipPerceptual` additionally catches a re-MASTERED excerpt)
-    val audClipRefused = (audioClipIdx zip in.audSeg).map { case (idx, seg) =>
-      clipRefusal(idx, seg, audioClipPerceptual)
-    }
-    val audAdm0 = MediaIndex.dedupAgainst(spark, audioIdx, in.audFp, maxDist)
-      .select(col("media_id").as("doc_id"))
-    val audAdm = audClipRefused.fold(audAdm0)(r =>
-      audAdm0.join(r, Seq("doc_id"), "left_anti"))
-    // refusal-set formulation so a frameless (empty) video admits —
-    // nothing to dedup is not a dup. `videoPerceptual` swaps the video
-    // leg's match semantics from byte-exact frame digests to the
-    // banded perceptual fingerprints (a TRANSCODED copy of stored
-    // video then refuses too — the curation default at real crawl
-    // scale; the registered q_crawl_admit keeps the byte-exact leg its
-    // oracle replays)
-    val vidRefused0 = (if (videoPerceptual)
-        VideoIndex.perceptualAgainst(spark, videoIdx, in.vFrames, maxDist,
-          minFrames,
-          stopBands = stopCache.map(_.get(s"${videoIdx}_bstop")))
-      else VideoIndex.pairsAgainst(spark, videoIdx, in.vFrames, minFrames,
-        stop = stopCache.map(_.get(s"${videoIdx}_stop"))))
-      .select(col("fid").as("doc_id")).distinct()
-    // `videoKeyframeIdx` adds real-codec refusal: the decoded-keyframe
-    // digests gate byte-exactly against the stored keyframe index (the
-    // aligned pairsAgainst — md5 of decoded bytes is codec-independent,
-    // so a PNG→BMP re-wrap of stored material refuses here while both
-    // synthetic-frame legs, reading container bytes, are blind to it)
-    val vidRefused = (videoKeyframeIdx zip in.kfFrames)
-      .map { case (idx, kf) =>
+    // the up-to-eight gate legs are independent read-only plans over the
+    // shared checkpointed inputs, each eagerly materializing its own
+    // broadcast fresh side — built concurrently (inParallel scaladoc);
+    // the flags composition below consumes the identical frames
+    val legs = inParallel(Seq[() => Option[DataFrame]](
+      () => Some(DedupIndex.dedupAgainst(spark, textIdx, in.b, "text",
+        "doc_id", tau = tau).select(col("doc_id"))),
+      () => Some(MediaIndex.dedupAgainst(spark, imageIdx, in.imgFp, maxDist)
+        .select(col("media_id").as("doc_id"))),
+      () => Some(MediaIndex.dedupAgainst(spark, audioIdx, in.audFp, maxDist)
+        .select(col("media_id").as("doc_id"))),
+      // refusal-set formulation so a frameless (empty) video admits —
+      // nothing to dedup is not a dup. `videoPerceptual` swaps the video
+      // leg's match semantics from byte-exact frame digests to the
+      // banded perceptual fingerprints (a TRANSCODED copy of stored
+      // video then refuses too — the curation default at real crawl
+      // scale; the registered q_crawl_admit keeps the byte-exact leg its
+      // oracle replays)
+      () => Some((if (videoPerceptual)
+          VideoIndex.perceptualAgainst(spark, videoIdx, in.vFrames, maxDist,
+            minFrames,
+            stopBands = stopCache.map(_.get(s"${videoIdx}_bstop")))
+        else VideoIndex.pairsAgainst(spark, videoIdx, in.vFrames, minFrames,
+          stop = stopCache.map(_.get(s"${videoIdx}_stop"))))
+        .select(col("fid").as("doc_id")).distinct()),
+      // `imageCropIdx` adds CROP refusal to the image leg (the
+      // audioClipIdx discipline over raster rows): a batch item that is
+      // a vertical crop / banner edit of stored material slips the
+      // whole-image fingerprint but its rows match the stored row index
+      // at one consistent vertical offset. `imageCrop2dIdx` closes the
+      // horizontal/general regime over 8×1 blocks at one consistent
+      // packed (row, col) shift.
+      () => (imageCropIdx zip in.imgRows).map { case (idx, rw) =>
+        clipRefusal(idx, rw, imageCropPerceptual) },
+      () => (imageCrop2dIdx zip in.imgBlocks).map { case (idx, bl) =>
+        clipRefusal(idx, bl, perceptual = false) },
+      // `audioClipIdx` adds EXCERPT refusal to the audio leg: the
+      // whole-stream fingerprint is blind to stored material embedded in
+      // (or lifted from) a batch item — every envelope window moves —
+      // but the segment grid matches the stored index at a consistent
+      // offset (the index is modality-agnostic over temporal rows;
+      // `audioClipPerceptual` additionally catches a re-MASTERED excerpt)
+      () => (audioClipIdx zip in.audSeg).map { case (idx, seg) =>
+        clipRefusal(idx, seg, audioClipPerceptual) },
+      // `videoKeyframeIdx` adds real-codec refusal: the decoded-keyframe
+      // digests gate byte-exactly against the stored keyframe index (the
+      // aligned pairsAgainst — md5 of decoded bytes is codec-independent,
+      // so a PNG→BMP re-wrap of stored material refuses here while both
+      // synthetic-frame legs, reading container bytes, are blind to it)
+      () => (videoKeyframeIdx zip in.kfFrames).map { case (idx, kf) =>
         VideoIndex.pairsAgainst(spark, idx, kf, minFrames,
           stop = stopCache.map(_.get(s"${idx}_stop")))
-          .select(col("fid").as("doc_id")).distinct()
-      }.fold(vidRefused0)(kfRefused => vidRefused0.unionByName(kfRefused))
+          .select(col("fid").as("doc_id")).distinct() }))
+    val textAdm = legs(0).get
+    val imgAdm0 = legs(1).get
+    val audAdm0 = legs(2).get
+    val vidRefused0 = legs(3).get
+    val imgRefusals = legs(4).toSeq ++ legs(5).toSeq
+    val audClipRefused = legs(6)
+    val imgAdm = imgRefusals.foldLeft(imgAdm0)((adm, r) =>
+      adm.join(r, Seq("doc_id"), "left_anti"))
+    val audAdm = audClipRefused.fold(audAdm0)(r =>
+      audAdm0.join(r, Seq("doc_id"), "left_anti"))
+    val vidRefused = legs(7)
+      .fold(vidRefused0)(kfRefused => vidRefused0.unionByName(kfRefused))
     def flag(admitted: DataFrame, name: String): DataFrame =
       admitted.withColumn(name, lit(1L))
     ids

@@ -110,10 +110,26 @@ object Multimodal {
     * check inside imageDHash; reverted). Derivations inherit the
     * synthesis tables' spread partitioning through the narrow chain. */
   private def spreadForCodec(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target)
-      df.repartition(target, col("media_id"))
-    else df
+    // guard the probe itself (r18 ADVICE): `df.rdd` under AQE eagerly
+    // executes any shuffle already in the plan, so the partition check
+    // is only safe over a narrow scan/select chain. Rather than trust
+    // the scaladoc alone, skip the probe when the analyzed plan carries
+    // an exchange-introducing node — a violating caller then gets its
+    // frame back unchanged instead of silently re-running its upstream.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val narrow = df.queryExecution.analyzed.collectFirst {
+      case p: RepartitionOperation => p
+      case p: Join => p
+      case p: Aggregate => p
+      case p: Sort => p
+    }.isEmpty
+    if (!narrow) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target)
+        df.repartition(target, col("media_id"))
+      else df
+    }
   }
 
   private val HexChars = "0123456789abcdef".toCharArray
@@ -229,23 +245,25 @@ object Multimodal {
     val img = {
       val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(png))
-      val spi = imageReaderSpis.find { s =>
-        in.seek(0L)
-        try s.canDecodeInput(in) catch { case _: Exception => false }
-      }.getOrElse(
-        throw new IllegalArgumentException("undecodable image payload"))
-      in.seek(0L)
-      val reader = spi.createReaderInstance()
+      // the whole sniff-and-read block closes `in` in one outer finally
+      // (r18 ADVICE: the no-SPI-matches throw used to exit before the
+      // reader's finally, leaking the stream's heap cache until GC)
       try {
-        reader.setInput(in)
-        reader.read(0)
-      } catch {
-        case e: Exception =>
-          throw new IllegalArgumentException("undecodable image payload", e)
-      } finally {
-        reader.dispose()
-        in.close()
-      }
+        val spi = imageReaderSpis.find { s =>
+          in.seek(0L)
+          try s.canDecodeInput(in) catch { case _: Exception => false }
+        }.getOrElse(
+          throw new IllegalArgumentException("undecodable image payload"))
+        in.seek(0L)
+        val reader = spi.createReaderInstance()
+        try {
+          reader.setInput(in)
+          reader.read(0)
+        } catch {
+          case e: Exception =>
+            throw new IllegalArgumentException("undecodable image payload", e)
+        } finally reader.dispose()
+      } finally in.close()
     }
     if (img == null)
       throw new IllegalArgumentException("undecodable image payload")
