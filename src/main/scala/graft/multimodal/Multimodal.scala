@@ -703,18 +703,21 @@ object Multimodal {
       .select(col("doc_id"),
         expr(s"substring(encode(text, 'UTF-8'), ${2 * segBytes + 1}, " +
           s"${4 * segBytes})").as("content"))
-    val exact = spreadForCodec(slice
+    // r19 fused synthesis (guide §2.2/§2.4: fewer passes, partition
+    // count sized to the data): both regimes derive from the SAME
+    // payload slice, so one scan + one spread + one codec pass emits
+    // the exact (+2M) and gain (+3M = exact + 1M) rows together —
+    // replacing two scans, two spread exchanges and a union that
+    // carried 2× defaultParallelism tiny partitions into every
+    // downstream ingest. Row set unchanged (same ids, same bytes).
+    spreadForCodec(slice
       .select((col("doc_id") + lit(2000000L)).as("media_id"),
         col("content"))).as[MediaRow]
-      .mapPartitions(_.map(r => MediaRow(r.media_id, encodeWav(r.content))))
+      .mapPartitions(_.flatMap(r => Iterator(
+        MediaRow(r.media_id, encodeWav(r.content)),
+        MediaRow(r.media_id + 1000000L,
+          encodeWav(r.content.map(b => ((b & 0xff) * 9 / 10).toByte))))))
       .toDF()
-    val gain = spreadForCodec(slice
-      .select((col("doc_id") + lit(3000000L)).as("media_id"),
-        col("content"))).as[MediaRow]
-      .mapPartitions(_.map(r => MediaRow(r.media_id,
-        encodeWav(r.content.map(b => ((b & 0xff) * 9 / 10).toByte)))))
-      .toDF()
-    exact.unionByName(gain)
   }
 
   /** Per-ROW image fingerprints over the DECODED raster — the spatial
@@ -777,18 +780,16 @@ object Multimodal {
       .select(col("doc_id"),
         expr(s"substring(encode(text, 'UTF-8'), ${RowBytes + 1}, " +
           s"${4 * RowBytes})").as("content"))
-    val exact = spreadForCodec(slice
+    // fused synthesis (audioExcerptTable): one scan + one spread + one
+    // codec pass emits exact (+4M) and bright (+5M = exact + 1M)
+    spreadForCodec(slice
       .select((col("doc_id") + lit(4000000L)).as("media_id"),
         col("content"))).as[MediaRow]
-      .mapPartitions(_.map(r => MediaRow(r.media_id, encodePng(r.content))))
+      .mapPartitions(_.flatMap(r => Iterator(
+        MediaRow(r.media_id, encodePng(r.content)),
+        MediaRow(r.media_id + 1000000L,
+          encodePng(r.content.map(b => ((b & 0xff) + 1).toByte))))))
       .toDF()
-    val bright = spreadForCodec(slice
-      .select((col("doc_id") + lit(5000000L)).as("media_id"),
-        col("content"))).as[MediaRow]
-      .mapPartitions(_.map(r => MediaRow(r.media_id,
-        encodePng(r.content.map(b => ((b & 0xff) + 1).toByte)))))
-      .toDF()
-    exact.unionByName(bright)
   }
 
   /** 2D block geometry: 8-px-wide, 1-row-tall tiles (24 bytes each,
@@ -896,23 +897,21 @@ object Multimodal {
           expr(s"substring(encode(text, 'UTF-8'), ${3 * RowBytes + BlockBytes + 1}, $BlockBytes)"),
           expr(s"substring(encode(text, 'UTF-8'), ${4 * RowBytes + BlockBytes + 1}, $BlockBytes)"))
           .as("content"))
-    val exact = spreadForCodec(slice
-      .select((col("doc_id") + lit(6000000L)).as("media_id"),
-        col("content"))).as[MediaRow]
-      .mapPartitions(_.map(r =>
-        MediaRow(r.media_id, encodePngW(r.content, BlockPx))))
-      .toDF()
-    // the BRIGHTNESS-shifted 2D crop (+7M): every block md5 differs
+    // fused synthesis (audioExcerptTable): one scan + one spread + one
+    // codec pass emits exact (+6M) and the BRIGHTNESS-shifted 2D crop
+    // (+7M = exact + 1M): every block md5 of the bright leg differs
     // (the exact leg is blind), the gradient fingerprint is exactly
     // +1-invariant (comparisons and the integer block mean shift
     // together) — only the PERCEPTUAL leg catches it, at distance 0
-    val bright = spreadForCodec(slice
-      .select((col("doc_id") + lit(7000000L)).as("media_id"),
+    spreadForCodec(slice
+      .select((col("doc_id") + lit(6000000L)).as("media_id"),
         col("content"))).as[MediaRow]
-      .mapPartitions(_.map(r => MediaRow(r.media_id,
-        encodePngW(r.content.map(b => ((b & 0xff) + 1).toByte), BlockPx))))
+      .mapPartitions(_.flatMap(r => Iterator(
+        MediaRow(r.media_id, encodePngW(r.content, BlockPx)),
+        MediaRow(r.media_id + 1000000L,
+          encodePngW(r.content.map(b => ((b & 0xff) + 1).toByte),
+            BlockPx)))))
       .toDF()
-    exact.unionByName(bright)
   }
 
   /** The RE-CUT keyframe twin (+9500000 ids, interleaved with the
@@ -1383,7 +1382,17 @@ object Multimodal {
       .where(col("da") < col("db"))
       .where((expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
         <= maxDist)
-      .select(col("da"), col("db"), col("frame_idx")).distinct()
+      .select(col("da"), col("db"), col("frame_idx"))
+      // r19 single-exchange discipline for the verified-candidate
+      // dedup+count tail (guide §2.4: two operations keyed the same way
+      // share one exchange): distinct on (pair, frame) then groupBy(pair)
+      // each demanded their own Exchange — hash(pair) satisfies BOTH
+      // clustered distributions, so one explicit pair repartition lets
+      // the two aggregates run exchange-free above it (2 Exchange → 1).
+      // The trade: the multi-band duplicates (≤ 4 bands/frame) cross the
+      // wire un-deduped — 4 small ints per row, strictly match-bounded.
+      .repartition(col("da"), col("db"))
+      .distinct()
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("matched_frames"))
       .where(col("matched_frames") >= minFrames)
@@ -1391,6 +1400,7 @@ object Multimodal {
     // frame that still has >= 1 unstopped band — the md5 family's `sc`
     // with the band discipline replayed
     val eligCnt = repBands.select(col("media_id"), col("frame_idx"))
+      .repartition(col("media_id")) // single-exchange discipline (above)
       .distinct().groupBy(col("media_id"))
       .agg(count(lit(1)).as("esc"))
     val cross = repPairs
@@ -1466,7 +1476,12 @@ object Multimodal {
       .where(col("da") < col("db"))
       .where((expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
         <= maxDist)
-      .select(col("da"), col("db"), col("fa"), col("fb")).distinct()
+      .select(col("da"), col("db"), col("fa"), col("fb"))
+      // single-exchange discipline (perceptualPairsFromFrames): hash on
+      // the pair serves the (pair, fa, fb) dedup AND the (pair, shift)
+      // count — 2 Exchange → 1
+      .repartition(col("da"), col("db"))
+      .distinct()
       .groupBy(col("da"), col("db"), (col("fa") - col("fb")).as("shift"))
       .agg(count(lit(1)).as("matched_frames"))
       .where(col("matched_frames") >= minFrames)
@@ -1499,7 +1514,11 @@ object Multimodal {
         Seq("rep", "bi", "bv"))
       .where((expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
         <= maxDist)
-      .select(col("rep"), col("fa"), col("fb")).distinct()
+      .select(col("rep"), col("fa"), col("fb"))
+      // single-exchange discipline: one rep-keyed exchange under both
+      // aggregates (a rep's self-correlation rows are frames²-bounded)
+      .repartition(col("rep"))
+      .distinct()
       .groupBy(col("rep"), (col("fa") - col("fb")).as("shift"))
       .agg(count(lit(1)).as("matched_frames"))
       .where(col("matched_frames") >= minFrames)
@@ -1555,24 +1574,24 @@ object Multimodal {
     val slice = Tables.documents(spark, sfDir)
       .where(pmod(col("doc_id"), lit(4L)) === 1L)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
-    val gain = spreadForCodec(slice
+    // fused synthesis (audioExcerptTable): one scan + one spread + one
+    // byte-math pass emits gain (+5M) and noise (+6M = gain + 1M)
+    val gainNoise = spreadForCodec(slice
       .select((col("doc_id") + lit(5000000L)).as("media_id"),
         col("content"))).as[MediaRow]
-      .mapPartitions(_.map(r => MediaRow(r.media_id,
-        r.content.map(b => ((b & 0xff) + 1).toByte)))).toDF()
-    val noise = spreadForCodec(slice
-      .select((col("doc_id") + lit(6000000L)).as("media_id"),
-        col("content"))).as[MediaRow]
-      .mapPartitions(_.map(r => MediaRow(r.media_id,
-        r.content.zipWithIndex.map { case (b, i) =>
-          if (i % 16 == 0) ((b & 0xff) + 2).toByte else b
-        }))).toDF()
+      .mapPartitions(_.flatMap(r => Iterator(
+        MediaRow(r.media_id,
+          r.content.map(b => ((b & 0xff) + 1).toByte)),
+        MediaRow(r.media_id + 1000000L,
+          r.content.zipWithIndex.map { case (b, i) =>
+            if (i % 16 == 0) ((b & 0xff) + 2).toByte else b
+          })))).toDF()
     val recut = slice
       .where(length(col("content")) > frameBytes)
       .select((col("doc_id") + lit(7000000L)).as("media_id"),
         concat(expr(s"substring(content, ${frameBytes + 1})"),
           expr(s"substring(content, 1, $frameBytes)")).as("content"))
-    gain.unionByName(noise).unionByName(recut)
+    gainNoise.unionByName(recut)
   }
 
   /** Keyframe geometry for the REAL-CODEC video container: each
@@ -1668,20 +1687,17 @@ object Multimodal {
       .where(pmod(col("doc_id"), lit(4L)) === 1L)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
       .where(length(col("content")) >= 3 * KfBytes)
-    val gain = spreadForCodec(slice
+    // fused synthesis (audioExcerptTable): one scan + one spread + one
+    // codec pass emits gain (+9.7M) and quant (+9.8M = gain + 100k)
+    spreadForCodec(slice
       .select((col("doc_id") + lit(9700000L)).as("media_id"),
         col("content"))).as[MediaRow]
-      .mapPartitions(_.map(r => MediaRow(r.media_id,
-        keyframeContainer(
-          r.content.map(b => ((b & 0xff) + 1).toByte), "png"))))
+      .mapPartitions(_.flatMap(r => Iterator(
+        MediaRow(r.media_id, keyframeContainer(
+          r.content.map(b => ((b & 0xff) + 1).toByte), "png")),
+        MediaRow(r.media_id + 100000L, keyframeContainer(
+          r.content.map(b => (b & 0xfc).toByte), "png")))))
       .toDF()
-    val quant = spreadForCodec(slice
-      .select((col("doc_id") + lit(9800000L)).as("media_id"),
-        col("content"))).as[MediaRow]
-      .mapPartitions(_.map(r => MediaRow(r.media_id,
-        keyframeContainer(r.content.map(b => (b & 0xfc).toByte), "png"))))
-      .toDF()
-    gain.unionByName(quant)
   }
 
   /** Keyframe-extraction INGEST over real-codec containers — the video

@@ -480,7 +480,14 @@ object VideoIndex {
       .join(fB, Seq("frame_idx", "bi", "bv"))
       .where((expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
         <= maxDist)
-      .select(col("fid"), col("cid"), col("frame_idx")).distinct()
+      .select(col("fid"), col("cid"), col("frame_idx"))
+      // ZERO-exchange tail (verified r19, plans/r19/q_video_clip_
+      // perceptual_against_*): the stored scan is bucketed on media_id
+      // (= cid), and HashPartitioning(cid) satisfies BOTH the dedup's
+      // and the count's clustered distribution through the broadcast
+      // join — do NOT repartition here (measured: it adds the plan's
+      // only Exchange)
+      .distinct()
       .groupBy(col("fid"), col("cid"))
       .agg(count(lit(1)).as("matched_frames"))
       .where(col("matched_frames") >= minFrames)
@@ -515,7 +522,10 @@ object VideoIndex {
       .join(fB, Seq("bi", "bv"))
       .where((expr("bit_count(la ^ lb)") + expr("bit_count(ha ^ hb)"))
         <= maxDist)
-      .select(col("fid"), col("cid"), col("ff"), col("cf")).distinct()
+      .select(col("fid"), col("cid"), col("ff"), col("cf"))
+      // ZERO-exchange tail via the cid bucket partitioning — see
+      // [[perceptualAgainst]]; do NOT repartition here
+      .distinct()
       .groupBy(col("fid"), col("cid"), (col("cf") - col("ff")).as("shift"))
       .agg(count(lit(1)).as("matched_frames"))
       .where(col("matched_frames") >= minFrames)
