@@ -15,8 +15,9 @@ class BenchSpec extends AnyFunSuite {
     assert(floors.nonEmpty, "floors.json must parse from the repo root")
     assert(floors.keys.forall(!_.startsWith("_")),
       "documentation keys must not become floor rows")
-    // a r17-pinned row, exact (the file is data, not prose)
-    assert(floors.get("q_image_crop_perceptual").contains(6.87))
+    // a pinned row, exact (the file is data, not prose) — r19 full
+    // regeneration value (SCALE.md round-19 floor section)
+    assert(floors.get("q_image_crop_perceptual").contains(3.2))
     // every floor row must be a registered query or bench window name —
     // a typo here would silently never pre-warm
     val known = Registry.byName.keySet ++ Bench.benchOnly.keySet
