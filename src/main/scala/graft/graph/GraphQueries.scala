@@ -585,9 +585,20 @@ object GraphQueries {
     Q("q_sssp_multi",
       (s, d) => {
         val e = GraphOps.sparseEdgesFromLineitem(s, d).where("src <> dst")
-        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        // checkpointed once (r19, guide §1.2 step 1 — don't scan twice):
+        // goodSources' collect and ssspMulti's persisted weighted edges
+        // both consumed the scan+union+distinct subtree independently;
+        // materializing the distinct edge set once halves the derivation
+        // (rows unchanged — same edges, same weights, same sources)
+        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct().localCheckpoint()
         val w = GraphOps.withWeights(sym)
-        Iterative.ssspMulti(w, Iterative.goodSources(sym, 3))
+        val out = Iterative.ssspMulti(w, Iterative.goodSources(sym, 3))
+        // sym is dead once ssspMulti returns (every round is its own
+        // checkpoint; the persisted edges are already unpersisted) —
+        // release its blocks instead of leaking them until GC
+        graft.core.Checkpoints.release(sym)
+        out
       },
       Some(ssspMultiSql(rounds = 20, nSources = 3))),
 

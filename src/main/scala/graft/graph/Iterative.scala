@@ -470,18 +470,24 @@ object Iterative {
   def pagerank(edges: DataFrame, alpha: Double = 0.85, tol: Double = 1e-6,
       maxIter: Int = 20): DataFrame = {
     val directed = edges.where(col("src") =!= col("dst")).distinct()
-    // persisted hash(v)-partitioned: the per-round rank rebuild joins
-    // vertices on v, and a cached frame's partitioning survives into the
-    // plan — without the repartition every round re-exchanges vertices
-    val vertices = GraphOps.vertexExtract(directed)
-      .repartition(col("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = vertices.count().toDouble
     val outDeg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val w = directed.join(outDeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted hash(v)-partitioned: the per-round rank rebuild joins
+    // vertices on v, and a cached frame's partitioning survives into the
+    // plan — without the repartition every round re-exchanges vertices.
+    // Derived THROUGH the persisted w, not from `directed` (r19, guide
+    // §1.2 step 1 — don't scan twice): w carries every directed edge
+    // exactly once (inner join on src; every src has an outdeg row), so
+    // the vertex set is identical, and the n-count below materializes
+    // w's cache as a side effect — ONE source scan + ONE distinct
+    // exchange where the two independent derivations paid two of each.
+    val vertices = GraphOps.vertexExtract(w.select(col("src"), col("dst")))
+      .repartition(col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = vertices.count().toDouble
     var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var delta = Double.MaxValue
     var iter = 0
@@ -492,12 +498,32 @@ object Iterative {
     // duplication compounds per round (measured 5–6 s → 30 s+ for 5
     // rounds when round 5 tried stride-checkpointing fixed mode).
     while (delta > tol && iter < maxIter) {
-      val next = pagerankStep(ranks, w, vertices, n, alpha).localCheckpoint()
-      if (tol > 0)
-        delta = next.join(ranks.withColumnRenamed("rank", "old"), "v")
-          .agg(sum(abs(col("rank") - col("old")))).head().getDouble(0)
-      graft.core.Checkpoints.release(ranks) // after the delta join consumed it
-      ranks = next
+      if (tol > 0) {
+        // r19 (guide §1.2: fewer jobs per round): convergence mode used
+        // to pay TWO driver-synchronized jobs per round — the checkpoint
+        // materialization, then a separate (next ⋈ ranks) delta join.
+        // The old rank now rides the round's EXISTING v-join (ranks
+        // replaces the vertices frame in the rebuild — same v set, same
+        // hash(v) checkpoint partitioning, so the round keeps its single
+        // contrib exchange and identical rank arithmetic) and Σ|Δrank|
+        // is collected DURING the checkpoint job by a CollectMetrics
+        // node (observe) — read back from the executed plan's
+        // accumulator, no second job, no extra scan. Delta only steers
+        // the stop decision; the ranks a round emits are bit-identical.
+        val obsDf = pagerankStepWithOld(ranks, w, n, alpha)
+          .observe("pr_delta", sum(abs(col("rank") - col("old"))).as("d"))
+          .select(col("v"), col("rank"))
+        val next = obsDf.localCheckpoint()
+        delta = obsDf.queryExecution.observedMetrics.get("pr_delta")
+          .map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0))
+          .getOrElse(Double.MaxValue)
+        graft.core.Checkpoints.release(ranks)
+        ranks = next
+      } else {
+        val next = pagerankStep(ranks, w, vertices, n, alpha).localCheckpoint()
+        graft.core.Checkpoints.release(ranks)
+        ranks = next
+      }
       iter += 1
     }
     w.unpersist(); vertices.unpersist()
@@ -533,18 +559,21 @@ object Iterative {
     require(sources.nonEmpty && sources.distinct.size == sources.size,
       "sources must be non-empty and distinct")
     val directed = edges.where(col("src") =!= col("dst")).distinct()
-    val vertices = GraphOps.vertexExtract(directed)
+    val outDeg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val w = directed.join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // vertices through the persisted w — identical vertex set, one
+    // source scan + one distinct exchange instead of two (the pagerank
+    // restructure's r19 note above)
+    val vertices = GraphOps.vertexExtract(w.select(col("src"), col("dst")))
       .repartition(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val present = vertices.where(col("v").isInCollection(sources)).count()
     require(present == sources.size,
       s"every source must be a graph vertex ($present of ${sources.size} found)")
     val sN = sources.size.toDouble
-    val outDeg = directed.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val w = directed.join(outDeg, "src")
-      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val inS = col("v").isInCollection(sources)
     var ranks = vertices
       .withColumn("rank", when(inS, lit(1.0 / sN)).otherwise(lit(0.0)))
@@ -555,26 +584,44 @@ object Iterative {
     // pagerank discipline; one extra 1-row delta aggregate per round).
     var delta = Double.MaxValue
     var iter = 0
+    val rankExpr =
+      (when(inS, lit((1 - alpha) / sN) +
+          lit(alpha) * col("danglingMass") / sN)
+        .otherwise(lit(0.0)) +
+       lit(alpha) * coalesce(col("contrib"), lit(0.0))).as("rank")
     while (if (tol > 0) delta > tol && iter < maxIter else iter < iters) {
       val contrib = ranks.join(w, ranks("v") === w("src"))
         .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("contrib"))
       val dangling = contrib
         .agg((lit(1.0) - coalesce(sum(col("contrib")), lit(0.0)))
           .as("danglingMass"))
-      val next = vertices
-        .join(contrib.withColumnRenamed("dst", "v"), Seq("v"), "left")
-        .crossJoin(dangling)
-        .select(col("v"),
-          (when(inS, lit((1 - alpha) / sN) +
-              lit(alpha) * col("danglingMass") / sN)
-            .otherwise(lit(0.0)) +
-           lit(alpha) * coalesce(col("contrib"), lit(0.0))).as("rank"))
-        .localCheckpoint()
-      if (tol > 0)
-        delta = next.join(ranks.withColumnRenamed("rank", "old"), "v")
-          .agg(sum(abs(col("rank") - col("old")))).head().getDouble(0)
-      graft.core.Checkpoints.release(ranks)
-      ranks = next
+      if (tol > 0) {
+        // convergence mode: one job per round, not two — the pagerank
+        // discipline (see the pagerank loop's r19 note): the old rank
+        // rides the rebuild's existing v-join (ranks for vertices —
+        // same v set, same hash(v) partitioning, identical rankExpr)
+        // and Σ|Δrank| is observed during the checkpoint job.
+        val obsDf = ranks.withColumnRenamed("rank", "old")
+          .join(contrib.withColumnRenamed("dst", "v"), Seq("v"), "left")
+          .crossJoin(dangling)
+          .select(col("v"), rankExpr, col("old"))
+          .observe("ppr_delta", sum(abs(col("rank") - col("old"))).as("d"))
+          .select(col("v"), col("rank"))
+        val next = obsDf.localCheckpoint()
+        delta = obsDf.queryExecution.observedMetrics.get("ppr_delta")
+          .map(r => if (r.isNullAt(0)) 0.0 else r.getDouble(0))
+          .getOrElse(Double.MaxValue)
+        graft.core.Checkpoints.release(ranks)
+        ranks = next
+      } else {
+        val next = vertices
+          .join(contrib.withColumnRenamed("dst", "v"), Seq("v"), "left")
+          .crossJoin(dangling)
+          .select(col("v"), rankExpr)
+          .localCheckpoint()
+        graft.core.Checkpoints.release(ranks)
+        ranks = next
+      }
       iter += 1
     }
     w.unpersist(); vertices.unpersist()
@@ -598,5 +645,31 @@ object Iterative {
           lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
             col("danglingMass") / n))
           .as("rank"))
+  }
+
+  /** [[pagerankStep]] with the PREVIOUS rank carried through as `old` —
+    * the convergence-mode variant: the rank rebuild joins the ranks
+    * checkpoint itself (same v set and hash(v) partitioning as the
+    * persisted vertices frame, so the round still has exactly one
+    * contrib exchange) and emits (v, rank, old) so Σ|Δrank| can be
+    * observed inside the materialization job instead of a second
+    * per-round join job. The rank expression is [[pagerankStep]]'s
+    * verbatim — emitted ranks are bit-identical. */
+  private def pagerankStepWithOld(ranks: DataFrame, w: DataFrame,
+      n: Double, alpha: Double): DataFrame = {
+    val contrib = ranks.join(w, ranks("v") === w("src"))
+      .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("contrib"))
+    val dangling = contrib
+      .agg((lit(1.0) - coalesce(sum(col("contrib")), lit(0.0)))
+        .as("danglingMass"))
+    ranks.withColumnRenamed("rank", "old")
+      .join(contrib.withColumnRenamed("dst", "v"), Seq("v"), "left")
+      .crossJoin(dangling)
+      .select(col("v"),
+        (lit((1 - alpha) / n) +
+          lit(alpha) * (coalesce(col("contrib"), lit(0.0)) +
+            col("danglingMass") / n))
+          .as("rank"),
+        col("old"))
   }
 }
