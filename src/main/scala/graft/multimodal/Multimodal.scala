@@ -1062,6 +1062,42 @@ object Multimodal {
     * quadratic in their df, so the pair stages drop them (the text
     * side's stop-shingle discipline). The set is tiny by construction
     * (only over-common digests) and rides a broadcast anti-join. */
+  /** localCheckpoint + SIZE-ADAPTIVE narrow coalesce for the pair
+    * stages' frame-table materializations (r19, guide §2.2 — partition
+    * count sized to data, not to the producer's layout): a corpus ∪
+    * twin union of two spread sides arrives at 2× defaultParallelism
+    * partitions, and EVERY downstream stage of the pair machinery
+    * (band maps, digest aggregates, rep joins — 5+ scans) then pays
+    * 2× parallelism tasks of per-task fixed overhead over KB-sized
+    * partitions (R19StageProfile: ~40 of q_image_crop2d_perceptual's
+    * 69 taskSec sat in 64-task scans of a 5 MB checkpoint). The target
+    * is data-derived, never a local constant: floor =
+    * defaultParallelism (keep every core busy), cap = materialized
+    * bytes / 64 MB (the guide's partition sizing) — at 100 TB the
+    * bytes term dominates and this coalesces a many-thousand-split
+    * scan down to ~64 MB partitions, exactly §2.2's
+    * fewer-larger-partitions move; when the storage info is not yet
+    * visible the frame is returned unchanged (safe default). Coalesce
+    * is narrow (no exchange) and deterministic (contiguous merge); all
+    * consumers are key-based aggregates/joins, so results cannot
+    * depend on the partitioning. */
+  private[graft] def checkpointFrames(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    val spark = cp.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val info = cp.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.flatMap(id => spark.sparkContext.getRDDStorageInfo.find(_.id == id))
+    info match {
+      case Some(i) =>
+        val bytes = i.memSize + i.diskSize
+        val target = math.max(par,
+          math.ceil(bytes.toDouble / (64L << 20).toDouble).toInt)
+        if (i.numPartitions > target) cp.coalesce(target) else cp
+      case None => cp
+    }
+  }
+
   private[graft] def stopFrames(frames: DataFrame, maxDf: Int): DataFrame =
     frames.groupBy(col("fm"))
       .agg(countDistinct(col("media_id")).as("df"))
@@ -1080,9 +1116,9 @@ object Multimodal {
     // there the second pass is a cheap columnar re-scan, and
     // checkpointing a corpus-sized table would be the regression.
     val raw0 = framesIn.select(col("media_id"), col("frame_idx"), col("fm"))
-    val raw = if (materializeFrames) raw0.localCheckpoint() else raw0
-    val f = raw.join(broadcast(stopFrames(raw, maxDf)), Seq("fm"),
-      "left_anti").localCheckpoint()
+    val raw = if (materializeFrames) checkpointFrames(raw0) else raw0
+    val f = checkpointFrames(
+      raw.join(broadcast(stopFrames(raw, maxDf)), Seq("fm"), "left_anti"))
     if (materializeFrames) graft.core.Checkpoints.release(raw)
     val vdg = f.groupBy(col("media_id"))
       .agg(md5(concat_ws(";", sort_array(collect_list(
@@ -1163,9 +1199,9 @@ object Multimodal {
     // pass for live (expensive-to-derive) frames, default recompute for
     // stored parquet rows.
     val raw0 = framesIn.select(col("media_id"), col("frame_idx"), col("fm"))
-    val raw = if (materializeFrames) raw0.localCheckpoint() else raw0
-    val f = raw.join(broadcast(stopFrames(raw, maxDf)), Seq("fm"),
-      "left_anti").localCheckpoint()
+    val raw = if (materializeFrames) checkpointFrames(raw0) else raw0
+    val f = checkpointFrames(
+      raw.join(broadcast(stopFrames(raw, maxDf)), Seq("fm"), "left_anti"))
     if (materializeFrames) graft.core.Checkpoints.release(raw)
     val vdg = f.groupBy(col("media_id"))
       .agg(md5(concat_ws(";", sort_array(collect_list(
@@ -1353,8 +1389,8 @@ object Multimodal {
   def perceptualPairsFromFrames(framesIn: DataFrame, maxDist: Int = 6,
       minFrames: Int = 2, maxDf: Int = 10000,
       stopBands: Option[DataFrame] = None): DataFrame = {
-    val raw = framesIn.select(col("media_id"), col("frame_idx"),
-      col("f_lo"), col("f_hi")).localCheckpoint()
+    val raw = checkpointFrames(framesIn.select(col("media_id"),
+      col("frame_idx"), col("f_lo"), col("f_hi")))
     val stopB = stopBands.getOrElse(videoBandStop(raw, maxDf))
       .localCheckpoint()
     // collapse on the fp-sequence digest: identical sequences (verbatim
@@ -1443,8 +1479,8 @@ object Multimodal {
   def clipPerceptualFromFrames(framesIn: DataFrame, maxDist: Int = 6,
       minFrames: Int = 2, maxDf: Int = 10000,
       stopBands: Option[DataFrame] = None): DataFrame = {
-    val raw = framesIn.select(col("media_id"), col("frame_idx"),
-      col("f_lo"), col("f_hi")).localCheckpoint()
+    val raw = checkpointFrames(framesIn.select(col("media_id"),
+      col("frame_idx"), col("f_lo"), col("f_hi")))
     val stopB = stopBands.getOrElse(videoBandStop(raw, maxDf))
       .localCheckpoint()
     val vdg = raw.groupBy(col("media_id"))
